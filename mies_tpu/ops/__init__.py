@@ -1,0 +1,47 @@
+"""Pure-JAX enhancement ops (device compute path).
+
+Every op is a pure function ``f(img, **params) -> img`` on float32 arrays
+in [0, 1], shape [H, W] (batch via ``jax.vmap`` in the pipeline compiler).
+Semantics mirror the documented behavior of the reference's pinned
+dependencies (SURVEY.md section 4): scikit-image 0.26 / kornia 0.8.2 /
+OpenCV conventions, with NumPy goldens in tests/goldens.
+"""
+
+from mies_tpu.ops.intensity import (
+    adjust_gamma,
+    adjust_log,
+    adjust_sigmoid,
+    invert,
+    normalize_minmax,
+    rescale_intensity,
+    window_hu,
+)
+from mies_tpu.ops.histogram import equalize_hist, clahe
+from mies_tpu.ops.filters import (
+    gaussian_blur,
+    unsharp_mask,
+    median_blur,
+    bilateral_blur,
+    box_blur,
+    laplacian_sharpen,
+    sobel_edges,
+)
+
+__all__ = [
+    "adjust_gamma",
+    "adjust_log",
+    "adjust_sigmoid",
+    "invert",
+    "normalize_minmax",
+    "rescale_intensity",
+    "window_hu",
+    "equalize_hist",
+    "clahe",
+    "gaussian_blur",
+    "unsharp_mask",
+    "median_blur",
+    "bilateral_blur",
+    "box_blur",
+    "laplacian_sharpen",
+    "sobel_edges",
+]

@@ -1,0 +1,231 @@
+"""Spatial filters: Gaussian / box / median / bilateral / unsharp / edges.
+
+Semantics mirror the reference's pinned dependency surface (SURVEY.md
+section 2b D1/D6):
+  * gaussian_blur  -> skimage.filters.gaussian (truncate=4.0, mode
+    'nearest' by default) / kornia.filters.gaussian_blur2d
+  * unsharp_mask   -> skimage.filters.unsharp_mask:
+    img + amount * (img - gaussian(img, sigma=radius)), clipped
+  * median_blur    -> skimage.filters.median with odd square footprint /
+    kornia.filters.median_blur
+  * bilateral_blur -> kornia.filters.bilateral_blur (explicit kernel
+    size) / skimage.restoration.denoise_bilateral (sigma-derived window)
+
+TPU notes: the Gaussian is separable and lowered through
+``lax.conv_general_dilated`` so XLA maps it onto the convolution path and
+fuses the surrounding elementwise work. Median and bilateral are
+stencil ops expressed as static shifted-window gathers — XLA-friendly
+(static shapes, no data-dependent control flow); their Pallas versions
+live in ``mies_tpu.kernels``.
+
+All functions take float32 [H, W] in [0, 1] and return the same.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array, lax
+
+_PAD_MODE = {
+    "nearest": "edge",
+    "reflect": "symmetric",  # scipy 'reflect' (d c b a | a b c d) == np 'symmetric'
+    "mirror": "reflect",  # scipy 'mirror'  (d c b | a b c d | c b a) == np 'reflect'
+    "constant": "constant",
+    "wrap": "wrap",
+}
+
+
+def _pad2d(img: Array, ry: int, rx: int, mode: str) -> Array:
+    if ry == 0 and rx == 0:
+        return img
+    return jnp.pad(img, ((ry, ry), (rx, rx)), mode=_PAD_MODE[mode])
+
+
+def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    """scipy.ndimage-compatible 1-D Gaussian taps (host-side, static)."""
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = k / k.sum()
+    return k.astype(np.float32)
+
+
+def _sep_conv2d(img: Array, ky: np.ndarray, kx: np.ndarray, mode: str) -> Array:
+    """Separable 2-D convolution with border handling, via XLA conv.
+
+    Border mode is applied PER 1-D PASS (pad axis, valid-conv, next axis)
+    to match scipy.ndimage's sequential correlate1d semantics exactly —
+    padding both axes up front gives different corners for 'nearest'.
+    """
+    ry, rx = len(ky) // 2, len(kx) // 2
+    x = img.astype(jnp.float32)[None, None]  # NCHW
+    if ry:
+        x = jnp.pad(x, ((0, 0), (0, 0), (ry, ry), (0, 0)), mode=_PAD_MODE[mode])
+        wy = jnp.asarray(ky, jnp.float32).reshape(1, 1, -1, 1)
+        x = lax.conv_general_dilated(x, wy, (1, 1), "VALID", precision=lax.Precision.HIGHEST)
+    if rx:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (rx, rx)), mode=_PAD_MODE[mode])
+        wx = jnp.asarray(kx, jnp.float32).reshape(1, 1, 1, -1)
+        x = lax.conv_general_dilated(x, wx, (1, 1), "VALID", precision=lax.Precision.HIGHEST)
+    return x[0, 0]
+
+
+def gaussian_blur(
+    img: Array,
+    sigma: float = 1.0,
+    truncate: float = 4.0,
+    mode: str = "nearest",
+) -> Array:
+    """Gaussian blur, skimage.filters.gaussian semantics.
+
+    Kernel radius = int(truncate * sigma + 0.5) (scipy.ndimage). sigma=0
+    is the identity.
+    """
+    if sigma <= 0:
+        return img
+    radius = int(truncate * float(sigma) + 0.5)
+    k = gaussian_kernel1d(float(sigma), radius)
+    return _sep_conv2d(img, k, k, mode)
+
+
+def box_blur(img: Array, kernel_size: int = 3, mode: str = "reflect") -> Array:
+    """Normalized box (mean) filter with odd square window."""
+    if kernel_size % 2 != 1:
+        raise ValueError("kernel_size must be odd")
+    k = np.full((kernel_size,), 1.0 / kernel_size, np.float32)
+    return _sep_conv2d(img, k, k, mode)
+
+
+def unsharp_mask(
+    img: Array,
+    radius: float = 1.0,
+    amount: float = 1.0,
+    mode: str = "nearest",
+    clip: bool = True,
+) -> Array:
+    """Unsharp masking, skimage.filters.unsharp_mask semantics.
+
+    ``img + amount * (img - gaussian(img, sigma=radius))``; XLA fuses the
+    residual add/scale into the blur's epilogue.
+    """
+    blurred = gaussian_blur(img, sigma=radius, mode=mode)
+    out = img + amount * (img - blurred)
+    if clip:
+        out = jnp.clip(out, 0.0, 1.0)
+    return out
+
+
+def _window_stack(img: Array, k: int, mode: str) -> Array:
+    """Stack the k*k shifted neighborhoods: [k*k, H, W] (static shapes)."""
+    r = k // 2
+    p = _pad2d(img, r, r, mode)
+    h, w = img.shape
+    views = [
+        lax.dynamic_slice(p, (dy, dx), (h, w))
+        for dy in range(k)
+        for dx in range(k)
+    ]
+    return jnp.stack(views, axis=0)
+
+
+def median_blur(img: Array, kernel_size: int = 3, mode: str = "nearest") -> Array:
+    """Median filter with an odd square footprint.
+
+    skimage.filters.median(behavior='ndimage', mode='nearest') semantics.
+    Expressed as a full sort over the k^2 window stack — XLA lowers the
+    sort to a vectorized sorting network over the leading axis (each lane
+    sorts its own pixel's window, VPU-parallel). Pallas kernel:
+    mies_tpu.kernels.median (odd-rank median via partial selection).
+    """
+    if kernel_size % 2 != 1:
+        raise ValueError("kernel_size must be odd")
+    win = _window_stack(img, kernel_size, mode)
+    n = kernel_size * kernel_size
+    return jnp.sort(win, axis=0)[n // 2]
+
+
+def bilateral_blur(
+    img: Array,
+    kernel_size: int = 5,
+    sigma_color: float = 0.1,
+    sigma_space: float = 1.5,
+    mode: str = "reflect",
+) -> Array:
+    """Bilateral filter, kornia.filters.bilateral_blur semantics.
+
+    weight(p, q) = exp(-(|p-q|^2) / (2 sigma_space^2))
+                 * exp(-(I(p)-I(q))^2 / (2 sigma_color^2))
+    out(p) = sum_q w * I(q) / sum_q w   over the odd square window.
+
+    Static shifted-window formulation: k^2 fused multiply-adds over the
+    image — pure VPU work with no gathers.
+    """
+    if kernel_size % 2 != 1:
+        raise ValueError("kernel_size must be odd")
+    r = kernel_size // 2
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    spatial = np.exp(
+        -(dy**2 + dx**2) / (2.0 * float(sigma_space) ** 2)
+    ).astype(np.float32).ravel()
+
+    win = _window_stack(img, kernel_size, mode)  # [k*k, H, W]
+    diff = win - img[None]
+    rng = jnp.exp(-(diff * diff) / (2.0 * float(sigma_color) ** 2))
+    w = rng * jnp.asarray(spatial)[:, None, None]
+    return jnp.sum(w * win, axis=0) / jnp.sum(w, axis=0)
+
+
+def denoise_bilateral(
+    img: Array,
+    sigma_color: float = 0.1,
+    sigma_spatial: float = 1.0,
+    mode: str = "edge",
+) -> Array:
+    """skimage.restoration.denoise_bilateral-style entry point.
+
+    Window radius derived from sigma_spatial: ``max(1, round(3 * sigma))``
+    (skimage uses win = max(5, 2*ceil(3*sigma_spatial)+1)).
+    """
+    win = max(5, 2 * int(np.ceil(3.0 * float(sigma_spatial))) + 1)
+    return bilateral_blur(
+        img,
+        kernel_size=win,
+        sigma_color=sigma_color,
+        sigma_space=sigma_spatial,
+        mode="edge" if mode == "edge" else mode,
+    )
+
+
+_SOBEL_Y = np.array([[1.0], [2.0], [1.0]], np.float32)
+_SOBEL_D = np.array([[-1.0], [0.0], [1.0]], np.float32)
+
+
+def sobel_edges(img: Array, mode: str = "reflect") -> Array:
+    """Sobel gradient magnitude (skimage.filters.sobel semantics).
+
+    Normalization 1/4 per axis kernel then sqrt((gx^2+gy^2)/2)... skimage
+    uses kernels scaled so output is in [0,1]: smooth=[1,2,1]/4,
+    edge=[-1,0,1]/2, magnitude = sqrt(gx^2 + gy^2) / sqrt(2).
+    """
+    smooth = (_SOBEL_Y / 4.0).ravel()
+    edge = (_SOBEL_D / 2.0).ravel()
+    gy = _sep_conv2d(img, edge, smooth, mode)
+    gx = _sep_conv2d(img, smooth, edge, mode)
+    return jnp.sqrt(gx * gx + gy * gy) / np.sqrt(2.0).astype(np.float32)
+
+
+def laplacian_sharpen(img: Array, alpha: float = 0.2, mode: str = "reflect") -> Array:
+    """Sharpen via 4-neighbor Laplacian: img - alpha * lap(img), clipped."""
+    p = _pad2d(img, 1, 1, mode)
+    h, w = img.shape
+    lap = (
+        lax.dynamic_slice(p, (0, 1), (h, w))
+        + lax.dynamic_slice(p, (2, 1), (h, w))
+        + lax.dynamic_slice(p, (1, 0), (h, w))
+        + lax.dynamic_slice(p, (1, 2), (h, w))
+        - 4.0 * img
+    )
+    return jnp.clip(img - alpha * lap, 0.0, 1.0)

@@ -1,0 +1,227 @@
+"""Histogram-based contrast ops: global equalization and CLAHE.
+
+Two CLAHE conventions exist in the reference's dependency set and they
+differ numerically (SURVEY.md section 4 item 1):
+
+* ``convention="opencv"`` — OpenCV / kornia ``equalize_clahe`` semantics:
+  integer uint8 histograms, ``clip_limit`` is a multiple of the uniform
+  bin level (default 2.0 .. 40.0), OpenCV's exact clip-redistribution and
+  rounding. This path is validated BIT-EXACTLY against ``cv2.createCLAHE``
+  in tests/test_clahe.py.
+* ``convention="fraction"`` — scikit-image ``equalize_adapthist`` flavor:
+  ``clip_limit`` is a fraction of tile pixels (default 0.01), float CDF
+  LUTs. Exact semantics documented in tests/goldens/golden_ops.py (the
+  behavioral contract — skimage itself is not installable here).
+
+The pure-jnp implementation below is the correctness reference; the
+Pallas kernel in ``mies_tpu.kernels.clahe`` is the performance path and
+must match it exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+NBINS = 256
+
+
+# ---------------------------------------------------------------------------
+# Global histogram equalization (skimage.exposure.equalize_hist semantics)
+# ---------------------------------------------------------------------------
+
+
+def equalize_hist(img: Array, nbins: int = NBINS) -> Array:
+    """Global histogram equalization, skimage semantics.
+
+    Histogram over ``nbins`` bins spanning the image's own [min, max],
+    normalized CDF, output = ``interp(img, bin_centers, cdf)`` — float in
+    [0, 1]. Mirrors ``skimage.exposure.equalize_hist`` (SURVEY.md
+    section 4 item 1); golden: tests/goldens/golden_ops.py::equalize_hist.
+    """
+    img = img.astype(jnp.float32)
+    lo = jnp.min(img)
+    hi = jnp.max(img)
+    span = jnp.maximum(hi - lo, 1e-12)
+    # Bin index per pixel; pixels at `hi` land in the last bin.
+    idx = jnp.clip(((img - lo) / span * nbins).astype(jnp.int32), 0, nbins - 1)
+    hist = jnp.zeros((nbins,), jnp.float32).at[idx.ravel()].add(1.0)
+    cdf = jnp.cumsum(hist)
+    cdf = cdf / cdf[-1]
+    width = span / nbins
+    bin_centers = lo + (jnp.arange(nbins, dtype=jnp.float32) + 0.5) * width
+    return jnp.interp(img, bin_centers, cdf)
+
+
+# ---------------------------------------------------------------------------
+# CLAHE
+# ---------------------------------------------------------------------------
+
+
+def _pad_reflect101(img: Array, grid: tuple[int, int]) -> tuple[Array, int, int]:
+    """Pad H, W up to multiples of the tile grid with BORDER_REFLECT_101.
+
+    OpenCV pads on the bottom/right only (``copyMakeBorder(src, 0, dy, 0,
+    dx, BORDER_REFLECT_101)``); numpy/jnp mode='reflect' matches
+    REFLECT_101 (edge pixel not duplicated).
+    """
+    h, w = img.shape
+    gy, gx = grid
+    ph = (gy - h % gy) % gy
+    pw = (gx - w % gx) % gx
+    if ph or pw:
+        img = jnp.pad(img, ((0, ph), (0, pw)), mode="reflect")
+    return img, ph, pw
+
+
+def _tile_histograms(u8: Array, grid: tuple[int, int]) -> Array:
+    """Per-tile 256-bin histograms, shape [gy*gx, 256] (float32 counts)."""
+    gy, gx = grid
+    h, w = u8.shape
+    th, tw = h // gy, w // gx
+    tiles = u8.reshape(gy, th, gx, tw).transpose(0, 2, 1, 3).reshape(gy * gx, th * tw)
+
+    def one_hist(t: Array) -> Array:
+        return jnp.zeros((NBINS,), jnp.float32).at[t].add(1.0)
+
+    return jax.vmap(one_hist)(tiles)
+
+
+def _clip_redistribute_opencv(hist: Array, clip_value: Array) -> Array:
+    """OpenCV's exact integer clip + redistribution, vectorized per tile.
+
+    hist: [T, 256] float32 integer-valued counts. OpenCV:
+      1. excess = sum(max(h - clip, 0)); h = min(h, clip)
+      2. h += excess // 256
+      3. residual = excess % 256; step = max(256 // residual, 1);
+         h[i] += 1 for i = 0, step, 2*step, ... while residual lasts
+         (and i < 256 — leftover residual beyond that is dropped).
+    """
+    excess = jnp.sum(jnp.maximum(hist - clip_value, 0.0), axis=1, keepdims=True)
+    hist = jnp.minimum(hist, clip_value)
+    batch_incr = jnp.floor(excess / NBINS)
+    residual = excess - batch_incr * NBINS  # [T, 1]
+    hist = hist + batch_incr
+    # Residual spread: increments land at i = k*step for k < residual.
+    step = jnp.maximum(jnp.floor(NBINS / jnp.maximum(residual, 1.0)), 1.0)
+    i = jnp.arange(NBINS, dtype=jnp.float32)[None, :]
+    k = jnp.floor(i / step)
+    gets_one = (jnp.mod(i, step) == 0) & (k < residual)
+    return hist + gets_one.astype(jnp.float32)
+
+
+def _clip_redistribute_fraction(hist: Array, clip_value: Array) -> Array:
+    """Fraction-convention clip: one-pass uniform float redistribution.
+
+    excess is spread equally over ALL bins (float), so total mass is
+    conserved exactly. Bins may exceed the clip value after redistribution
+    (single pass — documented contract, see module docstring).
+    """
+    excess = jnp.sum(jnp.maximum(hist - clip_value, 0.0), axis=1, keepdims=True)
+    return jnp.minimum(hist, clip_value) + excess / NBINS
+
+
+def _bilinear_lut_apply(u8: Array, luts: Array, grid: tuple[int, int]) -> Array:
+    """Bilinearly interpolate per-pixel between the 4 neighboring tile LUTs.
+
+    u8:   [H, W] int32 bin indices (padded image).
+    luts: [gy, gx, 256] float32.
+    Returns float32 [H, W] of interpolated LUT values (un-rounded).
+
+    OpenCV weight computation: ``txf = x / tw - 0.5; tx1 = floor(txf);
+    xa = txf - tx1; tx1 = max(tx1, 0); tx2 = min(tx1 + 1, gx - 1)``.
+    """
+    gy, gx = grid
+    h, w = u8.shape
+    th, tw = h // gy, w // gx
+
+    # OpenCV uses integer pixel coords: txf = x * inv_tw - 0.5 where
+    # inv_tw = 1/tw and x is the column index — no +0.5 pixel-center term.
+    yf = jnp.arange(h, dtype=jnp.float32) / th - 0.5
+    xf = jnp.arange(w, dtype=jnp.float32) / tw - 0.5
+
+    ty1f = jnp.floor(yf)
+    tx1f = jnp.floor(xf)
+    ya = (yf - ty1f)[:, None]  # [H,1]
+    xa = (xf - tx1f)[None, :]  # [1,W]
+    # OpenCV: tx2 = UNCLIPPED floor + 1, then min-clamped; tx1 max-clamped.
+    ty1 = jnp.maximum(ty1f.astype(jnp.int32), 0)
+    tx1 = jnp.maximum(tx1f.astype(jnp.int32), 0)
+    ty2 = jnp.minimum(ty1f.astype(jnp.int32) + 1, gy - 1)
+    tx2 = jnp.minimum(tx1f.astype(jnp.int32) + 1, gx - 1)
+
+    ty1 = ty1[:, None]
+    ty2 = ty2[:, None]
+    tx1 = tx1[None, :]
+    tx2 = tx2[None, :]
+
+    v11 = luts[ty1, tx1, u8]
+    v12 = luts[ty1, tx2, u8]
+    v21 = luts[ty2, tx1, u8]
+    v22 = luts[ty2, tx2, u8]
+    top = v11 * (1.0 - xa) + v12 * xa
+    bot = v21 * (1.0 - xa) + v22 * xa
+    return top * (1.0 - ya) + bot * ya
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid_size", "clip_limit", "convention", "nbins")
+)
+def clahe(
+    img: Array,
+    clip_limit: float = 2.0,
+    grid_size: tuple[int, int] = (8, 8),
+    convention: str = "opencv",
+    nbins: int = NBINS,
+) -> Array:
+    """Contrast-Limited Adaptive Histogram Equalization on float [0,1].
+
+    convention="opencv": quantize to uint8 levels, run OpenCV's exact
+    integer algorithm (clip = max(int(clip_limit * tile_area / 256), 1),
+    integer redistribution, uint8 LUT via rint, bilinear blend, final
+    rint) and return float levels / 255. Bit-exact vs cv2.createCLAHE.
+
+    convention="fraction": clip = max(clip_limit * tile_area, 1) float
+    counts, single-pass uniform redistribution, CDF LUT normalized to
+    [0,1], bilinear blend, float output (no quantization loss beyond the
+    256-bin index).
+    """
+    if img.ndim != 2:
+        raise ValueError(f"clahe expects [H, W]; got shape {img.shape}")
+    if nbins != NBINS:
+        raise NotImplementedError("only nbins=256 is supported")
+    gy, gx = grid_size
+    h0, w0 = img.shape
+
+    u8 = jnp.clip(jnp.round(img.astype(jnp.float32) * 255.0), 0, 255).astype(jnp.int32)
+    u8, ph, pw = _pad_reflect101(u8, (gy, gx))
+    h, w = u8.shape
+    th, tw = h // gy, w // gx
+    tile_area = th * tw
+
+    hists = _tile_histograms(u8, (gy, gx))  # [T, 256]
+
+    if convention == "opencv":
+        clip_value = jnp.float32(max(int(clip_limit * tile_area / NBINS), 1))
+        hists = _clip_redistribute_opencv(hists, clip_value)
+        cdf = jnp.cumsum(hists, axis=1)
+        lut_scale = jnp.float32(NBINS - 1) / tile_area
+        # cvRound == round-half-to-even == rint
+        luts = jnp.clip(jnp.rint(cdf * lut_scale), 0, 255)  # uint8-valued f32
+        luts = luts.reshape(gy, gx, NBINS)
+        out = _bilinear_lut_apply(u8, luts, (gy, gx))
+        out = jnp.clip(jnp.rint(out), 0, 255)
+        out = out[:h0, :w0] / 255.0
+    elif convention == "fraction":
+        clip_value = jnp.float32(max(clip_limit * tile_area, 1.0))
+        hists = _clip_redistribute_fraction(hists, clip_value)
+        cdf = jnp.cumsum(hists, axis=1)
+        luts = (cdf / tile_area).reshape(gy, gx, NBINS)
+        out = _bilinear_lut_apply(u8, luts, (gy, gx))
+        out = jnp.clip(out[:h0, :w0], 0.0, 1.0)
+    else:
+        raise ValueError(f"unknown CLAHE convention: {convention!r}")
+    return out.astype(img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32)

@@ -1,0 +1,91 @@
+"""Point-wise intensity transforms.
+
+Semantics follow the documented contracts of the reference's pinned deps
+(SURVEY.md section 2b D1/D6): ``skimage.exposure.adjust_gamma/adjust_log/
+adjust_sigmoid/rescale_intensity`` and the [N] HU-windowing formula
+``clip((hu - (c - w/2)) / w, 0, 1)`` (SURVEY.md section 4 item 1).
+
+All functions are pure, shape-polymorphic, and fuse into the surrounding
+XLA program — on TPU these are single-pass VPU work that XLA folds into
+neighboring stages for free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+
+def adjust_gamma(img: Array, gamma: float = 1.0, gain: float = 1.0) -> Array:
+    """Gamma correction: ``gain * img ** gamma`` (skimage semantics).
+
+    Input is assumed non-negative (float [0,1] pipeline convention).
+    """
+    return gain * jnp.power(img, gamma)
+
+
+def adjust_log(img: Array, gain: float = 1.0, inv: bool = False) -> Array:
+    """Logarithmic correction: ``gain * log2(1 + img)``.
+
+    With ``inv=True``: ``gain * (2**img - 1)`` (inverse-log), matching
+    skimage.exposure.adjust_log.
+    """
+    if inv:
+        return gain * (jnp.exp2(img) - 1.0)
+    return gain * jnp.log2(1.0 + img)
+
+
+def adjust_sigmoid(
+    img: Array, cutoff: float = 0.5, gain: float = 10.0, inv: bool = False
+) -> Array:
+    """Sigmoid (S-curve) contrast: ``1 / (1 + exp(gain * (cutoff - img)))``."""
+    s = 1.0 / (1.0 + jnp.exp(gain * (cutoff - img)))
+    if inv:
+        return 1.0 - s
+    return s
+
+
+def invert(img: Array) -> Array:
+    """Photometric inversion for float [0,1] images: ``1 - img``."""
+    return 1.0 - img
+
+
+def normalize_minmax(img: Array, eps: float = 1e-12) -> Array:
+    """Affine rescale of the image's own range to [0, 1]."""
+    lo = jnp.min(img)
+    hi = jnp.max(img)
+    return (img - lo) / jnp.maximum(hi - lo, eps)
+
+
+def rescale_intensity(
+    img: Array,
+    in_range: tuple[float, float] | None = None,
+    out_range: tuple[float, float] = (0.0, 1.0),
+) -> Array:
+    """skimage.exposure.rescale_intensity semantics.
+
+    ``in_range=None`` means the image's own (min, max). Values are clipped
+    to ``in_range`` before the affine map to ``out_range``.
+    """
+    if in_range is None:
+        imin, imax = jnp.min(img), jnp.max(img)
+    else:
+        imin = jnp.asarray(in_range[0], img.dtype)
+        imax = jnp.asarray(in_range[1], img.dtype)
+    omin, omax = out_range
+    x = jnp.clip(img, imin, imax)
+    scale = (omax - omin) / jnp.maximum(imax - imin, 1e-12)
+    return (x - imin) * scale + omin
+
+
+def window_hu(hu: Array, center: float, width: float) -> Array:
+    """CT Hounsfield-unit windowing to float [0, 1].
+
+    ``clip((hu - (center - width/2)) / width, 0, 1)`` — the [N] contract
+    (SURVEY.md section 3.3). Accepts int16 or float input; computes in
+    float32 so the whole window+chain fuses into one XLA program with the
+    int16->f32 cast happening on-device.
+    """
+    x = hu.astype(jnp.float32)
+    lo = center - width / 2.0
+    return jnp.clip((x - lo) / width, 0.0, 1.0)

@@ -1,0 +1,12 @@
+"""Declarative pipeline: config schema -> one jitted XLA program."""
+
+from mies_tpu.pipeline.config import PipelineConfig, StageConfig, load_config
+from mies_tpu.pipeline.compiler import compile_pipeline, OP_REGISTRY
+
+__all__ = [
+    "PipelineConfig",
+    "StageConfig",
+    "load_config",
+    "compile_pipeline",
+    "OP_REGISTRY",
+]

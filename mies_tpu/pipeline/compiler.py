@@ -1,0 +1,101 @@
+"""Compile a PipelineConfig into one jitted XLA program.
+
+The whole chain — including int16->float windowing on the way in and
+uint8 quantization on the way out — traces into a single ``jax.jit``
+program, so XLA fuses every elementwise stage into its neighbors and
+host<->device crossings happen exactly twice per call (SURVEY.md
+section 3.1). Batches are handled with ``jax.vmap`` over a leading axis.
+
+The config is hashable, so ``compile_pipeline`` results are cached:
+the same config never retraces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from mies_tpu.ops import filters as F
+from mies_tpu.ops import histogram as H
+from mies_tpu.ops import intensity as I
+from mies_tpu.pipeline.config import PipelineConfig
+
+# Every op the config schema can name. Signature: fn(img, **params) -> img.
+# (clahe is re-wrapped to drop its own jit; the chain jit subsumes it.)
+OP_REGISTRY: dict[str, Callable] = {
+    # intensity
+    "adjust_gamma": I.adjust_gamma,
+    "adjust_log": I.adjust_log,
+    "adjust_sigmoid": I.adjust_sigmoid,
+    "invert": I.invert,
+    "normalize": I.normalize_minmax,
+    "rescale_intensity": I.rescale_intensity,
+    "window_hu": I.window_hu,
+    # histogram
+    "equalize_hist": H.equalize_hist,
+    "clahe": H.clahe.__wrapped__,  # un-jitted body; chain jit covers it
+    # filters
+    "gaussian_blur": F.gaussian_blur,
+    "box_blur": F.box_blur,
+    "unsharp_mask": F.unsharp_mask,
+    "median_blur": F.median_blur,
+    "bilateral_blur": F.bilateral_blur,
+    "denoise_bilateral": F.denoise_bilateral,
+    "sobel_edges": F.sobel_edges,
+    "laplacian_sharpen": F.laplacian_sharpen,
+}
+
+
+def build_chain(cfg: PipelineConfig) -> Callable[[Array], Array]:
+    """Fold the stage list into one pure function [H, W] -> [H, W].
+
+    Params are bound statically (Python closure), so XLA sees constants —
+    kernels, clip limits, and LUT shapes all specialize at compile time.
+    """
+    bound = []
+    for s in cfg.stages:
+        fn = OP_REGISTRY[s.op]
+        bound.append(functools.partial(fn, **s.kwargs()))
+
+    def chain(img: Array) -> Array:
+        x = img
+        for fn in bound:
+            x = fn(x)
+        return x
+
+    return chain
+
+
+def _quantize_u8(x: Array) -> Array:
+    """float [0,1] -> uint8 (round-half-even like cv2/np.rint, clipped)."""
+    return jnp.clip(jnp.rint(x * 255.0), 0, 255).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=128)
+def compile_pipeline(
+    cfg: PipelineConfig,
+    batched: bool = False,
+    quantize: bool = True,
+    donate: bool = True,
+) -> Callable[[Array], Array]:
+    """Config -> jitted callable.
+
+    batched=False: input [H, W]; batched=True: input [B, H, W] (vmapped —
+    one XLA program for the whole batch, MXU/VPU-parallel across slices).
+    quantize=True appends float->uint8 conversion on-device so only uint8
+    crosses back to the host (4x less PCIe/DMA traffic than float32).
+    donate=True donates the input buffer (safe: callers pass ingest
+    buffers they don't reuse), letting XLA alias working memory.
+    """
+    chain = build_chain(cfg)
+
+    def run(img: Array) -> Array:
+        x = chain(img)
+        return _quantize_u8(x) if quantize else x
+
+    fn = jax.vmap(run) if batched else run
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,205 @@
+"""Pure-NumPy golden references — the behavioral contract of every op.
+
+These mirror the documented semantics of the reference's pinned deps
+(SURVEY.md section 4 item 1: skimage 0.26 / kornia 0.8.2 / OpenCV),
+written independently of the JAX implementations. skimage/kornia are not
+installable in this environment, so these ARE the contract; the OpenCV
+CLAHE convention is additionally cross-checked bit-exactly against the
+locally available ``cv2.createCLAHE`` in tests/test_clahe.py.
+
+Everything here is straight NumPy on the host — deliberately simple and
+loop-free where possible, never imported by the framework itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+
+NBINS = 256
+
+
+# -- intensity ---------------------------------------------------------------
+
+
+def adjust_gamma(img, gamma=1.0, gain=1.0):
+    return gain * np.power(img, gamma)
+
+
+def adjust_log(img, gain=1.0, inv=False):
+    if inv:
+        return gain * (2.0**img - 1.0)
+    return gain * np.log2(1.0 + img)
+
+
+def adjust_sigmoid(img, cutoff=0.5, gain=10.0, inv=False):
+    s = 1.0 / (1.0 + np.exp(gain * (cutoff - img)))
+    return 1.0 - s if inv else s
+
+
+def rescale_intensity(img, in_range=None, out_range=(0.0, 1.0)):
+    if in_range is None:
+        imin, imax = img.min(), img.max()
+    else:
+        imin, imax = in_range
+    omin, omax = out_range
+    x = np.clip(img, imin, imax)
+    return (x - imin) * ((omax - omin) / max(imax - imin, 1e-12)) + omin
+
+
+def window_hu(hu, center, width):
+    x = hu.astype(np.float32)
+    return np.clip((x - (center - width / 2.0)) / width, 0.0, 1.0)
+
+
+# -- histogram ---------------------------------------------------------------
+
+
+def equalize_hist(img, nbins=NBINS):
+    """skimage.exposure.equalize_hist: CDF over the image's own range,
+    linear interpolation against bin centers."""
+    img = img.astype(np.float32)
+    hist, bin_edges = np.histogram(img.ravel(), bins=nbins)
+    bin_centers = (bin_edges[:-1] + bin_edges[1:]) / 2.0
+    cdf = hist.cumsum().astype(np.float64)
+    cdf /= cdf[-1]
+    return np.interp(img.ravel(), bin_centers, cdf).reshape(img.shape).astype(
+        np.float32
+    )
+
+
+def clahe_fraction(img, clip_limit=0.01, grid_size=(8, 8)):
+    """Fraction-convention CLAHE — documented contract for
+    mies_tpu.ops.histogram.clahe(convention='fraction').
+
+    1. quantize float [0,1] to 256 levels (round);
+    2. pad bottom/right to a tile-grid multiple with reflect-101;
+    3. per-tile 256-bin histogram;
+    4. clip at max(clip_limit * tile_area, 1); spread the excess
+       uniformly (float) over all bins, single pass;
+    5. LUT = cumsum / tile_area (float in (0, 1]);
+    6. per-pixel bilinear blend of the 4 neighboring tile LUTs with
+       OpenCV-style edge clamping; output clipped to [0, 1].
+    """
+    gy, gx = grid_size
+    h0, w0 = img.shape
+    u8 = np.clip(np.round(img.astype(np.float64) * 255.0), 0, 255).astype(np.int64)
+    ph = (gy - h0 % gy) % gy
+    pw = (gx - w0 % gx) % gx
+    if ph or pw:
+        u8 = np.pad(u8, ((0, ph), (0, pw)), mode="reflect")
+    h, w = u8.shape
+    th, tw = h // gy, w // gx
+    area = th * tw
+    clip_value = max(clip_limit * area, 1.0)
+
+    luts = np.zeros((gy, gx, NBINS), np.float64)
+    for i in range(gy):
+        for j in range(gx):
+            tile = u8[i * th : (i + 1) * th, j * tw : (j + 1) * tw]
+            hist = np.bincount(tile.ravel(), minlength=NBINS).astype(np.float64)
+            excess = np.maximum(hist - clip_value, 0.0).sum()
+            hist = np.minimum(hist, clip_value) + excess / NBINS
+            luts[i, j] = hist.cumsum() / area
+
+    out = _bilerp_luts(u8, luts, th, tw, gy, gx)
+    return np.clip(out[:h0, :w0], 0.0, 1.0).astype(np.float32)
+
+
+def _bilerp_luts(u8, luts, th, tw, gy, gx):
+    h, w = u8.shape
+    yf = np.arange(h, dtype=np.float64) / th - 0.5
+    xf = np.arange(w, dtype=np.float64) / tw - 0.5
+    ty1f = np.floor(yf)
+    tx1f = np.floor(xf)
+    ya = (yf - ty1f)[:, None]
+    xa = (xf - tx1f)[None, :]
+    # OpenCV-style clamping: tx2 from the UNCLIPPED floor + 1
+    ty1 = np.maximum(ty1f.astype(np.int64), 0)
+    tx1 = np.maximum(tx1f.astype(np.int64), 0)
+    ty2 = np.minimum(ty1f.astype(np.int64) + 1, gy - 1)
+    tx2 = np.minimum(tx1f.astype(np.int64) + 1, gx - 1)
+    TY1 = ty1[:, None]
+    TY2 = ty2[:, None]
+    TX1 = tx1[None, :]
+    TX2 = tx2[None, :]
+    v11 = luts[TY1, TX1, u8]
+    v12 = luts[TY1, TX2, u8]
+    v21 = luts[TY2, TX1, u8]
+    v22 = luts[TY2, TX2, u8]
+    top = v11 * (1 - xa) + v12 * xa
+    bot = v21 * (1 - xa) + v22 * xa
+    return top * (1 - ya) + bot * ya
+
+
+# -- filters -----------------------------------------------------------------
+
+
+def gaussian_blur(img, sigma=1.0, truncate=4.0, mode="nearest"):
+    """scipy.ndimage.gaussian_filter (the engine under skimage.filters.
+    gaussian), float64 accumulate then cast."""
+    if sigma <= 0:
+        return img
+    return ndimage.gaussian_filter(
+        img.astype(np.float64), sigma=sigma, truncate=truncate, mode=mode
+    ).astype(np.float32)
+
+
+def unsharp_mask(img, radius=1.0, amount=1.0, mode="nearest", clip=True):
+    blurred = gaussian_blur(img, sigma=radius, mode=mode)
+    out = img + amount * (img - blurred)
+    return np.clip(out, 0.0, 1.0) if clip else out
+
+
+def median_blur(img, kernel_size=3, mode="nearest"):
+    return ndimage.median_filter(img, size=kernel_size, mode=mode).astype(np.float32)
+
+
+def box_blur(img, kernel_size=3, mode="reflect"):
+    return ndimage.uniform_filter(
+        img.astype(np.float64), size=kernel_size, mode=mode
+    ).astype(np.float32)
+
+
+def bilateral_blur(img, kernel_size=5, sigma_color=0.1, sigma_space=1.5, mode="reflect"):
+    """Direct windowed bilateral (kornia.filters.bilateral_blur formula)."""
+    r = kernel_size // 2
+    pad_mode = {"reflect": "symmetric", "nearest": "edge", "edge": "edge",
+                "mirror": "reflect"}[mode]
+    p = np.pad(img.astype(np.float64), r, mode=pad_mode)
+    h, w = img.shape
+    num = np.zeros((h, w), np.float64)
+    den = np.zeros((h, w), np.float64)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            q = p[r + dy : r + dy + h, r + dx : r + dx + w]
+            sw = np.exp(-(dy * dy + dx * dx) / (2.0 * sigma_space**2))
+            cw = np.exp(-((q - img) ** 2) / (2.0 * sigma_color**2))
+            wgt = sw * cw
+            num += wgt * q
+            den += wgt
+    return (num / den).astype(np.float32)
+
+
+def sobel_edges(img, mode="reflect"):
+    smooth = np.array([1.0, 2.0, 1.0]) / 4.0
+    edge = np.array([-1.0, 0.0, 1.0]) / 2.0
+    x = img.astype(np.float64)
+    gy = ndimage.correlate1d(
+        ndimage.correlate1d(x, edge, axis=0, mode=mode), smooth, axis=1, mode=mode
+    )
+    gx = ndimage.correlate1d(
+        ndimage.correlate1d(x, smooth, axis=0, mode=mode), edge, axis=1, mode=mode
+    )
+    return (np.sqrt(gx * gx + gy * gy) / np.sqrt(2.0)).astype(np.float32)
+
+
+def laplacian_sharpen(img, alpha=0.2, mode="reflect"):
+    x = img.astype(np.float64)
+    pad_mode = {"reflect": "symmetric", "nearest": "edge"}[mode]
+    p = np.pad(x, 1, mode=pad_mode)
+    h, w = img.shape
+    lap = p[0:h, 1 : w + 1] + p[2 : h + 2, 1 : w + 1] + p[1 : h + 1, 0:w] + p[
+        1 : h + 1, 2 : w + 2
+    ] - 4.0 * x
+    return np.clip(x - alpha * lap, 0.0, 1.0).astype(np.float32)

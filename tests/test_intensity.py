@@ -1,0 +1,66 @@
+"""Golden tests: point-wise intensity ops vs NumPy references."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mies_tpu.ops import intensity as I
+from tests.goldens import golden_ops as G
+
+
+def _check(jax_out, np_out, atol=1e-6):
+    np.testing.assert_allclose(np.asarray(jax_out), np_out, atol=atol, rtol=1e-5)
+
+
+# XLA's f32 transcendentals (log2/exp2/pow/exp) differ from libm by a few e-4
+# absolute; well inside the 1/255 uint8 quantum the pipeline contract is
+# defined over (BASELINE.md fidelity target is on uint8 outputs).
+_TRANS_ATOL = 5e-4
+
+
+@pytest.mark.parametrize("gamma,gain", [(0.5, 1.0), (2.2, 1.0), (1.0, 0.9)])
+def test_adjust_gamma(xray, gamma, gain):
+    _check(I.adjust_gamma(jnp.asarray(xray), gamma, gain), G.adjust_gamma(xray, gamma, gain), atol=_TRANS_ATOL)
+
+
+@pytest.mark.parametrize("inv", [False, True])
+def test_adjust_log(xray, inv):
+    _check(I.adjust_log(jnp.asarray(xray), 1.0, inv), G.adjust_log(xray, 1.0, inv), atol=_TRANS_ATOL)
+
+
+@pytest.mark.parametrize("cutoff,gain,inv", [(0.5, 10.0, False), (0.3, 5.0, True)])
+def test_adjust_sigmoid(xray, cutoff, gain, inv):
+    _check(
+        I.adjust_sigmoid(jnp.asarray(xray), cutoff, gain, inv),
+        G.adjust_sigmoid(xray, cutoff, gain, inv),
+        atol=_TRANS_ATOL,
+    )
+
+
+def test_invert(xray):
+    _check(I.invert(jnp.asarray(xray)), 1.0 - xray)
+
+
+def test_rescale_intensity_auto(xray):
+    _check(I.rescale_intensity(jnp.asarray(xray)), G.rescale_intensity(xray))
+
+
+def test_rescale_intensity_explicit(xray):
+    _check(
+        I.rescale_intensity(jnp.asarray(xray), in_range=(0.1, 0.8), out_range=(0.0, 1.0)),
+        G.rescale_intensity(xray, in_range=(0.1, 0.8)),
+    )
+
+
+@pytest.mark.parametrize("center,width", [(40.0, 400.0), (-600.0, 1500.0), (300.0, 1400.0)])
+def test_window_hu(ct_slice_hu, center, width):
+    out = I.window_hu(jnp.asarray(ct_slice_hu), center, width)
+    _check(out, G.window_hu(ct_slice_hu, center, width))
+    arr = np.asarray(out)
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+    assert arr.dtype == np.float32
+
+
+def test_normalize_minmax(xray):
+    out = np.asarray(I.normalize_minmax(jnp.asarray(xray)))
+    assert abs(out.min()) < 1e-6 and abs(out.max() - 1.0) < 1e-6
