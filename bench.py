@@ -1,0 +1,49 @@
+"""Headline benchmark: full CLAHE+denoise+sharpen chain, 512x512 slices.
+
+Prints ONE JSON line:
+  {"metric": "slices_per_sec_512_clahe_denoise_sharpen", "value": N,
+   "unit": "slices/sec/chip", "vs_baseline": N / 5000.0}
+
+Baseline: BASELINE.md north-star target of 5,000 512^2 slices/sec/chip on
+TPU v5e (the reference publishes no numbers — SURVEY.md section 6).
+
+Timing uses a two-point slope (long run minus short run over the
+iteration delta) with a scalar-fetch completion barrier, because
+block_until_ready does not actually block on tunneled TPU runtimes.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> int:
+    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.runner import time_pipeline
+
+    cfg = PipelineConfig.make(
+        [
+            ("clahe", {"clip_limit": 2.0, "grid_size": (8, 8), "convention": "opencv"}),
+            ("bilateral_blur", {"kernel_size": 5, "sigma_color": 0.1, "sigma_space": 1.5}),
+            ("unsharp_mask", {"radius": 1.5, "amount": 1.0}),
+        ],
+        name="bench-clahe-denoise-sharpen",
+    )
+    res = time_pipeline(cfg, shape=(512, 512), batch_size=32, iters=16, repeats=5)
+    value = res["slices_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "slices_per_sec_512_clahe_denoise_sharpen",
+                "value": round(value, 2),
+                "unit": "slices/sec/chip",
+                "vs_baseline": round(value / 5000.0, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

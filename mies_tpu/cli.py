@@ -1,0 +1,149 @@
+"""CLI: enhance / enhance-volume / evaluate / bench (SURVEY.md section 3).
+
+Usage:
+  python -m mies_tpu.cli enhance -c config.yaml input.png [-o out.png] [--report r.png]
+  python -m mies_tpu.cli enhance -c config.yaml imgs/*.png -o outdir/   (batch, resumable)
+  python -m mies_tpu.cli enhance-volume -c config.yaml vol.npz -o out.npz
+  python -m mies_tpu.cli evaluate orig.png enhanced.png -m psnr ssim uqi
+  python -m mies_tpu.cli bench -c config.yaml --batch 32 --size 512
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_cfg(path: str):
+    from mies_tpu.pipeline.config import load_config
+
+    return load_config(path)
+
+
+def cmd_enhance(args) -> int:
+    from mies_tpu.pipeline import runner
+
+    cfg = _load_cfg(args.config)
+    inputs = [Path(p) for p in args.inputs]
+    if len(inputs) == 1 and not (args.output and Path(args.output).is_dir()):
+        out_path = args.output or inputs[0].with_name(
+            inputs[0].stem + ".enhanced" + inputs[0].suffix
+        )
+        out = runner.enhance_image(inputs[0], cfg, out_path)
+        if args.report:
+            from mies_tpu.eval.metrics import evaluate
+            from mies_tpu.eval.report import save_comparison_report
+            from mies_tpu.io.image import from_float, load_image
+
+            orig = from_float(load_image(inputs[0]))
+            m = evaluate(orig, out, names=("psnr", "ssim"))
+            save_comparison_report(orig, out, args.report, title=cfg.name, metrics=m)
+        print(json.dumps({"output": str(out_path), "shape": list(out.shape)}))
+        return 0
+    if not args.output:
+        print("error: batch mode requires -o OUTPUT_DIR", file=sys.stderr)
+        return 2
+    manifest = runner.enhance_batch(
+        inputs, cfg, args.output, batch_size=args.batch, resume=not args.no_resume
+    )
+    print(
+        json.dumps(
+            {"done": manifest.done_count, "failed": len(manifest.failures),
+             "manifest": str(manifest.path)}
+        )
+    )
+    return 1 if manifest.failures else 0
+
+
+def cmd_enhance_volume(args) -> int:
+    from mies_tpu.io.volume import load_volume, save_volume
+    from mies_tpu.pipeline import runner
+
+    cfg = _load_cfg(args.config)
+    vol, meta = load_volume(args.input, var_name=args.var)
+    out = runner.enhance_volume(
+        vol, cfg, slab_size=args.slab, progress=not args.quiet
+    )
+    save_volume(args.output, out)
+    print(
+        json.dumps(
+            {"input": meta.source, "shape": list(out.shape), "output": args.output}
+        )
+    )
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from mies_tpu.eval.metrics import evaluate
+    from mies_tpu.io.image import from_float, load_image
+
+    gt = from_float(load_image(args.original))
+    p = from_float(load_image(args.enhanced))
+    out = evaluate(gt, p, names=tuple(args.metrics))
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from mies_tpu.pipeline.runner import time_pipeline
+
+    cfg = _load_cfg(args.config)
+    res = time_pipeline(
+        cfg,
+        shape=(args.size, args.size),
+        batch_size=args.batch,
+        iters=args.iters,
+    )
+    res["config"] = cfg.name
+    print(json.dumps(res))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mies_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("enhance", help="enhance image(s) with a config chain")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-o", "--output", help="output file (single) or dir (batch)")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--report", help="write before/after PNG report here")
+    p.set_defaults(fn=cmd_enhance)
+
+    p = sub.add_parser("enhance-volume", help="stream a volume through the chain")
+    p.add_argument("input")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--var", help="variable name inside .nc/.npz")
+    p.add_argument("--slab", type=int, default=16)
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.set_defaults(fn=cmd_enhance_volume)
+
+    p = sub.add_parser("evaluate", help="full-reference quality metrics")
+    p.add_argument("original")
+    p.add_argument("enhanced")
+    p.add_argument(
+        "-m", "--metrics", nargs="+",
+        default=["psnr", "ssim", "uqi"],
+    )
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("bench", help="throughput benchmark for a config")
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--iters", type=int, default=20)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

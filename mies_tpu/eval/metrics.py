@@ -1,0 +1,388 @@
+"""Full-reference image quality metrics (sewar-equivalent suite).
+
+The reference depends on ``sewar`` solely to measure enhancement quality
+(SURVEY.md section 2b D7); its ``full_ref`` module exposes twelve
+metrics. This module reimplements the same formulas in JAX so metrics
+can be computed ON DEVICE in the same jitted program as the enhancement
+chain (SURVEY.md section 3.4) — the host only ever sees the scalars.
+
+Conventions (documented contract; goldens in tests/goldens/golden_metrics.py):
+  * inputs are two images of identical shape, float or uint8; ``max_val``
+    is the dynamic range (255 for uint8 pipelines, 1.0 for float).
+  * windowed metrics (uqi, ssim) use a uniform ws x ws filter in
+    'valid' mode — sewar's defaults (ws=8 for uqi, ws=11 ssim).
+  * msssim uses the Wang et al. 5-scale weights with 2x2 average-pool
+    downsampling; vifp is the standard pixel-domain VIF (4 scales,
+    sigma_nsq=2).
+  * ergas/rase/sam reduce over a leading channel axis if present
+    (2-D inputs are treated as single-band).
+
+All functions return float32 scalars (jnp), usable under jit/vmap.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array, lax
+
+
+def _f32(x: Array) -> Array:
+    return jnp.asarray(x).astype(jnp.float32)
+
+
+def _filter2_valid(img: Array, ws: int) -> Array:
+    """Uniform ws x ws sum filter, 'valid' mode, via XLA conv."""
+    x = img[None, None].astype(jnp.float32)
+    w = jnp.ones((1, 1, ws, ws), jnp.float32)
+    return lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", precision=lax.Precision.HIGHEST
+    )[0, 0]
+
+
+def _gaussian_filter_valid(img: Array, sd: float, radius: int) -> Array:
+    """Gaussian filter, 'valid' mode (for vifp)."""
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    g = np.exp(-0.5 * (x / sd) ** 2)
+    g2 = np.outer(g, g)
+    g2 /= g2.sum()
+    xin = img[None, None].astype(jnp.float32)
+    w = jnp.asarray(g2, jnp.float32)[None, None]
+    return lax.conv_general_dilated(
+        xin, w, (1, 1), "VALID", precision=lax.Precision.HIGHEST
+    )[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Simple pixel metrics
+# ---------------------------------------------------------------------------
+
+
+def mse(gt: Array, p: Array) -> Array:
+    """Mean squared error."""
+    gt, p = _f32(gt), _f32(p)
+    return jnp.mean((gt - p) ** 2)
+
+
+def rmse(gt: Array, p: Array) -> Array:
+    """Root mean squared error."""
+    return jnp.sqrt(mse(gt, p))
+
+
+def psnr(gt: Array, p: Array, max_val: float = 255.0) -> Array:
+    """Peak signal-to-noise ratio in dB (inf-safe: returns inf on identity)."""
+    m = mse(gt, p)
+    return jnp.where(
+        m == 0, jnp.inf, 10.0 * jnp.log10((max_val * max_val) / jnp.maximum(m, 1e-30))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed structural metrics
+# ---------------------------------------------------------------------------
+
+
+def uqi(gt: Array, p: Array, ws: int = 8) -> Array:
+    """Universal Quality Index (Wang & Bovik 2002), uniform window.
+
+    Q = 4 sigma_xy mu_x mu_y / ((sigma_x^2 + sigma_y^2)(mu_x^2 + mu_y^2)),
+    computed per valid window, averaged. sewar.full_ref.uqi semantics.
+    """
+    gt, p = _f32(gt), _f32(p)
+    N = ws * ws
+    s_g = _filter2_valid(gt, ws)
+    s_p = _filter2_valid(p, ws)
+    s_gg = _filter2_valid(gt * gt, ws)
+    s_pp = _filter2_valid(p * p, ws)
+    s_gp = _filter2_valid(gt * p, ws)
+
+    gp = s_g * s_p
+    gg_pp = s_g * s_g + s_p * s_p
+    numerator = 4.0 * (N * s_gp - gp) * gp
+    denominator1 = N * (s_gg + s_pp) - gg_pp
+    denominator = denominator1 * gg_pp
+    # sewar's piecewise handling of zero denominators:
+    q = jnp.where(
+        (denominator1 == 0) & (gg_pp != 0),
+        2.0 * gp / gg_pp,
+        jnp.where(denominator != 0, numerator / jnp.where(denominator == 0, 1.0, denominator), 1.0),
+    )
+    return jnp.mean(q)
+
+
+def _ssim_maps(gt: Array, p: Array, ws: int, K1: float, K2: float, max_val: float):
+    C1 = (K1 * max_val) ** 2
+    C2 = (K2 * max_val) ** 2
+    N = ws * ws
+    mu_g = _filter2_valid(gt, ws) / N
+    mu_p = _filter2_valid(p, ws) / N
+    var_g = _filter2_valid(gt * gt, ws) / N - mu_g * mu_g
+    var_p = _filter2_valid(p * p, ws) / N - mu_p * mu_p
+    cov = _filter2_valid(gt * p, ws) / N - mu_g * mu_p
+    lum = (2.0 * mu_g * mu_p + C1) / (mu_g**2 + mu_p**2 + C1)
+    cs = (2.0 * cov + C2) / (var_g + var_p + C2)
+    return lum * cs, cs
+
+
+def ssim(
+    gt: Array,
+    p: Array,
+    ws: int = 11,
+    K1: float = 0.01,
+    K2: float = 0.03,
+    max_val: float = 255.0,
+) -> Array:
+    """Structural similarity (Wang et al. 2004), uniform window, valid mode.
+
+    sewar.full_ref.ssim default configuration (Filter.UNIFORM, ws=11).
+    """
+    gt, p = _f32(gt), _f32(p)
+    s, _ = _ssim_maps(gt, p, ws, K1, K2, max_val)
+    return jnp.mean(s)
+
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def msssim(
+    gt: Array,
+    p: Array,
+    ws: int = 11,
+    K1: float = 0.01,
+    K2: float = 0.03,
+    max_val: float = 255.0,
+) -> Array:
+    """Multi-scale SSIM (Wang et al. 2003), 5 scales, 2x2 avg-pool down.
+
+    Requires min(H, W) >= ws * 2^4 (176 for ws=11) so the coarsest scale
+    still fits the window.
+    """
+    gt, p = _f32(gt), _f32(p)
+    if min(gt.shape[-2:]) < ws * 16:
+        raise ValueError(
+            f"msssim needs min(H,W) >= {ws * 16} for 5 scales; got {gt.shape}"
+        )
+    vals = []
+    for scale in range(5):
+        s, cs = _ssim_maps(gt, p, ws, K1, K2, max_val)
+        vals.append(jnp.mean(s) if scale == 4 else jnp.mean(cs))
+        if scale < 4:
+            gt = _avg_pool2(gt)
+            p = _avg_pool2(p)
+    out = jnp.float32(1.0)
+    for v, w in zip(vals, _MSSSIM_WEIGHTS):
+        out = out * jnp.maximum(v, 0.0) ** w
+    return out
+
+
+def _avg_pool2(x: Array) -> Array:
+    h, w = x.shape
+    x = x[: h - h % 2, : w - w % 2]
+    return (
+        x[0::2, 0::2] + x[0::2, 1::2] + x[1::2, 0::2] + x[1::2, 1::2]
+    ) * 0.25
+
+
+# ---------------------------------------------------------------------------
+# Spectral / band metrics
+# ---------------------------------------------------------------------------
+
+
+def _bands(x: Array) -> Array:
+    """[H,W] -> [1,H,W]; [C,H,W] unchanged."""
+    return x[None] if x.ndim == 2 else x
+
+
+def ergas(gt: Array, p: Array, r: float = 4.0) -> Array:
+    """ERGAS (global version): 100/r * sqrt(mean_k(MSE_k / mean_k(GT)^2))."""
+    gt, p = _f32(_bands(gt)), _f32(_bands(p))
+    mse_k = jnp.mean((gt - p) ** 2, axis=(1, 2))
+    mu_k = jnp.mean(gt, axis=(1, 2))
+    return 100.0 / r * jnp.sqrt(jnp.mean(mse_k / jnp.maximum(mu_k * mu_k, 1e-30)))
+
+
+def rase(gt: Array, p: Array) -> Array:
+    """Relative average spectral error: 100/mu * sqrt(mean_k RMSE_k^2)."""
+    gt, p = _f32(_bands(gt)), _f32(_bands(p))
+    mse_k = jnp.mean((gt - p) ** 2, axis=(1, 2))
+    mu = jnp.mean(gt)
+    return 100.0 / jnp.maximum(mu, 1e-30) * jnp.sqrt(jnp.mean(mse_k))
+
+
+def sam(gt: Array, p: Array) -> Array:
+    """Spectral angle mapper (radians), mean over pixels.
+
+    Multi-band: per-pixel angle between band vectors. Single-band inputs
+    degenerate to the angle between the flattened images (documented
+    choice — sewar requires multiband for a meaningful SAM).
+    """
+    gt, p = _f32(gt), _f32(p)
+    if gt.ndim == 2:
+        num = jnp.sum(gt * p)
+        den = jnp.linalg.norm(gt.ravel()) * jnp.linalg.norm(p.ravel())
+        return jnp.arccos(jnp.clip(num / jnp.maximum(den, 1e-30), -1.0, 1.0))
+    num = jnp.sum(gt * p, axis=0)
+    den = jnp.linalg.norm(gt, axis=0) * jnp.linalg.norm(p, axis=0)
+    ang = jnp.arccos(jnp.clip(num / jnp.maximum(den, 1e-30), -1.0, 1.0))
+    return jnp.mean(ang)
+
+
+def scc(gt: Array, p: Array) -> Array:
+    """Spatial correlation coefficient: Pearson r of high-passed images.
+
+    High-pass = 3x3 Laplacian ([-1]*8 ring, +8 center), valid mode.
+    """
+    gt, p = _f32(gt), _f32(p)
+    k = jnp.asarray(
+        [[-1.0, -1.0, -1.0], [-1.0, 8.0, -1.0], [-1.0, -1.0, -1.0]], jnp.float32
+    )[None, None]
+
+    def hp(x):
+        return lax.conv_general_dilated(
+            x[None, None], k, (1, 1), "VALID", precision=lax.Precision.HIGHEST
+        )[0, 0]
+
+    a, b = hp(gt), hp(p)
+    a = a - jnp.mean(a)
+    b = b - jnp.mean(b)
+    den = jnp.sqrt(jnp.sum(a * a) * jnp.sum(b * b))
+    return jnp.sum(a * b) / jnp.maximum(den, 1e-30)
+
+
+# ---------------------------------------------------------------------------
+# VIF (pixel domain) and PSNR-B
+# ---------------------------------------------------------------------------
+
+
+def vifp(gt: Array, p: Array, sigma_nsq: float = 2.0) -> Array:
+    """Visual Information Fidelity, pixel domain (Sheikh & Bovik 2006).
+
+    Standard 4-scale implementation: per scale, Gaussian blur with
+    N = 2^(4-s+1)+1 taps (sd = N/5), subsample by 2 from scale 2 on,
+    accumulate log(1 + g^2 sigma_v^2/(sv2 + sigma_nsq)) vs
+    log(1 + sigma_g^2/sigma_nsq). sewar.full_ref.vifp formula.
+    """
+    gt, p = _f32(gt), _f32(p)
+    num = jnp.float32(0.0)
+    den = jnp.float32(0.0)
+    for scale in range(1, 5):
+        N = 2 ** (4 - scale + 1) + 1
+        sd = N / 5.0
+        if scale > 1:
+            gt = _gaussian_filter_valid(gt, sd, N // 2)[::2, ::2]
+            p = _gaussian_filter_valid(p, sd, N // 2)[::2, ::2]
+        mu1 = _gaussian_filter_valid(gt, sd, N // 2)
+        mu2 = _gaussian_filter_valid(p, sd, N // 2)
+        mu1_sq, mu2_sq, mu1mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        sigma1_sq = _gaussian_filter_valid(gt * gt, sd, N // 2) - mu1_sq
+        sigma2_sq = _gaussian_filter_valid(p * p, sd, N // 2) - mu2_sq
+        sigma12 = _gaussian_filter_valid(gt * p, sd, N // 2) - mu1mu2
+
+        sigma1_sq = jnp.maximum(sigma1_sq, 0.0)
+        sigma2_sq = jnp.maximum(sigma2_sq, 0.0)
+
+        g = sigma12 / (sigma1_sq + 1e-10)
+        sv_sq = sigma2_sq - g * sigma12
+
+        g = jnp.where(sigma1_sq < 1e-10, 0.0, g)
+        sv_sq = jnp.where(sigma1_sq < 1e-10, sigma2_sq, sv_sq)
+        sigma1_sq = jnp.where(sigma1_sq < 1e-10, 0.0, sigma1_sq)
+
+        sv_sq = jnp.where(g < 0, sigma2_sq, sv_sq)
+        g = jnp.maximum(g, 0.0)
+        sv_sq = jnp.maximum(sv_sq, 1e-10)
+
+        num = num + jnp.sum(jnp.log10(1.0 + g * g * sigma1_sq / (sv_sq + sigma_nsq)))
+        den = den + jnp.sum(jnp.log10(1.0 + sigma1_sq / sigma_nsq))
+    return num / jnp.maximum(den, 1e-30)
+
+
+def psnrb(gt: Array, p: Array, max_val: float = 255.0, block: int = 8) -> Array:
+    """PSNR-B: PSNR penalized by the blocking effect factor of ``p``.
+
+    BEF (Yim & Bovik 2011): mean squared difference across block
+    boundaries minus across non-boundaries (when boundary term is
+    larger), weighted by log2(block)/log2(min(H,W)); MSE-B = MSE + BEF.
+    """
+    gt, p = _f32(gt), _f32(p)
+    m = mse(gt, p)
+    bef = _bef(p, block)
+    mse_b = m + bef
+    return jnp.where(
+        mse_b == 0,
+        jnp.inf,
+        10.0 * jnp.log10(max_val * max_val / jnp.maximum(mse_b, 1e-30)),
+    )
+
+
+def _bef(img: Array, block: int = 8) -> Array:
+    h, w = img.shape
+    # horizontal neighbors
+    diff_h = img[:, :-1] - img[:, 1:]
+    col = jnp.arange(w - 1)
+    bmask_h = (col % block) == (block - 1)
+    d_b_h = jnp.sum(jnp.where(bmask_h[None, :], diff_h**2, 0.0))
+    d_bc_h = jnp.sum(jnp.where(~bmask_h[None, :], diff_h**2, 0.0))
+    n_b_h = h * jnp.sum(bmask_h)
+    n_bc_h = h * jnp.sum(~bmask_h)
+    # vertical neighbors
+    diff_v = img[:-1, :] - img[1:, :]
+    row = jnp.arange(h - 1)
+    bmask_v = (row % block) == (block - 1)
+    d_b_v = jnp.sum(jnp.where(bmask_v[:, None], diff_v**2, 0.0))
+    d_bc_v = jnp.sum(jnp.where(~bmask_v[:, None], diff_v**2, 0.0))
+    n_b_v = w * jnp.sum(bmask_v)
+    n_bc_v = w * jnp.sum(~bmask_v)
+
+    d_b = (d_b_h + d_b_v) / jnp.maximum(n_b_h + n_b_v, 1)
+    d_bc = (d_bc_h + d_bc_v) / jnp.maximum(n_bc_h + n_bc_v, 1)
+    t = jnp.log2(jnp.float32(block)) / jnp.log2(jnp.float32(min(h, w)))
+    return jnp.where(d_b > d_bc, t * (d_b - d_bc), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Registry + batch evaluation entry point
+# ---------------------------------------------------------------------------
+
+METRIC_REGISTRY = {
+    "mse": mse,
+    "rmse": rmse,
+    "psnr": psnr,
+    "uqi": uqi,
+    "ssim": ssim,
+    "msssim": msssim,
+    "ergas": ergas,
+    "scc": scc,
+    "rase": rase,
+    "sam": sam,
+    "vifp": vifp,
+    "psnrb": psnrb,
+}
+
+
+@functools.partial(jax.jit, static_argnames=("names", "max_val"))
+def _evaluate_jit(gt: Array, p: Array, names: tuple[str, ...], max_val: float):
+    out = {}
+    for n in names:
+        fn = METRIC_REGISTRY[n]
+        if n in ("psnr", "ssim", "msssim", "psnrb"):
+            out[n] = fn(gt, p, max_val=max_val) if n != "ssim" else fn(
+                gt, p, max_val=max_val
+            )
+        else:
+            out[n] = fn(gt, p)
+    return out
+
+
+def evaluate(
+    gt: Array,
+    p: Array,
+    names: tuple[str, ...] = ("psnr", "ssim", "uqi"),
+    max_val: float = 255.0,
+) -> dict[str, float]:
+    """Compute a set of metrics in ONE jitted program; returns python floats."""
+    res = _evaluate_jit(jnp.asarray(gt), jnp.asarray(p), tuple(names), float(max_val))
+    return {k: float(v) for k, v in res.items()}

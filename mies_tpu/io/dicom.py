@@ -1,0 +1,313 @@
+"""Self-contained minimal DICOM reader/writer (no pydicom available).
+
+The north star names DICOM CT ingest (SURVEY.md section 2b D9 note:
+DICOM is a north-star addition; pydicom is absent from this
+environment), so the format support is implemented here directly:
+
+* Part-10 files (128-byte preamble + 'DICM' + explicit-VR-LE meta group)
+* datasets in Implicit VR Little Endian (1.2.840.10008.1.2) and
+  Explicit VR Little Endian (1.2.840.10008.1.2.1)
+* uncompressed PixelData, 8/16 bits allocated, signed or unsigned
+* Rescale slope/intercept -> int16 Hounsfield units
+* series loading: sort slices by InstanceNumber / ImagePositionPatient z
+
+Compressed transfer syntaxes (JPEG/RLE) are out of scope and raise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from pathlib import Path
+
+import numpy as np
+
+IMPLICIT_VR_LE = "1.2.840.10008.1.2"
+EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+
+# VRs with a 2-byte reserved field and 4-byte length in explicit VR
+_LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UC", b"UR", b"UT", b"UN"}
+
+_TAG_ROWS = (0x0028, 0x0010)
+_TAG_COLS = (0x0028, 0x0011)
+_TAG_BITS_ALLOC = (0x0028, 0x0100)
+_TAG_PIXEL_REP = (0x0028, 0x0103)
+_TAG_INTERCEPT = (0x0028, 0x1052)
+_TAG_SLOPE = (0x0028, 0x1053)
+_TAG_INSTANCE = (0x0020, 0x0013)
+_TAG_IPP = (0x0020, 0x0032)
+_TAG_SLICE_LOC = (0x0020, 0x1041)
+_TAG_PIXEL_DATA = (0x7FE0, 0x0010)
+_TAG_TS_UID = (0x0002, 0x0010)
+_ITEM = (0xFFFE, 0xE000)
+_ITEM_DELIM = (0xFFFE, 0xE00D)
+_SEQ_DELIM = (0xFFFE, 0xE0DD)
+
+
+@dataclasses.dataclass
+class DicomSlice:
+    """Decoded pixel array + the geometry/scaling metadata the pipeline uses."""
+
+    pixels: np.ndarray  # [H, W] int16 (HU if rescale present) or uint8/uint16
+    rows: int
+    cols: int
+    instance_number: int | None = None
+    slice_location: float | None = None
+    image_position_z: float | None = None
+    rescale_slope: float = 1.0
+    rescale_intercept: float = 0.0
+    transfer_syntax: str = EXPLICIT_VR_LE
+
+
+class _Reader:
+    def __init__(self, data: bytes, explicit: bool):
+        self.d = data
+        self.pos = 0
+        self.explicit = explicit
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.d)
+
+    def tag(self) -> tuple[int, int]:
+        g, e = struct.unpack_from("<HH", self.d, self.pos)
+        self.pos += 4
+        return g, e
+
+    def element(self) -> tuple[tuple[int, int], bytes, int]:
+        """Read one data element header; returns (tag, vr, length)."""
+        t = self.tag()
+        if t in (_ITEM, _ITEM_DELIM, _SEQ_DELIM):
+            (length,) = struct.unpack_from("<I", self.d, self.pos)
+            self.pos += 4
+            return t, b"", length
+        if self.explicit:
+            vr = self.d[self.pos : self.pos + 2]
+            self.pos += 2
+            if vr in _LONG_VRS:
+                self.pos += 2  # reserved
+                (length,) = struct.unpack_from("<I", self.d, self.pos)
+                self.pos += 4
+            else:
+                (length,) = struct.unpack_from("<H", self.d, self.pos)
+                self.pos += 2
+        else:
+            vr = b""
+            (length,) = struct.unpack_from("<I", self.d, self.pos)
+            self.pos += 4
+        return t, vr, length
+
+    def value(self, length: int) -> bytes:
+        v = self.d[self.pos : self.pos + length]
+        self.pos += length
+        return v
+
+    def skip_undefined(self, vr: bytes) -> None:
+        """Skip an element of undefined length (SQ or encapsulated data)."""
+        depth = 1
+        while depth > 0 and not self.eof():
+            t, _, length = self.element()
+            if t == _SEQ_DELIM:
+                depth -= 1
+            elif t == _ITEM and length == 0xFFFFFFFF:
+                pass  # item contents parsed element-by-element
+            elif t == _ITEM_DELIM:
+                pass
+            elif length == 0xFFFFFFFF:
+                depth += 1
+            else:
+                self.pos += length
+
+
+def _parse_meta(data: bytes) -> tuple[str, int]:
+    """Parse the file-meta group (always explicit VR LE); return
+    (transfer_syntax_uid, offset_of_dataset)."""
+    if data[128:132] != b"DICM":
+        # some exporters omit the preamble; treat as raw dataset
+        return EXPLICIT_VR_LE, 0
+    r = _Reader(data, explicit=True)
+    r.pos = 132
+    ts = EXPLICIT_VR_LE
+    # (0002,0000) group length tells us the meta extent if present
+    meta_end = None
+    while not r.eof():
+        start = r.pos
+        t, vr, length = r.element()
+        if t[0] != 0x0002:
+            r.pos = start
+            break
+        v = r.value(length)
+        if t == (0x0002, 0x0000):
+            meta_end = r.pos + struct.unpack("<I", v)[0]
+        elif t == _TAG_TS_UID:
+            ts = v.rstrip(b"\x00 ").decode("ascii")
+        if meta_end is not None and r.pos >= meta_end:
+            break
+    return ts, r.pos
+
+
+def read_dicom(path: str | Path) -> DicomSlice:
+    """Read a single uncompressed little-endian DICOM file."""
+    data = Path(path).read_bytes()
+    ts, offset = _parse_meta(data)
+    if ts == IMPLICIT_VR_LE:
+        explicit = False
+    elif ts == EXPLICIT_VR_LE:
+        explicit = True
+    else:
+        raise NotImplementedError(
+            f"transfer syntax {ts} not supported (only uncompressed LE)"
+        )
+    r = _Reader(data, explicit=explicit)
+    r.pos = offset
+
+    meta: dict = {}
+    pixel_bytes = None
+    while not r.eof():
+        t, vr, length = r.element()
+        if length == 0xFFFFFFFF:
+            r.skip_undefined(vr)
+            continue
+        if t == _TAG_PIXEL_DATA:
+            pixel_bytes = r.value(length)
+            continue
+        v = r.value(length)
+        if t == _TAG_ROWS:
+            meta["rows"] = struct.unpack("<H", v[:2])[0]
+        elif t == _TAG_COLS:
+            meta["cols"] = struct.unpack("<H", v[:2])[0]
+        elif t == _TAG_BITS_ALLOC:
+            meta["bits"] = struct.unpack("<H", v[:2])[0]
+        elif t == _TAG_PIXEL_REP:
+            meta["signed"] = struct.unpack("<H", v[:2])[0] == 1
+        elif t == _TAG_INTERCEPT:
+            meta["intercept"] = float(v.decode("ascii").strip(" \x00") or 0)
+        elif t == _TAG_SLOPE:
+            meta["slope"] = float(v.decode("ascii").strip(" \x00") or 1)
+        elif t == _TAG_INSTANCE:
+            try:
+                meta["instance"] = int(v.decode("ascii").strip(" \x00"))
+            except ValueError:
+                pass
+        elif t == _TAG_SLICE_LOC:
+            try:
+                meta["slice_loc"] = float(v.decode("ascii").strip(" \x00"))
+            except ValueError:
+                pass
+        elif t == _TAG_IPP:
+            parts = v.decode("ascii").strip(" \x00").split("\\")
+            if len(parts) == 3:
+                meta["ipp_z"] = float(parts[2])
+
+    if pixel_bytes is None or "rows" not in meta or "cols" not in meta:
+        raise ValueError(f"{path}: missing PixelData / Rows / Columns")
+
+    rows, cols = meta["rows"], meta["cols"]
+    bits = meta.get("bits", 16)
+    if bits == 16:
+        dt = np.int16 if meta.get("signed", False) else np.uint16
+    elif bits == 8:
+        dt = np.uint8
+    else:
+        raise NotImplementedError(f"BitsAllocated={bits}")
+    px = np.frombuffer(pixel_bytes[: rows * cols * (bits // 8)], dtype=dt).reshape(
+        rows, cols
+    )
+
+    slope = meta.get("slope", 1.0)
+    intercept = meta.get("intercept", 0.0)
+    if slope != 1.0 or intercept != 0.0:
+        px = (px.astype(np.float32) * slope + intercept).astype(np.int16)
+
+    return DicomSlice(
+        pixels=np.ascontiguousarray(px),
+        rows=rows,
+        cols=cols,
+        instance_number=meta.get("instance"),
+        slice_location=meta.get("slice_loc"),
+        image_position_z=meta.get("ipp_z"),
+        rescale_slope=slope,
+        rescale_intercept=intercept,
+        transfer_syntax=ts,
+    )
+
+
+def read_dicom_series(directory: str | Path, pattern: str = "*.dcm") -> np.ndarray:
+    """Load a directory of DICOM slices into one [Z, H, W] int16 HU volume.
+
+    Slices are ordered by ImagePositionPatient z, falling back to
+    SliceLocation, then InstanceNumber, then filename.
+    """
+    paths = sorted(Path(directory).glob(pattern))
+    if not paths:
+        raise FileNotFoundError(f"no {pattern} files in {directory}")
+    slices = [read_dicom(p) for p in paths]
+
+    def key(i_s):
+        i, s = i_s
+        if s.image_position_z is not None:
+            return (0, s.image_position_z)
+        if s.slice_location is not None:
+            return (1, s.slice_location)
+        if s.instance_number is not None:
+            return (2, s.instance_number)
+        return (3, i)
+
+    slices = [s for _, s in sorted(enumerate(slices), key=lambda t: key(t))]
+    return np.stack([s.pixels.astype(np.int16) for s in slices], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Writer (explicit VR LE) — used by tests and the synthetic-data tools
+# ---------------------------------------------------------------------------
+
+
+def _el_short(tag: tuple[int, int], vr: bytes, value: bytes) -> bytes:
+    if len(value) % 2:
+        # UI pads with NUL, text VRs pad with space (PS3.5 6.2)
+        value += b"\x00" if vr == b"UI" else b" "
+    return struct.pack("<HH", *tag) + vr + struct.pack("<H", len(value)) + value
+
+
+def _el_long(tag: tuple[int, int], vr: bytes, value: bytes) -> bytes:
+    if len(value) % 2:
+        value += b"\x00"
+    return struct.pack("<HH", *tag) + vr + b"\x00\x00" + struct.pack("<I", len(value)) + value
+
+
+def write_dicom(
+    path: str | Path,
+    pixels: np.ndarray,
+    instance_number: int = 1,
+    slice_location: float | None = None,
+    rescale_slope: float = 1.0,
+    rescale_intercept: float = 0.0,
+) -> None:
+    """Write a minimal explicit-VR-LE Part-10 DICOM file (int16/uint8)."""
+    pixels = np.asarray(pixels)
+    if pixels.dtype == np.int16:
+        bits, signed = 16, 1
+    elif pixels.dtype == np.uint16:
+        bits, signed = 16, 0
+    elif pixels.dtype == np.uint8:
+        bits, signed = 8, 0
+    else:
+        raise TypeError(f"unsupported dtype {pixels.dtype}")
+    rows, cols = pixels.shape
+
+    meta_body = _el_short(_TAG_TS_UID, b"UI", EXPLICIT_VR_LE.encode())
+    meta = _el_short((0x0002, 0x0000), b"UL", struct.pack("<I", len(meta_body))) + meta_body
+
+    ds = b""
+    ds += _el_short(_TAG_INSTANCE, b"IS", str(instance_number).encode())
+    if slice_location is not None:
+        ds += _el_short(_TAG_SLICE_LOC, b"DS", f"{slice_location:.3f}".encode())
+    ds += _el_short(_TAG_ROWS, b"US", struct.pack("<H", rows))
+    ds += _el_short(_TAG_COLS, b"US", struct.pack("<H", cols))
+    ds += _el_short(_TAG_BITS_ALLOC, b"US", struct.pack("<H", bits))
+    ds += _el_short(_TAG_PIXEL_REP, b"US", struct.pack("<H", signed))
+    if rescale_intercept != 0.0 or rescale_slope != 1.0:
+        ds += _el_short(_TAG_INTERCEPT, b"DS", f"{rescale_intercept:g}".encode())
+        ds += _el_short(_TAG_SLOPE, b"DS", f"{rescale_slope:g}".encode())
+    ds += _el_long(_TAG_PIXEL_DATA, b"OW" if bits == 16 else b"OB", pixels.tobytes())
+
+    Path(path).write_bytes(b"\x00" * 128 + b"DICM" + meta + ds)

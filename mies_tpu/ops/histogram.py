@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 NBINS = 256
@@ -138,10 +139,13 @@ def _bilinear_lut_apply(u8: Array, luts: Array, grid: tuple[int, int]) -> Array:
     h, w = u8.shape
     th, tw = h // gy, w // gx
 
-    # OpenCV uses integer pixel coords: txf = x * inv_tw - 0.5 where
-    # inv_tw = 1/tw and x is the column index — no +0.5 pixel-center term.
-    yf = jnp.arange(h, dtype=jnp.float32) / th - 0.5
-    xf = jnp.arange(w, dtype=jnp.float32) / tw - 0.5
+    # OpenCV uses integer pixel coords times an f32 RECIPROCAL:
+    # txf = x * (1.0f / tw) - 0.5f. Multiplying by the rounded reciprocal
+    # (not dividing) matters for bit-exactness when tw is not a power of 2.
+    inv_th = np.float32(1.0) / np.float32(th)
+    inv_tw = np.float32(1.0) / np.float32(tw)
+    yf = jnp.arange(h, dtype=jnp.float32) * inv_th - np.float32(0.5)
+    xf = jnp.arange(w, dtype=jnp.float32) * inv_tw - np.float32(0.5)
 
     ty1f = jnp.floor(yf)
     tx1f = jnp.floor(xf)

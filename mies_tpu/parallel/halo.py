@@ -1,0 +1,149 @@
+"""Spatial sharding with halo exchange — the ring-attention analogue.
+
+An oversized single slice (e.g. a 4096x4096 mammogram) is split into
+horizontal bands across the mesh's 'space' axis. Stencil stages
+(gaussian / median / bilateral / unsharp) stay exact if each band is
+extended with ``halo`` rows of REAL neighbor data before the chain and
+cropped after — neighbor rows move over ICI with ``lax.ppermute``
+(SURVEY.md section 5.7). At the global top/bottom edges the op's own
+border mode is reproduced locally, so the sharded result equals the
+unsharded one bit for bit whenever the chain's total receptive field
+fits in the halo.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from mies_tpu.ops.filters import _PAD_MODE
+from mies_tpu.pipeline.compiler import build_chain, _quantize_u8
+from mies_tpu.pipeline.config import PipelineConfig
+
+
+def halo_extend_rows(
+    x: jax.Array, halo: int, axis_name: str, mode: str = "nearest"
+) -> jax.Array:
+    """Extend a row-band [h, W] by `halo` rows on each side.
+
+    Interior boundaries receive true neighbor rows via two ppermutes
+    (up-ring and down-ring — both directions of the ICI links); global
+    boundaries fall back to the local border-mode rows, matching what
+    the unsharded op's padding would produce.
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    if halo <= 0 or n == 1:
+        return x
+
+    top_rows = x[:halo]
+    bot_rows = x[-halo:]
+    # device i receives the bottom rows of i-1 (shift down the ring) ...
+    from_above = lax.ppermute(
+        bot_rows, axis_name, perm=[(i, i + 1) for i in range(n - 1)]
+    )
+    # ... and the top rows of i+1 (shift up the ring)
+    from_below = lax.ppermute(
+        top_rows, axis_name, perm=[(i + 1, i) for i in range(n - 1)]
+    )
+    # global edges: reproduce the border mode locally
+    pad_top = jnp.pad(x, ((halo, 0), (0, 0)), mode=_PAD_MODE[mode])[:halo]
+    pad_bot = jnp.pad(x, ((0, halo), (0, 0)), mode=_PAD_MODE[mode])[-halo:]
+    top = jnp.where(idx == 0, pad_top, from_above)
+    bot = jnp.where(idx == n - 1, pad_bot, from_below)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
+def stage_receptive_field(op: str, params: dict) -> int:
+    """Row radius a stage reads beyond its output pixel (0 = pointwise)."""
+    if op in ("gaussian_blur", "unsharp_mask"):
+        sigma = params.get("sigma", params.get("radius", 1.0))
+        truncate = params.get("truncate", 4.0)
+        return int(truncate * float(sigma) + 0.5)
+    if op in ("median_blur", "box_blur", "bilateral_blur"):
+        return params.get("kernel_size", 5 if op == "bilateral_blur" else 3) // 2
+    if op == "denoise_bilateral":
+        import numpy as np
+
+        ss = params.get("sigma_spatial", 1.0)
+        return max(5, 2 * int(np.ceil(3.0 * float(ss))) + 1) // 2
+    if op in ("sobel_edges", "laplacian_sharpen"):
+        return 1
+    if op in ("equalize_hist", "clahe", "normalize", "rescale_intensity"):
+        raise ValueError(
+            f"op {op!r} has global/tile extent and cannot be spatially "
+            "sharded with a fixed halo; use batch sharding for chains "
+            "containing it"
+        )
+    return 0  # pointwise intensity ops
+
+
+def chain_receptive_field(cfg: PipelineConfig) -> int:
+    """Total halo needed so the sharded chain is exact: sum of radii."""
+    return sum(stage_receptive_field(s.op, s.kwargs()) for s in cfg.stages)
+
+
+_DEFAULT_MODE = {
+    # per-op default border mode (must match mies_tpu.ops.filters defaults)
+    "gaussian_blur": "nearest",
+    "unsharp_mask": "nearest",
+    "median_blur": "nearest",
+    "box_blur": "reflect",
+    "bilateral_blur": "reflect",
+    "denoise_bilateral": "edge",
+    "sobel_edges": "reflect",
+    "laplacian_sharpen": "reflect",
+}
+
+
+def spatial_shard_apply(
+    cfg: PipelineConfig,
+    mesh: Mesh,
+    quantize: bool = True,
+    axis_name: str = "space",
+) -> Callable:
+    """Compile cfg into a program that shards ONE [H, W] slice by rows.
+
+    H must be divisible by the 'space' axis size. Each STENCIL stage is
+    individually wrapped in (halo exchange of its own radius with its
+    own border mode) -> stage -> crop, so the sharded chain is exact by
+    induction: every stage sees true neighbor rows at interior band
+    boundaries and its own border mode at the global edges — identical
+    to the unsharded program. Pointwise stages run directly on the band.
+
+    This is the structural cousin of ring attention (SURVEY.md 5.7):
+    neighbor-band ppermutes over ICI, local stencil compute, no
+    gather/all-to-all.
+    """
+    from mies_tpu.pipeline.compiler import OP_REGISTRY
+
+    stages = []  # (fn, radius, mode)
+    for s in cfg.stages:
+        params = s.kwargs()
+        r = stage_receptive_field(s.op, params)
+        mode = params.get("mode", _DEFAULT_MODE.get(s.op, "nearest"))
+        stages.append((functools.partial(OP_REGISTRY[s.op], **params), r, mode))
+
+    def band_fn(band):  # [H/n, W] on each device
+        x = band
+        for fn, r, mode in stages:
+            if r > 0:
+                ext = halo_extend_rows(x, r, axis_name, mode=mode)
+                x = fn(ext)[r:-r]
+            else:
+                x = fn(x)
+        return _quantize_u8(x) if quantize else x
+
+    sharded = shard_map(
+        band_fn,
+        mesh=mesh,
+        in_specs=P(axis_name, None),
+        out_specs=P(axis_name, None),
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,45 @@
+"""Device mesh construction (jax.sharding.Mesh over ICI/DCN).
+
+Single-host v5e is the primary target (SURVEY.md section 5.8), so the
+default mesh is 1-D 'data' over all local devices; a 2-D ('data',
+'space') mesh supports combining batch sharding with spatial sharding
+of oversized slices.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def mesh_devices(n: int | None = None) -> list:
+    devs = jax.devices()
+    if n is not None:
+        if n > len(devs):
+            raise ValueError(f"requested {n} devices, have {len(devs)}")
+        devs = devs[:n]
+    return devs
+
+
+def make_mesh(
+    data: int | None = None,
+    space: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a ('data', 'space') mesh.
+
+    data=None uses all available devices / space. space > 1 lays the
+    spatial axis innermost so halo ppermutes ride nearest-neighbor ICI
+    links.
+    """
+    devs = devices if devices is not None else jax.devices()
+    if data is None:
+        if len(devs) % space:
+            raise ValueError(f"{len(devs)} devices not divisible by space={space}")
+        data = len(devs) // space
+    need = data * space
+    if need > len(devs):
+        raise ValueError(f"mesh {data}x{space} needs {need} devices, have {len(devs)}")
+    arr = np.array(devs[:need]).reshape(data, space)
+    return Mesh(arr, axis_names=("data", "space"))

@@ -1,0 +1,202 @@
+"""Execution drivers: single image, file batches, streamed volumes.
+
+Call-stack contracts from SURVEY.md section 3:
+  3.1 enhance_image  — load -> (one jitted chain on device) -> save
+  3.2 enhance_batch  — vmapped chain, batch sharded when a mesh is given
+  3.3 enhance_volume — slab streaming with host decode overlapped against
+      device compute (double buffering via JAX async dispatch)
+
+Host<->device crossings per call: exactly two (feed, fetch).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mies_tpu.io.image import from_float, load_image, save_image
+from mies_tpu.pipeline.compiler import compile_pipeline
+from mies_tpu.pipeline.config import PipelineConfig
+from mies_tpu.pipeline.manifest import RunManifest
+
+
+def enhance_image(
+    input_path: str | Path,
+    cfg: PipelineConfig,
+    output_path: str | Path | None = None,
+) -> np.ndarray:
+    """Enhance one 2-D image file; returns (and optionally saves) uint8."""
+    img = load_image(input_path)
+    fn = compile_pipeline(cfg)
+    out = np.asarray(fn(jnp.asarray(img)))
+    if output_path is not None:
+        save_image(output_path, out)
+    return out
+
+
+def enhance_batch(
+    input_paths: Sequence[str | Path],
+    cfg: PipelineConfig,
+    output_dir: str | Path,
+    batch_size: int = 32,
+    resume: bool = True,
+    progress: bool = True,
+) -> RunManifest:
+    """Enhance many same-sized images; resumable, per-item fault isolation.
+
+    Images are packed into fixed-size batches (last batch padded to keep
+    one compiled XLA program). The manifest records each completed output,
+    so re-running after a crash processes only the remainder
+    (SURVEY.md section 5.3).
+    """
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    manifest = RunManifest(output_dir / "manifest.jsonl", cfg.cache_key())
+
+    paths = [Path(p) for p in input_paths]
+    todo = manifest.pending([str(p) for p in paths]) if resume else [str(p) for p in paths]
+    todo_paths = [Path(p) for p in todo]
+    if not todo_paths:
+        return manifest
+
+    fn = compile_pipeline(cfg, batched=True, donate=False)
+    it: Iterable = range(0, len(todo_paths), batch_size)
+    if progress:
+        from tqdm import tqdm
+
+        it = tqdm(it, total=-(-len(todo_paths) // batch_size), unit="batch")
+
+    for start in it:
+        chunk = todo_paths[start : start + batch_size]
+        imgs, ok_paths = [], []
+        for p in chunk:
+            try:
+                imgs.append(load_image(p))
+                ok_paths.append(p)
+            except Exception as e:  # corrupt input: record, keep going
+                manifest.mark_failed(str(p), f"load: {e}")
+        if not imgs:
+            continue
+        batch = np.stack(imgs)
+        pad = batch_size - len(imgs)
+        if pad:
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
+        out = np.asarray(fn(jnp.asarray(batch)))
+        for i, p in enumerate(ok_paths):
+            dst = output_dir / p.name
+            try:
+                save_image(dst, out[i])
+                manifest.mark_done(str(p), output=str(dst))
+            except Exception as e:
+                manifest.mark_failed(str(p), f"save: {e}")
+    return manifest
+
+
+def enhance_volume(
+    volume: np.ndarray,
+    cfg: PipelineConfig,
+    slab_size: int = 16,
+    max_in_flight: int = 4,
+    progress: bool = False,
+) -> np.ndarray:
+    """Stream a [Z, H, W] volume through the jitted chain slab by slab.
+
+    JAX dispatch is asynchronous: device_put of slab k+1 and the fetch of
+    slab k-1 overlap with compute of slab k automatically; we just keep a
+    bounded number of slabs in flight so HBM stays bounded
+    (SURVEY.md section 3.3 double-buffering contract).
+    """
+    z = volume.shape[0]
+    fn = compile_pipeline(cfg, batched=True, donate=True)
+
+    # Pad Z to a slab multiple so one program handles every slab.
+    nslabs = -(-z // slab_size)
+    pad = nslabs * slab_size - z
+    if pad:
+        volume = np.concatenate([volume, np.repeat(volume[-1:], pad, axis=0)])
+
+    rng = range(nslabs)
+    if progress:
+        from tqdm import tqdm
+
+        rng = tqdm(rng, unit="slab")
+
+    in_flight: list[jax.Array] = []
+    outs: list[np.ndarray] = []
+    for k in rng:
+        slab = volume[k * slab_size : (k + 1) * slab_size]
+        dev = jax.device_put(slab)  # async H2D
+        in_flight.append(fn(dev))  # async compute
+        if len(in_flight) >= max_in_flight:
+            outs.append(np.asarray(in_flight.pop(0)))  # drain oldest
+    outs.extend(np.asarray(o) for o in in_flight)
+    result = np.concatenate(outs, axis=0)
+    return result[:z]
+
+
+def _device_sync(y) -> float:
+    """Force completion of ``y`` with a minimal D2H fetch.
+
+    On tunneled TPU runtimes (axon) ``block_until_ready`` can return
+    before the device finishes; a scalar reduction fetch is the only
+    reliable completion barrier, at the cost of one round trip.
+    """
+    return float(jnp.max(y if y.dtype != jnp.uint8 else y.astype(jnp.int32)))
+
+
+def _timed_run(fn, x, n: int) -> float:
+    """Wall time of n chained device executions + ONE sync fetch."""
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(n):
+        y = fn(x)
+    _device_sync(y)
+    return time.perf_counter() - t0
+
+
+def time_pipeline(
+    cfg: PipelineConfig,
+    shape: tuple[int, int] = (512, 512),
+    batch_size: int = 32,
+    iters: int = 20,
+    warmup: int = 3,
+    dtype=np.float32,
+    repeats: int = 5,
+) -> dict:
+    """Throughput/latency harness for BASELINE.md workloads.
+
+    Per-batch time is estimated as the SLOPE between a short and a long
+    run (iters vs iters//4 executions per sync): the constant host<->
+    device round-trip of the completion fetch cancels out, leaving pure
+    device throughput. Repeated ``repeats`` times; p50 reported.
+    """
+    rng = np.random.default_rng(0)
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        batch = rng.integers(-1000, 2000, size=(batch_size, *shape), dtype=dtype)
+    else:
+        batch = rng.random((batch_size, *shape), dtype=np.float32)
+    fn = compile_pipeline(cfg, batched=True, quantize=True, donate=False)
+    x = jnp.asarray(batch)
+    for _ in range(warmup):
+        _device_sync(fn(x))
+    n_short = max(iters // 4, 1)
+    n_long = iters
+    slopes = []
+    for _ in range(repeats):
+        t_short = _timed_run(fn, x, n_short)
+        t_long = _timed_run(fn, x, n_long)
+        slopes.append((t_long - t_short) / (n_long - n_short))
+    slopes.sort()
+    per_batch = slopes[len(slopes) // 2]
+    return {
+        "slices_per_sec": batch_size / per_batch,
+        "p50_ms_per_slice": per_batch * 1000.0 / batch_size,
+        "ms_per_batch": per_batch * 1000.0,
+        "batch_size": batch_size,
+        "shape": list(shape),
+    }

@@ -7,12 +7,18 @@ real-chip path is exercised by bench.py and __graft_entry__.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon TPU plugin force-sets jax_platforms="axon,cpu" at import,
+# overriding the env var — pin it back to cpu before any backend use.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,119 @@
+"""I/O round trips: PNG, npz volumes, and the self-contained DICOM codec."""
+
+import numpy as np
+import pytest
+
+from mies_tpu.io.image import from_float, load_image, save_image, to_float
+from mies_tpu.io.volume import load_volume, save_volume
+from mies_tpu.io.dicom import (
+    read_dicom,
+    read_dicom_series,
+    write_dicom,
+    DicomSlice,
+    EXPLICIT_VR_LE,
+)
+
+
+def test_png_roundtrip(tmp_path, xray):
+    p = tmp_path / "x.png"
+    u8 = from_float(xray)
+    save_image(p, u8)
+    back = load_image(p)
+    np.testing.assert_allclose(back, u8.astype(np.float32) / 255.0, atol=1e-7)
+
+
+def test_save_accepts_float(tmp_path, xray):
+    p = tmp_path / "f.png"
+    save_image(p, xray)
+    back = from_float(load_image(p))
+    np.testing.assert_array_equal(back, from_float(xray))
+
+
+def test_quantize_round_half_even():
+    # 0.5/255 boundary values must round like the device path (rint)
+    x = np.array([0.5 / 255.0, 1.5 / 255.0, 2.5 / 255.0], np.float32)
+    np.testing.assert_array_equal(from_float(x), np.rint(x * 255).astype(np.uint8))
+
+
+def test_to_float_dtypes():
+    assert to_float(np.array([255], np.uint8))[0] == 1.0
+    assert to_float(np.array([65535], np.uint16))[0] == 1.0
+    assert to_float(np.array([0.25], np.float64)).dtype == np.float32
+
+
+def test_npz_volume_roundtrip(tmp_path, ct_slice_hu):
+    vol = np.stack([ct_slice_hu] * 5)
+    p = tmp_path / "vol.npz"
+    save_volume(p, vol)
+    back, meta = load_volume(p)
+    np.testing.assert_array_equal(back, vol)
+    assert meta.shape == vol.shape and meta.dtype == "int16"
+
+
+def test_npy_volume_roundtrip(tmp_path, ct_slice_hu):
+    vol = np.stack([ct_slice_hu] * 3)
+    p = tmp_path / "vol.npy"
+    save_volume(p, vol)
+    back, _ = load_volume(p)
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_dicom_roundtrip_int16(tmp_path, ct_slice_hu):
+    p = tmp_path / "s.dcm"
+    write_dicom(p, ct_slice_hu, instance_number=7, slice_location=12.5)
+    s = read_dicom(p)
+    assert isinstance(s, DicomSlice)
+    np.testing.assert_array_equal(s.pixels, ct_slice_hu)
+    assert s.rows == ct_slice_hu.shape[0]
+    assert s.instance_number == 7
+    assert s.slice_location == 12.5
+    assert s.transfer_syntax == EXPLICIT_VR_LE
+
+
+def test_dicom_rescale_to_hu(tmp_path):
+    # stored uint16 with slope/intercept -> int16 HU on read
+    raw = np.arange(0, 4096, 1, dtype=np.uint16).reshape(64, 64)
+    p = tmp_path / "r.dcm"
+    write_dicom(p, raw, rescale_slope=1.0, rescale_intercept=-1024.0)
+    s = read_dicom(p)
+    assert s.pixels.dtype == np.int16
+    assert s.pixels.min() == -1024
+    assert s.pixels.max() == 4095 - 1024
+
+
+def test_dicom_series_sorted_by_slice_location(tmp_path, ct_slice_hu):
+    # write slices out of order; series loader must sort by location
+    locs = [30.0, 10.0, 20.0]
+    for i, loc in enumerate(locs):
+        write_dicom(
+            tmp_path / f"slice{i}.dcm",
+            (ct_slice_hu + i).astype(np.int16),
+            instance_number=i + 1,
+            slice_location=loc,
+        )
+    vol = read_dicom_series(tmp_path)
+    assert vol.shape == (3, *ct_slice_hu.shape)
+    # order by location: file1 (10), file2 (20), file0 (30)
+    np.testing.assert_array_equal(vol[0], ct_slice_hu + 1)
+    np.testing.assert_array_equal(vol[1], ct_slice_hu + 2)
+    np.testing.assert_array_equal(vol[2], ct_slice_hu + 0)
+
+
+def test_dicom_series_volume_via_load_volume(tmp_path, ct_slice_hu):
+    for i in range(3):
+        write_dicom(tmp_path / f"s{i}.dcm", ct_slice_hu, instance_number=i)
+    vol, meta = load_volume(tmp_path)
+    assert vol.shape[0] == 3
+    assert meta.source.startswith("dicom-series")
+
+
+def test_dicom_unsupported_transfer_syntax(tmp_path, ct_slice_hu):
+    p = tmp_path / "bad.dcm"
+    write_dicom(p, ct_slice_hu)
+    data = bytearray(p.read_bytes())
+    # corrupt the TS UID to a JPEG one
+    i = data.find(b"1.2.840.10008.1.2.1")
+    data[i : i + 19] = b"1.2.840.10008.1.2.4"
+    p.write_bytes(bytes(data))
+    with pytest.raises(NotImplementedError):
+        read_dicom(p)

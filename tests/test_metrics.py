@@ -1,0 +1,86 @@
+"""JAX metric suite vs independent NumPy/scipy goldens (SURVEY.md section 3.4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mies_tpu.eval import metrics as M
+from tests.goldens import golden_metrics as G
+
+
+@pytest.fixture(scope="module")
+def pair(request):
+    rng = np.random.default_rng(3)
+    # 192 >= 176 so msssim's coarsest scale still fits its 11x11 window
+    gt = (rng.random((192, 192)) * 255).astype(np.float32)
+    # correlated distortion: blur + noise (realistic enhance/degrade pair)
+    from scipy import ndimage
+
+    p = ndimage.gaussian_filter(gt, 1.2) + rng.normal(0, 6, gt.shape)
+    return gt, np.clip(p, 0, 255).astype(np.float32)
+
+
+PAIRS = [
+    ("mse", {}, 1e-3),
+    ("rmse", {}, 1e-4),
+    ("psnr", {}, 1e-4),
+    ("uqi", {}, 1e-4),
+    ("ssim", {}, 1e-4),
+    ("msssim", {}, 1e-3),
+    ("ergas", {}, 1e-2),
+    ("scc", {}, 1e-4),
+    ("rase", {}, 1e-2),
+    ("sam", {}, 1e-4),
+    ("vifp", {}, 1e-3),
+    ("psnrb", {}, 1e-4),
+]
+
+
+@pytest.mark.parametrize("name,kw,tol", PAIRS)
+def test_metric_matches_golden(pair, name, kw, tol):
+    gt, p = pair
+    ours = float(getattr(M, name)(jnp.asarray(gt), jnp.asarray(p), **kw))
+    ref = getattr(G, name)(gt, p, **kw)
+    assert ours == pytest.approx(ref, rel=tol, abs=tol), (name, ours, ref)
+
+
+def test_identity_extremes(pair):
+    gt, _ = pair
+    g = jnp.asarray(gt)
+    assert float(M.mse(g, g)) == 0.0
+    assert np.isinf(float(M.psnr(g, g)))
+    assert float(M.ssim(g, g)) == pytest.approx(1.0, abs=1e-6)
+    assert float(M.uqi(g, g)) == pytest.approx(1.0, abs=1e-6)
+    assert float(M.sam(g, g)) == pytest.approx(0.0, abs=1e-3)
+    assert float(M.scc(g, g)) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_multiband_sam_ergas():
+    rng = np.random.default_rng(5)
+    gt = rng.random((3, 64, 64)).astype(np.float32) * 255
+    p = gt + rng.normal(0, 5, gt.shape).astype(np.float32)
+    assert float(M.sam(jnp.asarray(gt), jnp.asarray(p))) == pytest.approx(
+        G.sam(gt, p), abs=1e-4
+    )
+    assert float(M.ergas(jnp.asarray(gt), jnp.asarray(p))) == pytest.approx(
+        G.ergas(gt, p), rel=1e-3
+    )
+
+
+def test_evaluate_entry_point(pair):
+    gt, p = pair
+    out = M.evaluate(gt, p, names=("psnr", "ssim", "uqi", "rmse"))
+    assert set(out) == {"psnr", "ssim", "uqi", "rmse"}
+    assert all(isinstance(v, float) for v in out.values())
+    assert out["psnr"] == pytest.approx(G.psnr(gt, p), rel=1e-4)
+
+
+def test_psnrb_penalizes_blocking(pair):
+    gt, _ = pair
+    # synthesize blocky image: quantize 8x8 blocks to their mean
+    n = gt.shape[0] // 8
+    b = gt.reshape(n, 8, n, 8).mean(axis=(1, 3), keepdims=True)
+    blocky = np.broadcast_to(b, (n, 8, n, 8)).reshape(gt.shape).astype(np.float32)
+    p_b = float(M.psnrb(jnp.asarray(gt), jnp.asarray(blocky)))
+    p_plain = float(M.psnr(jnp.asarray(gt), jnp.asarray(blocky)))
+    assert p_b < p_plain  # BEF must subtract from PSNR for blocky output

@@ -1,0 +1,115 @@
+"""Multi-chip paths on 8 fake CPU devices (SURVEY.md section 4 item 4).
+
+Batch sharding and halo-exchange spatial sharding must produce results
+IDENTICAL to the single-device program — that is the whole contract.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mies_tpu.parallel import (
+    make_mesh,
+    shard_pipeline,
+    sharded_evaluate,
+    spatial_shard_apply,
+)
+from mies_tpu.parallel.halo import chain_receptive_field, stage_receptive_field
+from mies_tpu.pipeline.config import PipelineConfig
+from mies_tpu.pipeline.compiler import compile_pipeline
+
+
+CHAIN = PipelineConfig.make(
+    [("clahe", {"clip_limit": 2.0, "grid_size": (4, 4)}),
+     ("gaussian_blur", {"sigma": 1.0}),
+     ("unsharp_mask", {"radius": 1.0, "amount": 0.5})],
+    name="par-chain",
+)
+
+STENCIL_CHAIN = PipelineConfig.make(
+    [("adjust_gamma", {"gamma": 0.9}),
+     ("gaussian_blur", {"sigma": 1.5}),
+     ("median_blur", {"kernel_size": 3}),
+     ("unsharp_mask", {"radius": 1.0, "amount": 1.0})],
+    name="stencil-chain",
+)
+
+
+def test_eight_fake_devices_present():
+    assert jax.device_count() == 8
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.shape == {"data": 8, "space": 1}
+    m2 = make_mesh(space=2)
+    assert m2.shape == {"data": 4, "space": 2}
+    with pytest.raises(ValueError):
+        make_mesh(data=16)
+
+
+def test_batch_sharding_matches_single_device(rng):
+    batch = rng.random((8, 128, 128)).astype(np.float32)
+    mesh = make_mesh()
+    fn = shard_pipeline(CHAIN, mesh)
+    out = np.asarray(fn(jnp.asarray(batch)))
+    ref = np.asarray(compile_pipeline(CHAIN, batched=True, donate=False)(jnp.asarray(batch)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_batch_sharding_uneven_axis(rng):
+    batch = rng.random((16, 64, 64)).astype(np.float32)  # 2 per device
+    mesh = make_mesh()
+    out = np.asarray(shard_pipeline(CHAIN, mesh)(jnp.asarray(batch)))
+    assert out.shape == (16, 64, 64) and out.dtype == np.uint8
+
+
+def test_sharded_evaluate_collective(rng):
+    batch = rng.random((8, 192, 192)).astype(np.float32)
+    mesh = make_mesh()
+    fn = sharded_evaluate(CHAIN, mesh, metric_names=("psnr", "ssim"), max_val=1.0)
+    out, metrics = fn(jnp.asarray(batch))
+    assert out.shape == batch.shape
+    # cross-check vs single-device unsharded metrics
+    from mies_tpu.eval.metrics import psnr, ssim
+    from mies_tpu.pipeline.compiler import build_chain
+
+    chain = jax.vmap(build_chain(CHAIN))
+    enh = chain(jnp.asarray(batch))
+    want_psnr = np.mean([float(psnr(batch[i], enh[i], max_val=1.0)) for i in range(8)])
+    assert float(metrics["psnr"]) == pytest.approx(want_psnr, rel=1e-5)
+    assert 0.0 < float(metrics["ssim"]) <= 1.0
+
+
+def test_receptive_field_computation():
+    assert stage_receptive_field("gaussian_blur", {"sigma": 1.5}) == 6
+    assert stage_receptive_field("median_blur", {"kernel_size": 5}) == 2
+    assert stage_receptive_field("adjust_gamma", {"gamma": 2.0}) == 0
+    assert chain_receptive_field(STENCIL_CHAIN) == 6 + 1 + 4
+    with pytest.raises(ValueError, match="spatially sharded"):
+        stage_receptive_field("clahe", {})
+
+
+@pytest.mark.parametrize("space", [2, 4, 8])
+def test_spatial_sharding_exact(rng, space):
+    """Sharded stencil chain == unsharded, bit for bit, incl. global edges."""
+    img = rng.random((256, 128)).astype(np.float32)
+    mesh = make_mesh(data=1, space=space)
+    fn = spatial_shard_apply(STENCIL_CHAIN, mesh)
+    out = np.asarray(fn(jnp.asarray(img)))
+    ref = np.asarray(
+        compile_pipeline(STENCIL_CHAIN, donate=False)(jnp.asarray(img))
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_spatial_sharding_bilateral_exact(rng):
+    cfg = PipelineConfig.make(
+        [("bilateral_blur", {"kernel_size": 7, "sigma_color": 0.2, "sigma_space": 2.0})]
+    )
+    img = rng.random((128, 64)).astype(np.float32)
+    mesh = make_mesh(data=1, space=4)
+    out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+    ref = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+    np.testing.assert_array_equal(out, ref)

@@ -1,0 +1,168 @@
+"""Pipeline integration: config -> chain vs composed NumPy goldens;
+runners, manifest resume, volume streaming (SURVEY.md section 4 item 2)."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mies_tpu.io.image import from_float, save_image
+from mies_tpu.pipeline.config import PipelineConfig, from_dict, load_config
+from mies_tpu.pipeline.compiler import compile_pipeline
+from mies_tpu.pipeline import runner
+from mies_tpu.pipeline.manifest import RunManifest
+from tests.goldens import golden_ops as G
+
+
+WORKLOAD1 = PipelineConfig.make(
+    [("equalize_hist", {}), ("adjust_gamma", {"gamma": 0.8})], name="w1"
+)
+WORKLOAD3 = PipelineConfig.make(
+    [("unsharp_mask", {"radius": 1.5, "amount": 1.0}),
+     ("gaussian_blur", {"sigma": 1.5})],
+    name="w3",
+)
+CT_CHAIN = PipelineConfig.make(
+    [("window_hu", {"center": 40.0, "width": 400.0}),
+     ("median_blur", {"kernel_size": 3}),
+     ("bilateral_blur", {"kernel_size": 5, "sigma_color": 0.1, "sigma_space": 1.5})],
+    name="ct",
+)
+
+
+def test_workload1_matches_composed_golden(xray):
+    """BASELINE workload 1: hist-eq + gamma, vs composed NumPy goldens."""
+    fn = compile_pipeline(WORKLOAD1, quantize=True, donate=False)
+    out = np.asarray(fn(jnp.asarray(xray)))
+    ref = G.adjust_gamma(G.equalize_hist(xray), 0.8)
+    ref_u8 = np.clip(np.rint(ref * 255), 0, 255).astype(np.uint8)
+    diff = np.abs(out.astype(int) - ref_u8.astype(int))
+    assert diff.max() <= 1  # >=1 ULP-equivalent on uint8 (BASELINE.md)
+    assert (diff > 0).mean() < 2e-3
+
+
+def test_workload3_matches_composed_golden(xray):
+    fn = compile_pipeline(WORKLOAD3, quantize=True, donate=False)
+    out = np.asarray(fn(jnp.asarray(xray)))
+    ref = G.gaussian_blur(G.unsharp_mask(xray, 1.5, 1.0), 1.5)
+    ref_u8 = np.clip(np.rint(ref * 255), 0, 255).astype(np.uint8)
+    diff = np.abs(out.astype(int) - ref_u8.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 2e-3
+
+
+def test_ct_chain_int16_input(ct_slice_hu):
+    fn = compile_pipeline(CT_CHAIN, quantize=True, donate=False)
+    out = np.asarray(fn(jnp.asarray(ct_slice_hu)))
+    win = G.window_hu(ct_slice_hu, 40.0, 400.0)
+    ref = G.bilateral_blur(
+        G.median_blur(win, 3), kernel_size=5, sigma_color=0.1, sigma_space=1.5
+    )
+    ref_u8 = np.clip(np.rint(ref * 255), 0, 255).astype(np.uint8)
+    diff = np.abs(out.astype(int) - ref_u8.astype(int))
+    assert diff.max() <= 1
+
+
+def test_config_json_yaml_equivalent(tmp_path):
+    d = {
+        "name": "t",
+        "pipeline": [
+            {"op": "clahe", "clip_limit": 2.0, "grid_size": [8, 8]},
+            {"op": "unsharp_mask", "radius": 1.0},
+        ],
+    }
+    (tmp_path / "c.json").write_text(json.dumps(d))
+    (tmp_path / "c.yaml").write_text(
+        "name: t\npipeline:\n"
+        "  - {op: clahe, clip_limit: 2.0, grid_size: [8, 8]}\n"
+        "  - {op: unsharp_mask, radius: 1.0}\n"
+    )
+    cj = load_config(tmp_path / "c.json")
+    cy = load_config(tmp_path / "c.yaml")
+    assert cj.cache_key() == cy.cache_key()
+    assert cj == cy
+
+
+def test_config_rejects_unknown_op(tmp_path):
+    (tmp_path / "bad.json").write_text(json.dumps({"pipeline": [{"op": "nope"}]}))
+    with pytest.raises(ValueError, match="unknown op"):
+        load_config(tmp_path / "bad.json")
+
+
+def test_config_rejects_bad_param(tmp_path):
+    (tmp_path / "bad.json").write_text(
+        json.dumps({"pipeline": [{"op": "clahe", "clip": 2.0}]})
+    )
+    with pytest.raises(ValueError, match="does not accept"):
+        load_config(tmp_path / "bad.json")
+
+
+def test_config_roundtrip_to_dict():
+    c = from_dict(WORKLOAD1.to_dict())
+    assert c.cache_key() == WORKLOAD1.cache_key()
+
+
+def test_enhance_image_end_to_end(tmp_path, xray):
+    src = tmp_path / "in.png"
+    save_image(src, from_float(xray))
+    out = runner.enhance_image(src, WORKLOAD1, tmp_path / "out.png")
+    assert out.dtype == np.uint8 and out.shape == xray.shape
+    assert (tmp_path / "out.png").exists()
+
+
+def test_enhance_batch_resume(tmp_path, xray):
+    srcs = []
+    for i in range(5):
+        p = tmp_path / f"img{i}.png"
+        save_image(p, from_float(np.roll(xray, i, axis=0)))
+        srcs.append(p)
+    outdir = tmp_path / "out"
+    m1 = runner.enhance_batch(srcs, WORKLOAD1, outdir, batch_size=2, progress=False)
+    assert m1.done_count == 5
+    # resume: nothing left to do -> manifest reports same count, fast
+    m2 = runner.enhance_batch(srcs, WORKLOAD1, outdir, batch_size=2, progress=False)
+    assert m2.done_count == 5
+    assert not m2.failures
+
+
+def test_enhance_batch_isolates_corrupt_input(tmp_path, xray):
+    good = tmp_path / "good.png"
+    save_image(good, from_float(xray))
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not a png")
+    outdir = tmp_path / "out"
+    m = runner.enhance_batch([good, bad], WORKLOAD1, outdir, batch_size=2, progress=False)
+    assert m.done_count == 1
+    assert str(bad) in m.failures
+
+
+def test_manifest_ignores_other_config(tmp_path):
+    m1 = RunManifest(tmp_path / "m.jsonl", "aaaa")
+    m1.mark_done("item1")
+    m2 = RunManifest(tmp_path / "m.jsonl", "bbbb")
+    assert not m2.is_done("item1")
+    m3 = RunManifest(tmp_path / "m.jsonl", "aaaa")
+    assert m3.is_done("item1")
+
+
+def test_manifest_survives_torn_line(tmp_path):
+    m = RunManifest(tmp_path / "m.jsonl", "cc")
+    m.mark_done("a")
+    with open(tmp_path / "m.jsonl", "a") as f:
+        f.write('{"config": "cc", "item": "b", "sta')  # torn write
+    m2 = RunManifest(tmp_path / "m.jsonl", "cc")
+    assert m2.is_done("a") and not m2.is_done("b")
+
+
+def test_enhance_volume_streaming(ct_slice_hu):
+    vol = np.stack([ct_slice_hu] * 37)  # non-multiple of slab size
+    out = runner.enhance_volume(vol, CT_CHAIN, slab_size=8, progress=False)
+    assert out.shape == vol.shape and out.dtype == np.uint8
+    # all slices identical input -> identical output
+    np.testing.assert_array_equal(out[0], out[36])
+    # and matches the single-slice path
+    single = np.asarray(
+        compile_pipeline(CT_CHAIN, donate=False)(jnp.asarray(ct_slice_hu))
+    )
+    np.testing.assert_array_equal(out[0], single)
