@@ -19,6 +19,10 @@ import sys
 
 
 def main() -> int:
+    from mies_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # Pallas kernels compile slowly; cache them
+
     from mies_tpu.pipeline.config import PipelineConfig
     from mies_tpu.pipeline.runner import time_pipeline
 

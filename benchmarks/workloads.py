@@ -1,0 +1,100 @@
+"""The five BASELINE.json benchmark workloads (SURVEY.md section 6).
+
+Run: python benchmarks/workloads.py [--quick]
+Prints one JSON line per workload with slices/sec and p50 latency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def workload_configs():
+    from mies_tpu.pipeline.config import PipelineConfig
+
+    return {
+        # 1. global hist-eq + gamma, single 512^2 X-ray
+        "w1_histeq_gamma": dict(
+            cfg=PipelineConfig.make(
+                [("equalize_hist", {}), ("adjust_gamma", {"gamma": 0.8})],
+                name="w1",
+            ),
+            shape=(512, 512), batch=1, dtype="float32",
+        ),
+        # 2. CLAHE 8x8 clip 2.0, batch 32
+        "w2_clahe_b32": dict(
+            cfg=PipelineConfig.make(
+                [("clahe", {"clip_limit": 2.0, "grid_size": (8, 8),
+                            "convention": "opencv"})],
+                name="w2",
+            ),
+            shape=(512, 512), batch=32, dtype="float32",
+        ),
+        # 3. unsharp + gaussian sigma 1.5, 1024^2 mammograms
+        "w3_unsharp_gauss_1024": dict(
+            cfg=PipelineConfig.make(
+                [("unsharp_mask", {"radius": 1.5, "amount": 1.0}),
+                 ("gaussian_blur", {"sigma": 1.5})],
+                name="w3",
+            ),
+            shape=(1024, 1024), batch=8, dtype="float32",
+        ),
+        # 4. median + bilateral on int16 CT with HU windowing, batch 64
+        "w4_median_bilateral_ct": dict(
+            cfg=PipelineConfig.make(
+                [("window_hu", {"center": 40.0, "width": 400.0}),
+                 ("median_blur", {"kernel_size": 3}),
+                 ("bilateral_blur", {"kernel_size": 5, "sigma_color": 0.1,
+                                     "sigma_space": 1.5})],
+                name="w4",
+            ),
+            shape=(512, 512), batch=64, dtype="int16",
+        ),
+        # 5. full chain (the bench.py headline): clahe+denoise+sharpen
+        "w5_full_chain": dict(
+            cfg=PipelineConfig.make(
+                [("clahe", {"clip_limit": 2.0, "grid_size": (8, 8),
+                            "convention": "opencv"}),
+                 ("bilateral_blur", {"kernel_size": 5, "sigma_color": 0.1,
+                                     "sigma_space": 1.5}),
+                 ("unsharp_mask", {"radius": 1.5, "amount": 1.0})],
+                name="w5",
+            ),
+            shape=(512, 512), batch=32, dtype="float32",
+        ),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer iterations")
+    ap.add_argument("--only", help="run a single workload by name")
+    args = ap.parse_args()
+
+    from mies_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import numpy as np
+
+    from mies_tpu.pipeline.runner import time_pipeline
+
+    iters = 4 if args.quick else 16
+    for name, w in workload_configs().items():
+        if args.only and name != args.only:
+            continue
+        res = time_pipeline(
+            w["cfg"],
+            shape=w["shape"],
+            batch_size=w["batch"],
+            iters=iters,
+            dtype=np.dtype(w["dtype"]).type,
+        )
+        res["workload"] = name
+        print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

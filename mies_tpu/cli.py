@@ -104,6 +104,10 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    from mies_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # Pallas kernels compile slowly; cache them
+
     ap = argparse.ArgumentParser(prog="mies_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -1,0 +1,10 @@
+"""Pallas TPU kernels for the non-XLA-friendly hot stages.
+
+Everything here has a pure-jnp twin in ``mies_tpu.ops`` that defines the
+semantics; kernels must produce identical results (tests compare them
+directly, and the CLAHE path is cross-checked against cv2).
+"""
+
+from mies_tpu.kernels.clahe import clahe_apply_lut, clahe_batched, clahe_tpu
+
+__all__ = ["clahe_apply_lut", "clahe_batched", "clahe_tpu"]

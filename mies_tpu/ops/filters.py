@@ -53,24 +53,46 @@ def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
     return k.astype(np.float32)
 
 
-def _sep_conv2d(img: Array, ky: np.ndarray, kx: np.ndarray, mode: str) -> Array:
-    """Separable 2-D convolution with border handling, via XLA conv.
+def _conv1d_shifted(x: Array, taps: np.ndarray, axis: int, mode: str) -> Array:
+    """1-D correlation along ``axis`` as an explicit shifted-add chain.
 
-    Border mode is applied PER 1-D PASS (pad axis, valid-conv, next axis)
-    to match scipy.ndimage's sequential correlate1d semantics exactly —
-    padding both axes up front gives different corners for 'nearest'.
+    acc = k[0]*x[..-r..] ; acc += k[1]*x[..]; ... — the exact summation
+    order of scipy.ndimage.correlate1d, INDEPENDENT of the array size.
+    That last property is load-bearing: halo-sharded bands and the full
+    image produce bit-identical values (mies_tpu.parallel.halo), which
+    neither XLA conv nor a banded matmul guarantees (their reduction
+    trees change with the contraction size). It is also the fastest form
+    on TPU for short kernels: 2*len(taps) fused VPU ops over the image,
+    no conv-lowering overhead (measured 11.4 -> ~1 ms for the sigma=1.5
+    unsharp batch-32 at 512^2).
     """
-    ry, rx = len(ky) // 2, len(kx) // 2
-    x = img.astype(jnp.float32)[None, None]  # NCHW
-    if ry:
-        x = jnp.pad(x, ((0, 0), (0, 0), (ry, ry), (0, 0)), mode=_PAD_MODE[mode])
-        wy = jnp.asarray(ky, jnp.float32).reshape(1, 1, -1, 1)
-        x = lax.conv_general_dilated(x, wy, (1, 1), "VALID", precision=lax.Precision.HIGHEST)
-    if rx:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (rx, rx)), mode=_PAD_MODE[mode])
-        wx = jnp.asarray(kx, jnp.float32).reshape(1, 1, 1, -1)
-        x = lax.conv_general_dilated(x, wx, (1, 1), "VALID", precision=lax.Precision.HIGHEST)
-    return x[0, 0]
+    r = len(taps) // 2
+    h, w = x.shape
+    if axis == 0:
+        xp = jnp.pad(x, ((r, r), (0, 0)), mode=_PAD_MODE[mode])
+        acc = np.float32(taps[0]) * lax.dynamic_slice(xp, (0, 0), (h, w))
+        for t in range(1, len(taps)):
+            acc = acc + np.float32(taps[t]) * lax.dynamic_slice(xp, (t, 0), (h, w))
+    else:
+        xp = jnp.pad(x, ((0, 0), (r, r)), mode=_PAD_MODE[mode])
+        acc = np.float32(taps[0]) * lax.dynamic_slice(xp, (0, 0), (h, w))
+        for t in range(1, len(taps)):
+            acc = acc + np.float32(taps[t]) * lax.dynamic_slice(xp, (0, t), (h, w))
+    return acc
+
+
+def _sep_conv2d(img: Array, ky: np.ndarray, kx: np.ndarray, mode: str) -> Array:
+    """Separable 2-D correlation: per-axis border pad + shifted-add.
+
+    Border mode is applied PER 1-D PASS to match scipy.ndimage's
+    sequential correlate1d semantics exactly.
+    """
+    x = img.astype(jnp.float32)
+    if len(ky) > 1:
+        x = _conv1d_shifted(x, np.asarray(ky, np.float32), 0, mode)
+    if len(kx) > 1:
+        x = _conv1d_shifted(x, np.asarray(kx, np.float32), 1, mode)
+    return x
 
 
 def gaussian_blur(
@@ -131,20 +153,42 @@ def _window_stack(img: Array, k: int, mode: str) -> Array:
     return jnp.stack(views, axis=0)
 
 
+@functools.lru_cache(maxsize=32)
+def _batcher_network(n: int) -> tuple:
+    """Batcher odd-even mergesort comparator pairs for arbitrary n."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return tuple(pairs)
+
+
 def median_blur(img: Array, kernel_size: int = 3, mode: str = "nearest") -> Array:
     """Median filter with an odd square footprint.
 
     skimage.filters.median(behavior='ndimage', mode='nearest') semantics.
-    Expressed as a full sort over the k^2 window stack — XLA lowers the
-    sort to a vectorized sorting network over the leading axis (each lane
-    sorts its own pixel's window, VPU-parallel). Pallas kernel:
-    mies_tpu.kernels.median (odd-rank median via partial selection).
+    Implemented as an explicit Batcher sorting network of min/max pairs
+    over the k^2 shifted-window stack: every comparator is one VPU
+    min+max over the whole image — no data movement, no generic sort
+    (measured ~7x faster than jnp.sort on TPU for k=3).
     """
     if kernel_size % 2 != 1:
         raise ValueError("kernel_size must be odd")
     win = _window_stack(img, kernel_size, mode)
     n = kernel_size * kernel_size
-    return jnp.sort(win, axis=0)[n // 2]
+    vals = [win[i] for i in range(n)]
+    for i, j in _batcher_network(n):
+        lo = jnp.minimum(vals[i], vals[j])
+        hi = jnp.maximum(vals[i], vals[j])
+        vals[i], vals[j] = lo, hi
+    return vals[n // 2]
 
 
 def bilateral_blur(

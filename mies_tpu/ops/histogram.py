@@ -35,13 +35,37 @@ NBINS = 256
 # ---------------------------------------------------------------------------
 
 
+def _global_hist_onehot(idx_flat: Array, nbins: int) -> Array:
+    """Histogram of int32 indices via onehot reduce (exact f32 counts).
+
+    TPUs have no fast scatter; the gatherless form — compare against an
+    iota of bins and reduce — is 20-50x faster on the VPU/MXU (measured,
+    SURVEY.md section 7 hard part #2). Out-of-range indices (< 0) are
+    counted nowhere, which the padding below exploits.
+    """
+    n = idx_flat.shape[0]
+    pad = (-n) % 512
+    if pad:
+        idx_flat = jnp.concatenate(
+            [idx_flat, jnp.full((pad,), -1, jnp.int32)]
+        )
+    chunks = idx_flat.reshape(-1, 512)
+    bins = jnp.arange(nbins, dtype=jnp.int32)
+    oh = chunks[:, :, None] == bins[None, None, :]
+    return jnp.sum(oh, axis=(0, 1), dtype=jnp.float32)
+
+
 def equalize_hist(img: Array, nbins: int = NBINS) -> Array:
     """Global histogram equalization, skimage semantics.
 
     Histogram over ``nbins`` bins spanning the image's own [min, max],
-    normalized CDF, output = ``interp(img, bin_centers, cdf)`` — float in
-    [0, 1]. Mirrors ``skimage.exposure.equalize_hist`` (SURVEY.md
-    section 4 item 1); golden: tests/goldens/golden_ops.py::equalize_hist.
+    normalized CDF, output = piecewise-linear interpolation of the CDF
+    against bin centers — float in [0, 1]. Mirrors
+    ``skimage.exposure.equalize_hist`` (SURVEY.md section 4 item 1);
+    golden: tests/goldens/golden_ops.py::equalize_hist.
+
+    Both the histogram and the CDF lookup are gatherless (onehot
+    compare + reduce / selection-by-matmul) — the TPU-native forms.
     """
     img = img.astype(jnp.float32)
     lo = jnp.min(img)
@@ -49,12 +73,36 @@ def equalize_hist(img: Array, nbins: int = NBINS) -> Array:
     span = jnp.maximum(hi - lo, 1e-12)
     # Bin index per pixel; pixels at `hi` land in the last bin.
     idx = jnp.clip(((img - lo) / span * nbins).astype(jnp.int32), 0, nbins - 1)
-    hist = jnp.zeros((nbins,), jnp.float32).at[idx.ravel()].add(1.0)
+    hist = _global_hist_onehot(idx.ravel(), nbins)
     cdf = jnp.cumsum(hist)
     cdf = cdf / cdf[-1]
+
+    # interp(img, bin_centers, cdf): xi = position in bin-center space;
+    # out = cdf[i] + frac * (cdf[i+1] - cdf[i]), clamped at the ends.
     width = span / nbins
-    bin_centers = lo + (jnp.arange(nbins, dtype=jnp.float32) + 0.5) * width
-    return jnp.interp(img, bin_centers, cdf)
+    c0 = lo + 0.5 * width
+    xi = (img - c0) / width
+    i = jnp.clip(jnp.floor(xi).astype(jnp.int32), 0, nbins - 2)
+    frac = jnp.clip(xi - i.astype(jnp.float32), 0.0, 1.0)
+
+    # gatherless cdf[i], cdf[i+1]: onehot selection via HIGHEST-precision
+    # matmul (0/1 x table is exact under the bf16x3 decomposition).
+    n = i.size
+    pad = (-n) % 512
+    i_flat = i.ravel()
+    if pad:
+        i_flat = jnp.concatenate([i_flat, jnp.zeros((pad,), jnp.int32)])
+    chunks = i_flat.reshape(-1, 512)
+    bins = jnp.arange(nbins, dtype=jnp.int32)
+    oh = (chunks[:, :, None] == bins[None, None, :]).astype(jnp.float32)
+    table = jnp.stack([cdf, jnp.concatenate([cdf[1:], cdf[-1:]])], axis=1)
+    sel = jnp.einsum(
+        "cpb,bk->cpk", oh, table, precision=jax.lax.Precision.HIGHEST
+    )
+    sel = sel.reshape(-1, 2)[:n]
+    c_lo = sel[:, 0].reshape(img.shape)
+    c_hi = sel[:, 1].reshape(img.shape)
+    return c_lo + frac * (c_hi - c_lo)
 
 
 # ---------------------------------------------------------------------------

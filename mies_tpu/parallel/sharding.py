@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mies_tpu.pipeline.compiler import build_chain, _quantize_u8
+from mies_tpu.pipeline.compiler import build_batched_chain, build_chain, _quantize_u8
 from mies_tpu.pipeline.config import PipelineConfig
 
 
@@ -31,10 +31,10 @@ def shard_pipeline(
     partitions the program SPMD; no collectives are needed in the chain
     itself, so scaling is linear over ICI.
     """
-    chain = build_chain(cfg)
+    chain = build_batched_chain(cfg)
 
     def run(batch):
-        out = jax.vmap(chain)(batch)
+        out = chain(batch)
         return _quantize_u8(out) if quantize else out
 
     spec = NamedSharding(mesh, P("data", None, None))
@@ -56,10 +56,10 @@ def sharded_evaluate(
     """
     from mies_tpu.eval.metrics import METRIC_REGISTRY
 
-    chain = build_chain(cfg)
+    chain = build_batched_chain(cfg)
 
     def run(batch):
-        enhanced = jax.vmap(chain)(batch)
+        enhanced = chain(batch)
         scaled_in = batch.astype(jnp.float32) * max_val
         scaled_out = enhanced * max_val
 

@@ -1,0 +1,103 @@
+"""Pallas kernel correctness (interpret mode on CPU).
+
+The real-TPU bit-exactness vs cv2 is exercised at verification time on
+the chip; here the kernels run through the Pallas interpreter so CI
+covers them without TPU hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mies_tpu.kernels.clahe import (
+    _cell_luts,
+    _tile_hists_onehot,
+    clahe_apply_lut,
+    clahe_batched,
+    clahe_supported,
+)
+from mies_tpu.ops import histogram as H
+
+
+def _jnp_clahe_batch(imgs, clip, grid, convention):
+    fn = lambda x: H.clahe.__wrapped__(
+        x, clip_limit=clip, grid_size=grid, convention=convention
+    )
+    return np.asarray(jax.vmap(fn)(imgs))
+
+
+def test_tile_hists_onehot_matches_scatter(rng):
+    u8 = jnp.asarray(rng.integers(0, 256, (2, 64, 64)).astype(np.int32))
+    got = np.asarray(_tile_hists_onehot(u8, 4, 4))
+    for b in range(2):
+        for i in range(4):
+            for j in range(4):
+                tile = np.asarray(u8)[b, i * 16 : (i + 1) * 16, j * 16 : (j + 1) * 16]
+                want = np.bincount(tile.ravel(), minlength=256)
+                np.testing.assert_array_equal(got[b, i, j], want)
+
+
+def test_cell_luts_clamping():
+    luts = jnp.asarray(np.random.default_rng(0).random((1, 2, 2, 256), np.float32))
+    cl = np.asarray(_cell_luts(luts, 2, 2))  # [1, 3, 3, 4, 256]
+    L = np.asarray(luts)[0]
+    # corner cell (0,0): all four -> tile (0,0)
+    for k in range(4):
+        np.testing.assert_array_equal(cl[0, 0, 0, k], L[0, 0])
+    # center cell (1,1): four distinct tiles
+    np.testing.assert_array_equal(cl[0, 1, 1, 0], L[0, 0])
+    np.testing.assert_array_equal(cl[0, 1, 1, 1], L[0, 1])
+    np.testing.assert_array_equal(cl[0, 1, 1, 2], L[1, 0])
+    np.testing.assert_array_equal(cl[0, 1, 1, 3], L[1, 1])
+
+
+def test_clahe_supported():
+    assert clahe_supported((512, 512), (8, 8))
+    assert clahe_supported((1024, 1024), (8, 8))
+    assert not clahe_supported((250, 333), (8, 8))  # not divisible
+    assert not clahe_supported((40, 40), (5, 5))  # 8x8 tiles: 64 px % 128 != 0
+
+
+@pytest.mark.parametrize("convention", ["opencv", "fraction"])
+def test_apply_lut_interpret_matches_jnp(rng, convention):
+    """Pallas apply (interpreter) == the validated jnp bilinear apply."""
+    imgs = rng.random((2, 128, 128)).astype(np.float32)
+    clip = 2.0 if convention == "opencv" else 0.02
+    grid = (4, 4)
+    ref = _jnp_clahe_batch(jnp.asarray(imgs), clip, grid, convention)
+
+    # run the kernel-based composition with the Pallas interpreter
+    from mies_tpu.ops.histogram import (
+        _clip_redistribute_fraction,
+        _clip_redistribute_opencv,
+    )
+
+    u8 = jnp.clip(jnp.round(jnp.asarray(imgs) * 255.0), 0, 255).astype(jnp.int32)
+    hists = _tile_hists_onehot(u8, *grid).reshape(-1, 256)
+    th, tw = 128 // grid[0], 128 // grid[1]
+    area = th * tw
+    if convention == "opencv":
+        hists = _clip_redistribute_opencv(hists, jnp.float32(max(int(clip * area / 256), 1)))
+        cdf = jnp.cumsum(hists, axis=1)
+        luts = jnp.clip(jnp.rint(cdf * (jnp.float32(255) / area)), 0, 255)
+        res = clahe_apply_lut(
+            u8, luts.reshape(2, *grid, 256), grid, integer_luts=True, interpret=True
+        )
+        out = np.asarray(jnp.clip(jnp.rint(res), 0, 255) / 255.0)
+    else:
+        hists = _clip_redistribute_fraction(hists, jnp.float32(max(clip * area, 1.0)))
+        cdf = jnp.cumsum(hists, axis=1)
+        luts = (cdf / area).reshape(2, *grid, 256)
+        res = clahe_apply_lut(u8, luts, grid, integer_luts=False, interpret=True)
+        out = np.asarray(jnp.clip(res, 0.0, 1.0))
+
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_clahe_batched_dispatches_to_jnp_on_cpu(rng):
+    """On the CPU backend clahe_batched must fall back to the jnp path."""
+    imgs = jnp.asarray(rng.random((2, 64, 64)).astype(np.float32))
+    out = np.asarray(clahe_batched(imgs, 2.0, (4, 4), "opencv"))
+    ref = _jnp_clahe_batch(imgs, 2.0, (4, 4), "opencv")
+    np.testing.assert_array_equal(out, ref)
