@@ -5,6 +5,7 @@ semantics; kernels must produce identical results (tests compare them
 directly, and the CLAHE path is cross-checked against cv2).
 """
 
+from mies_tpu.kernels.bilateral import bilateral_batched, bilateral_tpu
 from mies_tpu.kernels.clahe import clahe_apply_lut, clahe_batched, clahe_tpu
 
-__all__ = ["clahe_apply_lut", "clahe_batched", "clahe_tpu"]
+__all__ = ["bilateral_batched", "bilateral_tpu", "clahe_apply_lut", "clahe_batched", "clahe_tpu"]

@@ -1,0 +1,111 @@
+"""Residual denoising CNN (DnCNN-style) for medical slices.
+
+Architecture: conv-relu, (depth-2) x [conv-relu] with remat, conv —
+predicting the NOISE residual; output = input - predicted noise. All
+convs are 3x3 'SAME', channels-last NHWC with C=1 grayscale. bfloat16
+activations on the MXU, float32 params — TPU's native mixed precision.
+
+Inference integrates with the pipeline as the ``learned_denoise`` op:
+the checkpoint is loaded host-side at chain-build time and the weights
+become constants of the jitted program.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+class DenoiserCNN(nn.Module):
+    """Predicts the noise residual of a [..., H, W, 1] image."""
+
+    features: int = 32
+    depth: int = 6
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = x.astype(self.dtype)
+        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        h = nn.relu(h)
+
+        # Middle blocks under remat: activations are recomputed in the
+        # backward pass, trading FLOPs for HBM (jax.checkpoint).
+        block = nn.remat(_MidBlock)
+        for _ in range(self.depth - 2):
+            h = block(self.features, self.dtype)(h)
+
+        noise = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        return noise.astype(jnp.float32)
+
+
+class _MidBlock(nn.Module):
+    features: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, h: Array) -> Array:
+        h = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        return nn.relu(h)
+
+
+def init_params(
+    rng: jax.Array, features: int = 32, depth: int = 6, patch: int = 64
+):
+    model = DenoiserCNN(features=features, depth=depth)
+    return model.init(rng, jnp.zeros((1, patch, patch, 1), jnp.float32))
+
+
+def denoise(params, img: Array, features: int = 32, depth: int = 6) -> Array:
+    """Apply the denoiser to [H, W] float [0,1]; returns [H, W]."""
+    model = DenoiserCNN(features=features, depth=depth)
+    x = img[None, :, :, None].astype(jnp.float32)
+    noise = model.apply(params, x)
+    return jnp.clip((x - noise)[0, :, :, 0], 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax — the .pt/.pth role, SURVEY.md section 5.4)
+# ---------------------------------------------------------------------------
+
+
+def save_denoiser(path: str | Path, params, features: int, depth: int) -> None:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "params", params, force=True)
+    ckptr.wait_until_finished()
+    (path / "meta.json").write_text(
+        __import__("json").dumps({"features": features, "depth": depth})
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def load_denoiser(path: str):
+    """Load (params, features, depth) from an orbax checkpoint dir."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    p = Path(path).absolute()
+    meta = json.loads((p / "meta.json").read_text())
+    template = init_params(
+        jax.random.PRNGKey(0), meta["features"], meta["depth"]
+    )
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(p / "params", target=template)
+    return params, meta["features"], meta["depth"]
+
+
+def learned_denoise(img: Array, checkpoint: str, _cache={}) -> Array:
+    """Pipeline op: denoise with a trained checkpoint (host-side load,
+    weights become jit constants). SURVEY.md section 2b D3 coverage."""
+    params, features, depth = load_denoiser(checkpoint)
+    return denoise(params, img, features=features, depth=depth)

@@ -50,13 +50,39 @@ OP_REGISTRY: dict[str, Callable] = {
 }
 
 
+def _learned_denoise_builder(checkpoint: str):
+    """Stage builder: restore the orbax checkpoint EAGERLY (host-side, at
+    chain-build time) so the weights become constants of the jitted
+    program — restoring inside a trace would hand orbax tracers."""
+    from mies_tpu.models.denoiser import denoise, load_denoiser
+
+    params, features, depth = load_denoiser(checkpoint)
+
+    def stage(img):
+        return denoise(params, img, features=features, depth=depth)
+
+    return stage
+
+
+# Ops whose parameters require host-side work at build time (checkpoint
+# loads). Signature: builder(**params) -> fn(img) -> img.
+STAGE_BUILDERS: dict[str, Callable] = {
+    "learned_denoise": _learned_denoise_builder,
+}
+
+
+# validation needs learned ops visible in the registry namespace
+OP_REGISTRY["learned_denoise"] = _learned_denoise_builder
+
+
 # Ops with a natively-batched TPU fast path: fn([B, H, W], **params).
 # The compiler calls these directly on the batch instead of vmapping the
 # per-image op, so their Pallas kernels see the real batch dimension.
 def _batched_registry() -> dict[str, Callable]:
+    from mies_tpu.kernels.bilateral import bilateral_batched
     from mies_tpu.kernels.clahe import clahe_batched
 
-    return {"clahe": clahe_batched}
+    return {"clahe": clahe_batched, "bilateral_blur": bilateral_batched}
 
 
 def build_chain(cfg: PipelineConfig) -> Callable[[Array], Array]:
@@ -67,8 +93,10 @@ def build_chain(cfg: PipelineConfig) -> Callable[[Array], Array]:
     """
     bound = []
     for s in cfg.stages:
-        fn = OP_REGISTRY[s.op]
-        bound.append(functools.partial(fn, **s.kwargs()))
+        if s.op in STAGE_BUILDERS:
+            bound.append(STAGE_BUILDERS[s.op](**s.kwargs()))
+        else:
+            bound.append(functools.partial(OP_REGISTRY[s.op], **s.kwargs()))
 
     def chain(img: Array) -> Array:
         x = img
@@ -91,6 +119,8 @@ def build_batched_chain(cfg: PipelineConfig) -> Callable[[Array], Array]:
     for s in cfg.stages:
         if s.op in batched_ops:
             bound.append(functools.partial(batched_ops[s.op], **s.kwargs()))
+        elif s.op in STAGE_BUILDERS:
+            bound.append(jax.vmap(STAGE_BUILDERS[s.op](**s.kwargs())))
         else:
             bound.append(
                 jax.vmap(functools.partial(OP_REGISTRY[s.op], **s.kwargs()))

@@ -95,6 +95,40 @@ def test_apply_lut_interpret_matches_jnp(rng, convention):
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+@pytest.mark.parametrize("k,sc,ss", [(5, 0.1, 1.5), (3, 0.25, 1.0)])
+def test_bilateral_kernel_interpret_matches_jnp(rng, k, sc, ss):
+    from mies_tpu.kernels.bilateral import bilateral_tpu
+    from mies_tpu.ops.filters import bilateral_blur
+
+    imgs = rng.random((2, 128, 128)).astype(np.float32)
+    out = np.asarray(
+        bilateral_tpu(jnp.asarray(imgs), k, sc, ss, "reflect", interpret=True)
+    )
+    ref = np.asarray(
+        jax.vmap(lambda x: bilateral_blur(x, k, sc, ss))(jnp.asarray(imgs))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_bilateral_supported_bounds():
+    from mies_tpu.kernels.bilateral import bilateral_supported
+
+    assert bilateral_supported((512, 512), 5)
+    assert bilateral_supported((1024, 1024), 5)
+    assert not bilateral_supported((2048, 2048), 5)  # VMEM block too large
+    assert not bilateral_supported((64, 64), 5)  # lanes too narrow
+
+
+def test_bilateral_batched_dispatches_to_jnp_on_cpu(rng):
+    from mies_tpu.kernels.bilateral import bilateral_batched
+    from mies_tpu.ops.filters import bilateral_blur
+
+    imgs = jnp.asarray(rng.random((2, 128, 128)).astype(np.float32))
+    out = np.asarray(bilateral_batched(imgs, 5, 0.1, 1.5))
+    ref = np.asarray(jax.vmap(lambda x: bilateral_blur(x, 5, 0.1, 1.5))(imgs))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_clahe_batched_dispatches_to_jnp_on_cpu(rng):
     """On the CPU backend clahe_batched must fall back to the jnp path."""
     imgs = jnp.asarray(rng.random((2, 64, 64)).astype(np.float32))

@@ -1,0 +1,77 @@
+"""Learned denoiser: training convergence, sharded step, checkpoints,
+pipeline integration (SURVEY.md sections 2b D3 + 5.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mies_tpu.models import train as T
+from mies_tpu.models.denoiser import denoise, load_denoiser, save_denoiser
+from mies_tpu.models.train import make_train_step, synth_batch, train_denoiser
+
+
+def test_train_loss_decreases():
+    state, losses = train_denoiser(
+        steps=40, batch=8, patch=32, features=8, depth=4, log_every=39
+    )
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert state.step == 40
+
+
+def test_sharded_train_step_matches_single_device():
+    from mies_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    init_fn, step_sharded, _ = make_train_step(8, 4, mesh=mesh)
+    _, step_single, _ = make_train_step(8, 4, mesh=None)
+
+    state_a = init_fn(jax.random.PRNGKey(0))
+    state_b = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    noisy, clean = synth_batch(rng, 16, 32)
+    a1, loss_a = step_sharded(state_a, jnp.asarray(noisy), jnp.asarray(clean))
+    b1, loss_b = step_single(state_b, jnp.asarray(noisy), jnp.asarray(clean))
+    # data-parallel grad all-reduce == single-device full-batch grads
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=1e-5)
+    la = jax.tree.leaves(a1.params)
+    lb = jax.tree.leaves(b1.params)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_checkpoint_roundtrip_and_denoise(tmp_path):
+    state, _ = train_denoiser(
+        steps=30, batch=8, patch=32, features=8, depth=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    params, features, depth = load_denoiser(str(tmp_path / "ckpt"))
+    assert features == 8 and depth == 4
+    rng = np.random.default_rng(2)
+    noisy, clean = synth_batch(rng, 1, 64)
+    out = np.asarray(
+        denoise(params, jnp.asarray(noisy[0, :, :, 0]), features=8, depth=4)
+    )
+    before = float(np.mean((noisy[0, :, :, 0] - clean[0, :, :, 0]) ** 2))
+    after = float(np.mean((out - clean[0, :, :, 0]) ** 2))
+    assert after < before  # trained denoiser must reduce noise MSE
+    assert out.shape == (64, 64) and out.min() >= 0 and out.max() <= 1
+
+
+def test_learned_denoise_pipeline_op(tmp_path):
+    train_denoiser(
+        steps=10, batch=4, patch=32, features=8, depth=4,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.compiler import compile_pipeline
+
+    cfg = PipelineConfig.make(
+        [("adjust_gamma", {"gamma": 0.9}),
+         ("learned_denoise", {"checkpoint": str(tmp_path / "ck")})],
+        name="learned",
+    )
+    rng = np.random.default_rng(3)
+    img = rng.random((64, 64)).astype(np.float32)
+    out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+    assert out.shape == img.shape and out.dtype == np.uint8
