@@ -33,10 +33,18 @@ def load_volume(
     """
     path = Path(path)
     if path.is_dir():
-        from mies_tpu.io.dicom import read_dicom_series
+        # native C++ parallel decoder when buildable; Python twin otherwise
+        from mies_tpu import native
 
-        vol = read_dicom_series(path)
-        return vol, VolumeMeta(vol.shape, str(vol.dtype), f"dicom-series:{path}")
+        if native.available():
+            vol = native.read_dicom_series_native(path)
+            src = f"dicom-series-native:{path}"
+        else:
+            from mies_tpu.io.dicom import read_dicom_series
+
+            vol = read_dicom_series(path)
+            src = f"dicom-series:{path}"
+        return vol, VolumeMeta(vol.shape, str(vol.dtype), src)
     suffix = path.suffix.lower()
     if suffix == ".nc":
         try:

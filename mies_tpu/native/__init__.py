@@ -1,0 +1,141 @@
+"""Native (C++) host-runtime components, bound via ctypes.
+
+The compute path is JAX/XLA/Pallas; the HOST runtime around it — here
+the DICOM series decoder that feeds volume streaming — is native C++
+(SURVEY.md section 2c: the reference's host decode was kornia-rs /
+torchvision C++). The shared object builds on first use with g++ and is
+cached next to the sources; every native entry point has a pure-Python
+twin in mies_tpu.io that defines the semantics and serves as fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_SO = _DIR / "_dicomfast.so"
+
+_lib = None
+_build_error: str | None = None
+
+
+class _Meta(ctypes.Structure):
+    _fields_ = [
+        ("rows", ctypes.c_int32),
+        ("cols", ctypes.c_int32),
+        ("bits", ctypes.c_int32),
+        ("is_signed", ctypes.c_int32),
+        ("instance", ctypes.c_int32),
+        ("has_slice_loc", ctypes.c_int32),
+        ("has_ipp_z", ctypes.c_int32),
+        ("slope", ctypes.c_double),
+        ("intercept", ctypes.c_double),
+        ("slice_loc", ctypes.c_double),
+        ("ipp_z", ctypes.c_double),
+    ]
+
+
+def build(force: bool = False) -> bool:
+    """Compile the shared object (idempotent). Returns availability."""
+    global _lib, _build_error
+    if _lib is not None and not force:
+        return True
+    src = _DIR / "dicomfast.cpp"
+    if force or not _SO.exists() or _SO.stat().st_mtime < src.stat().st_mtime:
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 "-o", str(_SO), str(src)],
+                check=True, capture_output=True, text=True,
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            _build_error = getattr(e, "stderr", str(e))
+            return False
+    try:
+        lib = ctypes.CDLL(str(_SO))
+        lib.mies_dicom_read_file.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(_Meta), ctypes.c_void_p,
+        ]
+        lib.mies_dicom_read_file.restype = ctypes.c_int
+        lib.mies_dicom_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(_Meta),
+            ctypes.c_void_p,
+        ]
+        lib.mies_dicom_parse.restype = ctypes.c_int
+        _lib = lib
+        return True
+    except OSError as e:
+        _build_error = str(e)
+        return False
+
+
+def available() -> bool:
+    return build()
+
+
+_ERRORS = {
+    -1: "truncated or garbled dataset",
+    -2: "unsupported transfer syntax (only uncompressed LE)",
+    -3: "missing PixelData / Rows / Columns",
+    -4: "unsupported BitsAllocated",
+    -5: "cannot read file",
+    -6: "out of memory",
+}
+
+
+def read_dicom_native(path: str | Path) -> tuple[np.ndarray, dict]:
+    """Read one slice with the native parser. Raises on failure."""
+    if not build():
+        raise RuntimeError(f"native dicom parser unavailable: {_build_error}")
+    meta = _Meta()
+    data = Path(path).read_bytes()  # one disk read; both parses in memory
+    rc = _lib.mies_dicom_parse(data, len(data), ctypes.byref(meta), None)
+    if rc != 0:
+        raise ValueError(f"{path}: {_ERRORS.get(rc, rc)}")
+    out = np.empty((meta.rows, meta.cols), np.int16)
+    rc = _lib.mies_dicom_parse(
+        data, len(data), ctypes.byref(meta),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError(f"{path}: {_ERRORS.get(rc, rc)}")
+    return out, {
+        "instance": meta.instance if meta.instance >= 0 else None,
+        "slice_loc": meta.slice_loc if meta.has_slice_loc else None,
+        "ipp_z": meta.ipp_z if meta.has_ipp_z else None,
+    }
+
+
+def read_dicom_series_native(
+    directory: str | Path, pattern: str = "*.dcm", workers: int = 8
+) -> np.ndarray:
+    """Parallel native series read -> [Z, H, W] int16 HU volume.
+
+    ctypes calls release the GIL, so a thread pool gives true parallel
+    file decode — the reference's rationale for native loaders. Slice
+    order: ImagePositionPatient z, then SliceLocation, then
+    InstanceNumber, then filename (same contract as the Python reader).
+    """
+    paths = sorted(Path(directory).glob(pattern))
+    if not paths:
+        raise FileNotFoundError(f"no {pattern} files in {directory}")
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        results = list(pool.map(read_dicom_native, paths))
+
+    def key(item):
+        i, (_, m) = item
+        if m["ipp_z"] is not None:
+            return (0, m["ipp_z"])
+        if m["slice_loc"] is not None:
+            return (1, m["slice_loc"])
+        if m["instance"] is not None:
+            return (2, m["instance"])
+        return (3, i)
+
+    ordered = [r for _, r in sorted(enumerate(results), key=lambda t: key(t))]
+    return np.stack([px for px, _ in ordered], axis=0)
