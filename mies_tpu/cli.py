@@ -25,6 +25,8 @@ def _load_cfg(path: str):
 
 
 def cmd_enhance(args) -> int:
+    import time
+
     from mies_tpu.pipeline import runner
 
     cfg = _load_cfg(args.config)
@@ -33,15 +35,31 @@ def cmd_enhance(args) -> int:
         out_path = args.output or inputs[0].with_name(
             inputs[0].stem + ".enhanced" + inputs[0].suffix
         )
+        t0 = time.perf_counter()
         out = runner.enhance_image(inputs[0], cfg, out_path)
-        if args.report:
+        wall_ms = (time.perf_counter() - t0) * 1e3
+        metrics = None
+        if args.report or args.run_report:
             from mies_tpu.eval.metrics import evaluate
-            from mies_tpu.eval.report import save_comparison_report
             from mies_tpu.io.image import from_float, load_image
 
             orig = from_float(load_image(inputs[0]))
-            m = evaluate(orig, out, names=("psnr", "ssim"))
-            save_comparison_report(orig, out, args.report, title=cfg.name, metrics=m)
+            metrics = evaluate(orig, out, names=("psnr", "ssim"))
+        if args.report:
+            from mies_tpu.eval.report import save_comparison_report
+
+            save_comparison_report(
+                orig, out, args.report, title=cfg.name, metrics=metrics
+            )
+        if args.run_report:
+            from mies_tpu.eval.report import write_run_report
+
+            write_run_report(
+                args.run_report, cfg,
+                metrics=metrics,
+                timings={"wall_ms_including_compile": wall_ms},
+                extra={"input": str(inputs[0]), "output": str(out_path)},
+            )
         print(json.dumps({"output": str(out_path), "shape": list(out.shape)}))
         return 0
     if not args.output:
@@ -88,6 +106,33 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_train_denoiser(args) -> int:
+    from mies_tpu.models.train import train_denoiser
+
+    mesh = None
+    if args.data_parallel:
+        from mies_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    state, losses = train_denoiser(
+        steps=args.steps,
+        batch=args.batch,
+        patch=args.patch,
+        features=args.features,
+        depth=args.depth,
+        sigma=args.noise_sigma,
+        mesh=mesh,
+        checkpoint_dir=args.output,
+    )
+    print(
+        json.dumps(
+            {"checkpoint": args.output, "steps": int(state.step),
+             "loss_curve": losses}
+        )
+    )
+    return 0
+
+
 def cmd_bench(args) -> int:
     from mies_tpu.pipeline.runner import time_pipeline
 
@@ -118,6 +163,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--report", help="write before/after PNG report here")
+    p.add_argument(
+        "--run-report",
+        help="write a structured JSON run report (config hash, timings, metrics)",
+    )
     p.set_defaults(fn=cmd_enhance)
 
     p = sub.add_parser("enhance-volume", help="stream a volume through the chain")
@@ -137,6 +186,18 @@ def main(argv=None) -> int:
         default=["psnr", "ssim", "uqi"],
     )
     p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("train-denoiser", help="train the learned denoiser")
+    p.add_argument("-o", "--output", required=True, help="checkpoint dir")
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--patch", type=int, default=64)
+    p.add_argument("--features", type=int, default=32)
+    p.add_argument("--depth", type=int, default=6)
+    p.add_argument("--noise-sigma", type=float, default=0.08)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the batch over all devices")
+    p.set_defaults(fn=cmd_train_denoiser)
 
     p = sub.add_parser("bench", help="throughput benchmark for a config")
     p.add_argument("-c", "--config", required=True)

@@ -80,11 +80,28 @@ def load_volume(
 
 
 def save_volume(path: str | Path, vol: np.ndarray, var_name: str = "enhanced") -> None:
-    """Save a volume as .npz (compressed) or .npy."""
+    """Save a volume as .npz (compressed), .npy, or a DICOM series.
+
+    A path with no (known) suffix is treated as a directory and written
+    as numbered DICOM slices (uint8 enhanced output stays uint8; int16
+    stays int16) — round-trippable through load_volume.
+    """
     path = Path(path)
-    if path.suffix.lower() == ".npz":
+    suffix = path.suffix.lower()
+    if suffix == ".npz":
         np.savez_compressed(path, **{var_name: vol})
-    elif path.suffix.lower() == ".npy":
+    elif suffix == ".npy":
         np.save(path, vol)
+    elif suffix in ("", ".dcmdir"):
+        from mies_tpu.io.dicom import write_dicom
+
+        path.mkdir(parents=True, exist_ok=True)
+        for i, sl in enumerate(vol):
+            write_dicom(
+                path / f"slice{i:05d}.dcm",
+                np.ascontiguousarray(sl),
+                instance_number=i + 1,
+                slice_location=float(i),
+            )
     else:
         raise ValueError(f"unsupported output volume format: {path}")

@@ -71,7 +71,8 @@ def _apply_kernel(
 ):
     """8 interpolation cells: mask-matmul selection + f32 bilinear blend.
 
-    v_ref:   [8, npx] int32 pixel levels (flattened cells, row-major)
+    v_ref:   [8, npx] int32 pixel levels (flattened cells, row-major;
+             NB: v5e has no bf16 vector compare — int32 it is)
     lut_ref: [8, 4 or 8, 256] bf16 cell LUT stacks
     out_ref: [8, npx] f32 un-rounded OpenCV interpolation values
 

@@ -173,11 +173,18 @@ def _clip_redistribute_fraction(hist: Array, clip_value: Array) -> Array:
     return jnp.minimum(hist, clip_value) + excess / NBINS
 
 
-def _bilinear_lut_apply(u8: Array, luts: Array, grid: tuple[int, int]) -> Array:
+def _bilinear_lut_apply(
+    u8: Array,
+    luts: Array,
+    grid: tuple[int, int],
+    tile_shape: tuple[int, int] | None = None,
+    y_offset=0,
+) -> Array:
     """Bilinearly interpolate per-pixel between the 4 neighboring tile LUTs.
 
-    u8:   [H, W] int32 bin indices (padded image).
-    luts: [gy, gx, 256] float32.
+    u8:   [H, W] int32 bin indices (padded image, or a row band of it
+          when ``y_offset`` gives the band's global starting row).
+    luts: [gy, gx, 256] float32 — always the FULL tile grid.
     Returns float32 [H, W] of interpolated LUT values (un-rounded).
 
     OpenCV weight computation: ``txf = x / tw - 0.5; tx1 = floor(txf);
@@ -185,14 +192,15 @@ def _bilinear_lut_apply(u8: Array, luts: Array, grid: tuple[int, int]) -> Array:
     """
     gy, gx = grid
     h, w = u8.shape
-    th, tw = h // gy, w // gx
+    th, tw = tile_shape if tile_shape is not None else (h // gy, w // gx)
 
     # OpenCV uses integer pixel coords times an f32 RECIPROCAL:
     # txf = x * (1.0f / tw) - 0.5f. Multiplying by the rounded reciprocal
     # (not dividing) matters for bit-exactness when tw is not a power of 2.
     inv_th = np.float32(1.0) / np.float32(th)
     inv_tw = np.float32(1.0) / np.float32(tw)
-    yf = jnp.arange(h, dtype=jnp.float32) * inv_th - np.float32(0.5)
+    yg = jnp.arange(h, dtype=jnp.float32) + jnp.float32(y_offset)
+    yf = yg * inv_th - np.float32(0.5)
     xf = jnp.arange(w, dtype=jnp.float32) * inv_tw - np.float32(0.5)
 
     ty1f = jnp.floor(yf)

@@ -107,29 +107,98 @@ def build_chain(cfg: PipelineConfig) -> Callable[[Array], Array]:
     return chain
 
 
-def build_batched_chain(cfg: PipelineConfig) -> Callable[[Array], Array]:
+def _try_fuse_tail(cfg: PipelineConfig, quantize: bool):
+    """Peephole: trailing [bilateral_blur -> unsharp_mask('nearest')] on
+    TPU fuses into ONE Pallas kernel (optionally emitting uint8), saving
+    two HBM round-trips + the quantize pass (~1.3 ms per batch-32 at
+    512^2). Returns (prefix_stages, fused_fn | None).
+
+    The fused kernel is numerically equivalent to the unfused pair (f32
+    sum-order ULPs only; exact border semantics — see kernels/fused.py).
+
+    DISABLED by default: measured A/B on v5e shows the fusion is net
+    NEGATIVE (6.65 vs 6.02 ms per batch-32 at 512^2) — XLA already
+    fuses unsharp+quantize into one pass, while the fused kernel must
+    recompute the bilateral on gaussian-halo rows (+37% bilateral
+    work). Kept behind MIES_TPU_FUSE_TAIL=1 for future hardware where
+    HBM bandwidth, not VPU compute, bounds this tail.
+    """
+    import os
+
+    if os.environ.get("MIES_TPU_FUSE_TAIL") != "1":
+        return cfg.stages, None
+    if jax.default_backend() != "tpu" or len(cfg.stages) < 2:
+        return cfg.stages, None
+    a, b = cfg.stages[-2], cfg.stages[-1]
+    if a.op != "bilateral_blur" or b.op != "unsharp_mask":
+        return cfg.stages, None
+    ak, bk = a.kwargs(), b.kwargs()
+    if bk.get("mode", "nearest") != "nearest" or not bk.get("clip", True):
+        return cfg.stages, None
+
+    from mies_tpu.kernels.fused import bilateral_unsharp_tpu, fused_supported
+
+    k = ak.get("kernel_size", 5)
+    radius = bk.get("radius", 1.0)
+
+    def fused(batch: Array) -> Array:
+        if not fused_supported(batch.shape[-2:], k, radius):
+            return None  # signal: fall back (shape checked at trace time)
+        return bilateral_unsharp_tpu(
+            batch,
+            kernel_size=k,
+            sigma_color=ak.get("sigma_color", 0.1),
+            sigma_space=ak.get("sigma_space", 1.5),
+            bilateral_mode=ak.get("mode", "reflect"),
+            radius=radius,
+            amount=bk.get("amount", 1.0),
+            quantize=quantize,
+        )
+
+    return cfg.stages[:-2], fused
+
+
+def _bind_batched_stage(s, batched_ops):
+    if s.op in batched_ops:
+        return functools.partial(batched_ops[s.op], **s.kwargs())
+    if s.op in STAGE_BUILDERS:
+        return jax.vmap(STAGE_BUILDERS[s.op](**s.kwargs()))
+    return jax.vmap(functools.partial(OP_REGISTRY[s.op], **s.kwargs()))
+
+
+def build_batched_chain(
+    cfg: PipelineConfig, quantize: bool | None = None
+) -> Callable[[Array], Array]:
     """Batch-level chain [B, H, W] -> [B, H, W].
 
     Stages with a native batched implementation (Pallas kernels that
     grid over the batch) run directly; the rest are vmapped. Numerics
-    are identical either way.
+    are identical either way. When ``quantize`` is not None the chain
+    ALSO handles the final uint8 conversion (enables tail fusion).
     """
     batched_ops = _batched_registry()
-    bound = []
-    for s in cfg.stages:
-        if s.op in batched_ops:
-            bound.append(functools.partial(batched_ops[s.op], **s.kwargs()))
-        elif s.op in STAGE_BUILDERS:
-            bound.append(jax.vmap(STAGE_BUILDERS[s.op](**s.kwargs())))
-        else:
-            bound.append(
-                jax.vmap(functools.partial(OP_REGISTRY[s.op], **s.kwargs()))
-            )
+    stages, fused_tail = (
+        _try_fuse_tail(cfg, bool(quantize)) if quantize is not None
+        else (cfg.stages, None)
+    )
+    bound = [_bind_batched_stage(s, batched_ops) for s in stages]
+    # fallback chain for shapes the fused kernel doesn't support
+    tail_bound = [
+        _bind_batched_stage(s, batched_ops) for s in cfg.stages[len(stages):]
+    ]
 
     def chain(batch: Array) -> Array:
         x = batch
         for fn in bound:
             x = fn(x)
+        if fused_tail is not None:
+            y = fused_tail(x)
+            if y is not None:
+                return y
+        for fn in tail_bound:
+            x = fn(x)
+        if quantize is not None:
+            x = _quantize_u8(x) if quantize else x
         return x
 
     return chain
@@ -157,12 +226,14 @@ def compile_pipeline(
     buffers they don't reuse), letting XLA alias working memory.
     """
     if batched:
-        chain = build_batched_chain(cfg)
+        # the batched chain owns quantization so the tail can fuse
+        # bilateral+unsharp+quantize into one Pallas kernel
+        run = build_batched_chain(cfg, quantize=quantize)
     else:
         chain = build_chain(cfg)
 
-    def run(img: Array) -> Array:
-        x = chain(img)
-        return _quantize_u8(x) if quantize else x
+        def run(img: Array) -> Array:
+            x = chain(img)
+            return _quantize_u8(x) if quantize else x
 
     return jax.jit(run, donate_argnums=(0,) if donate else ())

@@ -5,6 +5,7 @@ from mies_tpu.utils.profiling import (
     time_fn,
     trace,
     stage_costs,
+    strict_numerics,
     enable_compilation_cache,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "time_fn",
     "trace",
     "stage_costs",
+    "strict_numerics",
     "enable_compilation_cache",
 ]

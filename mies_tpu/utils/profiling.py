@@ -85,6 +85,24 @@ def trace(log_dir: str = "/tmp/mies_tpu_trace"):
         yield log_dir
 
 
+@contextlib.contextmanager
+def strict_numerics():
+    """Debug mode: fail fast on NaN/Inf anywhere in device compute.
+
+    The TPU analogue of a sanitizer pass (SURVEY.md section 5.2): pure
+    functional JAX has no data races to detect, so the numeric
+    pathologies are NaN/Inf propagation — this enables jax's debug
+    checks for the scope (noticeable slowdown; test/debug only).
+    """
+    jax.config.update("jax_debug_nans", True)
+    jax.config.update("jax_debug_infs", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", False)
+        jax.config.update("jax_debug_infs", False)
+
+
 def stage_costs(cfg, shape=(512, 512), batch_size: int = 32) -> list[dict]:
     """Static XLA cost analysis per stage: flops, HBM bytes, estimated
     arithmetic intensity. No device execution."""

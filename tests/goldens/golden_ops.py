@@ -83,7 +83,11 @@ def clahe_fraction(img, clip_limit=0.01, grid_size=(8, 8)):
     """
     gy, gx = grid_size
     h0, w0 = img.shape
-    u8 = np.clip(np.round(img.astype(np.float64) * 255.0), 0, 255).astype(np.int64)
+    # quantize in FLOAT32 (the device path's precision): the f32 product
+    # x*255 can sit on the other side of a .5 tie than the f64 product
+    u8 = np.clip(
+        np.round(img.astype(np.float32) * np.float32(255.0)), 0, 255
+    ).astype(np.int64)
     ph = (gy - h0 % gy) % gy
     pw = (gx - w0 % gx) % gx
     if ph or pw:
@@ -108,8 +112,14 @@ def clahe_fraction(img, clip_limit=0.01, grid_size=(8, 8)):
 
 def _bilerp_luts(u8, luts, th, tw, gy, gx):
     h, w = u8.shape
-    yf = np.arange(h, dtype=np.float64) / th - 0.5
-    xf = np.arange(w, dtype=np.float64) / tw - 0.5
+    # OpenCV-convention weights: integer coordinate TIMES the f32
+    # reciprocal of the tile size (not an exact division) — part of the
+    # documented contract; for non-pow2 tile sizes the floor() can land
+    # differently than exact math at tile boundaries.
+    inv_th = np.float32(1.0) / np.float32(th)
+    inv_tw = np.float32(1.0) / np.float32(tw)
+    yf = (np.arange(h, dtype=np.float32) * inv_th - np.float32(0.5)).astype(np.float64)
+    xf = (np.arange(w, dtype=np.float32) * inv_tw - np.float32(0.5)).astype(np.float64)
     ty1f = np.floor(yf)
     tx1f = np.floor(xf)
     ya = (yf - ty1f)[:, None]

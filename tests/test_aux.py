@@ -1,0 +1,93 @@
+"""Auxiliary subsystems: reports, strict numerics, volume formats, CLI."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mies_tpu.io.volume import load_volume, save_volume
+from mies_tpu.pipeline.config import PipelineConfig
+
+
+def test_dicom_series_volume_roundtrip(tmp_path, ct_slice_hu):
+    vol = np.stack([ct_slice_hu + i for i in range(4)]).astype(np.int16)
+    out = tmp_path / "series_out"
+    save_volume(out, vol)
+    back, meta = load_volume(out)
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_uint8_dicom_series_roundtrip(tmp_path):
+    vol = np.arange(2 * 16 * 16, dtype=np.uint8).reshape(2, 16, 16)
+    save_volume(tmp_path / "u8dir", vol)
+    back, _ = load_volume(tmp_path / "u8dir")
+    np.testing.assert_array_equal(back.astype(np.uint8), vol)
+
+
+def test_write_run_report(tmp_path):
+    from mies_tpu.eval.report import write_run_report
+
+    cfg = PipelineConfig.make([("adjust_gamma", {"gamma": 0.8})], name="r")
+    rec = write_run_report(
+        tmp_path / "run.json", cfg,
+        metrics={"psnr": 30.0}, timings={"ms": 1.5},
+    )
+    loaded = json.loads((tmp_path / "run.json").read_text())
+    assert loaded["config_hash"] == cfg.cache_key()
+    assert loaded["metrics"]["psnr"] == 30.0
+    assert loaded["config"]["pipeline"][0]["op"] == "adjust_gamma"
+
+
+def test_strict_numerics_catches_nan():
+    import jax
+
+    from mies_tpu.utils import strict_numerics
+
+    with strict_numerics():
+        with pytest.raises((FloatingPointError, ZeroDivisionError, Exception)):
+            x = jnp.zeros(4) / jnp.zeros(4)
+            jax.block_until_ready(x)
+    # config restored afterwards
+    assert not jax.config.jax_debug_nans
+
+
+def test_comparison_report_png(tmp_path, xray):
+    from mies_tpu.eval.report import save_comparison_report
+    from mies_tpu.io.image import from_float
+
+    u8 = from_float(xray)
+    save_comparison_report(u8, u8, tmp_path / "rep.png", metrics={"psnr": 99.0})
+    assert (tmp_path / "rep.png").stat().st_size > 10_000
+
+
+def test_cli_run_report(tmp_path, xray):
+    from mies_tpu.cli import main
+    from mies_tpu.io.image import from_float, save_image
+
+    src = tmp_path / "x.png"
+    save_image(src, from_float(xray))
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({"name": "t", "pipeline": [{"op": "adjust_gamma", "gamma": 0.8}]}))
+    rc = main([
+        "enhance", str(src), "-c", str(cfg),
+        "-o", str(tmp_path / "o.png"),
+        "--run-report", str(tmp_path / "run.json"),
+    ])
+    assert rc == 0
+    rec = json.loads((tmp_path / "run.json").read_text())
+    assert "psnr" in rec["metrics"] and rec["timings"]["wall_ms_including_compile"] > 0
+
+
+def test_cli_evaluate(tmp_path, xray, capsys):
+    from mies_tpu.cli import main
+    from mies_tpu.io.image import from_float, save_image
+
+    a = tmp_path / "a.png"
+    b = tmp_path / "b.png"
+    save_image(a, from_float(xray))
+    save_image(b, from_float(np.clip(xray + 0.01, 0, 1)))
+    rc = main(["evaluate", str(a), str(b), "-m", "psnr", "rmse"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["psnr"] > 20

@@ -130,3 +130,34 @@ def test_spatial_sharding_bilateral_exact(rng):
     out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
     ref = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
     _assert_shard_matches(out, ref)
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+@pytest.mark.parametrize("convention", ["opencv", "fraction"])
+def test_clahe_spatial_shard_exact(rng, n, convention):
+    """Tile-aligned CLAHE sharding == unsharded, bit for bit (the LUT
+    all-gather moves no arithmetic, SURVEY.md section 5.7)."""
+    from mies_tpu.parallel.clahe_shard import clahe_spatial_shard
+    from mies_tpu.pipeline.compiler import compile_pipeline
+
+    img = rng.random((256, 128)).astype(np.float32)
+    mesh = make_mesh(data=1, space=n)
+    clip = 2.0 if convention == "opencv" else 0.02
+    fn = clahe_spatial_shard(
+        mesh, clip_limit=clip, grid_size=(8, 4), convention=convention
+    )
+    out = np.asarray(fn(jnp.asarray(img)))
+    cfg = PipelineConfig.make(
+        [("clahe", {"clip_limit": clip, "grid_size": (8, 4),
+                    "convention": convention})]
+    )
+    ref = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_clahe_spatial_shard_rejects_misaligned(rng):
+    from mies_tpu.parallel.clahe_shard import clahe_spatial_shard
+
+    mesh = make_mesh(data=1, space=8)
+    with pytest.raises(ValueError, match="not divisible"):
+        clahe_spatial_shard(mesh, grid_size=(4, 4))  # 4 rows over 8 devices
