@@ -17,6 +17,14 @@ from mies_tpu.ops.intensity import (
     window_hu,
 )
 from mies_tpu.ops.histogram import equalize_hist, clahe
+from mies_tpu.ops.geometry import (
+    resize,
+    center_crop,
+    flip,
+    rot90,
+    normalize_meanstd,
+    denormalize_meanstd,
+)
 from mies_tpu.ops.filters import (
     gaussian_blur,
     unsharp_mask,
@@ -37,6 +45,12 @@ __all__ = [
     "window_hu",
     "equalize_hist",
     "clahe",
+    "resize",
+    "center_crop",
+    "flip",
+    "rot90",
+    "normalize_meanstd",
+    "denormalize_meanstd",
     "gaussian_blur",
     "unsharp_mask",
     "median_blur",

@@ -14,15 +14,18 @@ Everything works identically on N fake CPU devices
 (``--xla_force_host_platform_device_count=N``) — that is how CI tests it.
 """
 
-from mies_tpu.parallel.mesh import make_mesh, mesh_devices
+from mies_tpu.parallel.mesh import init_distributed, make_mesh, mesh_devices
 from mies_tpu.parallel.sharding import shard_pipeline, sharded_evaluate
+from mies_tpu.parallel.clahe_shard import clahe_spatial_shard
 from mies_tpu.parallel.halo import halo_extend_rows, spatial_shard_apply
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "mesh_devices",
     "shard_pipeline",
     "sharded_evaluate",
     "halo_extend_rows",
     "spatial_shard_apply",
+    "clahe_spatial_shard",
 ]

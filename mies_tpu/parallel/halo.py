@@ -19,11 +19,11 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from mies_tpu.ops.filters import _PAD_MODE
-from mies_tpu.pipeline.compiler import build_chain, _quantize_u8
+from mies_tpu.pipeline.compiler import _quantize_u8
 from mies_tpu.pipeline.config import PipelineConfig
 
 
@@ -75,12 +75,24 @@ def stage_receptive_field(op: str, params: dict) -> int:
         return max(5, 2 * int(np.ceil(3.0 * float(ss))) + 1) // 2
     if op in ("sobel_edges", "laplacian_sharpen"):
         return 1
-    if op in ("equalize_hist", "clahe", "normalize", "rescale_intensity"):
+    if op in (
+        "equalize_hist", "clahe", "normalize", "rescale_intensity",
+        "resize", "center_crop", "flip", "rot90",
+    ):
         raise ValueError(
             f"op {op!r} has global/tile extent and cannot be spatially "
             "sharded with a fixed halo; use batch sharding for chains "
-            "containing it"
+            "containing it (clahe has its own tile-aligned shard path)"
         )
+    _POINTWISE = {
+        "adjust_gamma", "adjust_log", "adjust_sigmoid", "invert",
+        "window_hu", "normalize_meanstd", "denormalize_meanstd",
+        "learned_denoise",
+    }
+    if op == "learned_denoise":
+        raise ValueError("learned_denoise receptive field is model-dependent")
+    if op not in _POINTWISE:
+        raise ValueError(f"unknown op {op!r} for spatial sharding")
     return 0  # pointwise intensity ops
 
 

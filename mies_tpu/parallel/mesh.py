@@ -13,6 +13,29 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host initialization (SURVEY.md section 5.8).
+
+    Single-host v5e is the primary target, so this is a thin optional
+    layer: on a multi-host slice call it once per process before any
+    device use; jax then exposes the global device set and the meshes
+    below span hosts (collectives ride ICI within a slice, DCN across
+    slices). No-op if jax.distributed is already initialized.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+
+
 def mesh_devices(n: int | None = None) -> list:
     devs = jax.devices()
     if n is not None:

@@ -8,14 +8,13 @@ quality metrics reduce with one psum over ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mies_tpu.pipeline.compiler import build_batched_chain, build_chain, _quantize_u8
+from mies_tpu.pipeline.compiler import build_batched_chain, _quantize_u8
 from mies_tpu.pipeline.config import PipelineConfig
 
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from mies_tpu.ops import filters as F
+from mies_tpu.ops import geometry as GEO
 from mies_tpu.ops import histogram as H
 from mies_tpu.ops import intensity as I
 from mies_tpu.pipeline.config import PipelineConfig
@@ -47,6 +48,13 @@ OP_REGISTRY: dict[str, Callable] = {
     "denoise_bilateral": F.denoise_bilateral,
     "sobel_edges": F.sobel_edges,
     "laplacian_sharpen": F.laplacian_sharpen,
+    # geometry
+    "resize": GEO.resize,
+    "center_crop": GEO.center_crop,
+    "flip": GEO.flip,
+    "rot90": GEO.rot90,
+    "normalize_meanstd": GEO.normalize_meanstd,
+    "denormalize_meanstd": GEO.denormalize_meanstd,
 }
 
 

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mies_tpu.io.image import from_float, load_image, save_image
+from mies_tpu.io.image import load_image, save_image
 from mies_tpu.pipeline.compiler import compile_pipeline
 from mies_tpu.pipeline.config import PipelineConfig
 from mies_tpu.pipeline.manifest import RunManifest

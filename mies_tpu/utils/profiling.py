@@ -106,8 +106,6 @@ def strict_numerics():
 def stage_costs(cfg, shape=(512, 512), batch_size: int = 32) -> list[dict]:
     """Static XLA cost analysis per stage: flops, HBM bytes, estimated
     arithmetic intensity. No device execution."""
-    import numpy as np
-
     from mies_tpu.pipeline.compiler import OP_REGISTRY
     import functools as ft
 

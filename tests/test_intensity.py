@@ -64,3 +64,57 @@ def test_window_hu(ct_slice_hu, center, width):
 def test_normalize_minmax(xray):
     out = np.asarray(I.normalize_minmax(jnp.asarray(xray)))
     assert abs(out.min()) < 1e-6 and abs(out.max() - 1.0) < 1e-6
+
+
+class TestGeometry:
+    def test_resize_shapes(self, xray):
+        import jax.numpy as jnp
+        from mies_tpu.ops import resize
+
+        out = np.asarray(resize(jnp.asarray(xray), 256, 128))
+        assert out.shape == (256, 128)
+        # downscale then upscale roughly preserves content
+        back = np.asarray(resize(jnp.asarray(out), 512, 512))
+        assert abs(back.mean() - xray.mean()) < 0.01
+
+    def test_center_crop(self, xray):
+        import jax.numpy as jnp
+        from mies_tpu.ops import center_crop
+
+        out = np.asarray(center_crop(jnp.asarray(xray), 100, 60))
+        np.testing.assert_array_equal(out, xray[206:306, 226:286])
+        # padding path
+        big = np.asarray(center_crop(jnp.asarray(xray[:10, :10]), 20, 20))
+        assert big.shape == (20, 20)
+        np.testing.assert_array_equal(big[5:15, 5:15], xray[:10, :10])
+
+    def test_flip_rot(self, xray):
+        import jax.numpy as jnp
+        from mies_tpu.ops import flip, rot90
+
+        np.testing.assert_array_equal(
+            np.asarray(flip(jnp.asarray(xray))), xray[:, ::-1]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rot90(jnp.asarray(xray), 2)), xray[::-1, ::-1]
+        )
+
+    def test_normalize_meanstd_roundtrip(self, xray):
+        import jax.numpy as jnp
+        from mies_tpu.ops import denormalize_meanstd, normalize_meanstd
+
+        n = normalize_meanstd(jnp.asarray(xray), 0.3, 0.2)
+        back = np.asarray(denormalize_meanstd(n, 0.3, 0.2))
+        np.testing.assert_allclose(back, xray, atol=1e-6)
+
+    def test_resize_in_pipeline(self, xray):
+        import jax.numpy as jnp
+        from mies_tpu.pipeline.config import PipelineConfig
+        from mies_tpu.pipeline.compiler import compile_pipeline
+
+        cfg = PipelineConfig.make(
+            [("resize", {"height": 256, "width": 256}),
+             ("adjust_gamma", {"gamma": 0.9})]
+        )
+        out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(xray)))
+        assert out.shape == (256, 256) and out.dtype == np.uint8

@@ -6,8 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from mies_tpu.models import train as T
-from mies_tpu.models.denoiser import denoise, load_denoiser, save_denoiser
+from mies_tpu.models.denoiser import denoise, load_denoiser
 from mies_tpu.models.train import make_train_step, synth_batch, train_denoiser
 
 
