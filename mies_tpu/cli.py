@@ -77,14 +77,23 @@ def cmd_enhance(args) -> int:
 
 
 def cmd_enhance_volume(args) -> int:
+    import numpy as np
+
     from mies_tpu.io.volume import load_volume, save_volume
     from mies_tpu.pipeline import runner
 
     cfg = _load_cfg(args.config)
     vol, meta = load_volume(args.input, var_name=args.var)
-    out = runner.enhance_volume(
-        vol, cfg, slab_size=args.slab, progress=not args.quiet
-    )
+    if args.mode == "3d":
+        import jax.numpy as jnp
+
+        from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+        out = np.asarray(compile_volume_pipeline(cfg)(jnp.asarray(vol)))
+    else:
+        out = runner.enhance_volume(
+            vol, cfg, slab_size=args.slab, progress=not args.quiet
+        )
     save_volume(args.output, out)
     print(
         json.dumps(
@@ -174,6 +183,8 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--var", help="variable name inside .nc/.npz")
     p.add_argument("--slab", type=int, default=16)
+    p.add_argument("--mode", choices=["slices", "3d"], default="slices",
+                   help="'3d' runs a volumetric chain (clahe3d etc.) on the whole volume")
     p.add_argument("-q", "--quiet", action="store_true")
     p.set_defaults(fn=cmd_enhance_volume)
 

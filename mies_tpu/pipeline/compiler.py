@@ -48,6 +48,9 @@ OP_REGISTRY: dict[str, Callable] = {
     "denoise_bilateral": F.denoise_bilateral,
     "sobel_edges": F.sobel_edges,
     "laplacian_sharpen": F.laplacian_sharpen,
+    # volumetric (3-D) stages — validated here, executed by
+    # compile_volume_pipeline (2-D chains reject them by ndim)
+    # (values filled in lazily below to avoid import cycles)
     # geometry
     "resize": GEO.resize,
     "center_crop": GEO.center_crop,
@@ -81,6 +84,16 @@ STAGE_BUILDERS: dict[str, Callable] = {
 
 # validation needs learned ops visible in the registry namespace
 OP_REGISTRY["learned_denoise"] = _learned_denoise_builder
+
+
+def _register_volume_ops() -> None:
+    from mies_tpu.ops.volume3d import clahe3d, gaussian_blur3d
+
+    OP_REGISTRY.setdefault("clahe3d", clahe3d.__wrapped__)
+    OP_REGISTRY.setdefault("gaussian_blur3d", gaussian_blur3d)
+
+
+_register_volume_ops()
 
 
 # Ops with a natively-batched TPU fast path: fn([B, H, W], **params).
@@ -215,6 +228,60 @@ def build_batched_chain(
 def _quantize_u8(x: Array) -> Array:
     """float [0,1] -> uint8 (round-half-even like cv2/np.rint, clipped)."""
     return jnp.clip(jnp.rint(x * 255.0), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Volume-level (3-D) pipelines
+# ---------------------------------------------------------------------------
+
+# Ops that operate on a whole [Z, H, W] volume. Pointwise 2-D ops are
+# shape-polymorphic and reused directly.
+def _volume_registry() -> dict[str, Callable]:
+    from mies_tpu.ops.volume3d import clahe3d, gaussian_blur3d
+
+    return {
+        "clahe3d": clahe3d.__wrapped__,
+        "gaussian_blur3d": gaussian_blur3d,
+        # shape-polymorphic pointwise ops
+        "window_hu": I.window_hu,
+        "adjust_gamma": I.adjust_gamma,
+        "adjust_log": I.adjust_log,
+        "adjust_sigmoid": I.adjust_sigmoid,
+        "invert": I.invert,
+        "normalize": I.normalize_minmax,
+        "rescale_intensity": I.rescale_intensity,
+        "normalize_meanstd": GEO.normalize_meanstd,
+        "denormalize_meanstd": GEO.denormalize_meanstd,
+    }
+
+
+@functools.lru_cache(maxsize=32)
+def compile_volume_pipeline(
+    cfg: PipelineConfig, quantize: bool = True
+) -> Callable[[Array], Array]:
+    """Config -> jitted [Z, H, W] -> [Z, H, W] whole-volume program.
+
+    Unlike the per-slice path (which streams slabs through a 2-D chain),
+    this treats the volume as one 3-D array so truly volumetric stages
+    (clahe3d, gaussian_blur3d) see the z axis. Only volume-capable ops
+    are allowed; per-slice configs belong in runner.enhance_volume.
+    """
+    reg = _volume_registry()
+    bound = []
+    for s in cfg.stages:
+        if s.op not in reg:
+            raise ValueError(
+                f"op {s.op!r} is not volume-capable; available: {sorted(reg)}"
+            )
+        bound.append(functools.partial(reg[s.op], **s.kwargs()))
+
+    def run(vol: Array) -> Array:
+        x = vol
+        for fn in bound:
+            x = fn(x)
+        return _quantize_u8(x) if quantize else x
+
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=128)

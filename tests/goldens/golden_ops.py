@@ -213,3 +213,56 @@ def laplacian_sharpen(img, alpha=0.2, mode="reflect"):
         1 : h + 1, 2 : w + 2
     ] - 4.0 * x
     return np.clip(x - alpha * lap, 0.0, 1.0).astype(np.float32)
+
+
+def clahe3d_fraction(vol, clip_limit=0.01, grid_size=(2, 4, 4)):
+    """3-D CLAHE golden (fraction convention): volumetric tile histograms,
+    single-pass uniform redistribution, trilinear LUT interpolation with
+    OpenCV-style per-axis f32-reciprocal weights."""
+    gz, gy, gx = grid_size
+    z, h, w = vol.shape
+    tz, th, tw = z // gz, h // gy, w // gx
+    vox = tz * th * tw
+    u8 = np.clip(
+        np.round(vol.astype(np.float32) * np.float32(255.0)), 0, 255
+    ).astype(np.int64)
+    clip_value = max(clip_limit * vox, 1.0)
+
+    luts = np.zeros((gz, gy, gx, NBINS), np.float64)
+    for i in range(gz):
+        for j in range(gy):
+            for k in range(gx):
+                tile = u8[i*tz:(i+1)*tz, j*th:(j+1)*th, k*tw:(k+1)*tw]
+                hist = np.bincount(tile.ravel(), minlength=NBINS).astype(np.float64)
+                excess = np.maximum(hist - clip_value, 0.0).sum()
+                hist = np.minimum(hist, clip_value) + excess / NBINS
+                luts[i, j, k] = hist.cumsum() / vox
+
+    def axis_w(n, t, g):
+        inv = np.float32(1.0) / np.float32(t)
+        f = (np.arange(n, dtype=np.float32) * inv - np.float32(0.5)).astype(np.float64)
+        lo_f = np.floor(f)
+        a = f - lo_f
+        lo = np.clip(lo_f.astype(np.int64), 0, None)
+        hi = np.minimum(lo_f.astype(np.int64) + 1, g - 1)
+        return lo, hi, a
+
+    zlo, zhi, za = axis_w(z, tz, gz)
+    ylo, yhi, ya = axis_w(h, th, gy)
+    xlo, xhi, xa = axis_w(w, tw, gx)
+    za = za[:, None, None]; ya = ya[None, :, None]; xa = xa[None, None, :]
+    Z1 = zlo[:, None, None]; Z2 = zhi[:, None, None]
+    Y1 = ylo[None, :, None]; Y2 = yhi[None, :, None]
+    X1 = xlo[None, None, :]; X2 = xhi[None, None, :]
+
+    def corner(Zi, Yi, Xi):
+        return luts[Zi, Yi, Xi, u8]
+
+    c00 = corner(Z1, Y1, X1) * (1 - xa) + corner(Z1, Y1, X2) * xa
+    c01 = corner(Z1, Y2, X1) * (1 - xa) + corner(Z1, Y2, X2) * xa
+    c10 = corner(Z2, Y1, X1) * (1 - xa) + corner(Z2, Y1, X2) * xa
+    c11 = corner(Z2, Y2, X1) * (1 - xa) + corner(Z2, Y2, X2) * xa
+    c0 = c00 * (1 - ya) + c01 * ya
+    c1 = c10 * (1 - ya) + c11 * ya
+    res = c0 * (1 - za) + c1 * za
+    return np.clip(res, 0.0, 1.0).astype(np.float32)

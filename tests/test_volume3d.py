@@ -1,0 +1,101 @@
+"""3-D volumetric ops: CLAHE-3D vs golden, z-consistency, 3-D gaussian."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy import ndimage
+
+from mies_tpu.ops.volume3d import clahe3d, gaussian_blur3d
+from tests.goldens import golden_ops as G
+
+
+@pytest.fixture(scope="module")
+def vol():
+    rng = np.random.default_rng(11)
+    z, h, w = 32, 64, 64
+    zz, yy, xx = np.mgrid[0:z, 0:h, 0:w].astype(np.float32)
+    base = 0.4 * np.exp(-(((yy - 32) ** 2 + (xx - 32) ** 2) / 500))
+    drift = 0.2 * zz / z  # slow z-drift: where slicewise CLAHE flickers
+    noise = 0.05 * rng.standard_normal((z, h, w)).astype(np.float32)
+    return np.clip(base + drift + noise + 0.1, 0, 1).astype(np.float32)
+
+
+def test_clahe3d_fraction_matches_golden(vol):
+    out = np.asarray(
+        clahe3d(jnp.asarray(vol), clip_limit=0.02, grid_size=(2, 4, 4),
+                convention="fraction")
+    )
+    ref = G.clahe3d_fraction(vol, clip_limit=0.02, grid_size=(2, 4, 4))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_clahe3d_opencv_range_and_contrast(vol):
+    out = np.asarray(
+        clahe3d(jnp.asarray(vol), clip_limit=2.0, grid_size=(2, 4, 4))
+    )
+    assert out.shape == vol.shape
+    assert out.min() >= 0 and out.max() <= 1
+    assert out.std() > vol.std() * 1.2  # contrast increased
+
+
+def test_clahe3d_z_consistency_vs_slicewise(vol):
+    """3-D CLAHE must vary less slice-to-slice than per-slice CLAHE
+    (the inter-slice flicker motivation, arXiv:1906.11355)."""
+    import jax
+
+    from mies_tpu.ops.histogram import clahe
+
+    out3d = np.asarray(
+        clahe3d(jnp.asarray(vol), clip_limit=2.0, grid_size=(2, 4, 4))
+    )
+    out2d = np.asarray(
+        jax.vmap(lambda s: clahe.__wrapped__(s, 2.0, (4, 4), "opencv"))(
+            jnp.asarray(vol)
+        )
+    )
+    def flicker(v):  # mean abs difference between adjacent slice means
+        m = v.mean(axis=(1, 2))
+        return np.abs(np.diff(m)).mean()
+    assert flicker(out3d) < flicker(out2d)
+
+
+def test_clahe3d_rejects_bad_grid(vol):
+    with pytest.raises(ValueError, match="not divisible"):
+        clahe3d(jnp.asarray(vol), grid_size=(3, 4, 4))
+
+
+def test_gaussian_blur3d_matches_scipy(vol):
+    out = np.asarray(gaussian_blur3d(jnp.asarray(vol), sigma=1.2))
+    ref = ndimage.gaussian_filter(
+        vol.astype(np.float64), sigma=1.2, truncate=4.0, mode="nearest"
+    ).astype(np.float32)
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_volume_pipeline_3d(vol, tmp_path):
+    import json
+
+    from mies_tpu.pipeline.config import load_config
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+    cfgf = tmp_path / "v3.json"
+    cfgf.write_text(json.dumps({
+        "name": "v3",
+        "pipeline": [
+            {"op": "adjust_gamma", "gamma": 0.9},
+            {"op": "clahe3d", "clip_limit": 2.0, "grid_size": [2, 4, 4]},
+            {"op": "gaussian_blur3d", "sigma": 0.8},
+        ],
+    }))
+    cfg = load_config(cfgf)
+    out = np.asarray(compile_volume_pipeline(cfg)(jnp.asarray(vol)))
+    assert out.shape == vol.shape and out.dtype == np.uint8
+
+
+def test_volume_pipeline_rejects_2d_only_op(vol):
+    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+    cfg = PipelineConfig.make([("median_blur", {"kernel_size": 3})])
+    with pytest.raises(ValueError, match="not volume-capable"):
+        compile_volume_pipeline(cfg)
