@@ -1,8 +1,8 @@
 """Full-reference image quality metrics (sewar-equivalent suite).
 
 The reference depends on ``sewar`` solely to measure enhancement quality
-(SURVEY.md section 2b D7); its ``full_ref`` module exposes twelve
-metrics. This module reimplements the same formulas in JAX so metrics
+(reference pyproject.toml:13; SURVEY.md section 2b D7); its ``full_ref``
+module exposes twelve metrics. This module reimplements the same formulas in JAX so metrics
 can be computed ON DEVICE in the same jitted program as the enhancement
 chain (SURVEY.md section 3.4) — the host only ever sees the scalars.
 

@@ -1,7 +1,8 @@
 """2-D image ingest/save (PNG/JPEG/TIFF via Pillow — host C codecs).
 
-Mirrors the reference's pillow role (SURVEY.md section 2b D8): X-ray /
-mammogram ingest to arrays, uint8 save of enhanced outputs.
+Mirrors the reference's pillow role (reference pyproject.toml:11;
+SURVEY.md section 2b D8): X-ray / mammogram ingest to arrays, uint8
+save of enhanced outputs.
 """
 
 from __future__ import annotations

@@ -1,6 +1,7 @@
 """Volumetric I/O: NetCDF (gated), raw .npy/.npz, and DICOM series.
 
-Covers the reference's netcdf4 role (SURVEY.md section 2b D9):
+Covers the reference's netcdf4 role (reference pyproject.toml:10;
+SURVEY.md section 2b D9):
 volumetric CT/MRI ingest as [Z, H, W] int16 arrays. netCDF4 is not
 installed in this environment, so that path is import-gated; .npz is
 the always-available container and DICOM series come from

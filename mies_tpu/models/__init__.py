@@ -1,7 +1,7 @@
 """Learned enhancement stages (optional model family).
 
-The reference ships torch + ``*.pt``/``*.pth`` in .gitignore (SURVEY.md
-section 2a R6, 2b D3) — i.e. learned weights were anticipated alongside
+The reference ships torch + ``*.pt``/``*.pth`` in .gitignore (reference
+.gitignore:8-9, pyproject.toml:14; SURVEY.md section 2a R6, 2b D3) — i.e. learned weights were anticipated alongside
 the classical filter chain. This package provides that capability
 TPU-natively: a residual denoising CNN (DnCNN-style) in flax, trained
 with optax under data-parallel sharding, checkpointed with orbax, and

@@ -67,7 +67,13 @@ def _learned_denoise_builder(checkpoint: str):
     program — restoring inside a trace would hand orbax tracers."""
     from mies_tpu.models.denoiser import denoise, load_denoiser
 
-    params, features, depth = load_denoiser(checkpoint)
+    try:
+        params, features, depth = load_denoiser(checkpoint)
+    except FileNotFoundError as e:
+        raise FileNotFoundError(
+            f"learned_denoise stage: checkpoint {checkpoint!r} not found "
+            f"(train one with `mies-tpu train-denoiser -o {checkpoint}`)"
+        ) from e
 
     def stage(img):
         return denoise(params, img, features=features, depth=depth)
