@@ -13,21 +13,32 @@ import numpy as np
 from PIL import Image
 
 
-def load_image(path: str | Path, as_gray: bool = True) -> np.ndarray:
+def load_image(
+    path: str | Path, as_gray: bool = True, dtype: str = "float32"
+) -> np.ndarray:
     """Load an image file to a NumPy array.
 
-    as_gray=True returns float32 [H, W] in [0, 1] (16-bit sources keep
-    their precision: /65535). as_gray=False returns the raw array.
+    as_gray=True, dtype="float32": float32 [H, W] in [0, 1] (16-bit
+    sources keep their precision: /65535). dtype="raw" returns the
+    integer pixels (uint8/uint16) — callers ship those to the device and
+    normalize ON CHIP, quartering host->device traffic (the pipeline
+    compiler's ingest cast makes the two paths bit-identical).
+    as_gray=False returns the raw PIL array.
     """
     img = Image.open(path)
     if not as_gray:
         return np.asarray(img)
     if img.mode in ("I", "I;16", "I;16B", "I;16L"):
-        arr = np.asarray(img.convert("I"), dtype=np.float32)
-        return arr / 65535.0
+        arr = np.asarray(img.convert("I"))
+        if dtype == "raw":
+            return arr.astype(np.uint16)
+        return arr.astype(np.float32) / 65535.0
     if img.mode != "L":
         img = img.convert("L")
-    return np.asarray(img, dtype=np.float32) / 255.0
+    arr = np.asarray(img)
+    if dtype == "raw":
+        return arr
+    return arr.astype(np.float32) / 255.0
 
 
 def save_image(path: str | Path, arr: np.ndarray) -> None:

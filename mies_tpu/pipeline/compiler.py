@@ -215,7 +215,7 @@ def build_batched_chain(
     ]
 
     def chain(batch: Array) -> Array:
-        x = batch
+        x = _ingest(batch)
         for fn in bound:
             x = fn(x)
         if fused_tail is not None:
@@ -234,6 +234,20 @@ def build_batched_chain(
 def _quantize_u8(x: Array) -> Array:
     """float [0,1] -> uint8 (round-half-even like cv2/np.rint, clipped)."""
     return jnp.clip(jnp.rint(x * 255.0), 0, 255).astype(jnp.uint8)
+
+
+def _ingest(x: Array) -> Array:
+    """On-device normalization of integer inputs to the float [0,1]
+    convention — lets callers ship uint8/uint16 over the host link (4x /
+    2x less traffic than float32) with bit-identical results (the cast
+    and divide are exactly what the host would have computed). int16
+    (HU) passes through for window_hu.
+    """
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    if x.dtype == jnp.uint16:
+        return x.astype(jnp.float32) / 65535.0
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -314,7 +328,7 @@ def compile_pipeline(
         chain = build_chain(cfg)
 
         def run(img: Array) -> Array:
-            x = chain(img)
+            x = chain(_ingest(img))
             return _quantize_u8(x) if quantize else x
 
     return jax.jit(run, donate_argnums=(0,) if donate else ())

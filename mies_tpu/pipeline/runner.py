@@ -12,6 +12,7 @@ Host<->device crossings per call: exactly two (feed, fetch).
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Iterable, Sequence
 
@@ -31,7 +32,7 @@ def enhance_image(
     output_path: str | Path | None = None,
 ) -> np.ndarray:
     """Enhance one 2-D image file; returns (and optionally saves) uint8."""
-    img = load_image(input_path)
+    img = load_image(input_path, dtype="raw")  # normalized on-device
     fn = compile_pipeline(cfg)
     out = np.asarray(fn(jnp.asarray(img)))
     if output_path is not None:
@@ -65,28 +66,44 @@ def enhance_batch(
         return manifest
 
     fn = compile_pipeline(cfg, batched=True, donate=False)
-    it: Iterable = range(0, len(todo_paths), batch_size)
+
+    def load_chunk(chunk):
+        """Decode one batch with a thread pool (Pillow releases the GIL,
+        so decode parallelizes) — at >5k device slices/s the serial
+        host decode, not the TPU, is the throughput ceiling."""
+        imgs, ok_paths = [], []
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = pool.map(
+                lambda p: (p, _try_load(p)), chunk
+            )
+            for p, res in results:
+                if isinstance(res, Exception):
+                    manifest.mark_failed(str(p), f"load: {res}")
+                else:
+                    imgs.append(res)
+                    ok_paths.append(p)
+        return imgs, ok_paths
+
+    def _try_load(p):
+        try:
+            # raw integer pixels: normalized ON DEVICE by the chain's
+            # ingest cast — 4x less host->device traffic than float32
+            return load_image(p, dtype="raw")
+        except Exception as e:  # corrupt input: record, keep going
+            return e
+
+    chunks = [
+        todo_paths[s : s + batch_size]
+        for s in range(0, len(todo_paths), batch_size)
+    ]
+    it: Iterable = range(len(chunks))
     if progress:
         from tqdm import tqdm
 
-        it = tqdm(it, total=-(-len(todo_paths) // batch_size), unit="batch")
+        it = tqdm(it, total=len(chunks), unit="batch")
 
-    for start in it:
-        chunk = todo_paths[start : start + batch_size]
-        imgs, ok_paths = [], []
-        for p in chunk:
-            try:
-                imgs.append(load_image(p))
-                ok_paths.append(p)
-            except Exception as e:  # corrupt input: record, keep going
-                manifest.mark_failed(str(p), f"load: {e}")
-        if not imgs:
-            continue
-        batch = np.stack(imgs)
-        pad = batch_size - len(imgs)
-        if pad:
-            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
-        out = np.asarray(fn(jnp.asarray(batch)))
+    def finish(ok_paths, dev_out):
+        out = np.asarray(dev_out)  # fetch (completes the async compute)
         for i, p in enumerate(ok_paths):
             dst = output_dir / p.name
             try:
@@ -94,6 +111,32 @@ def enhance_batch(
                 manifest.mark_done(str(p), output=str(dst))
             except Exception as e:
                 manifest.mark_failed(str(p), f"save: {e}")
+
+    # software pipeline: decode chunk k+1 on a worker thread while the
+    # device processes chunk k, and keep several device batches in
+    # flight so fetch latency (seconds on tunneled runtimes) overlaps
+    # compute (SURVEY.md section 3.3 double buffering, file-batch form).
+    max_in_flight = 3
+    in_flight: list[tuple[list, jax.Array]] = []
+    with ThreadPoolExecutor(max_workers=1) as prefetcher:
+        next_fut = prefetcher.submit(load_chunk, chunks[0]) if chunks else None
+        for ci in it:
+            imgs, ok_paths = next_fut.result()
+            if ci + 1 < len(chunks):
+                next_fut = prefetcher.submit(load_chunk, chunks[ci + 1])
+            if not imgs:
+                continue
+            batch = np.stack(imgs)
+            pad = batch_size - len(imgs)
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], pad, axis=0)]
+                )
+            in_flight.append((ok_paths, fn(jnp.asarray(batch))))
+            if len(in_flight) >= max_in_flight:
+                finish(*in_flight.pop(0))
+        for ok_paths, dev_out in in_flight:
+            finish(ok_paths, dev_out)
     return manifest
 
 
