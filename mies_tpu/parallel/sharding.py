@@ -36,7 +36,10 @@ def shard_pipeline(
         out = chain(batch)
         return _quantize_u8(out) if quantize else out
 
-    spec = NamedSharding(mesh, P("data", None, None))
+    # batch shards over ALL mesh axes: on a ('data','space') mesh used
+    # purely data-parallel, leaving 'space' out of the spec would
+    # REPLICATE the whole computation across it (wasted chips).
+    spec = NamedSharding(mesh, P(tuple(mesh.axis_names), None, None))
     return jax.jit(run, in_shardings=spec, out_shardings=spec)
 
 
@@ -74,7 +77,7 @@ def sharded_evaluate(
         means = {k: jnp.mean(v) for k, v in per.items()}
         return _quantize_u8(enhanced), means
 
-    spec = NamedSharding(mesh, P("data", None, None))
+    spec = NamedSharding(mesh, P(tuple(mesh.axis_names), None, None))
     rep = NamedSharding(mesh, P())
     return jax.jit(
         run,

@@ -63,3 +63,42 @@ def test_clahe_improves_local_contrast(xray):
         m2 = ndimage.uniform_filter(a * a, 16)
         return np.sqrt(np.maximum(m2 - m * m, 0)).mean()
     assert local_std(out) > local_std(xray) * 1.2
+
+
+def test_equalize_hist_constant_image():
+    """Degenerate input: constant image -> cdf == 1 everywhere (skimage
+    gives all-ones); must not NaN/crash on the zero span."""
+    img = jnp.full((64, 64), 0.5, jnp.float32)
+    out = np.asarray(H.equalize_hist(img))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, 1.0, atol=1e-5)
+
+
+def test_chain_nonsquare_through_full_pipeline(rng):
+    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.compiler import compile_pipeline
+
+    cfg = PipelineConfig.make(
+        [("clahe", {"clip_limit": 2.0, "grid_size": (8, 8)}),
+         ("bilateral_blur", {"kernel_size": 5}),
+         ("unsharp_mask", {"radius": 1.5})]
+    )
+    img = rng.random((384, 640)).astype(np.float32)
+    out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+    assert out.shape == (384, 640) and out.dtype == np.uint8
+
+
+def test_uint8_input_matches_float_input(rng):
+    """Shipping u8 + on-device ingest == shipping f32 (bit-identical)."""
+    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.compiler import compile_pipeline
+
+    cfg = PipelineConfig.make(
+        [("equalize_hist", {}), ("adjust_gamma", {"gamma": 0.8})]
+    )
+    u8 = (rng.random((128, 128)) * 255).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    fn = compile_pipeline(cfg, donate=False)
+    np.testing.assert_array_equal(
+        np.asarray(fn(jnp.asarray(u8))), np.asarray(fn(jnp.asarray(f32)))
+    )

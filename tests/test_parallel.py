@@ -161,3 +161,18 @@ def test_clahe_spatial_shard_rejects_misaligned(rng):
     mesh = make_mesh(data=1, space=8)
     with pytest.raises(ValueError, match="not divisible"):
         clahe_spatial_shard(mesh, grid_size=(4, 4))  # 4 rows over 8 devices
+
+
+def test_batch_sharding_uses_full_2d_mesh(rng):
+    """On a ('data','space') mesh, pure batch sharding must split over
+    BOTH axes (8 shards), not replicate across 'space'."""
+    batch = rng.random((8, 64, 64)).astype(np.float32)
+    mesh = make_mesh(data=4, space=2)
+    fn = shard_pipeline(CHAIN, mesh)
+    out = fn(jnp.asarray(batch))
+    # every device holds exactly B/8 slices
+    shards = out.addressable_shards
+    assert len(shards) == 8
+    assert all(s.data.shape[0] == 1 for s in shards)
+    ref = np.asarray(compile_pipeline(CHAIN, batched=True, donate=False)(jnp.asarray(batch)))
+    np.testing.assert_array_equal(np.asarray(out), ref)
