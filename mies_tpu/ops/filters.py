@@ -31,6 +31,7 @@ from jax import Array, lax
 
 _PAD_MODE = {
     "nearest": "edge",
+    "edge": "edge",  # alias (skimage spelling of 'nearest')
     "reflect": "symmetric",  # scipy 'reflect' (d c b a | a b c d) == np 'symmetric'
     "mirror": "reflect",  # scipy 'mirror'  (d c b | a b c d | c b a) == np 'reflect'
     "constant": "constant",

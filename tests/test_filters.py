@@ -84,3 +84,24 @@ def test_sobel_edges(xray):
 
 def test_laplacian_sharpen(xray):
     _check(F.laplacian_sharpen(jnp.asarray(xray), alpha=0.3), G.laplacian_sharpen(xray, alpha=0.3))
+
+
+def test_denoise_bilateral_sigma_derived_window(impulse_image):
+    """skimage-style entry point: window = max(5, 2*ceil(3*sigma)+1)."""
+    from mies_tpu.ops.filters import denoise_bilateral
+
+    out = np.asarray(
+        denoise_bilateral(jnp.asarray(impulse_image), sigma_color=0.2, sigma_spatial=1.0)
+    )
+    # must equal bilateral_blur with the derived 7x7 window, edge mode
+    ref = G.bilateral_blur(
+        impulse_image, kernel_size=7, sigma_color=0.2, sigma_space=1.0, mode="edge"
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["nearest", "reflect"])
+def test_median_modes(impulse_image, mode):
+    out = np.asarray(F.median_blur(jnp.asarray(impulse_image), 3, mode=mode))
+    ref = G.median_blur(impulse_image, 3, mode=mode)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
