@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from pathlib import Path
 from typing import Any
 
@@ -23,6 +24,9 @@ class RunManifest:
         self.config_hash = config_hash
         self._done: dict[str, dict[str, Any]] = {}
         self._failed: dict[str, str] = {}
+        # the batch runner appends from the decode-prefetch thread AND
+        # the main thread concurrently
+        self._lock = threading.Lock()
         if self.path.exists():
             self._load()
 
@@ -59,11 +63,12 @@ class RunManifest:
         self._failed[item] = error
 
     def _append(self, rec: dict) -> None:
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        with self._lock:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
 
     @property
     def done_count(self) -> int:

@@ -117,3 +117,26 @@ def test_dicom_unsupported_transfer_syntax(tmp_path, ct_slice_hu):
     p.write_bytes(bytes(data))
     with pytest.raises(NotImplementedError):
         read_dicom(p)
+
+
+def test_16bit_png_roundtrip(tmp_path):
+    """uint16 PNG ingest keeps 16-bit precision (/65535), raw mode keeps u16."""
+    from PIL import Image
+
+    arr = (np.arange(64 * 64, dtype=np.uint32) * 16 % 65536).astype(np.uint16).reshape(64, 64)
+    p = tmp_path / "x16.png"
+    Image.fromarray(arr.astype(np.int32), mode="I").save(p)
+    f = load_image(p)
+    assert f.dtype == np.float32
+    np.testing.assert_allclose(f, arr.astype(np.float32) / 65535.0, atol=1e-7)
+    raw = load_image(p, dtype="raw")
+    assert raw.dtype == np.uint16
+    np.testing.assert_array_equal(raw, arr)
+
+
+def test_raw_u8_load(tmp_path, xray):
+    p = tmp_path / "u8.png"
+    save_image(p, from_float(xray))
+    raw = load_image(p, dtype="raw")
+    assert raw.dtype == np.uint8
+    np.testing.assert_array_equal(raw, from_float(xray))
