@@ -91,3 +91,64 @@ def test_cli_evaluate(tmp_path, xray, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert out["psnr"] > 20
+
+
+def test_time_fn_measures_something():
+    import jax
+    import jax.numpy as jnp
+
+    from mies_tpu.utils import time_fn
+
+    f = jax.jit(lambda x: jnp.sin(x).sum())
+    r = time_fn(f, jnp.ones((256, 256)), iters=8, repeats=2)
+    assert r["ms_per_call"] >= 0.0 and np.isfinite(r["calls_per_sec"])
+
+
+def test_stage_costs_reports_per_stage():
+    from mies_tpu.utils import stage_costs
+
+    cfg = PipelineConfig.make(
+        [("adjust_gamma", {"gamma": 0.8}), ("gaussian_blur", {"sigma": 1.0})]
+    )
+    costs = stage_costs(cfg, shape=(64, 64), batch_size=2)
+    assert [c["op"] for c in costs] == ["adjust_gamma", "gaussian_blur"]
+    # either real numbers or a recorded per-stage error; no crash
+    for c in costs:
+        assert ("flops" in c) or ("error" in c)
+
+
+def test_trace_writes_profile(tmp_path):
+    import jax.numpy as jnp
+
+    from mies_tpu.utils import trace
+
+    with trace(str(tmp_path / "tr")):
+        jnp.ones((64, 64)).sum().block_until_ready()
+    produced = list((tmp_path / "tr").rglob("*"))
+    assert produced, "profiler produced no files"
+
+
+def test_cli_enhance_volume_3d_mode(tmp_path, ct_slice_hu):
+    import numpy as np
+
+    from mies_tpu.cli import main
+    from mies_tpu.io.volume import save_volume
+
+    vol = np.stack([ct_slice_hu[:128, :128]] * 16)
+    save_volume(tmp_path / "v.npz", vol)
+    cfg = tmp_path / "c3.json"
+    cfg.write_text(json.dumps({
+        "name": "c3",
+        "pipeline": [
+            {"op": "window_hu", "center": 40.0, "width": 400.0},
+            {"op": "clahe3d", "clip_limit": 2.0, "grid_size": [2, 4, 4]},
+        ],
+    }))
+    rc = main([
+        "enhance-volume", str(tmp_path / "v.npz"), "-c", str(cfg),
+        "-o", str(tmp_path / "o.npz"), "--mode", "3d", "-q",
+    ])
+    assert rc == 0
+    with np.load(tmp_path / "o.npz") as z:
+        out = z["enhanced"]
+    assert out.shape == vol.shape and out.dtype == np.uint8
