@@ -1,0 +1,71 @@
+"""Fuzz: random op chains must validate, compile, and run (small shapes).
+
+Catches registry/signature drift that targeted tests miss — every op in
+OP_REGISTRY must be composable with every other in any order (on float
+[0,1] 2-D inputs; volume-only and checkpoint ops excluded).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mies_tpu.pipeline.compiler import OP_REGISTRY, compile_pipeline
+from mies_tpu.pipeline.config import PipelineConfig, validate
+
+# ops safe to chain in any order on [H, W] float [0,1] with defaults
+_CHAINABLE = [
+    ("adjust_gamma", {"gamma": 0.8}),
+    ("adjust_log", {}),
+    ("adjust_sigmoid", {}),
+    ("invert", {}),
+    ("normalize", {}),
+    ("rescale_intensity", {}),
+    ("equalize_hist", {}),
+    ("clahe", {"clip_limit": 2.0, "grid_size": (4, 4)}),
+    ("gaussian_blur", {"sigma": 1.0}),
+    ("box_blur", {}),
+    ("unsharp_mask", {}),
+    ("median_blur", {}),
+    ("bilateral_blur", {}),
+    ("denoise_bilateral", {}),
+    ("sobel_edges", {}),
+    ("laplacian_sharpen", {}),
+    ("flip", {}),
+    ("rot90", {"k": 2}),
+    ("center_crop", {"height": 64, "width": 64}),
+]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_chain_compiles_and_runs(rng, seed):
+    r = np.random.default_rng(seed)
+    n = int(r.integers(1, 5))
+    picks = [_CHAINABLE[i] for i in r.choice(len(_CHAINABLE), n)]
+    cfg = PipelineConfig.make(picks, name=f"fuzz{seed}")
+    validate(cfg)
+    img = rng.random((64, 64)).astype(np.float32)
+    out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+    assert out.dtype == np.uint8
+    assert np.isfinite(out.astype(np.float32)).all()
+    # batched path must agree in shape
+    outb = np.asarray(
+        compile_pipeline(cfg, batched=True, donate=False)(
+            jnp.asarray(np.stack([img] * 2))
+        )
+    )
+    assert outb.shape[0] == 2 and outb.shape[1:] == out.shape
+
+
+def test_every_registered_2d_op_has_defaults_or_coverage():
+    """Every op in the registry is either exercised by _CHAINABLE or is a
+    known special case (params/volume/checkpoint ops)."""
+    special = {
+        "window_hu",  # int16 path, needs center/width
+        "resize",  # needs height/width
+        "learned_denoise",  # needs a checkpoint
+        "clahe3d", "gaussian_blur3d",  # volume-only
+        "normalize_meanstd", "denormalize_meanstd",  # trivially pointwise
+    }
+    covered = {op for op, _ in _CHAINABLE}
+    missing = set(OP_REGISTRY) - covered - special
+    assert not missing, f"registry ops with no fuzz coverage: {missing}"
