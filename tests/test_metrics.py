@@ -84,3 +84,13 @@ def test_psnrb_penalizes_blocking(pair):
     p_b = float(M.psnrb(jnp.asarray(gt), jnp.asarray(blocky)))
     p_plain = float(M.psnr(jnp.asarray(gt), jnp.asarray(blocky)))
     assert p_b < p_plain  # BEF must subtract from PSNR for blocky output
+
+
+def test_evaluate_all_twelve_metrics(pair):
+    """The full sewar surface through the single-program entry point."""
+    gt, p = pair
+    names = tuple(M.METRIC_REGISTRY)
+    out = M.evaluate(gt, p, names=names)
+    assert set(out) == set(names) and len(names) == 12
+    for k, v in out.items():
+        assert np.isfinite(v), (k, v)
