@@ -34,7 +34,7 @@ def main() -> int:
         ],
         name="bench-clahe-denoise-sharpen",
     )
-    res = time_pipeline(cfg, shape=(512, 512), batch_size=32, iters=16, repeats=5)
+    res = time_pipeline(cfg, shape=(512, 512), batch_size=32, iters=16, repeats=9)
     value = res["slices_per_sec"]
     print(
         json.dumps(

@@ -121,6 +121,124 @@ def _apply_kernel(
         out_ref[k : k + 1, :] = res.astype(jnp.float32)
 
 
+def _apply_kernel_slab(
+    slab_ref,  # [1, th, 2*tw] int32: TWO horizontally-adjacent cells
+    lut_ref,   # [1, 1, 2, k4, 256] bf16 LUTs for the two cells
+    out_ref,   # [1, th, 2*tw] f32
+    vflat,     # VMEM scratch [1, npx] int32
+    rflat,     # VMEM scratch [1, npx] f32
+    *,
+    th: int,
+    tw: int,
+    gy1: int,
+    split: bool,
+):
+    """Transpose-free variant: cells are read straight out of the padded
+    image as [th, 2*tw] slabs (the host-side layout change is a pure
+    reshape), and the [th, tw] -> [1, npx] flattening the mask matmul
+    needs happens via th row copies through VMEM scratch — Mosaic has no
+    (th, tw) -> (1, npx) register shape cast, but the strided copies cost
+    less than the two big XLA transposes they replace (measured
+    2.37 -> 1.97 ms per batch-32 apply)."""
+    npx = th * tw
+    a = pl.program_id(0)
+    b = pl.program_id(1)
+    i = jax.lax.rem(a, gy1)
+
+    inv_th = np.float32(1.0 / th)
+    inv_tw = np.float32(1.0 / tw)
+    pi = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+    r = (pi // tw).astype(jnp.float32)
+    c = (pi % tw).astype(jnp.float32)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (NBINS, npx), 0)
+
+    for half in range(2):
+        j = b * 2 + half
+        for row in range(th):
+            vflat[0, row * tw : (row + 1) * tw] = slab_ref[
+                0, row, half * tw : (half + 1) * tw
+            ]
+        v = vflat[0:1, :]
+        mask = (bins == v).astype(jnp.bfloat16)  # [256, npx], exact 0/1
+        sel = jax.lax.dot_general(
+            lut_ref[0, 0, half], mask, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if split:
+            sel = sel[0:4] + sel[4:8]
+
+        yg = (i * th - th // 2).astype(jnp.float32) + r
+        xg = (j * tw - tw // 2).astype(jnp.float32) + c
+        tyf = yg * inv_th - np.float32(0.5)
+        txf = xg * inv_tw - np.float32(0.5)
+        ya = tyf - jnp.floor(tyf)
+        xa = txf - jnp.floor(txf)
+        res = (sel[0:1] * (np.float32(1.0) - xa) + sel[1:2] * xa) * (
+            np.float32(1.0) - ya
+        ) + (sel[2:3] * (np.float32(1.0) - xa) + sel[3:4] * xa) * ya
+        rflat[0:1, :] = res.astype(jnp.float32)
+        for row in range(th):
+            out_ref[0, row, half * tw : (half + 1) * tw] = rflat[
+                0, row * tw : (row + 1) * tw
+            ]
+
+
+def _apply_lut_slab(
+    u8: Array, luts: Array, grid_size, integer_luts: bool, interpret: bool
+) -> Array:
+    """Slab-layout apply: zero XLA transposes (reshapes only + pads)."""
+    B, H, W = u8.shape
+    gy, gx = grid_size
+    th, tw = H // gy, W // gx
+    th2, tw2 = th // 2, tw // 2
+    npx = th * tw
+    gy1 = gy + 1
+    gx1p = gx + 1 + ((gx + 1) % 2)  # even number of cell columns
+
+    vp = jnp.pad(u8, ((0, 0), (th2, th2), (tw2, tw2)), mode="edge")
+    extra_cols = gx1p * tw - (W + tw)
+    if extra_cols:
+        vp = jnp.pad(vp, ((0, 0), (0, 0), (0, extra_cols)), mode="edge")
+    slabs = vp.reshape(B * gy1, th, gx1p * tw)  # FREE
+
+    cl = _cell_luts(luts, gy, gx)  # [B, gy1, gx+1, 4, 256] f32
+    if integer_luts:
+        cl_in = cl.astype(jnp.bfloat16)
+        k4 = 4
+    else:
+        hi = cl.astype(jnp.bfloat16)
+        lo = (cl - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        cl_in = jnp.concatenate([hi, lo], axis=3)
+        k4 = 8
+    if gx1p != gx + 1:
+        cl_in = jnp.concatenate([cl_in, cl_in[:, :, -1:]], axis=2)
+    cl_in = cl_in.reshape(B * gy1, gx1p // 2, 2, k4, NBINS)
+
+    kernel = functools.partial(
+        _apply_kernel_slab, th=th, tw=tw, gy1=gy1, split=not integer_luts
+    )
+    out = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(B * gy1, gx1p // 2),
+        in_specs=[
+            pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, k4, NBINS), lambda a, b: (a, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * gy1, th, gx1p * tw), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, npx), jnp.int32),
+            pltpu.VMEM((1, npx), jnp.float32),
+        ],
+    )(slabs, cl_in)
+    outp = out.reshape(B, gy1 * th, gx1p * tw)  # FREE
+    return outp[:, th2 : th2 + H, tw2 : tw2 + W]
+
+
 @functools.partial(
     jax.jit, static_argnames=("grid_size", "integer_luts", "interpret")
 )
@@ -138,7 +256,24 @@ def clahe_apply_lut(
     luts: [B, gy, gx, 256] float32 (integer-valued iff integer_luts).
     Returns [B, H, W] float32 un-rounded interpolated values — the exact
     f32 numbers OpenCV computes before its final saturate_cast.
+
+    Two layouts, identical results: the slab path (tiles >= 64 wide)
+    reads cells straight from the padded image with no XLA transposes;
+    the cell-list path handles the rest.
     """
+    gy_, gx_ = grid_size
+    tw_ = u8.shape[2] // gx_
+    th_ = u8.shape[1] // gy_
+    if tw_ % 64 == 0 and th_ % 2 == 0 and (th_ * tw_) % 128 == 0:
+        return _apply_lut_slab(u8, luts, grid_size, integer_luts, interpret)
+    return _apply_lut_cells(u8, luts, grid_size, integer_luts, interpret)
+
+
+def _apply_lut_cells(
+    u8: Array, luts: Array, grid_size, integer_luts: bool, interpret: bool
+) -> Array:
+    """Cell-list apply: gathers cells with XLA transposes; handles tiles
+    the slab layout cannot (tw not a multiple of 64)."""
     B, H, W = u8.shape
     gy, gx = grid_size
     th, tw = H // gy, W // gx

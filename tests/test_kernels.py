@@ -135,3 +135,32 @@ def test_clahe_batched_dispatches_to_jnp_on_cpu(rng):
     out = np.asarray(clahe_batched(imgs, 2.0, (4, 4), "opencv"))
     ref = _jnp_clahe_batch(imgs, 2.0, (4, 4), "opencv")
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("shape,grid", [((128, 128), (2, 2)), ((128, 128), (4, 4))])
+def test_apply_paths_agree(rng, shape, grid):
+    """Slab path (tw>=64) and cell-list path produce identical results."""
+    from mies_tpu.kernels.clahe import (
+        _apply_lut_cells,
+        _apply_lut_slab,
+        clahe_apply_lut,
+    )
+
+    u8 = jnp.asarray(rng.integers(0, 256, (2, *shape)).astype(np.int32))
+    luts = jnp.asarray(
+        np.rint(rng.random((2, *grid, 256)).astype(np.float32) * 255)
+    )
+    th, tw = shape[0] // grid[0], shape[1] // grid[1]
+    if tw % 64 == 0:
+        a = np.asarray(
+            _apply_lut_slab(u8, luts, grid, integer_luts=True, interpret=True)
+        )
+        b = np.asarray(
+            _apply_lut_cells(u8, luts, grid, integer_luts=True, interpret=True)
+        )
+        np.testing.assert_array_equal(a, b)
+    else:
+        out = np.asarray(
+            clahe_apply_lut(u8, luts, grid, integer_luts=True, interpret=True)
+        )
+        assert out.shape == (2, *shape)
