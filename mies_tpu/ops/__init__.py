@@ -8,12 +8,18 @@ OpenCV conventions, with NumPy goldens in tests/goldens.
 """
 
 from mies_tpu.ops.intensity import (
+    adjust_brightness,
+    adjust_contrast,
     adjust_gamma,
     adjust_log,
     adjust_sigmoid,
     invert,
     normalize_minmax,
     rescale_intensity,
+    solarize,
+    posterize,
+    sharpness,
+    is_low_contrast,
     window_hu,
 )
 from mies_tpu.ops.histogram import equalize_hist, clahe
@@ -42,6 +48,12 @@ __all__ = [
     "invert",
     "normalize_minmax",
     "rescale_intensity",
+    "adjust_brightness",
+    "adjust_contrast",
+    "solarize",
+    "posterize",
+    "sharpness",
+    "is_low_contrast",
     "window_hu",
     "equalize_hist",
     "clahe",

@@ -12,7 +12,9 @@ neighboring stages for free.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 
@@ -76,6 +78,71 @@ def rescale_intensity(
     x = jnp.clip(img, imin, imax)
     scale = (omax - omin) / jnp.maximum(imax - imin, 1e-12)
     return (x - imin) * scale + omin
+
+
+def adjust_brightness(img: Array, factor: float = 0.0) -> Array:
+    """kornia.enhance.adjust_brightness: ``clip(img + factor, 0, 1)``."""
+    return jnp.clip(img + factor, 0.0, 1.0)
+
+
+def adjust_contrast(img: Array, factor: float = 1.0) -> Array:
+    """kornia.enhance.adjust_contrast: ``clip(img * factor, 0, 1)``."""
+    return jnp.clip(img * factor, 0.0, 1.0)
+
+
+def solarize(img: Array, threshold: float = 0.5) -> Array:
+    """Invert pixels above the threshold (kornia/PIL semantics)."""
+    return jnp.where(img >= threshold, 1.0 - img, img)
+
+
+def posterize(img: Array, bits: int = 4) -> Array:
+    """Reduce to ``bits`` bits per pixel (kornia/PIL semantics on the
+    uint8 lattice): mask off the low (8 - bits) bits of round(x*255)."""
+    if not 1 <= int(bits) <= 8:
+        raise ValueError("bits must be in [1, 8]")
+    keep = 256 - (1 << (8 - int(bits)))
+    u = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.int32)
+    return (u & keep).astype(jnp.float32) / 255.0
+
+
+def sharpness(img: Array, factor: float = 1.0) -> Array:
+    """kornia.enhance.sharpness-style blend: lerp between a 3x3
+    smoothed image (PIL SMOOTH kernel: [[1,1,1],[1,5,1],[1,1,1]]/13,
+    interior only) and the original by ``factor``; factor 0 = smoothed,
+    1 = original, >1 over-sharpens. Clipped to [0, 1]."""
+    from mies_tpu.ops.filters import _pad2d
+
+    p = _pad2d(img.astype(jnp.float32), 1, 1, "nearest")
+    h, w = img.shape
+    k = [[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]
+    acc = jnp.zeros((h, w), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            acc = acc + np.float32(k[dy][dx] / 13.0) * jax.lax.dynamic_slice(
+                p, (dy, dx), (h, w)
+            )
+    # PIL applies the smooth kernel to INTERIOR pixels only
+    row = jnp.arange(h)[:, None]
+    col = jnp.arange(w)[None, :]
+    interior = (row > 0) & (row < h - 1) & (col > 0) & (col < w - 1)
+    smoothed = jnp.where(interior, acc, img)
+    return jnp.clip(smoothed + factor * (img - smoothed), 0.0, 1.0)
+
+
+def is_low_contrast(
+    img: Array,
+    fraction_threshold: float = 0.05,
+    lower_percentile: float = 1.0,
+    upper_percentile: float = 99.0,
+) -> Array:
+    """skimage.exposure.is_low_contrast for float [0,1] images: the
+    1-99 percentile span, as a fraction of the full [0,1] range, falls
+    below the threshold. Returns a scalar bool array (jit-safe)."""
+    lo, hi = jnp.percentile(
+        img.astype(jnp.float32),
+        jnp.asarray([lower_percentile, upper_percentile]),
+    )
+    return (hi - lo) < fraction_threshold
 
 
 def window_hu(hu: Array, center: float, width: float) -> Array:

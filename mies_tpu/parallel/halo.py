@@ -73,7 +73,7 @@ def stage_receptive_field(op: str, params: dict) -> int:
 
         ss = params.get("sigma_spatial", 1.0)
         return max(5, 2 * int(np.ceil(3.0 * float(ss))) + 1) // 2
-    if op in ("sobel_edges", "laplacian_sharpen"):
+    if op in ("sobel_edges", "laplacian_sharpen", "sharpness"):
         return 1
     if op in (
         "equalize_hist", "clahe", "normalize", "rescale_intensity",
@@ -87,7 +87,7 @@ def stage_receptive_field(op: str, params: dict) -> int:
     _POINTWISE = {
         "adjust_gamma", "adjust_log", "adjust_sigmoid", "invert",
         "window_hu", "normalize_meanstd", "denormalize_meanstd",
-        "learned_denoise",
+        "adjust_brightness", "adjust_contrast", "solarize", "posterize",
     }
     if op == "learned_denoise":
         raise ValueError("learned_denoise receptive field is model-dependent")

@@ -36,6 +36,11 @@ OP_REGISTRY: dict[str, Callable] = {
     "normalize": I.normalize_minmax,
     "rescale_intensity": I.rescale_intensity,
     "window_hu": I.window_hu,
+    "adjust_brightness": I.adjust_brightness,
+    "adjust_contrast": I.adjust_contrast,
+    "solarize": I.solarize,
+    "posterize": I.posterize,
+    "sharpness": I.sharpness,
     # histogram
     "equalize_hist": H.equalize_hist,
     "clahe": H.clahe.__wrapped__,  # un-jitted body; chain jit covers it

@@ -33,6 +33,11 @@ _CHAINABLE = [
     ("flip", {}),
     ("rot90", {"k": 2}),
     ("center_crop", {"height": 64, "width": 64}),
+    ("adjust_brightness", {"factor": 0.1}),
+    ("adjust_contrast", {"factor": 1.2}),
+    ("solarize", {}),
+    ("posterize", {"bits": 6}),
+    ("sharpness", {"factor": 1.3}),
 ]
 
 

@@ -118,3 +118,65 @@ class TestGeometry:
         )
         out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(xray)))
         assert out.shape == (256, 256) and out.dtype == np.uint8
+
+
+class TestEnhanceExtras:
+    def test_brightness_contrast(self, xray):
+        import jax.numpy as jnp
+        from mies_tpu.ops import adjust_brightness, adjust_contrast
+
+        b = np.asarray(adjust_brightness(jnp.asarray(xray), 0.1))
+        np.testing.assert_allclose(b, np.clip(xray + 0.1, 0, 1), atol=1e-7)
+        c = np.asarray(adjust_contrast(jnp.asarray(xray), 1.5))
+        np.testing.assert_allclose(c, np.clip(xray * 1.5, 0, 1), atol=1e-6)
+
+    def test_solarize(self, xray):
+        import jax.numpy as jnp
+        from mies_tpu.ops import solarize
+
+        s = np.asarray(solarize(jnp.asarray(xray), 0.5))
+        ref = np.where(xray >= 0.5, 1.0 - xray, xray)
+        np.testing.assert_allclose(s, ref, atol=1e-7)
+
+    @pytest.mark.parametrize("bits", [1, 4, 7, 8])
+    def test_posterize_matches_pil_lattice(self, xray, bits):
+        import jax.numpy as jnp
+        from mies_tpu.ops import posterize
+
+        out = np.asarray(posterize(jnp.asarray(xray), bits))
+        u = np.clip(np.round(xray * 255.0), 0, 255).astype(np.int64)
+        ref = (u & (256 - (1 << (8 - bits)))).astype(np.float32) / 255.0
+        np.testing.assert_allclose(out, ref, atol=1e-7)
+
+    def test_sharpness_identity_at_factor_one(self, xray):
+        import jax.numpy as jnp
+        from mies_tpu.ops import sharpness
+
+        out = np.asarray(sharpness(jnp.asarray(xray), 1.0))
+        np.testing.assert_allclose(out, np.clip(xray, 0, 1), atol=1e-6)
+        # factor 0 smooths: variance must drop
+        sm = np.asarray(sharpness(jnp.asarray(xray), 0.0))
+        assert sm.std() < xray.std()
+
+    def test_is_low_contrast(self):
+        import jax.numpy as jnp
+        from mies_tpu.ops import is_low_contrast
+
+        flat = jnp.full((64, 64), 0.5) + 0.001 * jnp.ones((64, 64))
+        assert bool(is_low_contrast(flat))
+        contrasty = jnp.linspace(0, 1, 64 * 64).reshape(64, 64)
+        assert not bool(is_low_contrast(contrasty))
+
+    def test_new_ops_in_pipeline(self, xray):
+        import jax.numpy as jnp
+        from mies_tpu.pipeline.config import PipelineConfig
+        from mies_tpu.pipeline.compiler import compile_pipeline
+
+        cfg = PipelineConfig.make(
+            [("adjust_brightness", {"factor": 0.05}),
+             ("adjust_contrast", {"factor": 1.2}),
+             ("posterize", {"bits": 6}),
+             ("sharpness", {"factor": 1.5})]
+        )
+        out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(xray)))
+        assert out.dtype == np.uint8 and out.shape == xray.shape
