@@ -95,11 +95,36 @@ def cmd_enhance_volume(args) -> int:
             vol, cfg, slab_size=args.slab, progress=not args.quiet
         )
     save_volume(args.output, out)
-    print(
-        json.dumps(
-            {"input": meta.source, "shape": list(out.shape), "output": args.output}
-        )
-    )
+    result = {"input": meta.source, "shape": list(out.shape), "output": args.output}
+    if args.metrics:
+        from mies_tpu.eval.metrics import evaluate_volume
+        from mies_tpu.pipeline.compiler import _quantize_u8
+        import jax.numpy as jnp
+
+        # compare against the windowed/normalized input on the uint8 scale
+        if np.issubdtype(vol.dtype, np.integer) and vol.dtype != np.uint8:
+            from mies_tpu.ops.intensity import window_hu
+
+            win = next(
+                (st.kwargs() for st in cfg.stages if st.op == "window_hu"), None
+            )
+            if win is None:
+                raise SystemExit(
+                    "--metrics on int16 volumes needs a window_hu stage "
+                    "to define the reference scale"
+                )
+            gt = np.asarray(_quantize_u8(window_hu(jnp.asarray(vol), **win)))
+        else:
+            gt = vol if vol.dtype == np.uint8 else np.asarray(
+                _quantize_u8(jnp.asarray(vol))
+            )
+        m = evaluate_volume(gt, out, names=tuple(args.metrics))
+        mpath = str(args.output) + ".metrics.json"
+        with open(mpath, "w") as f:
+            json.dump(m, f, indent=2)
+        result["metrics_mean"] = m["mean"]
+        result["metrics_file"] = mpath
+    print(json.dumps(result))
     return 0
 
 
@@ -185,6 +210,9 @@ def main(argv=None) -> int:
     p.add_argument("--slab", type=int, default=16)
     p.add_argument("--mode", choices=["slices", "3d"], default="slices",
                    help="'3d' runs a volumetric chain (clahe3d etc.) on the whole volume")
+    p.add_argument("--metrics", nargs="+", default=None,
+                   help="also write per-slice quality metrics vs the "
+                        "(windowed) input, e.g. --metrics psnr ssim")
     p.add_argument("-q", "--quiet", action="store_true")
     p.set_defaults(fn=cmd_enhance_volume)
 

@@ -14,10 +14,11 @@ from mies_tpu.eval.metrics import (
     vifp,
     psnrb,
     evaluate,
+    evaluate_volume,
     METRIC_REGISTRY,
 )
 
 __all__ = [
     "mse", "rmse", "psnr", "uqi", "ssim", "msssim", "ergas", "scc",
-    "rase", "sam", "vifp", "psnrb", "evaluate", "METRIC_REGISTRY",
+    "rase", "sam", "vifp", "psnrb", "evaluate", "evaluate_volume", "METRIC_REGISTRY",
 ]

@@ -386,3 +386,30 @@ def evaluate(
     """Compute a set of metrics in ONE jitted program; returns python floats."""
     res = _evaluate_jit(jnp.asarray(gt), jnp.asarray(p), tuple(names), float(max_val))
     return {k: float(v) for k, v in res.items()}
+
+
+@functools.partial(jax.jit, static_argnames=("names", "max_val"))
+def _evaluate_volume_jit(gt, p, names, max_val):
+    def per_slice(g, q):
+        return _evaluate_jit.__wrapped__(g, q, names, max_val)
+
+    return jax.vmap(per_slice)(gt, p)
+
+
+def evaluate_volume(
+    gt: Array,
+    p: Array,
+    names: tuple[str, ...] = ("psnr", "ssim"),
+    max_val: float = 255.0,
+) -> dict:
+    """Per-slice metrics over [Z, H, W] volumes in ONE vmapped program
+    (SURVEY.md section 3.3: 'write enhanced volume + per-slice metrics').
+
+    Returns {"mean": {name: float}, "per_slice": {name: [float, ...]}}.
+    """
+    res = _evaluate_volume_jit(
+        jnp.asarray(gt), jnp.asarray(p), tuple(names), float(max_val)
+    )
+    per_slice = {k: [float(x) for x in np.asarray(v)] for k, v in res.items()}
+    mean = {k: float(np.mean(v)) for k, v in per_slice.items()}
+    return {"mean": mean, "per_slice": per_slice}

@@ -152,3 +152,29 @@ def test_cli_enhance_volume_3d_mode(tmp_path, ct_slice_hu):
     with np.load(tmp_path / "o.npz") as z:
         out = z["enhanced"]
     assert out.shape == vol.shape and out.dtype == np.uint8
+
+
+def test_cli_enhance_volume_with_metrics(tmp_path, ct_slice_hu):
+    import numpy as np
+
+    from mies_tpu.cli import main
+    from mies_tpu.io.volume import save_volume
+
+    vol = np.stack([ct_slice_hu[:64, :64]] * 4)
+    save_volume(tmp_path / "v.npz", vol)
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({
+        "name": "cm",
+        "pipeline": [
+            {"op": "window_hu", "center": 40.0, "width": 400.0},
+            {"op": "adjust_gamma", "gamma": 0.9},
+        ],
+    }))
+    rc = main([
+        "enhance-volume", str(tmp_path / "v.npz"), "-c", str(cfg),
+        "-o", str(tmp_path / "o.npz"), "-q", "--metrics", "psnr", "rmse",
+    ])
+    assert rc == 0
+    m = json.loads((tmp_path / "o.npz.metrics.json").read_text())
+    assert len(m["per_slice"]["psnr"]) == 4
+    assert m["mean"]["rmse"] >= 0

@@ -94,3 +94,13 @@ def test_evaluate_all_twelve_metrics(pair):
     assert set(out) == set(names) and len(names) == 12
     for k, v in out.items():
         assert np.isfinite(v), (k, v)
+
+
+def test_evaluate_volume_per_slice(pair):
+    gt, p = pair
+    vol_gt = np.stack([gt, p]).astype(np.float32)  # slice 0 identical, 1 not
+    vol_p = np.stack([gt, gt]).astype(np.float32)
+    out = M.evaluate_volume(vol_gt, vol_p, names=("psnr", "rmse"))
+    assert np.isinf(out["per_slice"]["psnr"][0])  # identical slice
+    assert out["per_slice"]["rmse"][1] > 0
+    assert set(out["mean"]) == {"psnr", "rmse"}
