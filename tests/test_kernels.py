@@ -164,3 +164,43 @@ def test_apply_paths_agree(rng, shape, grid):
             clahe_apply_lut(u8, luts, grid, integer_luts=True, interpret=True)
         )
         assert out.shape == (2, *shape)
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_fused_tail_kernel_interpret(rng, quantize):
+    """The (opt-in) fused bilateral->unsharp->quantize kernel matches the
+    unfused composition (kept correct even while disabled by default)."""
+    from mies_tpu.kernels.fused import bilateral_unsharp_tpu
+    from mies_tpu.ops.filters import bilateral_blur, unsharp_mask
+
+    imgs = rng.random((2, 128, 128)).astype(np.float32)
+
+    def unfused(x):
+        return unsharp_mask(bilateral_blur(x, 5, 0.1, 1.5), radius=1.5, amount=1.0)
+
+    ref = np.asarray(jax.vmap(unfused)(jnp.asarray(imgs)))
+    out = np.asarray(
+        bilateral_unsharp_tpu(
+            jnp.asarray(imgs), 5, 0.1, 1.5, "reflect", 1.5, 1.0,
+            quantize=quantize, interpret=True,
+        )
+    )
+    if quantize:
+        refq = np.clip(np.rint(ref * 255), 0, 255).astype(np.uint8)
+        d = np.abs(out.astype(int) - refq.astype(int))
+        assert d.max() <= 1 and (d > 0).mean() < 1e-3  # rounding ties only
+    else:
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_fuse_tail_env_gate(rng, monkeypatch):
+    """MIES_TPU_FUSE_TAIL gates the peephole; off by default."""
+    from mies_tpu.pipeline.compiler import _try_fuse_tail
+    from mies_tpu.pipeline.config import PipelineConfig
+
+    cfg = PipelineConfig.make(
+        [("bilateral_blur", {"kernel_size": 5}),
+         ("unsharp_mask", {"radius": 1.5})]
+    )
+    stages, fused = _try_fuse_tail(cfg, True)
+    assert fused is None and len(stages) == 2  # disabled by default
