@@ -186,13 +186,16 @@ int mies_dicom_parse(const uint8_t* data, size_t len, Meta* meta,
       px = v;
       px_len = l;
     } else if (e.group == 0x0028) {
+      // rd16 needs 2 value bytes; a malformed zero-length US element at
+      // the buffer tail must not read past the end (the Python twin
+      // fails safely via struct.error) — ignore short elements instead
       switch (e.elem) {
-        case 0x0010: meta->rows = rd16(v); break;
-        case 0x0011: meta->cols = rd16(v); break;
-        case 0x0100: meta->bits = rd16(v); break;
-        case 0x0103: meta->is_signed = rd16(v) == 1; break;
-        case 0x1052: meta->intercept = parse_double(v, l); break;
-        case 0x1053: meta->slope = parse_double(v, l); break;
+        case 0x0010: if (l >= 2) meta->rows = rd16(v); break;
+        case 0x0011: if (l >= 2) meta->cols = rd16(v); break;
+        case 0x0100: if (l >= 2) meta->bits = rd16(v); break;
+        case 0x0103: if (l >= 2) meta->is_signed = rd16(v) == 1; break;
+        case 0x1052: if (l > 0) meta->intercept = parse_double(v, l); break;
+        case 0x1053: if (l > 0) meta->slope = parse_double(v, l); break;
       }
     } else if (e.group == 0x0020) {
       if (e.elem == 0x0013) {

@@ -39,8 +39,17 @@ def halo_extend_rows(
     """
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
-    if halo <= 0 or n == 1:
+    if halo <= 0:
         return x
+
+    # global edges: reproduce the border mode locally
+    pad_top = jnp.pad(x, ((halo, 0), (0, 0)), mode=_PAD_MODE[mode])[:halo]
+    pad_bot = jnp.pad(x, ((0, halo), (0, 0)), mode=_PAD_MODE[mode])[-halo:]
+    if n == 1:
+        # degenerate mesh: both boundaries are global edges, but the
+        # caller still crops `halo` rows per stage — extend locally so
+        # fn(ext)[halo:-halo] preserves shape and equals the unsharded op
+        return jnp.concatenate([pad_top, x, pad_bot], axis=0)
 
     top_rows = x[:halo]
     bot_rows = x[-halo:]
@@ -52,9 +61,6 @@ def halo_extend_rows(
     from_below = lax.ppermute(
         top_rows, axis_name, perm=[(i + 1, i) for i in range(n - 1)]
     )
-    # global edges: reproduce the border mode locally
-    pad_top = jnp.pad(x, ((halo, 0), (0, 0)), mode=_PAD_MODE[mode])[:halo]
-    pad_bot = jnp.pad(x, ((0, halo), (0, 0)), mode=_PAD_MODE[mode])[-halo:]
     top = jnp.where(idx == 0, pad_top, from_above)
     bot = jnp.where(idx == n - 1, pad_bot, from_below)
     return jnp.concatenate([top, x, bot], axis=0)
@@ -135,19 +141,38 @@ def spatial_shard_apply(
     """
     from mies_tpu.pipeline.compiler import OP_REGISTRY
 
-    stages = []  # (fn, radius, mode)
+    stages = []  # (op, fn, radius, mode)
     for s in cfg.stages:
         params = s.kwargs()
         r = stage_receptive_field(s.op, params)
         mode = params.get("mode", _DEFAULT_MODE.get(s.op, "nearest"))
-        stages.append((functools.partial(OP_REGISTRY[s.op], **params), r, mode))
+        stages.append(
+            (s.op, functools.partial(OP_REGISTRY[s.op], **params), r, mode)
+        )
 
     def band_fn(band):  # [H/n, W] on each device
+        n = lax.axis_size(axis_name)
+        idx = lax.axis_index(axis_name)
         x = band
-        for fn, r, mode in stages:
+        for op, fn, r, mode in stages:
             if r > 0:
+                x_in = x
                 ext = halo_extend_rows(x, r, axis_name, mode=mode)
                 x = fn(ext)[r:-r]
+                if op == "sharpness":
+                    # PIL interior-only semantics: the GLOBAL top/bottom
+                    # rows pass through unsmoothed (= clip of the input,
+                    # since smoothed==img there makes the blend the
+                    # identity). The halo makes band boundaries interior,
+                    # so restore pass-through on the edge devices only.
+                    x = x.at[0].set(
+                        jnp.where(idx == 0, jnp.clip(x_in[0], 0.0, 1.0), x[0])
+                    )
+                    x = x.at[-1].set(
+                        jnp.where(
+                            idx == n - 1, jnp.clip(x_in[-1], 0.0, 1.0), x[-1]
+                        )
+                    )
             else:
                 x = fn(x)
         return _quantize_u8(x) if quantize else x

@@ -32,8 +32,12 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # only the benign double-init is swallowed; a genuinely failed
+        # multi-host bring-up must NOT proceed silently single-host
+        if "already initialized" in str(e).lower():
+            return
+        raise
 
 
 def mesh_devices(n: int | None = None) -> list:

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mies_tpu.pipeline.compiler import build_batched_chain, _quantize_u8
+from mies_tpu.pipeline.compiler import build_batched_chain, _ingest, _quantize_u8
 from mies_tpu.pipeline.config import PipelineConfig
 
 
@@ -62,7 +62,10 @@ def sharded_evaluate(
 
     def run(batch):
         enhanced = chain(batch)
-        scaled_in = batch.astype(jnp.float32) * max_val
+        # ground truth goes through the SAME ingest normalization the
+        # chain applies (uint8/uint16 -> float [0,1]) before rescaling,
+        # or integer inputs would be compared 255x/65535x off-scale
+        scaled_in = _ingest(batch) * max_val
         scaled_out = enhanced * max_val
 
         def per_image(gt, p):

@@ -71,3 +71,17 @@ def test_load_volume_uses_native(tmp_path, ct_slice_hu):
     vol, meta = load_volume(tmp_path)
     assert vol.shape[0] == 3
     assert "native" in meta.source
+
+
+def test_native_zero_length_us_element_at_tail(tmp_path, ct_slice_hu):
+    """A malformed zero-length (0028,xxxx) US element at the buffer end
+    must not read out of bounds (ADVICE round 1, dicomfast.cpp): the
+    short element is ignored and the valid metadata stands."""
+    p = tmp_path / "tail.dcm"
+    write_dicom(p, ct_slice_hu, instance_number=1)
+    ref = read_dicom(p)
+    # append explicit-VR (0028,0010) Rows, VR=US, length=0 — 8 bytes, no value
+    with open(p, "ab") as f:
+        f.write(bytes([0x28, 0x00, 0x10, 0x00]) + b"US" + bytes([0x00, 0x00]))
+    px, meta = native.read_dicom_native(p)
+    np.testing.assert_array_equal(px, ref.pixels)

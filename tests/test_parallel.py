@@ -176,3 +176,44 @@ def test_batch_sharding_uses_full_2d_mesh(rng):
     assert all(s.data.shape[0] == 1 for s in shards)
     ref = np.asarray(compile_pipeline(CHAIN, batched=True, donate=False)(jnp.asarray(batch)))
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_spatial_sharding_space1_preserves_shape(rng):
+    """space=1 mesh: halo_extend_rows must still pad locally so the
+    per-stage crop preserves shape (ADVICE round 1, halo.py)."""
+    img = rng.random((64, 128)).astype(np.float32)
+    mesh = make_mesh(data=1, space=1)
+    out = np.asarray(spatial_shard_apply(STENCIL_CHAIN, mesh)(jnp.asarray(img)))
+    assert out.shape == (64, 128)
+    ref = np.asarray(
+        compile_pipeline(STENCIL_CHAIN, donate=False)(jnp.asarray(img))
+    )
+    _assert_shard_matches(out, ref)
+
+
+@pytest.mark.parametrize("space", [1, 2, 4])
+def test_spatial_sharding_sharpness_global_edges(rng, space):
+    """sharpness has PIL interior-only semantics: global top/bottom rows
+    pass through unsmoothed. The sharded program must reproduce that at
+    the edge devices (ADVICE round 1, halo.py sharpness)."""
+    cfg = PipelineConfig.make(
+        [("sharpness", {"factor": 0.0}),  # factor 0 = fully smoothed interior
+         ("gaussian_blur", {"sigma": 1.0})],
+        name="sharp-chain",
+    )
+    img = rng.random((128, 96)).astype(np.float32)
+    mesh = make_mesh(data=1, space=space)
+    out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+    ref = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+    _assert_shard_matches(out, ref)
+
+
+def test_sharded_evaluate_uint8_ingest_scaling(rng):
+    """Integer batches: ground truth must pass through the same ingest
+    normalization as the chain (ADVICE round 1, sharding.py) — an
+    identity-ish chain must report high PSNR, not -43 dB."""
+    batch = (rng.random((8, 64, 64)) * 255).astype(np.uint8)
+    cfg = PipelineConfig.make([("adjust_gamma", {"gamma": 1.0})], name="ident")
+    fn = sharded_evaluate(cfg, make_mesh(), metric_names=("psnr",), max_val=255.0)
+    _, metrics = fn(jnp.asarray(batch))
+    assert float(metrics["psnr"]) > 40.0
