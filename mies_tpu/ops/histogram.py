@@ -116,6 +116,56 @@ def equalize_hist(img: Array, nbins: int = NBINS) -> Array:
     return c_lo + frac * (c_hi - c_lo)
 
 
+def _lut_select(idx: Array, table: Array) -> Array:
+    """Gatherless table[idx] for a [*, ...] int32 index array and a
+    [nbins] float32 table: onehot selection via HIGHEST-precision matmul
+    (exact — 0/1 rows select single f32 entries)."""
+    nbins = table.shape[0]
+    n = idx.size
+    flat = idx.ravel()
+    pad = (-n) % 512
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.int32)])
+    chunks = flat.reshape(-1, 512)
+    bins = jnp.arange(nbins, dtype=jnp.int32)
+    oh = (chunks[:, :, None] == bins).astype(jnp.float32)
+    sel = jnp.einsum(
+        "cpb,b->cp", oh, table, precision=jax.lax.Precision.HIGHEST
+    )
+    return sel.reshape(-1)[:n].reshape(idx.shape)
+
+
+def equalize(img: Array) -> Array:
+    """kornia.enhance.equalize / PIL ImageOps.equalize: INTEGER-LUT
+    global histogram equalization (reference pyproject.toml:8 — kornia;
+    distinct from the float-CDF ``equalize_hist``):
+
+        step   = (sum(hist) - last_nonzero_bin) // 255
+        lut[i] = clamp((step//2 + sum(hist[:i])) // step, 0, 255)
+
+    with the identity mapping when ``step == 0``. All arithmetic is
+    exact int32; output is lut levels / 255. Golden:
+    tests/goldens/golden_ops.py::equalize_pil (cross-checked bit-exactly
+    vs the real PIL.ImageOps.equalize in tests).
+    """
+    u8 = jnp.clip(jnp.rint(img.astype(jnp.float32) * 255.0), 0, 255).astype(
+        jnp.int32
+    )
+    hist = _global_hist_onehot(u8.ravel(), NBINS).astype(jnp.int32)
+    bins = jnp.arange(NBINS, dtype=jnp.int32)
+    total = jnp.sum(hist)
+    last_idx = jnp.max(jnp.where(hist > 0, bins, -1))
+    last = jnp.sum(jnp.where(bins == last_idx, hist, 0))
+    step = (total - last) // 255
+    prev = jnp.cumsum(hist) - hist  # sum of bins strictly below i
+    lut = jnp.clip((prev + step // 2) // jnp.maximum(step, 1), 0, 255)
+    lut = jnp.where(step > 0, lut, bins)  # PIL identity when step == 0
+    out = _lut_select(u8, lut.astype(jnp.float32))
+    return (out / 255.0).astype(
+        img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
+    )
+
+
 # ---------------------------------------------------------------------------
 # CLAHE
 # ---------------------------------------------------------------------------

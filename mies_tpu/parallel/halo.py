@@ -82,8 +82,8 @@ def stage_receptive_field(op: str, params: dict) -> int:
     if op in ("sobel_edges", "laplacian_sharpen", "sharpness"):
         return 1
     if op in (
-        "equalize_hist", "clahe", "normalize", "rescale_intensity",
-        "resize", "center_crop", "flip", "rot90",
+        "equalize_hist", "equalize", "clahe", "normalize",
+        "rescale_intensity", "resize", "center_crop", "flip", "rot90",
     ):
         raise ValueError(
             f"op {op!r} has global/tile extent and cannot be spatially "

@@ -43,6 +43,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "sharpness": I.sharpness,
     # histogram
     "equalize_hist": H.equalize_hist,
+    "equalize": H.equalize,  # kornia/PIL integer-LUT variant
     "clahe": H.clahe.__wrapped__,  # un-jitted body; chain jit covers it
     # filters
     "gaussian_blur": F.gaussian_blur,

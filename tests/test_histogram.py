@@ -204,3 +204,56 @@ def test_clahe_skimage_in_pipeline(rng):
 def test_clahe_unknown_convention_raises():
     with pytest.raises(ValueError, match="convention"):
         H.clahe(jnp.zeros((64, 64), jnp.float32), convention="nope")
+
+
+# -- kornia/PIL integer-LUT equalize (VERDICT round 1, missing #6) ------------
+
+
+def test_equalize_matches_golden(xray):
+    out = np.asarray(H.equalize(jnp.asarray(xray)))
+    ref = G.equalize_pil(xray)
+    np.testing.assert_array_equal(
+        np.rint(out * 255).astype(np.int64), np.rint(ref * 255).astype(np.int64)
+    )
+
+
+def test_equalize_matches_real_pil(rng):
+    """Independent library cross-check: bit-exact vs PIL.ImageOps.equalize
+    on uint8 input (the one locally-installed reference implementation)."""
+    from PIL import Image, ImageOps
+
+    for seed in range(3):
+        arr = (np.random.default_rng(seed).random((128, 96)) * 255).astype(np.uint8)
+        want = np.asarray(ImageOps.equalize(Image.fromarray(arr)))
+        got = np.asarray(H.equalize(jnp.asarray(arr.astype(np.float32) / 255.0)))
+        got_u8 = np.rint(got * 255).astype(np.uint8)
+        np.testing.assert_array_equal(got_u8, want)
+
+
+def test_equalize_skewed_histogram_matches_pil(rng):
+    """Heavily skewed / sparse histograms exercise the step and
+    last-nonzero-bin edge paths."""
+    from PIL import Image, ImageOps
+
+    arr = np.clip((rng.random((64, 64)) ** 4) * 80, 0, 255).astype(np.uint8)
+    arr[0, 0] = 255  # lone top bin
+    want = np.asarray(ImageOps.equalize(Image.fromarray(arr)))
+    got = np.asarray(H.equalize(jnp.asarray(arr.astype(np.float32) / 255.0)))
+    np.testing.assert_array_equal(np.rint(got * 255).astype(np.uint8), want)
+
+
+def test_equalize_constant_image_is_identity():
+    """step == 0 -> PIL returns the image unchanged."""
+    img = jnp.full((32, 32), 0.25, jnp.float32)
+    out = np.asarray(H.equalize(img))
+    np.testing.assert_allclose(out, 0.25, atol=1 / 255.0 / 2)
+
+
+def test_equalize_in_pipeline(rng):
+    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.compiler import compile_pipeline
+
+    cfg = PipelineConfig.make([("equalize", {}), ("adjust_gamma", {"gamma": 0.9})])
+    img = rng.random((64, 64)).astype(np.float32)
+    out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+    assert out.shape == (64, 64) and out.dtype == np.uint8
