@@ -83,6 +83,23 @@ def cmd_enhance_volume(args) -> int:
     from mies_tpu.pipeline import runner
 
     cfg = _load_cfg(args.config)
+    if getattr(args, "stream", False):
+        # disk-to-disk: the volume is never fully resident on the host
+        if args.mode == "3d" or args.metrics:
+            raise SystemExit(
+                "--stream is slice-mode only and incompatible with "
+                "--metrics (both need the whole volume in memory)"
+            )
+        meta = runner.enhance_volume_stream(
+            args.input, cfg, args.output,
+            slab_size=args.slab, var_name=args.var,
+            progress=not args.quiet,
+        )
+        print(json.dumps({
+            "input": meta.source, "shape": list(meta.shape),
+            "output": args.output, "streamed": True,
+        }))
+        return 0
     vol, meta = load_volume(args.input, var_name=args.var)
     if args.mode == "3d":
         import jax.numpy as jnp
@@ -213,6 +230,9 @@ def main(argv=None) -> int:
     p.add_argument("--metrics", nargs="+", default=None,
                    help="also write per-slice quality metrics vs the "
                         "(windowed) input, e.g. --metrics psnr ssim")
+    p.add_argument("--stream", action="store_true",
+                   help="disk-to-disk slab streaming (O(slab) host memory; "
+                        "output .nc/.npy/DICOM dir)")
     p.add_argument("-q", "--quiet", action="store_true")
     p.set_defaults(fn=cmd_enhance_volume)
 

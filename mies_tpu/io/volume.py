@@ -1,17 +1,27 @@
-"""Volumetric I/O: NetCDF (gated), raw .npy/.npz, and DICOM series.
+"""Volumetric I/O: NetCDF, raw .npy/.npz, and DICOM series.
 
 Covers the reference's netcdf4 role (reference pyproject.toml:10;
-SURVEY.md section 2b D9):
-volumetric CT/MRI ingest as [Z, H, W] int16 arrays. netCDF4 is not
-installed in this environment, so that path is import-gated; .npz is
-the always-available container and DICOM series come from
-``mies_tpu.io.dicom``.
+SURVEY.md section 2b D9): volumetric CT/MRI ingest as [Z, H, W] int16
+arrays, plus WRITING enhanced volumes back out.
+
+NetCDF support is two-tier:
+* classic (CDF-1/2) files read via scipy's pure-Python reader with lazy
+  mmap slicing and WRITE via mies_tpu.io.netcdf3's streaming writer —
+  always available;
+* NetCDF-4/HDF5 files need the netCDF4 package (import-gated — not
+  installed in this environment).
+
+``open_volume_slabs`` is the disk-streamed ingest path (SURVEY.md
+section 3.3): it yields [slab, H, W] chunks with O(slab) host memory
+for .nc (mmap), .npy (memmap) and DICOM directories (per-file decode);
+.npz is zip-compressed and falls back to a full load (documented).
 """
 
 from __future__ import annotations
 
 import dataclasses
 from pathlib import Path
+from typing import Iterator
 
 import numpy as np
 
@@ -22,6 +32,32 @@ class VolumeMeta:
     dtype: str
     source: str
     var_name: str | None = None
+
+
+def _is_classic_netcdf(path: Path) -> bool:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    return magic[:3] == b"CDF" and magic[3:] in (b"\x01", b"\x02")
+
+
+def _open_scipy_nc(path: Path, var_name: str | None, mmap: bool = True):
+    """Open a classic .nc with scipy (lazy mmap). Returns (file, var,
+    var_name, unsigned)."""
+    from scipy.io import netcdf_file
+
+    f = netcdf_file(str(path), "r", mmap=mmap)
+    if var_name is None:
+        var_name = next(
+            (n for n, v in f.variables.items() if v.data.ndim == 3), None
+        )
+        if var_name is None:
+            raise ValueError(f"no 3-D variable found in {path}")
+    var = f.variables[var_name]
+    unsigned = (
+        getattr(f, "_attributes", {}).get("_Unsigned") == b"true"
+        and var.data.dtype == np.int8
+    )
+    return f, var, var_name, unsigned
 
 
 def load_volume(
@@ -48,12 +84,26 @@ def load_volume(
         return vol, VolumeMeta(vol.shape, str(vol.dtype), src)
     suffix = path.suffix.lower()
     if suffix == ".nc":
+        if _is_classic_netcdf(path):
+            # full load -> no mmap (avoids scipy's close-with-live-refs
+            # warning); the streaming path below keeps the lazy mmap
+            f, var, var_name, unsigned = _open_scipy_nc(path, var_name, mmap=False)
+            try:
+                vol = np.array(var[:]).astype(var.data.dtype.newbyteorder("="))
+                if unsigned:
+                    vol = vol.view(np.uint8)
+            finally:
+                f.close()
+            return vol, VolumeMeta(
+                vol.shape, str(vol.dtype), f"netcdf3:{path}", var_name
+            )
         try:
             import netCDF4
         except ImportError as e:
             raise ImportError(
-                "netCDF4 is not installed; convert the volume to .npz or "
-                "a DICOM series, or install netCDF4"
+                "this .nc file is NetCDF-4/HDF5 and netCDF4 is not "
+                "installed; classic (CDF-1/2) files read without it — "
+                "convert the volume, or install netCDF4"
             ) from e
         ds = netCDF4.Dataset(path, "r")
         try:
@@ -89,7 +139,12 @@ def save_volume(path: str | Path, vol: np.ndarray, var_name: str = "enhanced") -
     """
     path = Path(path)
     suffix = path.suffix.lower()
-    if suffix == ".npz":
+    if suffix == ".nc":
+        from mies_tpu.io.netcdf3 import NetCDF3VolumeWriter
+
+        with NetCDF3VolumeWriter(path, vol.shape, vol.dtype, var_name) as w:
+            w.append(vol)
+    elif suffix == ".npz":
         np.savez_compressed(path, **{var_name: vol})
     elif suffix == ".npy":
         np.save(path, vol)
@@ -106,3 +161,185 @@ def save_volume(path: str | Path, vol: np.ndarray, var_name: str = "enhanced") -
             )
     else:
         raise ValueError(f"unsupported output volume format: {path}")
+
+
+# ---------------------------------------------------------------------------
+# Disk-streamed slab ingest + incremental output (SURVEY.md section 3.3)
+# ---------------------------------------------------------------------------
+
+
+def open_volume_slabs(
+    path: str | Path, slab_size: int = 16, var_name: str | None = None
+) -> tuple[VolumeMeta, Iterator[np.ndarray]]:
+    """Open a volume for slab-streamed reading: (meta, slab iterator).
+
+    Yields [z_i, H, W] chunks (last one may be short) with O(slab) host
+    memory for:
+      * classic .nc — scipy mmap, lazy per-slab slicing;
+      * .npy        — numpy memmap;
+      * DICOM dir   — header-ordering pass (one file in memory at a
+                      time), then per-slab threaded decode (native C++
+                      single-file decoder when buildable).
+    .npz (zip-compressed) and NetCDF-4/HDF5 fall back to a full load —
+    the formats cannot be range-read without decompressing.
+    """
+    path = Path(path)
+    if path.is_dir():
+        return _dicom_slab_stream(path, slab_size)
+    suffix = path.suffix.lower()
+    if suffix == ".nc" and _is_classic_netcdf(path):
+        f, var, var_name, unsigned = _open_scipy_nc(path, var_name)
+        shape = tuple(int(s) for s in var.data.shape)
+        native_dt = np.dtype(var.data.dtype.newbyteorder("="))
+        dt = "uint8" if unsigned else native_dt.name
+        meta = VolumeMeta(shape, dt, f"netcdf3-stream:{path}", var_name)
+
+        def gen():
+            try:
+                for k in range(0, shape[0], slab_size):
+                    slab = np.array(var[k : k + slab_size]).astype(native_dt)
+                    yield slab.view(np.uint8) if unsigned else slab
+            finally:
+                # the data was copied slab-by-slab; scipy still warns
+                # about closing an mmap with live variable refs
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    f.close()
+
+        return meta, gen()
+    if suffix == ".npy":
+        mm = np.load(path, mmap_mode="r")
+        if mm.ndim != 3:
+            raise ValueError(f"expected a 3-D .npy volume, got {mm.shape}")
+        meta = VolumeMeta(mm.shape, str(mm.dtype), f"npy-stream:{path}")
+
+        def gen():
+            for k in range(0, mm.shape[0], slab_size):
+                yield np.array(mm[k : k + slab_size])
+
+        return meta, gen()
+    # full-load fallbacks (.npz, NetCDF-4) — documented, not silent
+    vol, meta = load_volume(path, var_name=var_name)
+    meta.source = f"full-load:{meta.source}"
+
+    def gen():
+        for k in range(0, vol.shape[0], slab_size):
+            yield vol[k : k + slab_size]
+
+    return meta, gen()
+
+
+def _dicom_slab_stream(
+    directory: Path, slab_size: int, pattern: str = "*.dcm"
+) -> tuple[VolumeMeta, Iterator[np.ndarray]]:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mies_tpu import native
+    from mies_tpu.io.dicom import read_dicom
+
+    paths = sorted(directory.glob(pattern))
+    if not paths:
+        raise FileNotFoundError(f"no {pattern} files in {directory}")
+
+    # ordering pass: one file decoded at a time (O(slice) memory),
+    # pixels discarded — slabs are re-decoded on demand below
+    order = []
+    shape_hw = None
+    for i, p in enumerate(paths):
+        s = read_dicom(p)
+        shape_hw = s.pixels.shape
+        if s.image_position_z is not None:
+            order.append(((0, s.image_position_z, i), p))
+        elif s.slice_location is not None:
+            order.append(((1, s.slice_location, i), p))
+        elif s.instance_number is not None:
+            order.append(((2, s.instance_number, i), p))
+        else:
+            order.append(((3, i, i), p))
+    ordered = [p for _, p in sorted(order, key=lambda t: t[0])]
+    z = len(ordered)
+    meta = VolumeMeta(
+        (z, *shape_hw), "int16", f"dicom-series-stream:{directory}"
+    )
+
+    use_native = native.available()
+
+    def decode(p: Path) -> np.ndarray:
+        if use_native:
+            px, _ = native.read_dicom_native(p)
+            return px.astype(np.int16)
+        return read_dicom(p).pixels.astype(np.int16)
+
+    def gen():
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for k in range(0, z, slab_size):
+                chunk = ordered[k : k + slab_size]
+                yield np.stack(list(pool.map(decode, chunk)), axis=0)
+
+    return meta, gen()
+
+
+def open_volume_writer(
+    path: str | Path,
+    shape: tuple[int, int, int],
+    dtype,
+    var_name: str = "enhanced",
+):
+    """Open an incremental slab writer: .nc (streaming NetCDF-3), .npy
+    (memmap), or a directory of DICOM slices. Returned object has
+    ``append(slab)`` and ``close()``.
+    """
+    path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix == ".nc":
+        from mies_tpu.io.netcdf3 import NetCDF3VolumeWriter
+
+        return NetCDF3VolumeWriter(path, shape, dtype, var_name)
+    if suffix == ".npy":
+        return _NpyWriter(path, shape, dtype)
+    if suffix in ("", ".dcmdir"):
+        return _DicomDirWriter(path)
+    raise ValueError(
+        f"unsupported streaming output format: {path} (use .nc, .npy, or "
+        "a directory)"
+    )
+
+
+class _NpyWriter:
+    def __init__(self, path: Path, shape, dtype) -> None:
+        self._mm = np.lib.format.open_memmap(
+            path, mode="w+", dtype=np.dtype(dtype), shape=tuple(shape)
+        )
+        self._z = 0
+
+    def append(self, slab: np.ndarray) -> None:
+        self._mm[self._z : self._z + slab.shape[0]] = slab
+        self._z += slab.shape[0]
+
+    def close(self) -> None:
+        self._mm.flush()
+        del self._mm
+
+
+class _DicomDirWriter:
+    def __init__(self, path: Path) -> None:
+        self._dir = Path(path)
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._z = 0
+
+    def append(self, slab: np.ndarray) -> None:
+        from mies_tpu.io.dicom import write_dicom
+
+        for sl in slab:
+            write_dicom(
+                self._dir / f"slice{self._z:05d}.dcm",
+                np.ascontiguousarray(sl),
+                instance_number=self._z + 1,
+                slice_location=float(self._z),
+            )
+            self._z += 1
+
+    def close(self) -> None:
+        pass

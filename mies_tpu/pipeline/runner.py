@@ -197,6 +197,97 @@ def enhance_volume(
     return result[:z]
 
 
+def enhance_volume_stream(
+    source: str | Path,
+    cfg: PipelineConfig,
+    output: str | Path,
+    slab_size: int = 16,
+    max_in_flight: int = 4,
+    var_name: str | None = None,
+    progress: bool = False,
+):
+    """Disk-to-disk volume enhancement with O(slab) host memory.
+
+    Reads [slab, H, W] chunks lazily (classic .nc via mmap, .npy memmap,
+    or a DICOM series — ``mies_tpu.io.volume.open_volume_slabs``), keeps
+    ``max_in_flight`` slabs in the async device queue (host decode of
+    slab k+1 overlaps device compute of slab k — SURVEY.md section 3.3),
+    and appends finished uint8 slabs to ``output`` incrementally
+    (streaming NetCDF-3, .npy memmap, or DICOM directory). The whole
+    volume is never resident on the host. Returns the input VolumeMeta.
+    """
+    from mies_tpu.io.volume import open_volume_slabs, open_volume_writer
+
+    meta, slabs = open_volume_slabs(source, slab_size=slab_size, var_name=var_name)
+    fn = compile_pipeline(cfg, batched=True, donate=True)
+    writer = open_volume_writer(output, meta.shape, np.uint8)
+
+    it = slabs
+    if progress:
+        from tqdm import tqdm
+
+        it = tqdm(slabs, total=-(-meta.shape[0] // slab_size), unit="slab")
+
+    # jit compiles once per slab z-size; pad the (only) short final slab
+    # to the common size so the stream stays a single program
+    in_flight: list[tuple[int, jax.Array]] = []
+    for slab in it:
+        z_i = slab.shape[0]
+        if z_i < slab_size:
+            slab = np.concatenate(
+                [slab, np.repeat(slab[-1:], slab_size - z_i, axis=0)]
+            )
+        dev = jax.device_put(slab)  # async H2D
+        in_flight.append((z_i, fn(dev)))  # async compute
+        if len(in_flight) >= max_in_flight:
+            z_k, out = in_flight.pop(0)
+            writer.append(np.asarray(out)[:z_k])
+    for z_k, out in in_flight:
+        writer.append(np.asarray(out)[:z_k])
+    writer.close()
+    return meta
+
+
+def time_latency(
+    cfg: PipelineConfig,
+    shape: tuple[int, int] = (512, 512),
+    iters: int = 32,
+    repeats: int = 32,
+    dtype=np.float32,
+) -> dict:
+    """TRUE batch-1 per-slice latency (BASELINE.json metric 2).
+
+    A dedicated single-slice program — no vmap, no batch dim — timed
+    with the slope method (long minus short chained runs; the constant
+    sync round trip cancels, which matters on tunneled runtimes where a
+    per-call sync would measure the network). Each repeat yields one
+    per-call latency estimate; p50/p95 are over those estimates.
+    """
+    rng = np.random.default_rng(0)
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        img = rng.integers(-1000, 2000, size=shape, dtype=dtype)
+    else:
+        img = rng.random(shape, dtype=np.float32)
+    fn = compile_pipeline(cfg, batched=False, quantize=True, donate=False)
+    x = jnp.asarray(img)
+    for _ in range(3):
+        _device_sync(fn(x))
+    n_short = max(iters // 4, 1)
+    samples = []
+    for _ in range(repeats):
+        t_short = _timed_run(fn, x, n_short)
+        t_long = _timed_run(fn, x, iters)
+        samples.append((t_long - t_short) / (iters - n_short))
+    samples.sort()
+    return {
+        "p50_ms": samples[len(samples) // 2] * 1000.0,
+        "p95_ms": samples[min(int(len(samples) * 0.95), len(samples) - 1)] * 1000.0,
+        "batch_size": 1,
+        "shape": list(shape),
+        "program": "single-slice (no vmap)",
+    }
+
+
 def _device_sync(y) -> float:
     """Force completion of ``y`` with a minimal D2H fetch.
 

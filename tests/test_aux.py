@@ -178,3 +178,17 @@ def test_cli_enhance_volume_with_metrics(tmp_path, ct_slice_hu):
     m = json.loads((tmp_path / "o.npz.metrics.json").read_text())
     assert len(m["per_slice"]["psnr"]) == 4
     assert m["mean"]["rmse"] >= 0
+
+
+def test_time_latency_batch1(rng):
+    """time_latency builds a single-slice program (no vmap) and reports
+    p50/p95 per call (VERDICT round 1, missing #5)."""
+    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.runner import time_latency
+
+    cfg = PipelineConfig.make([("adjust_gamma", {"gamma": 0.9})])
+    res = time_latency(cfg, shape=(64, 64), iters=4, repeats=3)
+    assert res["batch_size"] == 1
+    assert res["p50_ms"] > 0
+    assert res["p95_ms"] >= res["p50_ms"] * 0.5  # sane ordering, noisy env
+    assert "no vmap" in res["program"]

@@ -140,3 +140,121 @@ def test_raw_u8_load(tmp_path, xray):
     raw = load_image(p, dtype="raw")
     assert raw.dtype == np.uint8
     np.testing.assert_array_equal(raw, from_float(xray))
+
+
+# -- NetCDF-3 streaming writer + slab-streamed ingest (VERDICT r1 #2) ---------
+
+
+@pytest.mark.parametrize("dtype", [np.int16, np.uint8, np.float32])
+def test_netcdf3_writer_scipy_roundtrip(tmp_path, dtype):
+    """Our streaming writer's files must be readable by an INDEPENDENT
+    NetCDF implementation (scipy.io.netcdf_file)."""
+    from scipy.io import netcdf_file
+
+    from mies_tpu.io.netcdf3 import NetCDF3VolumeWriter
+
+    rng = np.random.default_rng(0)
+    vol = (rng.random((11, 16, 20)) * 200).astype(dtype)
+    p = tmp_path / "v.nc"
+    w = NetCDF3VolumeWriter(p, vol.shape, dtype, var_name="hu",
+                            attrs={"units": "HU"})
+    for k in range(0, 11, 4):  # uneven slabs incl. short tail
+        w.append(vol[k:k + 4])
+    w.close()
+
+    f = netcdf_file(str(p), "r", mmap=False)
+    data = np.asarray(f.variables["hu"][:])
+    if dtype == np.uint8:
+        assert f._attributes.get("_Unsigned") == b"true"
+        data = data.view(np.uint8)
+    np.testing.assert_array_equal(data, vol)
+    f.close()
+
+
+def test_netcdf3_writer_rejects_incomplete(tmp_path):
+    from mies_tpu.io.netcdf3 import NetCDF3VolumeWriter
+
+    w = NetCDF3VolumeWriter(tmp_path / "v.nc", (4, 8, 8), np.int16)
+    w.append(np.zeros((2, 8, 8), np.int16))
+    with pytest.raises(ValueError, match="incomplete"):
+        w.close()
+
+
+def test_save_load_volume_nc_roundtrip(tmp_path):
+    from mies_tpu.io.volume import load_volume, save_volume
+
+    vol = (np.random.default_rng(1).random((9, 12, 16)) * 3000 - 1000).astype(np.int16)
+    p = tmp_path / "ct.nc"
+    save_volume(p, vol, var_name="hu")
+    back, meta = load_volume(p)
+    np.testing.assert_array_equal(back, vol)
+    assert back.dtype == np.int16
+    assert meta.var_name == "hu"
+
+
+@pytest.mark.parametrize("fmt", ["nc", "npy"])
+def test_open_volume_slabs_lazy(tmp_path, fmt):
+    from mies_tpu.io.volume import open_volume_slabs, save_volume
+
+    vol = (np.random.default_rng(2).random((13, 8, 8)) * 100).astype(np.int16)
+    p = tmp_path / f"v.{fmt}"
+    save_volume(p, vol, var_name="hu")
+    meta, slabs = open_volume_slabs(p, slab_size=5)
+    assert "stream" in meta.source  # lazy path, not the full-load fallback
+    assert meta.shape == (13, 8, 8) and meta.dtype == "int16"
+    got = np.concatenate(list(slabs))
+    np.testing.assert_array_equal(got, vol)
+
+
+def test_open_volume_slabs_dicom_dir_ordered(tmp_path, ct_slice_hu):
+    from mies_tpu.io.dicom import write_dicom
+    from mies_tpu.io.volume import open_volume_slabs
+
+    locs = [30.0, 10.0, 20.0, 40.0, 0.0]
+    for i, loc in enumerate(locs):
+        write_dicom(tmp_path / f"s{i}.dcm", (ct_slice_hu + i).astype(np.int16),
+                    instance_number=i, slice_location=loc)
+    meta, slabs = open_volume_slabs(tmp_path, slab_size=2)
+    got = np.concatenate(list(slabs))
+    # slices must come back in slice_location order: 0,10,20,30,40 -> i=4,1,2,0,3
+    want = np.stack([(ct_slice_hu + i).astype(np.int16) for i in (4, 1, 2, 0, 3)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_enhance_volume_stream_disk_to_disk(tmp_path):
+    """Disk-to-disk streaming == the in-memory path, bit for bit."""
+    from mies_tpu.io.volume import load_volume, save_volume
+    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.runner import enhance_volume, enhance_volume_stream
+
+    cfg = PipelineConfig.make(
+        [("window_hu", {"center": 40.0, "width": 400.0}),
+         ("unsharp_mask", {"radius": 1.0, "amount": 0.5})],
+        name="stream-test",
+    )
+    vol = np.random.default_rng(3).integers(-1000, 2000, (19, 32, 32),
+                                            dtype=np.int16)
+    src = tmp_path / "ct.nc"
+    save_volume(src, vol, var_name="hu")
+    dst = tmp_path / "enhanced.nc"
+    meta = enhance_volume_stream(src, cfg, dst, slab_size=8)
+    assert meta.shape == (19, 32, 32)
+    got, _ = load_volume(dst)
+    want = enhance_volume(vol, cfg, slab_size=8)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_enhance_volume_stream_npy_output(tmp_path):
+    from mies_tpu.io.volume import save_volume
+    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.runner import enhance_volume_stream
+
+    cfg = PipelineConfig.make([("adjust_gamma", {"gamma": 0.8})])
+    vol = np.random.default_rng(4).random((7, 16, 16)).astype(np.float32)
+    src = tmp_path / "v.npy"
+    np.save(src, vol)
+    dst = tmp_path / "out.npy"
+    enhance_volume_stream(src, cfg, dst, slab_size=4)
+    out = np.load(dst)
+    assert out.shape == (7, 16, 16) and out.dtype == np.uint8
