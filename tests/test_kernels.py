@@ -204,3 +204,26 @@ def test_fuse_tail_env_gate(rng, monkeypatch):
     )
     stages, fused = _try_fuse_tail(cfg, True)
     assert fused is None and len(stages) == 2  # disabled by default
+
+
+def test_tile_hists_pallas_matches_jnp_interpret(rng):
+    """Nibble outer-product hist kernel == the jnp twin, exactly
+    (interpret mode on CPU; real Mosaic covered by TPU bench runs)."""
+    from mies_tpu.kernels.clahe import _tile_hists_onehot, tile_hists_pallas
+
+    u8 = (rng.random((3, 128, 128)) * 255.999).astype(np.int32)
+    got = np.asarray(tile_hists_pallas(jnp.asarray(u8), 4, 4, interpret=True))
+    want = np.asarray(_tile_hists_onehot(jnp.asarray(u8), 4, 4))
+    np.testing.assert_array_equal(got, want)
+    # counts must sum to the tile pixel count
+    assert (got.sum(-1) == 32 * 32).all()
+
+
+def test_tile_hists_pallas_odd_tile_count(rng):
+    """Tile counts not divisible by the per-program blocking pad cleanly."""
+    from mies_tpu.kernels.clahe import _tile_hists_onehot, tile_hists_pallas
+
+    u8 = (rng.random((1, 96, 128)) * 255.999).astype(np.int32)
+    got = np.asarray(tile_hists_pallas(jnp.asarray(u8), 3, 1, interpret=True))
+    want = np.asarray(_tile_hists_onehot(jnp.asarray(u8), 3, 1))
+    np.testing.assert_array_equal(got, want)

@@ -217,3 +217,77 @@ def test_sharded_evaluate_uint8_ingest_scaling(rng):
     fn = sharded_evaluate(cfg, make_mesh(), metric_names=("psnr",), max_val=255.0)
     _, metrics = fn(jnp.asarray(batch))
     assert float(metrics["psnr"]) > 40.0
+
+
+# -- one SPMD program for CLAHE-containing chains (VERDICT r1 missing #4) -----
+
+
+FLAGSHIP = PipelineConfig.make(
+    [("clahe", {"clip_limit": 2.0, "grid_size": (8, 8),
+                "convention": "opencv"}),
+     ("bilateral_blur", {"kernel_size": 5, "sigma_color": 0.1,
+                         "sigma_space": 1.5}),
+     ("unsharp_mask", {"radius": 1.5, "amount": 1.0})],
+    name="flagship",
+)
+
+
+@pytest.mark.parametrize("space", [2, 4, 8])
+def test_clahe_chain_single_spmd_program(rng, space):
+    """The flagship chain (clahe + stencils) runs as ONE sharded program
+    and matches the unsharded compile bit-for-bit (modulo CPU FMA ties)."""
+    img = rng.random((512, 256)).astype(np.float32)
+    mesh = make_mesh(data=1, space=space)
+    out = np.asarray(spatial_shard_apply(FLAGSHIP, mesh)(jnp.asarray(img)))
+    ref = np.asarray(compile_pipeline(FLAGSHIP, donate=False)(jnp.asarray(img)))
+    _assert_shard_matches(out, ref)
+
+
+def test_clahe_chain_4096_mammogram(rng):
+    """VERDICT acceptance: flagship chain at 4096^2, 8 fake devices."""
+    img = rng.random((4096, 4096)).astype(np.float32)
+    mesh = make_mesh(data=1, space=8)
+    out = np.asarray(spatial_shard_apply(FLAGSHIP, mesh)(jnp.asarray(img)))
+    ref = np.asarray(compile_pipeline(FLAGSHIP, donate=False)(jnp.asarray(img)))
+    _assert_shard_matches(out, ref)
+
+
+def test_clahe_chain_data_space_mesh(rng):
+    """('data','space') combined program: batch of big slices sharded
+    over BOTH axes at once."""
+    from mies_tpu.parallel import batch_spatial_shard_apply
+
+    batch = rng.random((4, 256, 128)).astype(np.float32)
+    mesh = make_mesh(data=2, space=4)
+    fn = batch_spatial_shard_apply(FLAGSHIP, mesh)
+    out = fn(jnp.asarray(batch))
+    shards = out.addressable_shards
+    assert len(shards) == 8  # every device holds a (B/2, H/4) block
+    assert all(s.data.shape == (2, 64, 128) for s in shards)
+    ref = np.asarray(
+        compile_pipeline(FLAGSHIP, batched=True, donate=False)(jnp.asarray(batch))
+    )
+    _assert_shard_matches(np.asarray(out), ref)
+
+
+def test_clahe_chain_fraction_convention(rng):
+    cfg = PipelineConfig.make(
+        [("adjust_gamma", {"gamma": 0.9}),
+         ("clahe", {"clip_limit": 0.02, "grid_size": (8, 4),
+                    "convention": "fraction"}),
+         ("gaussian_blur", {"sigma": 1.0})]
+    )
+    img = rng.random((256, 128)).astype(np.float32)
+    mesh = make_mesh(data=1, space=4)
+    out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+    ref = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+    _assert_shard_matches(out, ref)
+
+
+def test_clahe_chain_rejects_skimage_convention(rng):
+    cfg = PipelineConfig.make(
+        [("clahe", {"clip_limit": 0.01, "convention": "skimage"})]
+    )
+    mesh = make_mesh(data=1, space=4)
+    with pytest.raises(ValueError, match="skimage"):
+        spatial_shard_apply(cfg, mesh)(jnp.asarray(np.zeros((256, 128), np.float32)))
