@@ -177,6 +177,9 @@ def main() -> int:
             dtype=np.dtype(w["dtype"]).type,
         )
         res["workload"] = name
+        import jax
+
+        res["backend"] = jax.default_backend()
         print(json.dumps(res))
     if not args.only:
         print(json.dumps(run_latency(quick=args.quick)))

@@ -164,7 +164,7 @@ def cmd_train_denoiser(args) -> int:
         from mies_tpu.parallel import make_mesh
 
         mesh = make_mesh()
-    state, losses = train_denoiser(
+    state, losses, report = train_denoiser(
         steps=args.steps,
         batch=args.batch,
         patch=args.patch,
@@ -173,11 +173,13 @@ def cmd_train_denoiser(args) -> int:
         sigma=args.noise_sigma,
         mesh=mesh,
         checkpoint_dir=args.output,
+        data_dir=args.data,
+        evaluate=args.eval,
     )
     print(
         json.dumps(
             {"checkpoint": args.output, "steps": int(state.step),
-             "loss_curve": losses}
+             "loss_curve": losses, **report}
         )
     )
     return 0
@@ -247,6 +249,12 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("train-denoiser", help="train the learned denoiser")
     p.add_argument("-o", "--output", required=True, help="checkpoint dir")
+    p.add_argument("--data", help="directory of real slices "
+                   "(png/jpg/tif/npy/dcm) to train on; default: synthetic "
+                   "phantoms")
+    p.add_argument("--eval", action="store_true",
+                   help="report PSNR vs the bilateral baseline on a "
+                        "held-out phantom set")
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--patch", type=int, default=64)

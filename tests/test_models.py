@@ -11,7 +11,7 @@ from mies_tpu.models.train import make_train_step, synth_batch, train_denoiser
 
 
 def test_train_loss_decreases():
-    state, losses = train_denoiser(
+    state, losses, _ = train_denoiser(
         steps=40, batch=8, patch=32, features=8, depth=4, log_every=39
     )
     assert losses[-1] < losses[0] * 0.7, losses
@@ -40,7 +40,7 @@ def test_sharded_train_step_matches_single_device():
 
 
 def test_checkpoint_roundtrip_and_denoise(tmp_path):
-    state, _ = train_denoiser(
+    state, _, _ = train_denoiser(
         steps=30, batch=8, patch=32, features=8, depth=4,
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
@@ -74,3 +74,45 @@ def test_learned_denoise_pipeline_op(tmp_path):
     img = rng.random((64, 64)).astype(np.float32)
     out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
     assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_train_denoiser_file_backed(tmp_path, rng):
+    """File-backed training (VERDICT r1 #10): train on a directory of
+    real slices, checkpoint + report written, model beats the noisy
+    input on PSNR."""
+    from PIL import Image
+
+    from mies_tpu.models.train import train_denoiser
+
+    data = tmp_path / "slices"
+    data.mkdir()
+    y, x = np.mgrid[0:96, 0:96].astype(np.float32) / 96
+    for i in range(6):
+        img = np.clip(
+            np.exp(-(((x - 0.3 - 0.1 * i) ** 2 + (y - 0.5) ** 2) / 0.05))
+            + 0.1 * rng.random((96, 96)), 0, 1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(data / f"s{i}.png")
+    np.save(data / "extra.npy", (rng.random((96, 96)) * 500).astype(np.int16))
+
+    ck = tmp_path / "ckpt"
+    state, losses, report = train_denoiser(
+        steps=60, batch=8, patch=32, features=8, depth=4,
+        data_dir=str(data), checkpoint_dir=str(ck), evaluate=True,
+        log_every=59,
+    )
+    assert losses[-1] < losses[0], losses
+    assert report["data"] == str(data)
+    assert report["psnr_model"] > report["psnr_noisy"]  # it denoises
+    assert (ck / "train_report.json").exists()
+
+
+def test_file_dataset_rejects_empty_and_small(tmp_path):
+    from mies_tpu.models.train import FileDataset
+
+    with pytest.raises(FileNotFoundError):
+        FileDataset(tmp_path, patch=32)
+    from PIL import Image
+
+    Image.fromarray(np.zeros((16, 16), np.uint8)).save(tmp_path / "tiny.png")
+    with pytest.raises(ValueError, match="smaller than patch"):
+        FileDataset(tmp_path, patch=32)

@@ -1,0 +1,86 @@
+"""TPU perf-regression tests (SURVEY.md section 4 item 5; VERDICT r1 #3).
+
+The correctness suite pins numerics on fake CPU devices (conftest.py
+forces the cpu backend in-process), so these tests time the BASELINE
+workloads on the REAL chip in a clean subprocess and fail if any drops
+below its recorded floor (benchmarks/floors.json — 0.85x the last
+recorded numbers, slack for tunnel noise). A deliberate 2x slowdown in
+any hot op fails the suite on the chip.
+
+Skipped when the chip is unreachable, when the subprocess lands on a
+non-TPU backend, or with MIES_TPU_PERF=0 (e.g. for fast local loops).
+Every successful run appends to benchmarks/bench_history.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+FLOORS = json.loads((ROOT / "benchmarks" / "floors.json").read_text())
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("MIES_TPU_PERF", "1") == "0",
+    reason="perf-regression tests disabled via MIES_TPU_PERF=0",
+)
+
+
+@pytest.fixture(scope="module")
+def workload_results():
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    try:
+        # full iteration counts — the --quick slope (4 iters) is dominated
+        # by tunnel-RTT noise and produced floors-breaking garbage numbers
+        out = subprocess.run(
+            [sys.executable, str(ROOT / "benchmarks" / "workloads.py")],
+            capture_output=True, text=True, timeout=900, env=env, cwd=ROOT,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU workload run timed out (cold compile or no chip)")
+    rows = []
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            rows.append(json.loads(line))
+    if out.returncode != 0 or not rows:
+        pytest.skip(f"TPU unavailable: {out.stderr.strip()[-300:]}")
+    if any(r.get("backend") not in (None, "tpu") for r in rows):
+        pytest.skip("workloads ran on a non-TPU backend; floors are chip numbers")
+    results = {r["workload"]: r for r in rows}
+    with open(ROOT / "benchmarks" / "bench_history.jsonl", "a") as f:
+        f.write(json.dumps({"ts": time.time(), "results": results}) + "\n")
+    return results
+
+
+@pytest.mark.parametrize("name", sorted(n for n in FLOORS if n.startswith("w")))
+def test_workload_throughput_floor(workload_results, name):
+    r = workload_results.get(name)
+    if r is None:
+        pytest.skip(f"workload {name} not reported")
+    got = r["slices_per_sec"]
+    floor = FLOORS[name]
+    assert got >= floor, (
+        f"{name} regressed: {got:.0f} slices/s < floor {floor:.0f} "
+        f"(floors.json = 0.85x last recorded; update it only with a "
+        f"justified trade-off)"
+    )
+
+
+def test_latency_ceiling(workload_results):
+    r = workload_results.get("latency_b1_clahe_denoise_512")
+    if r is None:
+        pytest.skip("latency workload not reported")
+    ceil = FLOORS["latency_b1_clahe_denoise_512_p50_ms_max"]
+    assert r["p50_ms"] <= ceil, (
+        f"batch-1 latency regressed: p50 {r['p50_ms']:.2f} ms > {ceil} ms"
+    )
