@@ -227,3 +227,20 @@ def test_tile_hists_pallas_odd_tile_count(rng):
     got = np.asarray(tile_hists_pallas(jnp.asarray(u8), 3, 1, interpret=True))
     want = np.asarray(_tile_hists_onehot(jnp.asarray(u8), 3, 1))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("integer_luts", [True, False])
+def test_apply_tile33_matches_slab_interpret(rng, integer_luts):
+    """The 3x3-stack tile-aligned apply == the slab apply, exactly
+    (both interpret mode; the TPU bit-exactness vs cv2 covers Mosaic)."""
+    from mies_tpu.kernels.clahe import _apply_lut_slab, _apply_lut_tile33
+
+    u8 = jnp.asarray((rng.random((2, 256, 256)) * 255.999).astype(np.int32))
+    luts = jnp.asarray(
+        np.clip(np.cumsum(rng.random((2, 4, 4, 256)), -1), 0, 255).astype(np.float32)
+    )
+    if not integer_luts:
+        luts = luts / 255.0
+    a = np.asarray(_apply_lut_tile33(u8, luts, (4, 4), integer_luts, True))
+    b = np.asarray(_apply_lut_slab(u8, luts, (4, 4), integer_luts, True))
+    np.testing.assert_array_equal(a, b)
