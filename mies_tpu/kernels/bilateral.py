@@ -29,7 +29,15 @@ from mies_tpu.ops.filters import _PAD_MODE
 _VMEM_BLOCK_LIMIT = 6 * 1024 * 1024
 
 
-_STRIP_ROWS = 32
+def _strip_rows(h: int) -> int:
+    """Largest supported strip height dividing h. Bigger strips amortize
+    per-program overhead: 32 -> 128 measured 1.92 -> 1.48 ms per
+    batch-32 512^2 (bit-exact); 256+ blows the Mosaic VMEM stack (the
+    unrolled k^2 temporaries get no slot sharing)."""
+    for s in (128, 64, 32):
+        if h % s == 0:
+            return s
+    return 0
 
 
 def _bilateral_kernel(
@@ -40,24 +48,25 @@ def _bilateral_kernel(
     k: int,
     spatial: tuple,  # k*k static spatial weights
     inv_two_sc2: float,
+    strip_rows: int,
 ):
     """One output row-strip. Working in strips keeps the 25 shifted-window
-    temporaries at [strip, W] (~64 KB) instead of full-image (~1 MB) —
-    Mosaic allocates unrolled-loop temporaries on the VMEM stack without
-    slot sharing, so full-image strips blow the 16 MB budget."""
+    temporaries at [strip, W] instead of full-image (~1 MB) — Mosaic
+    allocates unrolled-loop temporaries on the VMEM stack without slot
+    sharing, so full-image strips blow the 16 MB budget."""
     r = k // 2
-    s = pl.multiple_of(pl.program_id(1) * _STRIP_ROWS, _STRIP_ROWS)
+    s = pl.multiple_of(pl.program_id(1) * strip_rows, strip_rows)
     # one ALIGNED dynamic read (s is a multiple of 8); the sub-row
     # misalignments (dy, r < 8) become static slices of the register
     # value, which Mosaic handles with cheap shifts.
-    strip = xp_ref[0, pl.ds(s, _STRIP_ROWS + 8), :]  # [40, Wp]
-    center = strip[r : r + _STRIP_ROWS, r : r + w]
-    num = jnp.zeros((_STRIP_ROWS, w), jnp.float32)
-    den = jnp.zeros((_STRIP_ROWS, w), jnp.float32)
+    strip = xp_ref[0, pl.ds(s, strip_rows + 8), :]
+    center = strip[r : r + strip_rows, r : r + w]
+    num = jnp.zeros((strip_rows, w), jnp.float32)
+    den = jnp.zeros((strip_rows, w), jnp.float32)
     idx = 0
     for dy in range(k):
         for dx in range(k):
-            q = strip[dy : dy + _STRIP_ROWS, dx : dx + w]
+            q = strip[dy : dy + strip_rows, dx : dx + w]
             d = q - center
             wgt = np.float32(spatial[idx]) * jnp.exp(
                 -(d * d) * np.float32(inv_two_sc2)
@@ -96,8 +105,9 @@ def bilateral_tpu(
         .ravel()
         .tolist()
     )
-    if h % _STRIP_ROWS:
-        raise ValueError(f"H must be a multiple of {_STRIP_ROWS}")
+    strip_rows = _strip_rows(h)
+    if not strip_rows:
+        raise ValueError("H must be a multiple of 32")
     if k > 9:
         raise ValueError("kernel_size > 9 unsupported by the strip kernel")
     xp = jnp.pad(
@@ -114,18 +124,19 @@ def bilateral_tpu(
         k=k,
         spatial=spatial,
         inv_two_sc2=1.0 / (2.0 * float(sigma_color) ** 2),
+        strip_rows=strip_rows,
     )
     return pl.pallas_call(
         kern,
         interpret=interpret,
-        grid=(B, h // _STRIP_ROWS),
+        grid=(B, h // strip_rows),
         in_specs=[
             # whole padded image per program; the block index is constant
             # across the strip axis, so Mosaic fetches it once per image.
             pl.BlockSpec((1, h + 8, w + 2 * r), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _STRIP_ROWS, w), lambda b, s: (b, s, 0),
+        out_specs=pl.BlockSpec((1, strip_rows, w), lambda b, s: (b, s, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, h, w), jnp.float32),
     )(xp)
@@ -138,7 +149,7 @@ def bilateral_supported(shape: tuple[int, int], kernel_size: int) -> bool:
     block_bytes = (h + 2 * r) * (w + 2 * r) * 4
     return (
         block_bytes <= _VMEM_BLOCK_LIMIT
-        and h % _STRIP_ROWS == 0
+        and _strip_rows(h) > 0
         and w >= 128
     )
 

@@ -30,8 +30,14 @@ def rng():
 
 
 @pytest.fixture(scope="session")
-def xray(rng):
-    """Synthetic 512x512 'chest X-ray': smooth anatomy + texture + vignette."""
+def xray():
+    """Synthetic 512x512 'chest X-ray': smooth anatomy + texture + vignette.
+
+    Own fixed-seed rng: the shared session `rng` fixture's state depends
+    on which tests ran first, which made golden tolerances order-
+    dependent (caught in round 2 — full-suite runs produced different
+    fixture data than single-file runs)."""
+    rng = np.random.default_rng(1042)
     h = w = 512
     y, x = np.mgrid[0:h, 0:w].astype(np.float32)
     cy, cx = h / 2, w / 2
@@ -44,8 +50,9 @@ def xray(rng):
 
 
 @pytest.fixture(scope="session")
-def ct_slice_hu(rng):
+def ct_slice_hu():
     """Synthetic int16 CT slice in Hounsfield units [-1024, 2000]."""
+    rng = np.random.default_rng(2042)
     h = w = 256
     y, x = np.mgrid[0:h, 0:w].astype(np.float32)
     r = np.sqrt((y - h / 2) ** 2 + (x - w / 2) ** 2)
@@ -56,8 +63,9 @@ def ct_slice_hu(rng):
 
 
 @pytest.fixture(scope="session")
-def impulse_image(rng):
+def impulse_image():
     """Gradient with salt & pepper noise — median/bilateral workloads."""
+    rng = np.random.default_rng(3042)
     h = w = 128
     img = np.linspace(0, 1, w, dtype=np.float32)[None, :].repeat(h, axis=0)
     mask = rng.random((h, w))

@@ -21,6 +21,7 @@ _CHAINABLE = [
     ("normalize", {}),
     ("rescale_intensity", {}),
     ("equalize_hist", {}),
+    ("equalize", {}),
     ("clahe", {"clip_limit": 2.0, "grid_size": (4, 4)}),
     ("gaussian_blur", {"sigma": 1.0}),
     ("box_blur", {}),
