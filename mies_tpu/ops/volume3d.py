@@ -53,23 +53,187 @@ def _axis_weights(n: int, t: int, g: int):
     return lo, hi, a
 
 
+def _apply_maps_selection3d(
+    binned: Array, map_array: Array, ks: tuple[int, int, int], nbins: int
+) -> Array:
+    """8-corner trilinear interpolation between neighboring region maps.
+
+    binned:    [Z, H, W] int32 (dims multiples of ks — the padded volume)
+    map_array: [nz+1, ny+1, nx+1, nbins] f32 integer-valued, edge-padded.
+    Gatherless selection-by-matmul scanned in bounded chunks, mirroring
+    the 2-D form (mies_tpu.ops.histogram._apply_maps_selection).
+    """
+    kz, ky, kx = ks
+    z, h, w = binned.shape
+    nz, ny, nx = z // kz, h // ky, w // kx
+    p = kz * ky * kx
+    nb = nz * ny * nx
+    blocks = (
+        binned.reshape(nz, kz, ny, ky, nx, kx)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(nb, p)
+    )
+    m8 = jnp.stack(
+        [
+            map_array[ez : ez + nz, ey : ey + ny, ex : ex + nx]
+            for ez in range(2)
+            for ey in range(2)
+            for ex in range(2)
+        ],
+        axis=3,
+    ).reshape(nb, 8, nbins)
+
+    ch = max(1, min(nb, (1 << 20) // max(p, 1)))
+    pad = (-nb) % ch
+    if pad:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((pad, p), blocks.dtype)], axis=0
+        )
+        m8 = jnp.concatenate([m8, jnp.zeros((pad, 8, nbins), m8.dtype)], axis=0)
+
+    def step(_, inp):
+        blk, maps = inp
+        oh = (blk[:, :, None] == jnp.arange(nbins, dtype=jnp.int32)).astype(
+            jnp.float32
+        )
+        sel = jnp.einsum(
+            "bpc,bec->bpe", oh, maps, precision=jax.lax.Precision.HIGHEST
+        )
+        return None, sel
+
+    _, sels = jax.lax.scan(
+        step, None,
+        (blocks.reshape(-1, ch, p), m8.reshape(-1, ch, 8, nbins)),
+    )
+    sels = sels.reshape(-1, p, 8)[:nb]  # [NB, P, 8]
+
+    wz = jnp.arange(kz, dtype=jnp.float32) / kz
+    wy = jnp.arange(ky, dtype=jnp.float32) / ky
+    wx = jnp.arange(kx, dtype=jnp.float32) / kx
+    acc = jnp.zeros((nb, p), jnp.float32)
+    e = 0
+    for ez in range(2):
+        cz = wz if ez else 1.0 - wz
+        for ey in range(2):
+            cy = wy if ey else 1.0 - wy
+            for ex in range(2):
+                cx = wx if ex else 1.0 - wx
+                coeff = (
+                    cz[:, None, None] * cy[None, :, None] * cx[None, None, :]
+                ).reshape(p)
+                acc = acc + sels[:, :, e] * coeff[None, :]
+                e += 1
+    result = jnp.floor(acc)  # float32 -> uint16 cast truncates
+    return (
+        result.reshape(nz, ny, nx, kz, ky, kx)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(z, h, w)
+    )
+
+
+def _clahe3d_skimage(
+    vol: Array, kernel_size: tuple[int, int, int], clip_limit: float,
+    nbins: int = NBINS,
+) -> Array:
+    """True skimage equalize_adapthist on a [Z, H, W] volume — the N-D
+    algorithm of mies_tpu.ops.histogram._clahe_skimage with cubic
+    regions and 8-corner trilinear interpolation. Golden:
+    tests/goldens/golden_ops.py::equalize_adapthist3d_skimage."""
+    from mies_tpu.ops.histogram import (
+        NR_OF_GRAY,
+        _clip_histogram_skimage,
+        _region_hists_onehot,
+    )
+
+    x = vol.astype(jnp.float32)
+    u16 = jnp.clip(jnp.rint(x * 65535.0), 0, 65535)
+    vmin = jnp.min(u16)
+    vmax = jnp.max(u16)
+    span = vmax - vmin
+    scaled = jnp.where(
+        span > 0,
+        (u16 - vmin) / jnp.maximum(span, 1.0) * (NR_OF_GRAY - 1),
+        jnp.clip(u16, 0, NR_OF_GRAY - 1),
+    )
+    image = jnp.rint(scaled).astype(jnp.int32)
+
+    ks = tuple(int(k) for k in kernel_size)
+    pad0 = [k // 2 for k in ks]
+    pad1 = [
+        (k - s % k) % k + -(-k // 2) for k, s in zip(ks, image.shape)
+    ]
+    image = jnp.pad(image, list(zip(pad0, pad1)), mode="reflect")
+    shp = image.shape
+
+    bin_size = 1 + NR_OF_GRAY // nbins
+    binned = image // bin_size
+
+    ns = [s // k - 1 for s, k in zip(shp, ks)]
+    k_elems = ks[0] * ks[1] * ks[2]
+    clim = int(np.clip(clip_limit * k_elems, 1, None))
+    regions = binned[
+        pad0[0] : pad0[0] + ns[0] * ks[0],
+        pad0[1] : pad0[1] + ns[1] * ks[1],
+        pad0[2] : pad0[2] + ns[2] * ks[2],
+    ]
+    regions = (
+        regions.reshape(ns[0], ks[0], ns[1], ks[1], ns[2], ks[2])
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(ns[0] * ns[1] * ns[2], k_elems)
+    )
+    hists = _region_hists_onehot(regions, nbins)
+    hists = _clip_histogram_skimage(hists, clim, nbins)
+
+    maps = jnp.cumsum(hists.astype(jnp.float32), axis=1) * jnp.float32(
+        (NR_OF_GRAY - 1) / k_elems
+    )
+    maps = jnp.floor(jnp.minimum(maps, NR_OF_GRAY - 1))
+    maps = maps.reshape(*ns, nbins)
+    map_array = jnp.pad(maps, [(1, 1)] * 3 + [(0, 0)], mode="edge")
+
+    result = _apply_maps_selection3d(binned, map_array, ks, nbins)
+    result = result[
+        pad0[0] : shp[0] - pad1[0],
+        pad0[1] : shp[1] - pad1[1],
+        pad0[2] : shp[2] - pad1[2],
+    ]
+
+    rmin = jnp.min(result)
+    rmax = jnp.max(result)
+    out = jnp.where(
+        rmax > rmin,
+        (result - rmin) / jnp.maximum(rmax - rmin, 1.0),
+        jnp.clip(result / 65535.0, 0.0, 1.0),
+    )
+    return out.astype(jnp.float32)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("grid_size", "clip_limit", "convention")
+    jax.jit,
+    static_argnames=("grid_size", "clip_limit", "convention", "kernel_size"),
 )
 def clahe3d(
     vol: Array,
     clip_limit: float = 2.0,
     grid_size: tuple[int, int, int] = (4, 8, 8),
     convention: str = "opencv",
+    kernel_size: tuple[int, int, int] | None = None,
 ) -> Array:
     """3-D CLAHE on a float [0,1] volume [Z, H, W].
 
-    Z, H, W must be divisible by grid_size. Returns float32 [Z, H, W].
+    convention="opencv"/"fraction": Z, H, W must be divisible by
+    grid_size. convention="skimage": true N-D equalize_adapthist
+    semantics (any shape; ``kernel_size`` defaults to
+    (Z//gz, H//gy, W//gx), min 1 per dim). Returns float32 [Z, H, W].
     """
     if vol.ndim != 3:
         raise ValueError(f"clahe3d expects [Z, H, W]; got {vol.shape}")
     gz, gy, gx = grid_size
     z, h, w = vol.shape
+    if convention == "skimage":
+        if kernel_size is None:
+            kernel_size = (max(z // gz, 1), max(h // gy, 1), max(w // gx, 1))
+        return _clahe3d_skimage(vol, kernel_size, clip_limit)
     if z % gz or h % gy or w % gx:
         raise ValueError(f"volume {vol.shape} not divisible by grid {grid_size}")
     tz, th, tw = z // gz, h // gy, w // gx

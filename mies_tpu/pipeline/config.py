@@ -270,8 +270,12 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "clip_limit": (_pos, "a number > 0"),
         "grid_size": (_int_pair(3), "a triple of ints >= 1"),
         "convention": (
-            lambda v: v in ("opencv", "fraction"),
-            "one of 'opencv', 'fraction'",
+            lambda v: v in ("opencv", "skimage", "fraction"),
+            "one of 'opencv', 'skimage', 'fraction'",
+        ),
+        "kernel_size": (
+            lambda v: v is None or _int_pair(3)(v),
+            "a triple of ints >= 1 (or omitted)",
         ),
     },
     "gaussian_blur": {

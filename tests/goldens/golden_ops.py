@@ -487,6 +487,90 @@ def _trilerp_luts(u8, luts, tile, grid, dtype=np.float64):
     return c0 * (1 - za) + c1 * za
 
 
+def equalize_adapthist3d_skimage(vol, kernel_size=None, clip_limit=0.01,
+                                 nbins=NBINS):
+    """skimage.exposure.equalize_adapthist on a 3-D volume — the same
+    N-D algorithm as the 2-D transcription (equalize_adapthist_skimage),
+    with kernel-sized CUBIC regions, 8-corner trilinear interpolation
+    between neighboring region maps, and the same in/out min-max
+    stretches. skimage's implementation is natively N-D; this pins the
+    3-D contract for mies_tpu.ops.volume3d.clahe3d(convention='skimage').
+    """
+    vol = np.asarray(vol, dtype=np.float64)
+    u16 = np.clip(np.rint(vol * 65535.0), 0, 65535)
+    vmin, vmax = u16.min(), u16.max()
+    if vmax > vmin:
+        scaled = (u16 - vmin) / (vmax - vmin) * (NR_OF_GRAY - 1)
+    else:
+        scaled = np.clip(u16, 0, NR_OF_GRAY - 1)
+    image = np.rint(scaled).astype(np.int64)
+
+    if kernel_size is None:
+        kernel_size = tuple(max(s // 8, 1) for s in image.shape)
+    ks = [int(k) for k in kernel_size]
+
+    pad0 = [k // 2 for k in ks]
+    pad1 = [
+        (k - s % k) % k + int(np.ceil(k / 2.0))
+        for k, s in zip(ks, image.shape)
+    ]
+    image = np.pad(image, list(zip(pad0, pad1)), mode="reflect")
+    shp = image.shape
+
+    bin_size = 1 + NR_OF_GRAY // nbins
+    binned = image // bin_size
+
+    ns = [s // k - 1 for s, k in zip(shp, ks)]
+    k_elems = int(np.prod(ks))
+    clim = int(np.clip(clip_limit * k_elems, 1, None))
+    maps = np.zeros((*ns, nbins), np.int64)
+    for i in range(ns[0]):
+        for j in range(ns[1]):
+            for k in range(ns[2]):
+                reg = binned[
+                    pad0[0] + i * ks[0] : pad0[0] + (i + 1) * ks[0],
+                    pad0[1] + j * ks[1] : pad0[1] + (j + 1) * ks[1],
+                    pad0[2] + k * ks[2] : pad0[2] + (k + 1) * ks[2],
+                ]
+                hist = np.bincount(reg.ravel(), minlength=nbins)
+                hist = _clip_histogram_skimage(hist, clim)
+                m = hist.cumsum().astype(np.float64) * (
+                    (NR_OF_GRAY - 1) / k_elems
+                )
+                maps[i, j, k] = np.clip(m, None, NR_OF_GRAY - 1).astype(np.int64)
+
+    map_array = np.pad(maps, [(1, 1)] * 3 + [(0, 0)], mode="edge")
+    nb = [s // k for s, k in zip(shp, ks)]
+    wz = np.tile(np.arange(ks[0], dtype=np.float64) / ks[0], nb[0])[:, None, None]
+    wy = np.tile(np.arange(ks[1], dtype=np.float64) / ks[1], nb[1])[None, :, None]
+    wx = np.tile(np.arange(ks[2], dtype=np.float64) / ks[2], nb[2])[None, None, :]
+    zb = (np.arange(shp[0]) // ks[0])[:, None, None]
+    yb = (np.arange(shp[1]) // ks[1])[None, :, None]
+    xb = (np.arange(shp[2]) // ks[2])[None, None, :]
+    result = np.zeros(shp, np.float32)
+    for ez in (0, 1):
+        for ey in (0, 1):
+            for ex in (0, 1):
+                sel = map_array[zb + ez, yb + ey, xb + ex, binned]
+                cz = wz if ez else 1.0 - wz
+                cy = wy if ey else 1.0 - wy
+                cx = wx if ex else 1.0 - wx
+                result += (sel * (cz * cy * cx)).astype(np.float32)
+    result = result.astype(np.int64)
+
+    result = result[
+        pad0[0] : shp[0] - pad1[0],
+        pad0[1] : shp[1] - pad1[1],
+        pad0[2] : shp[2] - pad1[2],
+    ]
+    rmin, rmax = result.min(), result.max()
+    if rmax > rmin:
+        out = (result - rmin) / float(rmax - rmin)
+    else:
+        out = np.clip(result / 65535.0, 0.0, 1.0)
+    return out.astype(np.float32)
+
+
 def clahe3d_fraction(vol, clip_limit=0.01, grid_size=(2, 4, 4)):
     """3-D CLAHE golden (fraction convention): volumetric tile histograms,
     single-pass uniform redistribution, trilinear LUT interpolation with

@@ -257,3 +257,43 @@ def test_enhance_batch_mixed_sizes_and_corrupt(tmp_path, rng):
     for i, (h, w) in enumerate(sizes):
         out = np.asarray(Image.open(outdir / f"img{i}_{h}x{w}.png"))
         assert out.shape == (h, w)
+
+
+def test_cli_enhance_volume_stream(tmp_path, monkeypatch):
+    """CLI --stream: disk-to-disk, output readable, metadata printed."""
+    import json as _json
+
+    from mies_tpu import cli
+    from mies_tpu.io.volume import load_volume, save_volume
+
+    vol = np.random.default_rng(9).integers(-500, 1500, (9, 32, 32), dtype=np.int16)
+    src = tmp_path / "ct.nc"
+    save_volume(src, vol, var_name="hu")
+    cfg = tmp_path / "c.json"
+    cfg.write_text(_json.dumps({"name": "s", "pipeline": [
+        {"op": "window_hu", "center": 40.0, "width": 400.0},
+        {"op": "adjust_gamma", "gamma": 0.9},
+    ]}))
+    out = tmp_path / "enhanced.nc"
+    rc = cli.main(["enhance-volume", str(src), "-c", str(cfg),
+                   "-o", str(out), "--stream", "-q"])
+    assert rc == 0
+    got, meta = load_volume(out)
+    assert got.shape == (9, 32, 32) and got.dtype == np.uint8
+
+
+def test_cli_stream_rejects_metrics(tmp_path):
+    import json as _json
+
+    from mies_tpu import cli
+    from mies_tpu.io.volume import save_volume
+
+    src = tmp_path / "v.nc"
+    save_volume(src, np.zeros((4, 16, 16), np.int16), var_name="hu")
+    cfg = tmp_path / "c.json"
+    cfg.write_text(_json.dumps({"name": "s", "pipeline": [
+        {"op": "window_hu", "center": 0.0, "width": 100.0}]}))
+    with pytest.raises(SystemExit, match="stream"):
+        cli.main(["enhance-volume", str(src), "-c", str(cfg),
+                  "-o", str(tmp_path / "o.nc"), "--stream",
+                  "--metrics", "psnr"])

@@ -130,3 +130,38 @@ def test_clahe3d_opencv_golden_various_grids():
         diff = np.abs(np.rint(out * 255) - np.rint(ref * 255))
         assert diff.max() <= 1, f"grid={grid} max={diff.max()}"
         assert (diff > 0).mean() < 3e-3
+
+
+def test_clahe3d_skimage_matches_golden():
+    """True N-D skimage equalize_adapthist on a volume vs the 3-D
+    transcribed golden (same outlier contract as the 2-D tests)."""
+    from mies_tpu.ops.volume3d import clahe3d
+    from tests.goldens.golden_ops import equalize_adapthist3d_skimage
+
+    vol = np.random.default_rng(11).random((16, 48, 48)).astype(np.float32)
+    out = np.asarray(
+        clahe3d(jnp.asarray(vol), clip_limit=0.01, grid_size=(2, 4, 4),
+                convention="skimage")
+    )
+    ref = equalize_adapthist3d_skimage(vol, kernel_size=(8, 12, 12),
+                                       clip_limit=0.01)
+    d = np.abs(out - ref)
+    assert (d > 1.0 / 255.0).mean() <= 5e-5
+    assert d.max() <= max(2.0 / 255.0, 0.01 + 1.0 / 255.0)
+
+
+def test_clahe3d_skimage_nondivisible_shape():
+    from mies_tpu.ops.volume3d import clahe3d
+    from tests.goldens.golden_ops import equalize_adapthist3d_skimage
+
+    vol = np.random.default_rng(12).random((10, 33, 47)).astype(np.float32)
+    out = np.asarray(
+        clahe3d(jnp.asarray(vol), convention="skimage",
+                kernel_size=(4, 8, 8), clip_limit=0.02)
+    )
+    ref = equalize_adapthist3d_skimage(vol, kernel_size=(4, 8, 8),
+                                       clip_limit=0.02)
+    assert out.shape == vol.shape
+    d = np.abs(out - ref)
+    assert (d > 1.0 / 255.0).mean() <= 5e-5
+    assert d.max() <= max(2.0 / 255.0, 0.02 + 1.0 / 255.0)
