@@ -131,7 +131,8 @@ def load_volume(
 
 
 def save_volume(path: str | Path, vol: np.ndarray, var_name: str = "enhanced") -> None:
-    """Save a volume as .npz (compressed), .npy, or a DICOM series.
+    """Save a volume as .nc (classic NetCDF-3), .npz (compressed), .npy,
+    or a DICOM series.
 
     A path with no (known) suffix is treated as a directory and written
     as numbered DICOM slices (uint8 enhanced output stays uint8; int16

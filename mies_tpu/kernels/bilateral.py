@@ -1,15 +1,20 @@
-"""Pallas bilateral filter: whole image resident in VMEM.
+"""Pallas bilateral filter: whole image resident in VMEM, symmetric pairs.
 
 XLA's shifted-window formulation re-reads the padded image from HBM for
 each of the k^2 offsets (~25x the image in traffic). Here the padded
-image sits in VMEM once per program (a 520^2 f32 slice is ~1.1 MB, well
-under the ~16 MB budget), and the k^2 weighted accumulation runs
-entirely on the VPU: traffic drops to 2 images per slice, measured
-~2.3x faster at 512^2 batch 32.
+image sits in VMEM once per program and the accumulation runs on the
+VPU. The kernel is exp-BOUND (~210 M transcendentals per batch-32 of
+512^2 at k=5), so it exploits the range weight's symmetry
+w(p, q) == w(q, p): each UNORDERED pixel pair's exp is computed once
+and credited to both endpoints' running sums — 12.5 effective offsets
+instead of 25. Measured 1.92 (strip-32 ordered) -> 1.48 (strip-128
+ordered) -> 0.82 ms (strip-64 symmetric) per batch-32 512^2.
 
-Semantics identical to mies_tpu.ops.filters.bilateral_blur (same
-formula, same f32 accumulation order: offsets scanned row-major with
-two running sums).
+Numerics: same formula and f32 math as mies_tpu.ops.filters.
+bilateral_blur, but the pair-symmetric accumulation ORDER differs from
+the twin's row-major offset scan, so results match within f32
+summation-order ULPs (measured max ~7e-7 on [0,1] images; the test
+contract is atol 1e-6), not bit-exactly.
 """
 
 from __future__ import annotations
@@ -30,18 +35,18 @@ _VMEM_BLOCK_LIMIT = 6 * 1024 * 1024
 
 
 def _strip_rows(h: int) -> int:
-    """Largest supported strip height dividing h. Bigger strips amortize
-    per-program overhead: 32 -> 128 measured 1.92 -> 1.48 ms per
-    batch-32 512^2 (bit-exact); 256+ blows the Mosaic VMEM stack (the
-    unrolled k^2 temporaries get no slot sharing)."""
-    for s in (128, 64, 32):
+    """Largest supported strip height dividing h. 64 measured fastest
+    for the symmetric kernel (the per-pair E arrays make 128-row strips
+    register-pressure-bound); 256+ blows the Mosaic VMEM stack (the
+    unrolled temporaries get no slot sharing)."""
+    for s in (64, 32):
         if h % s == 0:
             return s
     return 0
 
 
 def _bilateral_kernel(
-    xp_ref,   # [1, Hp, Wp] f32 padded image (same block for all strips)
+    xp_ref,   # [1, Hp, Wp] f32 2r-padded image (same block for all strips)
     out_ref,  # [1, strip, W] f32
     *,
     w: int,
@@ -49,31 +54,47 @@ def _bilateral_kernel(
     spatial: tuple,  # k*k static spatial weights
     inv_two_sc2: float,
     strip_rows: int,
+    win_rows: int,
 ):
-    """One output row-strip. Working in strips keeps the 25 shifted-window
-    temporaries at [strip, W] instead of full-image (~1 MB) — Mosaic
-    allocates unrolled-loop temporaries on the VMEM stack without slot
-    sharing, so full-image strips blow the 16 MB budget."""
+    """One output row-strip, symmetric-pair accumulation.
+
+    The window covers the 2r-padded rows [s, s + win_rows); output rows
+    are window idx [2r, 2r + strip). For each HALF offset d (dy > 0, or
+    dy == 0 and dx > 0) the range weight E is computed ONCE over the
+    pair-origin region (window rows [r, 2r + strip), cols
+    [r, r + w + 2r)) and credited forward (pair origin = output pixel)
+    AND reverse (pair destination = output pixel) — every unordered
+    pair's exp happens once per strip; only the r boundary rows are
+    recomputed by the neighboring strip.
+    """
     r = k // 2
-    s = pl.multiple_of(pl.program_id(1) * strip_rows, strip_rows)
-    # one ALIGNED dynamic read (s is a multiple of 8); the sub-row
-    # misalignments (dy, r < 8) become static slices of the register
-    # value, which Mosaic handles with cheap shifts.
-    strip = xp_ref[0, pl.ds(s, strip_rows + 8), :]
-    center = strip[r : r + strip_rows, r : r + w]
-    num = jnp.zeros((strip_rows, w), jnp.float32)
-    den = jnp.zeros((strip_rows, w), jnp.float32)
-    idx = 0
-    for dy in range(k):
-        for dx in range(k):
-            q = strip[dy : dy + strip_rows, dx : dx + w]
-            d = q - center
-            wgt = np.float32(spatial[idx]) * jnp.exp(
-                -(d * d) * np.float32(inv_two_sc2)
-            )
-            num = num + wgt * q
-            den = den + wgt
-            idx += 1
+    s_rows = strip_rows
+    s = pl.multiple_of(pl.program_id(1) * s_rows, s_rows)
+    win = xp_ref[0, pl.ds(s, win_rows), :]  # [win_rows, w + 4r]
+
+    center = win[2 * r : 2 * r + s_rows, 2 * r : 2 * r + w]
+    num = center * np.float32(1.0)  # center pair: weight exactly 1
+    den = jnp.ones((s_rows, w), jnp.float32)
+
+    offs = [(0, dx) for dx in range(1, r + 1)] + [
+        (dy, dx) for dy in range(1, r + 1) for dx in range(-r, r + 1)
+    ]
+    for dy, dx in offs:
+        sd = np.float32(spatial[(dy + r) * k + (dx + r)])
+        a = win[r : r + s_rows + r, r : r + w + 2 * r]
+        b = win[r + dy : r + dy + s_rows + r, r + dx : r + dx + w + 2 * r]
+        d = b - a
+        e = sd * jnp.exp(-(d * d) * np.float32(inv_two_sc2))  # [S+r, w+2r]
+        # forward: pair origin p is the output pixel
+        ef = e[r : r + s_rows, r : r + w]
+        xq = win[2 * r + dy : 2 * r + dy + s_rows, 2 * r + dx : 2 * r + dx + w]
+        num = num + ef * xq
+        den = den + ef
+        # reverse: pair destination q = p + d is the output pixel
+        er = e[r - dy : r - dy + s_rows, r - dx : r - dx + w]
+        xp_ = win[2 * r - dy : 2 * r - dy + s_rows, 2 * r - dx : 2 * r - dx + w]
+        num = num + er * xp_
+        den = den + er
     out_ref[0] = num / den
 
 
@@ -89,11 +110,11 @@ def bilateral_tpu(
     mode: str = "reflect",
     interpret: bool = False,
 ) -> Array:
-    """Batched bilateral filter, Pallas whole-image-in-VMEM kernel.
+    """Batched bilateral filter, Pallas symmetric-pair kernel.
 
     batch: [B, H, W] float32. Same results as the XLA path up to f32
-    summation-order ULPs (both sum the k^2 window terms; the kernel uses
-    two running sums in row-major offset order).
+    summation-order ULPs (the pair-symmetric accumulation reorders the
+    k^2 window sum; measured max ~7e-7 on [0,1] images).
     """
     B, h, w = batch.shape
     k = kernel_size
@@ -111,11 +132,14 @@ def bilateral_tpu(
     if k > 9:
         raise ValueError("kernel_size > 9 unsupported by the strip kernel")
     xp = jnp.pad(
-        batch.astype(jnp.float32), ((0, 0), (r, r), (r, r)), mode=_PAD_MODE[mode]
+        batch.astype(jnp.float32),
+        ((0, 0), (2 * r, 2 * r), (2 * r, 2 * r)),
+        mode=_PAD_MODE[mode],
     )
-    # each strip reads an aligned (_STRIP_ROWS + 8)-row window; pad the
-    # bottom so the last strip's read stays in bounds (extra rows unused)
-    extra = (h + 8) - (h + 2 * r)
+    # window length rounded to a sublane multiple; pad the bottom so the
+    # last strip's aligned read stays in bounds (extra rows unused)
+    win_rows = strip_rows + ((4 * r + 7) // 8) * 8
+    extra = win_rows - strip_rows - 4 * r
     if extra > 0:
         xp = jnp.pad(xp, ((0, 0), (0, extra), (0, 0)), mode="edge")
     kern = functools.partial(
@@ -125,6 +149,7 @@ def bilateral_tpu(
         spatial=spatial,
         inv_two_sc2=1.0 / (2.0 * float(sigma_color) ** 2),
         strip_rows=strip_rows,
+        win_rows=win_rows,
     )
     return pl.pallas_call(
         kern,
@@ -133,8 +158,11 @@ def bilateral_tpu(
         in_specs=[
             # whole padded image per program; the block index is constant
             # across the strip axis, so Mosaic fetches it once per image.
-            pl.BlockSpec((1, h + 8, w + 2 * r), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, h + 4 * r + max(extra, 0), w + 4 * r),
+                lambda b, s: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec((1, strip_rows, w), lambda b, s: (b, s, 0),
                                memory_space=pltpu.VMEM),
@@ -146,7 +174,7 @@ def bilateral_supported(shape: tuple[int, int], kernel_size: int) -> bool:
     """VMEM fit check + tiling sanity for the Pallas path."""
     h, w = shape
     r = kernel_size // 2
-    block_bytes = (h + 2 * r) * (w + 2 * r) * 4
+    block_bytes = (h + 4 * r) * (w + 4 * r) * 4
     return (
         block_bytes <= _VMEM_BLOCK_LIMIT
         and _strip_rows(h) > 0

@@ -107,7 +107,10 @@ def test_bilateral_kernel_interpret_matches_jnp(rng, k, sc, ss):
     ref = np.asarray(
         jax.vmap(lambda x: bilateral_blur(x, k, sc, ss))(jnp.asarray(imgs))
     )
-    np.testing.assert_allclose(out, ref, atol=1e-6)
+    # the symmetric-pair kernel reorders the k^2 window sum vs the
+    # twin's row-major scan: f32 summation-order ULPs only (measured
+    # max ~8e-7 at 512^2 on chip)
+    np.testing.assert_allclose(out, ref, atol=2e-6)
 
 
 def test_bilateral_supported_bounds():
