@@ -247,3 +247,19 @@ def test_apply_tile33_matches_slab_interpret(rng, integer_luts):
     a = np.asarray(_apply_lut_tile33(u8, luts, (4, 4), integer_luts, True))
     b = np.asarray(_apply_lut_slab(u8, luts, (4, 4), integer_luts, True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_bilateral_strip32_fallback_interpret(rng):
+    """Heights divisible by 32 but not 64 take the strip-32 path."""
+    from mies_tpu.kernels.bilateral import _strip_rows, bilateral_tpu
+    from mies_tpu.ops.filters import bilateral_blur
+
+    assert _strip_rows(96) == 32 and _strip_rows(128) == 64
+    imgs = rng.random((1, 96, 128)).astype(np.float32)
+    out = np.asarray(
+        bilateral_tpu(jnp.asarray(imgs), 5, 0.1, 1.5, "reflect", interpret=True)
+    )
+    ref = np.asarray(
+        jax.vmap(lambda x: bilateral_blur(x, 5, 0.1, 1.5))(jnp.asarray(imgs))
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-6)
