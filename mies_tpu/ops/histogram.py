@@ -47,12 +47,15 @@ NBINS = 256
 
 
 def _global_hist_onehot(idx_flat: Array, nbins: int) -> Array:
-    """Histogram of int32 indices via onehot reduce (exact f32 counts).
+    """Histogram of int32 indices via nibble OUTER PRODUCT (exact f32).
 
-    TPUs have no fast scatter; the gatherless form — compare against an
-    iota of bins and reduce — is 20-50x faster on the VPU/MXU (measured,
-    SURVEY.md section 7 hard part #2). Out-of-range indices (< 0) are
-    counted nowhere, which the padding below exploits.
+    TPUs have no fast scatter; the gatherless form is 20-50x faster
+    (measured, SURVEY.md section 7 hard part #2). For 256 bins the
+    nibble decomposition — hist[hi*16+lo] = sum_p onehot4(v>>4)[hi] *
+    onehot4(v&15)[lo], one [16, n] x [n, 16] matmul — needs 32
+    compares/pixel instead of 256 (same trick as the CLAHE tile
+    histogram kernel). Out-of-range indices (< 0) are counted nowhere,
+    which the padding below exploits (-1 >> 4 == -1 matches no bin).
     """
     n = idx_flat.shape[0]
     pad = (-n) % 512
@@ -60,6 +63,19 @@ def _global_hist_onehot(idx_flat: Array, nbins: int) -> Array:
         idx_flat = jnp.concatenate(
             [idx_flat, jnp.full((pad,), -1, jnp.int32)]
         )
+    if nbins == 256:
+        i16 = jnp.arange(16, dtype=jnp.int32)
+        # negative padding indices: x >> 4 < 0 matches no hi bin, so the
+        # outer product counts them nowhere (x & 15 alone would alias)
+        ohh = (idx_flat >> 4)[:, None] == i16
+        ohl = (idx_flat & 15)[:, None] == i16
+        h2 = jnp.einsum(
+            "ph,pl->hl",
+            ohh.astype(jnp.bfloat16),
+            ohl.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return h2.reshape(nbins)
     chunks = idx_flat.reshape(-1, 512)
     bins = jnp.arange(nbins, dtype=jnp.int32)
     oh = chunks[:, :, None] == bins[None, None, :]
