@@ -231,6 +231,54 @@ def read_dicom(path: str | Path) -> DicomSlice:
     )
 
 
+def read_dicom_header(path: str | Path) -> dict:
+    """Parse ordering/shape metadata WITHOUT decoding pixels.
+
+    Returns {rows, cols, instance, slice_loc, ipp_z} (missing keys
+    omitted). Used by the slab-streaming ordering pass — a full
+    read_dicom would pay the O(pixels) frombuffer + rescale per file
+    just to read three tags (round-2 review finding).
+    """
+    data = Path(path).read_bytes()
+    ts, offset = _parse_meta(data)
+    explicit = ts != IMPLICIT_VR_LE
+    if ts not in (IMPLICIT_VR_LE, EXPLICIT_VR_LE):
+        raise NotImplementedError(
+            f"transfer syntax {ts} not supported (only uncompressed LE)"
+        )
+    r = _Reader(data, explicit=explicit)
+    r.pos = offset
+    meta: dict = {}
+    while not r.eof():
+        t, vr, length = r.element()
+        if length == 0xFFFFFFFF:
+            r.skip_undefined(vr)
+            continue
+        if t == _TAG_PIXEL_DATA:
+            r.pos += length  # skip the pixels — header-only parse
+            continue
+        v = r.value(length)
+        if t == _TAG_ROWS:
+            meta["rows"] = struct.unpack("<H", v[:2])[0]
+        elif t == _TAG_COLS:
+            meta["cols"] = struct.unpack("<H", v[:2])[0]
+        elif t == _TAG_INSTANCE:
+            try:
+                meta["instance"] = int(v.decode("ascii").strip(" \x00"))
+            except ValueError:
+                pass
+        elif t == _TAG_SLICE_LOC:
+            try:
+                meta["slice_loc"] = float(v.decode("ascii").strip(" \x00"))
+            except ValueError:
+                pass
+        elif t == _TAG_IPP:
+            parts = v.decode("ascii").strip(" \x00").split("\\")
+            if len(parts) == 3:
+                meta["ipp_z"] = float(parts[2])
+    return meta
+
+
 def read_dicom_series(directory: str | Path, pattern: str = "*.dcm") -> np.ndarray:
     """Load a directory of DICOM slices into one [Z, H, W] int16 HU volume.
 

@@ -82,9 +82,11 @@ class NetCDF3VolumeWriter:
             raise ValueError(f"expected a 3-D shape, got {shape}")
         dtype = np.dtype(dtype)
         attrs = dict(attrs or {})
+        var_attrs: dict[str, str] = {}
         if dtype == np.uint8:
             dtype_store = np.dtype(np.int8)
-            attrs.setdefault("_Unsigned", "true")
+            # the netCDF convention puts _Unsigned on the VARIABLE
+            var_attrs["_Unsigned"] = "true"
         else:
             dtype_store = dtype
         if dtype_store not in _NC_TYPES:
@@ -109,11 +111,21 @@ class NetCDF3VolumeWriter:
         else:
             gatt_list = _ABSENT
 
+        if var_attrs:
+            vatts = b"".join(_char_attr(k, v) for k, v in var_attrs.items())
+            vatt_list = (
+                struct.pack(">ii", _NC_ATTRIBUTE, len(var_attrs)) + vatts
+            )
+        else:
+            vatt_list = _ABSENT
+        # vsize is unsigned; the spec says to write 2^32 - 1 when the
+        # (single, large) variable exceeds it — readers must not rely on
+        # it for the last variable, and ours/scipy's compute from dims
         var_body = (
             _name(var_name)
             + struct.pack(">iiii", 3, 0, 1, 2)  # ndims + dimids
-            + _ABSENT  # no variable attributes
-            + struct.pack(">ii", nc_type, vsize)
+            + vatt_list
+            + struct.pack(">iI", nc_type, min(vsize, 2**32 - 1))
         )
         # begin offset depends on header length, which depends on the
         # offset width — CDF-1 (32-bit) unless the file needs CDF-2

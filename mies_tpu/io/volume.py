@@ -53,10 +53,12 @@ def _open_scipy_nc(path: Path, var_name: str | None, mmap: bool = True):
         if var_name is None:
             raise ValueError(f"no 3-D variable found in {path}")
     var = f.variables[var_name]
-    unsigned = (
-        getattr(f, "_attributes", {}).get("_Unsigned") == b"true"
-        and var.data.dtype == np.int8
+    # the netCDF convention puts _Unsigned on the variable; also accept
+    # a global attribute (files written by mies_tpu < r2 review fix)
+    flag = getattr(var, "_attributes", {}).get(
+        "_Unsigned", getattr(f, "_attributes", {}).get("_Unsigned")
     )
+    unsigned = flag == b"true" and var.data.dtype == np.int8
     return f, var, var_name, unsigned
 
 
@@ -238,25 +240,25 @@ def _dicom_slab_stream(
     from concurrent.futures import ThreadPoolExecutor
 
     from mies_tpu import native
-    from mies_tpu.io.dicom import read_dicom
+    from mies_tpu.io.dicom import read_dicom, read_dicom_header
 
     paths = sorted(directory.glob(pattern))
     if not paths:
         raise FileNotFoundError(f"no {pattern} files in {directory}")
 
-    # ordering pass: one file decoded at a time (O(slice) memory),
-    # pixels discarded — slabs are re-decoded on demand below
+    # ordering pass: HEADER-ONLY parse per file (no pixel decode) —
+    # slabs are decoded on demand below, so pixels are touched once
     order = []
     shape_hw = None
     for i, p in enumerate(paths):
-        s = read_dicom(p)
-        shape_hw = s.pixels.shape
-        if s.image_position_z is not None:
-            order.append(((0, s.image_position_z, i), p))
-        elif s.slice_location is not None:
-            order.append(((1, s.slice_location, i), p))
-        elif s.instance_number is not None:
-            order.append(((2, s.instance_number, i), p))
+        m = read_dicom_header(p)
+        shape_hw = (m["rows"], m["cols"])
+        if m.get("ipp_z") is not None:
+            order.append(((0, m["ipp_z"], i), p))
+        elif m.get("slice_loc") is not None:
+            order.append(((1, m["slice_loc"], i), p))
+        elif m.get("instance") is not None:
+            order.append(((2, m["instance"], i), p))
         else:
             order.append(((3, i, i), p))
     ordered = [p for _, p in sorted(order, key=lambda t: t[0])]

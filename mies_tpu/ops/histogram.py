@@ -463,16 +463,10 @@ def _apply_maps_selection(
     )
 
 
-def _clahe_skimage(
-    img: Array, kernel_size: tuple[int, int], clip_limit: float, nbins: int
-) -> Array:
-    """True skimage.exposure.equalize_adapthist semantics on float [0,1].
-
-    Mirrors tests/goldens/golden_ops.py::equalize_adapthist_skimage
-    step-for-step (see its docstring for the algorithm); computations run
-    in f32 instead of skimage's f64, which can flip isolated rint/trunc
-    ties — bounded by the test tolerance (1 uint8 ULP).
-    """
+def _skimage_scale_in(img: Array) -> Array:
+    """img_as_uint + rescale_intensity to 14-bit gray (int32), shared by
+    the 2-D and 3-D skimage paths. f32 where skimage uses f64 — isolated
+    rint ties can flip one 14-bit level (test outlier contract)."""
     x = img.astype(jnp.float32)
     u16 = jnp.clip(jnp.rint(x * 65535.0), 0, 65535)
     vmin = jnp.min(u16)
@@ -483,7 +477,40 @@ def _clahe_skimage(
         (u16 - vmin) / jnp.maximum(span, 1.0) * (NR_OF_GRAY - 1),
         jnp.clip(u16, 0, NR_OF_GRAY - 1),
     )
-    image = jnp.rint(scaled).astype(jnp.int32)
+    return jnp.rint(scaled).astype(jnp.int32)
+
+
+def _skimage_maps(hists: Array, k_elems: int) -> Array:
+    """map_histogram: scaled CDF, clipped, TRUNCATED to int (f32)."""
+    maps = jnp.cumsum(hists.astype(jnp.float32), axis=1) * jnp.float32(
+        (NR_OF_GRAY - 1) / k_elems
+    )
+    return jnp.floor(jnp.minimum(maps, NR_OF_GRAY - 1))
+
+
+def _skimage_stretch_out(result: Array) -> Array:
+    """img_as_float + final rescale_intensity (the /65535 cancels)."""
+    rmin = jnp.min(result)
+    rmax = jnp.max(result)
+    out = jnp.where(
+        rmax > rmin,
+        (result - rmin) / jnp.maximum(rmax - rmin, 1.0),
+        jnp.clip(result / 65535.0, 0.0, 1.0),
+    )
+    return out.astype(jnp.float32)
+
+
+def _clahe_skimage(
+    img: Array, kernel_size: tuple[int, int], clip_limit: float, nbins: int
+) -> Array:
+    """True skimage.exposure.equalize_adapthist semantics on float [0,1].
+
+    Mirrors tests/goldens/golden_ops.py::equalize_adapthist_skimage
+    step-for-step (see its docstring for the algorithm); computations run
+    in f32 instead of skimage's f64, which can flip isolated rint/trunc
+    ties — bounded by the test tolerance (1 uint8 ULP).
+    """
+    image = _skimage_scale_in(img)
 
     kr, kc = kernel_size
     h0, w0 = image.shape
@@ -506,24 +533,12 @@ def _clahe_skimage(
     hists = _region_hists_onehot(regions, nbins)
     hists = _clip_histogram_skimage(hists, clim, nbins)
 
-    maps = jnp.cumsum(hists.astype(jnp.float32), axis=1) * jnp.float32(
-        (NR_OF_GRAY - 1) / k_elems
-    )
-    maps = jnp.floor(jnp.minimum(maps, NR_OF_GRAY - 1))  # .astype(int) trunc
-    maps = maps.reshape(nr, nc, nbins)
+    maps = _skimage_maps(hists, k_elems).reshape(nr, nc, nbins)
     map_array = jnp.pad(maps, ((1, 1), (1, 1), (0, 0)), mode="edge")
 
     result = _apply_maps_selection(binned, map_array, kr, kc, nbins)
     result = result[pr0 : h - pr1, pc0 : w - pc1]
-
-    rmin = jnp.min(result)
-    rmax = jnp.max(result)
-    out = jnp.where(
-        rmax > rmin,
-        (result - rmin) / jnp.maximum(rmax - rmin, 1.0),
-        jnp.clip(result / 65535.0, 0.0, 1.0),
-    )
-    return out.astype(jnp.float32)
+    return _skimage_stretch_out(result)
 
 
 @functools.partial(

@@ -143,19 +143,12 @@ def _clahe3d_skimage(
         NR_OF_GRAY,
         _clip_histogram_skimage,
         _region_hists_onehot,
+        _skimage_maps,
+        _skimage_scale_in,
+        _skimage_stretch_out,
     )
 
-    x = vol.astype(jnp.float32)
-    u16 = jnp.clip(jnp.rint(x * 65535.0), 0, 65535)
-    vmin = jnp.min(u16)
-    vmax = jnp.max(u16)
-    span = vmax - vmin
-    scaled = jnp.where(
-        span > 0,
-        (u16 - vmin) / jnp.maximum(span, 1.0) * (NR_OF_GRAY - 1),
-        jnp.clip(u16, 0, NR_OF_GRAY - 1),
-    )
-    image = jnp.rint(scaled).astype(jnp.int32)
+    image = _skimage_scale_in(vol)
 
     ks = tuple(int(k) for k in kernel_size)
     pad0 = [k // 2 for k in ks]
@@ -184,11 +177,7 @@ def _clahe3d_skimage(
     hists = _region_hists_onehot(regions, nbins)
     hists = _clip_histogram_skimage(hists, clim, nbins)
 
-    maps = jnp.cumsum(hists.astype(jnp.float32), axis=1) * jnp.float32(
-        (NR_OF_GRAY - 1) / k_elems
-    )
-    maps = jnp.floor(jnp.minimum(maps, NR_OF_GRAY - 1))
-    maps = maps.reshape(*ns, nbins)
+    maps = _skimage_maps(hists, k_elems).reshape(*ns, nbins)
     map_array = jnp.pad(maps, [(1, 1)] * 3 + [(0, 0)], mode="edge")
 
     result = _apply_maps_selection3d(binned, map_array, ks, nbins)
@@ -197,15 +186,7 @@ def _clahe3d_skimage(
         pad0[1] : shp[1] - pad1[1],
         pad0[2] : shp[2] - pad1[2],
     ]
-
-    rmin = jnp.min(result)
-    rmax = jnp.max(result)
-    out = jnp.where(
-        rmax > rmin,
-        (result - rmin) / jnp.maximum(rmax - rmin, 1.0),
-        jnp.clip(result / 65535.0, 0.0, 1.0),
-    )
-    return out.astype(jnp.float32)
+    return _skimage_stretch_out(result)
 
 
 @functools.partial(

@@ -34,8 +34,11 @@ def init_distributed(
         )
     except RuntimeError as e:
         # only the benign double-init is swallowed; a genuinely failed
-        # multi-host bring-up must NOT proceed silently single-host
-        if "already initialized" in str(e).lower():
+        # multi-host bring-up must NOT proceed silently single-host.
+        # jax 0.9 phrases it "distributed.initialize should only be
+        # called once"; older versions said "already initialized".
+        msg = str(e).lower()
+        if "already initialized" in msg or "only be called once" in msg:
             return
         raise
 

@@ -129,8 +129,10 @@ def enhance_batch(
             # bucket by (shape, dtype): mixed-size inputs get one compiled
             # program per bucket instead of killing the whole job at
             # np.stack (per-item fault-isolation contract, VERDICT r1 weak
-            # #3). Sub-batches pad to the next power of two so jit
-            # recompiles stay bounded per shape.
+            # #3). Every group pads to batch_size so there is EXACTLY one
+            # program per distinct shape — a short tail must never trigger
+            # a fresh multi-minute remote Pallas compile (padding a few
+            # slices is far cheaper than compiling a batch-4 program).
             groups: dict[tuple, tuple[list, list]] = {}
             for arr, p in zip(imgs, ok_paths):
                 key = (arr.shape, str(arr.dtype))
@@ -139,11 +141,8 @@ def enhance_batch(
                 groups[key][1].append(p)
             for gimgs, gpaths in groups.values():
                 batch = np.stack(gimgs)
-                target = len(gimgs) if len(gimgs) >= batch_size else 1 << (
-                    len(gimgs) - 1
-                ).bit_length()
-                pad = target - len(gimgs)
-                if pad:
+                pad = batch_size - len(gimgs)
+                if pad > 0:
                     batch = np.concatenate(
                         [batch, np.repeat(batch[-1:], pad, axis=0)]
                     )
@@ -217,6 +216,17 @@ def enhance_volume_stream(
     volume is never resident on the host. Returns the input VolumeMeta.
     """
     from mies_tpu.io.volume import open_volume_slabs, open_volume_writer
+
+    # the output header is written with the INPUT's (Z, H, W) before any
+    # slab computes — stages that change the slice shape would corrupt it
+    shape_changers = {"resize", "center_crop", "rot90"}
+    bad = [s.op for s in cfg.stages if s.op in shape_changers]
+    if bad:
+        raise ValueError(
+            f"enhance_volume_stream cannot run shape-changing stages "
+            f"{bad}: the streamed output header is sized from the input; "
+            f"use enhance_volume (in-memory) for this chain"
+        )
 
     meta, slabs = open_volume_slabs(source, slab_size=slab_size, var_name=var_name)
     fn = compile_pipeline(cfg, batched=True, donate=True)

@@ -165,7 +165,8 @@ def test_netcdf3_writer_scipy_roundtrip(tmp_path, dtype):
     f = netcdf_file(str(p), "r", mmap=False)
     data = np.asarray(f.variables["hu"][:])
     if dtype == np.uint8:
-        assert f._attributes.get("_Unsigned") == b"true"
+        # the convention puts _Unsigned on the VARIABLE (r2 review fix)
+        assert f.variables["hu"]._attributes.get("_Unsigned") == b"true"
         data = data.view(np.uint8)
     np.testing.assert_array_equal(data, vol)
     f.close()
@@ -258,3 +259,51 @@ def test_enhance_volume_stream_npy_output(tmp_path):
     enhance_volume_stream(src, cfg, dst, slab_size=4)
     out = np.load(dst)
     assert out.shape == (7, 16, 16) and out.dtype == np.uint8
+
+
+def test_netcdf3_cdf2_header_for_large_volumes(tmp_path):
+    """>2 GiB data regions must emit a CDF-2 header with an unsigned
+    (capped) vsize instead of crashing in struct.pack (r2 review)."""
+    from mies_tpu.io.netcdf3 import NetCDF3VolumeWriter
+
+    p = tmp_path / "big.nc"
+    w = NetCDF3VolumeWriter(p, (2048, 1024, 1024), np.uint8)  # 2 GiB
+    w._f.close()  # header only — don't write 2 GiB in a test
+    magic = p.read_bytes()[:4]
+    assert magic == b"CDF\x02", magic
+
+
+def test_netcdf3_unsigned_attr_on_variable(tmp_path):
+    """uint8 roundtrip through load_volume with the per-variable
+    _Unsigned convention."""
+    from mies_tpu.io.volume import load_volume, save_volume
+
+    vol = (np.random.default_rng(5).random((5, 8, 8)) * 255).astype(np.uint8)
+    p = tmp_path / "u8.nc"
+    save_volume(p, vol)
+    back, _ = load_volume(p)
+    assert back.dtype == np.uint8
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_read_dicom_header_matches_full_parse(tmp_path, ct_slice_hu):
+    from mies_tpu.io.dicom import read_dicom, read_dicom_header, write_dicom
+
+    p = tmp_path / "h.dcm"
+    write_dicom(p, ct_slice_hu, instance_number=7, slice_location=12.5)
+    m = read_dicom_header(p)
+    full = read_dicom(p)
+    assert m["rows"] == full.rows and m["cols"] == full.cols
+    assert m["instance"] == 7 and m["slice_loc"] == 12.5
+
+
+def test_enhance_volume_stream_rejects_shape_changers(tmp_path):
+    from mies_tpu.io.volume import save_volume
+    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.runner import enhance_volume_stream
+
+    src = tmp_path / "v.nc"
+    save_volume(src, np.zeros((4, 32, 32), np.int16), var_name="hu")
+    cfg = PipelineConfig.make([("resize", {"height": 16, "width": 16})])
+    with pytest.raises(ValueError, match="shape-changing"):
+        enhance_volume_stream(src, cfg, tmp_path / "o.nc")

@@ -291,3 +291,24 @@ def test_clahe_chain_rejects_skimage_convention(rng):
     mesh = make_mesh(data=1, space=4)
     with pytest.raises(ValueError, match="skimage"):
         spatial_shard_apply(cfg, mesh)(jnp.asarray(np.zeros((256, 128), np.float32)))
+
+
+def test_init_distributed_swallows_only_double_init(monkeypatch):
+    """jax 0.9 phrases double-init as 'should only be called once';
+    genuine failures must propagate (r2 review)."""
+    import jax
+
+    from mies_tpu.parallel.mesh import init_distributed
+
+    def raise_double(**kw):
+        raise RuntimeError("distributed.initialize should only be called once.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_double)
+    init_distributed()  # benign
+
+    def raise_real(**kw):
+        raise RuntimeError("connection to coordinator failed")
+
+    monkeypatch.setattr(jax.distributed, "initialize", raise_real)
+    with pytest.raises(RuntimeError, match="coordinator"):
+        init_distributed()
