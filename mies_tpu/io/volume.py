@@ -247,12 +247,24 @@ def _dicom_slab_stream(
         raise FileNotFoundError(f"no {pattern} files in {directory}")
 
     # ordering pass: HEADER-ONLY parse per file (no pixel decode) —
-    # slabs are decoded on demand below, so pixels are touched once
+    # slabs are decoded on demand below, so pixels are touched once.
+    # Missing or mismatched dims fail HERE, before the output header is
+    # written from them (a mid-stream failure would leave a truncated,
+    # wrong-shaped file on disk).
     order = []
     shape_hw = None
     for i, p in enumerate(paths):
         m = read_dicom_header(p)
-        shape_hw = (m["rows"], m["cols"])
+        if "rows" not in m or "cols" not in m:
+            raise ValueError(f"{p}: missing Rows/Columns — not streamable")
+        hw = (m["rows"], m["cols"])
+        if shape_hw is None:
+            shape_hw = hw
+        elif hw != shape_hw:
+            raise ValueError(
+                f"mixed slice sizes in series: {p} is {hw}, expected "
+                f"{shape_hw} (exclude localizers/scouts before streaming)"
+            )
         if m.get("ipp_z") is not None:
             order.append(((0, m["ipp_z"], i), p))
         elif m.get("slice_loc") is not None:

@@ -171,7 +171,9 @@ def bilateral_tpu(
 
 
 def bilateral_supported(shape: tuple[int, int], kernel_size: int) -> bool:
-    """VMEM fit check + tiling sanity for the Pallas path."""
+    """VMEM fit check + tiling sanity for the Pallas path. Must cover
+    every constraint bilateral_tpu raises on, or the dispatch crashes
+    where the XLA fallback would have worked (k > 9 was missing)."""
     h, w = shape
     r = kernel_size // 2
     block_bytes = (h + 4 * r) * (w + 4 * r) * 4
@@ -179,6 +181,7 @@ def bilateral_supported(shape: tuple[int, int], kernel_size: int) -> bool:
         block_bytes <= _VMEM_BLOCK_LIMIT
         and _strip_rows(h) > 0
         and w >= 128
+        and kernel_size <= 9
     )
 
 

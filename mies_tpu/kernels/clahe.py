@@ -528,7 +528,12 @@ def tile_hists_pallas(
     tpp = _TILES_PER_PROGRAM
     pad = (-total) % tpp
     if pad:
-        tiles = jnp.concatenate([tiles, tiles[:pad]], axis=0)
+        # zeros, not tiles[:pad]: when total < pad the slice is short and
+        # the array would not divide into blocks (padding rows' counts
+        # are discarded below, so their content is irrelevant)
+        tiles = jnp.concatenate(
+            [tiles, jnp.zeros((pad, npx), tiles.dtype)], axis=0
+        )
     out = pl.pallas_call(
         functools.partial(_hist_kernel, npx=npx),
         interpret=interpret,

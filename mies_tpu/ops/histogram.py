@@ -386,6 +386,53 @@ def _clip_histogram_skimage(hist: Array, clim: int, nbins: int) -> Array:
     return jax.vmap(sweep)(hist, n_excess)
 
 
+def _apply_maps_selection_blocks(
+    blocks: Array, maps: Array, coeffs: list[Array], nbins: int
+) -> Array:
+    """Multilinear interpolation core shared by the 2-D and 3-D skimage
+    paths: blocks [NB, P] int32 bin indices, maps [NB, E, nbins] f32
+    integer-valued region maps (E = 2^ndim corners), coeffs: E arrays of
+    [P] f32 weights. Gatherless — the LUT lookup is a selection-by-
+    matmul (onehot @ maps, exact under HIGHEST precision) scanned in
+    block chunks to bound the onehot working set; per-term f32
+    accumulation and a truncating floor, like the goldens.
+    """
+    nb, p = blocks.shape
+    e_corners = maps.shape[1]
+    # chunk so the materialized onehot stays ~4 MB
+    ch = max(1, min(nb, (1 << 20) // max(p, 1)))
+    pad = (-nb) % ch
+    if pad:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((pad, p), blocks.dtype)], axis=0
+        )
+        maps = jnp.concatenate(
+            [maps, jnp.zeros((pad, e_corners, nbins), maps.dtype)], axis=0
+        )
+
+    def step(_, inp):
+        blk, m = inp  # [ch, P], [ch, E, nbins]
+        oh = (blk[:, :, None] == jnp.arange(nbins, dtype=jnp.int32)).astype(
+            jnp.float32
+        )
+        sel = jnp.einsum(
+            "bpc,bec->bpe", oh, m, precision=jax.lax.Precision.HIGHEST
+        )
+        return None, sel
+
+    _, sels = jax.lax.scan(
+        step,
+        None,
+        (blocks.reshape(-1, ch, p), maps.reshape(-1, ch, e_corners, nbins)),
+    )
+    sels = sels.reshape(-1, p, e_corners)[:nb]  # [NB, P, E]
+
+    acc = jnp.zeros((nb, p), jnp.float32)
+    for e in range(e_corners):
+        acc = acc + sels[:, :, e] * coeffs[e][None, :]
+    return jnp.floor(acc)  # float32 -> uint16 cast truncates (values >= 0)
+
+
 def _apply_maps_selection(
     binned: Array, map_array: Array, kr: int, kc: int, nbins: int
 ) -> Array:
@@ -394,11 +441,7 @@ def _apply_maps_selection(
     binned:    [H, W] int32 (H, W multiples of kr, kc — the padded image)
     map_array: [nbr+1, nbc+1, nbins] float32 integer-valued maps,
                edge-replicated (skimage's np.pad(..., mode='edge')).
-    Gatherless: per kernel-aligned block the 4 participating maps are
-    constant, so the LUT lookup is a selection-by-matmul (onehot @ maps,
-    exact under HIGHEST precision) scanned in block chunks to bound the
-    onehot working set. Weights are skimage's arange(k)/k block offsets,
-    accumulated per-term in f32 like the golden.
+    Weights are skimage's arange(k)/k block offsets.
     """
     h, w = binned.shape
     nbr, nbc = h // kr, w // kc
@@ -417,35 +460,6 @@ def _apply_maps_selection(
         axis=2,
     ).reshape(nb, 4, nbins)
 
-    # chunk so the materialized onehot stays ~4 MB
-    ch = max(1, min(nb, (1 << 20) // max(p, 1)))
-    pad = (-nb) % ch
-    if pad:
-        blocks = jnp.concatenate(
-            [blocks, jnp.zeros((pad, p), blocks.dtype)], axis=0
-        )
-        m4 = jnp.concatenate([m4, jnp.zeros((pad, 4, nbins), m4.dtype)], axis=0)
-
-    def step(_, inp):
-        blk, maps = inp  # [ch, P], [ch, 4, nbins]
-        oh = (blk[:, :, None] == jnp.arange(nbins, dtype=jnp.int32)).astype(
-            jnp.float32
-        )
-        sel = jnp.einsum(
-            "bpc,bec->bpe", oh, maps, precision=jax.lax.Precision.HIGHEST
-        )
-        return None, sel
-
-    _, sels = jax.lax.scan(
-        step,
-        None,
-        (
-            blocks.reshape(-1, ch, p),
-            m4.reshape(-1, ch, 4, nbins),
-        ),
-    )
-    sels = sels.reshape(-1, p, 4)[:nb]  # [NB, P, 4]
-
     wy = jnp.arange(kr, dtype=jnp.float32) / kr
     wx = jnp.arange(kc, dtype=jnp.float32) / kc
     coeffs = [
@@ -454,10 +468,7 @@ def _apply_maps_selection(
         (wy[:, None] * (1.0 - wx)[None, :]).reshape(p),
         (wy[:, None] * wx[None, :]).reshape(p),
     ]
-    acc = jnp.zeros((nb, p), jnp.float32)
-    for e in range(4):
-        acc = acc + sels[:, :, e] * coeffs[e][None, :]
-    result = jnp.floor(acc)  # float32 -> uint16 cast truncates (values >= 0)
+    result = _apply_maps_selection_blocks(blocks, m4, coeffs, nbins)
     return (
         result.reshape(nbr, nbc, kr, kc).transpose(0, 2, 1, 3).reshape(h, w)
     )

@@ -60,9 +60,11 @@ def _apply_maps_selection3d(
 
     binned:    [Z, H, W] int32 (dims multiples of ks — the padded volume)
     map_array: [nz+1, ny+1, nx+1, nbins] f32 integer-valued, edge-padded.
-    Gatherless selection-by-matmul scanned in bounded chunks, mirroring
-    the 2-D form (mies_tpu.ops.histogram._apply_maps_selection).
+    The chunked selection-by-matmul core is shared with the 2-D path
+    (mies_tpu.ops.histogram._apply_maps_selection_blocks).
     """
+    from mies_tpu.ops.histogram import _apply_maps_selection_blocks
+
     kz, ky, kx = ks
     z, h, w = binned.shape
     nz, ny, nx = z // kz, h // ky, w // kx
@@ -83,47 +85,24 @@ def _apply_maps_selection3d(
         axis=3,
     ).reshape(nb, 8, nbins)
 
-    ch = max(1, min(nb, (1 << 20) // max(p, 1)))
-    pad = (-nb) % ch
-    if pad:
-        blocks = jnp.concatenate(
-            [blocks, jnp.zeros((pad, p), blocks.dtype)], axis=0
-        )
-        m8 = jnp.concatenate([m8, jnp.zeros((pad, 8, nbins), m8.dtype)], axis=0)
-
-    def step(_, inp):
-        blk, maps = inp
-        oh = (blk[:, :, None] == jnp.arange(nbins, dtype=jnp.int32)).astype(
-            jnp.float32
-        )
-        sel = jnp.einsum(
-            "bpc,bec->bpe", oh, maps, precision=jax.lax.Precision.HIGHEST
-        )
-        return None, sel
-
-    _, sels = jax.lax.scan(
-        step, None,
-        (blocks.reshape(-1, ch, p), m8.reshape(-1, ch, 8, nbins)),
-    )
-    sels = sels.reshape(-1, p, 8)[:nb]  # [NB, P, 8]
-
     wz = jnp.arange(kz, dtype=jnp.float32) / kz
     wy = jnp.arange(ky, dtype=jnp.float32) / ky
     wx = jnp.arange(kx, dtype=jnp.float32) / kx
-    acc = jnp.zeros((nb, p), jnp.float32)
-    e = 0
+    coeffs = []
     for ez in range(2):
         cz = wz if ez else 1.0 - wz
         for ey in range(2):
             cy = wy if ey else 1.0 - wy
             for ex in range(2):
                 cx = wx if ex else 1.0 - wx
-                coeff = (
-                    cz[:, None, None] * cy[None, :, None] * cx[None, None, :]
-                ).reshape(p)
-                acc = acc + sels[:, :, e] * coeff[None, :]
-                e += 1
-    result = jnp.floor(acc)  # float32 -> uint16 cast truncates
+                coeffs.append(
+                    (
+                        cz[:, None, None]
+                        * cy[None, :, None]
+                        * cx[None, None, :]
+                    ).reshape(p)
+                )
+    result = _apply_maps_selection_blocks(blocks, m8, coeffs, nbins)
     return (
         result.reshape(nz, ny, nx, kz, ky, kx)
         .transpose(0, 3, 1, 4, 2, 5)

@@ -307,3 +307,15 @@ def test_enhance_volume_stream_rejects_shape_changers(tmp_path):
     cfg = PipelineConfig.make([("resize", {"height": 16, "width": 16})])
     with pytest.raises(ValueError, match="shape-changing"):
         enhance_volume_stream(src, cfg, tmp_path / "o.nc")
+
+
+def test_dicom_stream_rejects_mixed_sizes(tmp_path, ct_slice_hu):
+    """A localizer/scout with different dims must fail BEFORE any output
+    is written, not mid-stream (r2 review)."""
+    from mies_tpu.io.dicom import write_dicom
+    from mies_tpu.io.volume import open_volume_slabs
+
+    write_dicom(tmp_path / "a.dcm", ct_slice_hu, instance_number=1)
+    write_dicom(tmp_path / "b.dcm", ct_slice_hu[:128], instance_number=2)
+    with pytest.raises(ValueError, match="mixed slice sizes"):
+        open_volume_slabs(tmp_path, slab_size=2)

@@ -263,3 +263,24 @@ def test_bilateral_strip32_fallback_interpret(rng):
         jax.vmap(lambda x: bilateral_blur(x, 5, 0.1, 1.5))(jnp.asarray(imgs))
     )
     np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+def test_bilateral_supported_rejects_large_kernels():
+    """Everything bilateral_tpu raises on must be excluded by the
+    dispatch predicate, or TPU users crash where the XLA fallback
+    works (r2 review)."""
+    from mies_tpu.kernels.bilateral import bilateral_supported
+
+    assert bilateral_supported((512, 512), 9)
+    assert not bilateral_supported((512, 512), 11)
+
+
+def test_tile_hists_pallas_fewer_tiles_than_block(rng):
+    """total tiles < per-program blocking: padding must still produce a
+    block-divisible array (r2 review: tiles[:pad] was short)."""
+    from mies_tpu.kernels.clahe import _tile_hists_onehot, tile_hists_pallas
+
+    u8 = (rng.random((1, 96, 128)) * 255.999).astype(np.int32)
+    got = np.asarray(tile_hists_pallas(jnp.asarray(u8), 3, 1, interpret=True))
+    want = np.asarray(_tile_hists_onehot(jnp.asarray(u8), 3, 1))
+    np.testing.assert_array_equal(got, want)
