@@ -22,6 +22,8 @@ _CHAINABLE = [
     ("rescale_intensity", {}),
     ("equalize_hist", {}),
     ("equalize", {}),
+    ("clahe", {"clip_limit": 0.01, "convention": "skimage"}),
+    ("clahe", {"clip_limit": 0.02, "convention": "fraction"}),
     ("clahe", {"clip_limit": 2.0, "grid_size": (4, 4)}),
     ("gaussian_blur", {"sigma": 1.0}),
     ("box_blur", {}),
