@@ -64,8 +64,14 @@ def cmd_enhance(args) -> int:
     if not args.output:
         print("error: batch mode requires -o OUTPUT_DIR", file=sys.stderr)
         return 2
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from mies_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
     manifest = runner.enhance_batch(
-        inputs, cfg, args.output, batch_size=args.batch, resume=not args.no_resume
+        inputs, cfg, args.output, batch_size=args.batch,
+        resume=not args.no_resume, mesh=mesh,
     )
     print(
         json.dumps(
@@ -214,6 +220,9 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", help="output file (single) or dir (batch)")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each batch over all devices (batch must "
+                        "divide by the device count)")
     p.add_argument("--report", help="write before/after PNG report here")
     p.add_argument(
         "--run-report",

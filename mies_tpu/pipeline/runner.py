@@ -47,13 +47,16 @@ def enhance_batch(
     batch_size: int = 32,
     resume: bool = True,
     progress: bool = True,
+    mesh=None,
 ) -> RunManifest:
     """Enhance many same-sized images; resumable, per-item fault isolation.
 
     Images are packed into fixed-size batches (last batch padded to keep
     one compiled XLA program). The manifest records each completed output,
     so re-running after a crash processes only the remainder
-    (SURVEY.md section 5.3).
+    (SURVEY.md section 5.3). With a ``mesh``, each batch is sharded over
+    the mesh devices (SURVEY.md section 3.2 multi-chip form;
+    ``batch_size`` must divide by the device count).
     """
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -65,7 +68,18 @@ def enhance_batch(
     if not todo_paths:
         return manifest
 
-    fn = compile_pipeline(cfg, batched=True, donate=False)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by the mesh's "
+                f"{n_dev} devices"
+            )
+        from mies_tpu.parallel.sharding import shard_pipeline
+
+        fn = shard_pipeline(cfg, mesh)
+    else:
+        fn = compile_pipeline(cfg, batched=True, donate=False)
 
     def load_chunk(chunk):
         """Decode one batch with a thread pool (Pillow releases the GIL,

@@ -312,3 +312,43 @@ def test_init_distributed_swallows_only_double_init(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", raise_real)
     with pytest.raises(RuntimeError, match="coordinator"):
         init_distributed()
+
+
+def test_enhance_batch_with_mesh(tmp_path, rng):
+    """File-level batch runner sharded over 8 fake devices == unsharded
+    results (SURVEY 3.2 multi-chip form)."""
+    from PIL import Image
+
+    from mies_tpu.pipeline import runner
+
+    srcs = []
+    for i in range(10):
+        p = tmp_path / f"s{i}.png"
+        Image.fromarray((rng.random((64, 64)) * 255).astype(np.uint8)).save(p)
+        srcs.append(p)
+    cfg = PipelineConfig.make(
+        [("equalize_hist", {}), ("adjust_gamma", {"gamma": 0.9})], name="dp"
+    )
+    out_sharded = tmp_path / "sharded"
+    m = runner.enhance_batch(srcs, cfg, out_sharded, batch_size=8,
+                             progress=False, mesh=make_mesh())
+    assert m.done_count == 10 and not m.failures
+    out_single = tmp_path / "single"
+    runner.enhance_batch(srcs, cfg, out_single, batch_size=8, progress=False)
+    for p in srcs:
+        a = np.asarray(Image.open(out_sharded / p.name))
+        b = np.asarray(Image.open(out_single / p.name))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_enhance_batch_mesh_rejects_indivisible(tmp_path, rng):
+    from PIL import Image
+
+    from mies_tpu.pipeline import runner
+
+    p = tmp_path / "a.png"
+    Image.fromarray(np.zeros((32, 32), np.uint8)).save(p)
+    cfg = PipelineConfig.make([("adjust_gamma", {"gamma": 1.1})])
+    with pytest.raises(ValueError, match="divide"):
+        runner.enhance_batch([p], cfg, tmp_path / "o", batch_size=3,
+                             progress=False, mesh=make_mesh())
