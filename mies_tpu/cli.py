@@ -82,6 +82,14 @@ def cmd_enhance(args) -> int:
     return 1 if manifest.failures else 0
 
 
+def _maybe_mesh(args):
+    if getattr(args, "data_parallel", False):
+        from mies_tpu.parallel import make_mesh
+
+        return make_mesh()
+    return None
+
+
 def cmd_enhance_volume(args) -> int:
     import numpy as np
 
@@ -99,7 +107,7 @@ def cmd_enhance_volume(args) -> int:
         meta = runner.enhance_volume_stream(
             args.input, cfg, args.output,
             slab_size=args.slab, var_name=args.var,
-            progress=not args.quiet,
+            progress=not args.quiet, mesh=_maybe_mesh(args),
         )
         print(json.dumps({
             "input": meta.source, "shape": list(meta.shape),
@@ -115,7 +123,8 @@ def cmd_enhance_volume(args) -> int:
         out = np.asarray(compile_volume_pipeline(cfg)(jnp.asarray(vol)))
     else:
         out = runner.enhance_volume(
-            vol, cfg, slab_size=args.slab, progress=not args.quiet
+            vol, cfg, slab_size=args.slab, progress=not args.quiet,
+            mesh=_maybe_mesh(args),
         )
     save_volume(args.output, out)
     result = {"input": meta.source, "shape": list(out.shape), "output": args.output}
@@ -244,6 +253,9 @@ def main(argv=None) -> int:
     p.add_argument("--stream", action="store_true",
                    help="disk-to-disk slab streaming (O(slab) host memory; "
                         "output .nc/.npy/DICOM dir)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each slab over all devices (slab must "
+                        "divide by the device count)")
     p.add_argument("-q", "--quiet", action="store_true")
     p.set_defaults(fn=cmd_enhance_volume)
 

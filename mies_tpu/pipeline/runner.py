@@ -174,16 +174,19 @@ def enhance_volume(
     slab_size: int = 16,
     max_in_flight: int = 4,
     progress: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """Stream a [Z, H, W] volume through the jitted chain slab by slab.
 
     JAX dispatch is asynchronous: device_put of slab k+1 and the fetch of
     slab k-1 overlap with compute of slab k automatically; we just keep a
     bounded number of slabs in flight so HBM stays bounded
-    (SURVEY.md section 3.3 double-buffering contract).
+    (SURVEY.md section 3.3 double-buffering contract). With a ``mesh``,
+    each slab is batch-sharded over the mesh devices (slab_size must
+    divide by the device count).
     """
     z = volume.shape[0]
-    fn = compile_pipeline(cfg, batched=True, donate=True)
+    fn = _volume_fn(cfg, slab_size, mesh, donate=True)
 
     # Pad Z to a slab multiple so one program handles every slab.
     nslabs = -(-z // slab_size)
@@ -210,6 +213,20 @@ def enhance_volume(
     return result[:z]
 
 
+def _volume_fn(cfg: PipelineConfig, slab_size: int, mesh, donate: bool):
+    """Slab program: plain batched chain, or mesh-sharded when given."""
+    if mesh is None:
+        return compile_pipeline(cfg, batched=True, donate=donate)
+    n_dev = mesh.devices.size
+    if slab_size % n_dev:
+        raise ValueError(
+            f"slab_size {slab_size} must divide by the mesh's {n_dev} devices"
+        )
+    from mies_tpu.parallel.sharding import shard_pipeline
+
+    return shard_pipeline(cfg, mesh)
+
+
 def enhance_volume_stream(
     source: str | Path,
     cfg: PipelineConfig,
@@ -218,6 +235,7 @@ def enhance_volume_stream(
     max_in_flight: int = 4,
     var_name: str | None = None,
     progress: bool = False,
+    mesh=None,
 ):
     """Disk-to-disk volume enhancement with O(slab) host memory.
 
@@ -227,7 +245,8 @@ def enhance_volume_stream(
     slab k+1 overlaps device compute of slab k — SURVEY.md section 3.3),
     and appends finished uint8 slabs to ``output`` incrementally
     (streaming NetCDF-3, .npy memmap, or DICOM directory). The whole
-    volume is never resident on the host. Returns the input VolumeMeta.
+    volume is never resident on the host. With a ``mesh``, each slab is
+    batch-sharded over the mesh devices. Returns the input VolumeMeta.
     """
     from mies_tpu.io.volume import open_volume_slabs, open_volume_writer
 
@@ -243,7 +262,7 @@ def enhance_volume_stream(
         )
 
     meta, slabs = open_volume_slabs(source, slab_size=slab_size, var_name=var_name)
-    fn = compile_pipeline(cfg, batched=True, donate=True)
+    fn = _volume_fn(cfg, slab_size, mesh, donate=True)
     writer = open_volume_writer(output, meta.shape, np.uint8)
 
     it = slabs

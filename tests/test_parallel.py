@@ -352,3 +352,18 @@ def test_enhance_batch_mesh_rejects_indivisible(tmp_path, rng):
     with pytest.raises(ValueError, match="divide"):
         runner.enhance_batch([p], cfg, tmp_path / "o", batch_size=3,
                              progress=False, mesh=make_mesh())
+
+
+def test_enhance_volume_with_mesh(rng):
+    """Slab-sharded volume streaming == single-device, bit for bit."""
+    from mies_tpu.pipeline import runner
+
+    vol = (rng.random((16, 64, 64)) * 3000 - 1000).astype(np.int16)
+    cfg = PipelineConfig.make(
+        [("window_hu", {"center": 40.0, "width": 400.0}),
+         ("unsharp_mask", {"radius": 1.0, "amount": 0.5})],
+        name="vol-dp",
+    )
+    sharded = runner.enhance_volume(vol, cfg, slab_size=8, mesh=make_mesh())
+    single = runner.enhance_volume(vol, cfg, slab_size=8)
+    np.testing.assert_array_equal(sharded, single)

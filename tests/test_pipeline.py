@@ -297,3 +297,11 @@ def test_cli_stream_rejects_metrics(tmp_path):
         cli.main(["enhance-volume", str(src), "-c", str(cfg),
                   "-o", str(tmp_path / "o.nc"), "--stream",
                   "--metrics", "psnr"])
+
+
+def test_empty_pipeline_is_quantized_passthrough(rng):
+    cfg = PipelineConfig.make([], name="empty")
+    img = rng.random((32, 32)).astype(np.float32)
+    out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+    want = np.clip(np.rint(img * 255), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, want)
