@@ -248,7 +248,13 @@ def equalize_adapthist_skimage(img, kernel_size=None, clip_limit=0.01, nbins=NBI
     9. bilinear interpolation between the 4 neighboring region maps,
        edge-replicated map array, weights ``arange(k) / k`` within each
        kernel-aligned block, per-term float32 accumulation, final
-       truncating uint16 cast;
+       truncating uint16 cast. (Orientation note: the row fraction
+       weighs the row-neighbor pair and the column fraction the
+       column-neighbor pair — the standard bilinear definition, which
+       matches skimage's documented interpolation reference; skimage is
+       not installable here to cross-check its meshgrid/transpose code
+       path on NON-SQUARE kernels, so that is the one documented
+       assumption of this transcription.);
     10. unpad, /65535 (``img_as_float``), then ``rescale_intensity`` —
         a final min-max stretch to [0, 1] (the /65535 cancels).
     """
