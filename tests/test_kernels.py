@@ -284,3 +284,33 @@ def test_tile_hists_pallas_fewer_tiles_than_block(rng):
     got = np.asarray(tile_hists_pallas(jnp.asarray(u8), 3, 1, interpret=True))
     want = np.asarray(_tile_hists_onehot(jnp.asarray(u8), 3, 1))
     np.testing.assert_array_equal(got, want)
+
+
+def test_unsharp_gauss_fused_matches_twin_interpret(rng):
+    """Fused unsharp->gaussian kernel == the unfused pair. Bit-exact on
+    TPU (verified on chip); on XLA:CPU the two programs FMA-contract
+    differently, leaving last-ULP f32 noise (~2e-7) — the CLAUDE.md
+    platform quirk."""
+    from mies_tpu.kernels.unsharp_gauss import unsharp_gauss_tpu
+    from mies_tpu.ops.filters import gaussian_blur, unsharp_mask
+
+    imgs = rng.random((2, 128, 192)).astype(np.float32)
+    for radius, amount, sigma in [(1.5, 1.0, 1.5), (1.0, 0.5, 2.0)]:
+        out = np.asarray(unsharp_gauss_tpu(
+            jnp.asarray(imgs), radius=radius, amount=amount, sigma=sigma,
+            interpret=True,
+        ))
+        ref = np.asarray(jax.vmap(
+            lambda x: gaussian_blur(unsharp_mask(x, radius, amount), sigma)
+        )(jnp.asarray(imgs)))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_unsharp_gauss_supported_bounds():
+    from mies_tpu.kernels.unsharp_gauss import unsharp_gauss_supported
+
+    assert unsharp_gauss_supported((1024, 1024), 1.5, 1.5)
+    assert unsharp_gauss_supported((512, 512), 1.5, 1.5)
+    assert not unsharp_gauss_supported((100, 512), 1.5, 1.5)  # H % 64
+    assert not unsharp_gauss_supported((2048, 2048), 1.5, 1.5)  # VMEM
+    assert not unsharp_gauss_supported((512, 512), 0.05, 1.5)  # radius 0

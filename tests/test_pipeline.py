@@ -305,3 +305,33 @@ def test_empty_pipeline_is_quantized_passthrough(rng):
     out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
     want = np.clip(np.rint(img * 255), 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(out, want)
+
+
+def test_chain_with_unsharp_gauss_pair_matches_unfused(rng):
+    """The peephole must not change results on CPU (falls back) and the
+    bound structure must keep surrounding stages intact."""
+    import jax
+
+    from mies_tpu.pipeline.compiler import build_batched_chain
+
+    cfg = PipelineConfig.make(
+        [("adjust_gamma", {"gamma": 0.9}),
+         ("unsharp_mask", {"radius": 1.5, "amount": 1.0}),
+         ("gaussian_blur", {"sigma": 1.5}),
+         ("adjust_contrast", {"factor": 1.1})],
+        name="w3ish",
+    )
+    batch = rng.random((2, 128, 128)).astype(np.float32)
+    got = np.asarray(build_batched_chain(cfg)(jnp.asarray(batch)))
+    # reference: compose per-image ops directly
+    from mies_tpu.ops.filters import gaussian_blur, unsharp_mask
+    from mies_tpu.ops.intensity import adjust_contrast, adjust_gamma
+
+    def ref_one(x):
+        x = adjust_gamma(x, gamma=0.9)
+        x = unsharp_mask(x, radius=1.5, amount=1.0)
+        x = gaussian_blur(x, sigma=1.5)
+        return adjust_contrast(x, factor=1.1)
+
+    want = np.asarray(jax.vmap(ref_one)(jnp.asarray(batch)))
+    np.testing.assert_array_equal(got, want)
