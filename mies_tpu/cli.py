@@ -23,6 +23,14 @@ def _load_cfg(path: str):
     return load_config(path)
 
 
+def _maybe_mesh(args):
+    if getattr(args, "data_parallel", False):
+        from mies_tpu.parallel import make_mesh
+
+        return make_mesh()
+    return None
+
+
 def cmd_enhance(args) -> int:
     import time
 
@@ -64,14 +72,9 @@ def cmd_enhance(args) -> int:
     if not args.output:
         print("error: batch mode requires -o OUTPUT_DIR", file=sys.stderr)
         return 2
-    mesh = None
-    if getattr(args, "data_parallel", False):
-        from mies_tpu.parallel import make_mesh
-
-        mesh = make_mesh()
     manifest = runner.enhance_batch(
         inputs, cfg, args.output, batch_size=args.batch,
-        resume=not args.no_resume, mesh=mesh,
+        resume=not args.no_resume, mesh=_maybe_mesh(args),
     )
     print(
         json.dumps(
@@ -80,14 +83,6 @@ def cmd_enhance(args) -> int:
         )
     )
     return 1 if manifest.failures else 0
-
-
-def _maybe_mesh(args):
-    if getattr(args, "data_parallel", False):
-        from mies_tpu.parallel import make_mesh
-
-        return make_mesh()
-    return None
 
 
 def cmd_enhance_volume(args) -> int:
@@ -116,6 +111,11 @@ def cmd_enhance_volume(args) -> int:
         return 0
     vol, meta = load_volume(args.input, var_name=args.var)
     if args.mode == "3d":
+        if getattr(args, "data_parallel", False):
+            raise SystemExit(
+                "--data-parallel is not supported with --mode 3d "
+                "(the volumetric program is not batch-sharded)"
+            )
         import jax.numpy as jnp
 
         from mies_tpu.pipeline.compiler import compile_volume_pipeline

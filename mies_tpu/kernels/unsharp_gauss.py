@@ -103,6 +103,11 @@ def unsharp_gauss_tpu(
     big_r = r1 + r2
     if h % _STRIP:
         raise ValueError(f"H must be a multiple of {_STRIP}")
+    if r2 > _STRIP:
+        # the top-edge fixup replicates U's global row 0 from the s=0
+        # strip's local index r2; strips s > 0 must never see gi < 0,
+        # which requires s - r2 >= 0 for all s >= _STRIP
+        raise ValueError(f"sigma radius {r2} exceeds the strip height")
     xp = jnp.pad(
         batch.astype(jnp.float32), ((0, 0), (big_r, big_r), (r1, r1)),
         mode="edge",
@@ -133,6 +138,6 @@ def unsharp_gauss_supported(
         h % _STRIP == 0
         and w >= 128
         and r1 >= 1
-        and r2 >= 1
+        and 1 <= r2 <= _STRIP  # top-edge replication needs s - r2 >= 0
         and block <= _VMEM_BLOCK_LIMIT
     )

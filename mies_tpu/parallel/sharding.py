@@ -8,6 +8,7 @@ quality metrics reduce with one psum over ICI.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -18,17 +19,22 @@ from mies_tpu.pipeline.compiler import build_batched_chain, _ingest, _quantize_u
 from mies_tpu.pipeline.config import PipelineConfig
 
 
+@functools.lru_cache(maxsize=64)
 def shard_pipeline(
     cfg: PipelineConfig,
     mesh: Mesh,
     quantize: bool = True,
+    donate: bool = False,
 ) -> Callable:
     """Compile cfg into a jitted program whose batch dim is mesh-sharded.
 
     Returns fn([B, H, W]) -> [B, H, W] with B divisible by the 'data'
     axis size. Sharding is expressed with in/out shardings on jit — XLA
     partitions the program SPMD; no collectives are needed in the chain
-    itself, so scaling is linear over ICI.
+    itself, so scaling is linear over ICI. Cached like compile_pipeline
+    (cfg and Mesh are both hashable) — repeated runner calls must not
+    re-trace a Pallas-containing program (5-20 min remote compiles on
+    this platform).
     """
     chain = build_batched_chain(cfg)
 
@@ -40,7 +46,12 @@ def shard_pipeline(
     # purely data-parallel, leaving 'space' out of the spec would
     # REPLICATE the whole computation across it (wasted chips).
     spec = NamedSharding(mesh, P(tuple(mesh.axis_names), None, None))
-    return jax.jit(run, in_shardings=spec, out_shardings=spec)
+    return jax.jit(
+        run,
+        in_shardings=spec,
+        out_shardings=spec,
+        donate_argnums=(0,) if donate else (),
+    )
 
 
 def sharded_evaluate(

@@ -214,7 +214,14 @@ def enhance_volume(
 
 
 def _volume_fn(cfg: PipelineConfig, slab_size: int, mesh, donate: bool):
-    """Slab program: plain batched chain, or mesh-sharded when given."""
+    """Slab program: plain batched chain, or mesh-sharded when given.
+
+    NOTE: the sharded form is exercised on fake CPU devices (where the
+    Pallas ops dispatch to their exact jnp fallbacks); Pallas calls
+    inside a batch-sharded jit on REAL multi-chip hardware are
+    unverified in this single-chip environment — the partitioner may
+    replicate them (correct but slower than linear scaling).
+    """
     if mesh is None:
         return compile_pipeline(cfg, batched=True, donate=donate)
     n_dev = mesh.devices.size
@@ -224,7 +231,7 @@ def _volume_fn(cfg: PipelineConfig, slab_size: int, mesh, donate: bool):
         )
     from mies_tpu.parallel.sharding import shard_pipeline
 
-    return shard_pipeline(cfg, mesh)
+    return shard_pipeline(cfg, mesh, donate=donate)
 
 
 def enhance_volume_stream(

@@ -314,3 +314,18 @@ def test_unsharp_gauss_supported_bounds():
     assert not unsharp_gauss_supported((100, 512), 1.5, 1.5)  # H % 64
     assert not unsharp_gauss_supported((2048, 2048), 1.5, 1.5)  # VMEM
     assert not unsharp_gauss_supported((512, 512), 0.05, 1.5)  # radius 0
+
+
+def test_unsharp_gauss_rejects_oversized_sigma():
+    """sigma radii beyond the strip height break the top-edge
+    replication (r2 review round 3): supported() must exclude them and
+    the kernel must refuse."""
+    from mies_tpu.kernels.unsharp_gauss import (
+        unsharp_gauss_supported,
+        unsharp_gauss_tpu,
+    )
+
+    assert not unsharp_gauss_supported((512, 512), 1.5, 17.0)  # r2 = 68
+    with pytest.raises(ValueError, match="strip height"):
+        unsharp_gauss_tpu(jnp.zeros((1, 128, 128), jnp.float32),
+                          sigma=17.0, interpret=True)
