@@ -8,6 +8,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
+from pathlib import Path
+
+# Script execution puts benchmarks/ (not the repo root) on sys.path;
+# PYTHONPATH must stay untouched (it carries the TPU plugin's site dir).
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def workload_configs():

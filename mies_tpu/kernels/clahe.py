@@ -16,8 +16,13 @@ are integers <= 255 (exact in bf16's 8-bit mantissa); the MXU
 accumulates in f32, so the selection is EXACT, and the final bilinear
 blend runs as f32 VPU ops in OpenCV's operation order. The
 fraction-convention path splits its fractional f32 LUTs into bf16
-hi/lo halves (hi = bf16(L), lo = bf16(L - hi)) and sums two exact
-selections.
+hi/lo halves (hi = bf16(L), lo = bf16(L - hi)) and sums the two
+selections (~2^-17 relative error). The split MUST happen INSIDE the
+kernel: when it was computed XLA-side, XLA:TPU's bf16-propagation pass
+saw the convert-to-bf16 consumer and demoted the subtraction itself to
+bf16 — bf16(L) - bf16(L) == 0 — silently zeroing the lo half on real
+hardware only (found on-chip: every fraction output was quantized to
+the bf16 grid, off by up to 2^-9; interpret mode never showed it).
 
 Cell decomposition: OpenCV's bilinear weights make the 4 participating
 tile LUTs CONSTANT within half-tile-shifted cells. Padding the image by
@@ -37,6 +42,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NBINS = 256
+
+
+def _onehot256(v: Array, bins: Array) -> Array:
+    """[1, npx] int32 levels -> [256, npx] exact 0/1 bf16 onehot mask.
+
+    Plain 256-row compare+cast. MEASURED dead ends (do not re-try):
+    radix-2 decomposition (129 compares + two K=128 matmuls) was
+    time-identical — the apply is not compare-bound; the hist kernel's
+    nibble outer product (mhi[:,None,:] * mlo[None,:,:] then reshape
+    [16,16,npx] -> [256,npx]) was 2.1x SLOWER here — Mosaic materializes
+    the 3-D broadcast product through row-by-row copies instead of
+    fusing it into the matmul operand staging like it does this form."""
+    return (bins == v).astype(jnp.bfloat16)
+
+
+def _select_luts(lk: Array, mask: Array, split: bool) -> Array:
+    """MXU LUT selection: [k, 256] LUTs x [256, npx] onehot -> [k, npx].
+
+    split=False: lk is bf16 integer-valued (OpenCV LUTs) — one exact dot.
+    split=True: lk is f32 with fractional values (fraction-convention
+    LUTs); the bf16 hi/lo decomposition happens HERE, in-kernel, because
+    Mosaic compiles exactly what is written — XLA-side splitting was
+    silently zeroed by the bf16-propagation pass (module docstring)."""
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if not split:
+        return dot(lk, mask)
+    hi = lk.astype(jnp.bfloat16)
+    lo = (lk - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return dot(hi, mask) + dot(lo, mask)
 
 
 def _cell_luts(luts: Array, gy: int, gx: int) -> Array:
@@ -73,7 +111,7 @@ def _apply_kernel(
 
     v_ref:   [8, npx] int32 pixel levels (flattened cells, row-major;
              NB: v5e has no bf16 vector compare — int32 it is)
-    lut_ref: [8, 4 or 8, 256] bf16 cell LUT stacks
+    lut_ref: [8, 4, 256] cell LUT stacks (bf16 integer or f32 fractional)
     out_ref: [8, npx] f32 un-rounded OpenCV interpolation values
 
     Cell flat index = program_id * 8 + k, decomposed as
@@ -96,13 +134,8 @@ def _apply_kernel(
         j = jax.lax.rem(cell, gx1)
 
         v = v_ref[k : k + 1, :]  # [1, npx] int32, pixels on lanes
-        mask = (bins == v).astype(jnp.bfloat16)  # [256, npx], exact 0/1
-        sel = jax.lax.dot_general(
-            lut_ref[k], mask, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [4 or 8, npx] — exact selection (see module docstring)
-        if split:
-            sel = sel[0:4] + sel[4:8]
+        mask = _onehot256(v, bins)  # [256, npx], exact 0/1 bf16
+        sel = _select_luts(lut_ref[k], mask, split)  # [4, npx]
 
         # OpenCV f32 weights; x is the UNPADDED global coordinate:
         # x = j*tw + c - tw/2 for local flat pixel p = r*tw + c.
@@ -123,7 +156,7 @@ def _apply_kernel(
 
 def _apply_kernel_slab(
     slab_ref,  # [1, th, 2*tw] int32: TWO horizontally-adjacent cells
-    lut_ref,   # [1, 1, 2, k4, 256] bf16 LUTs for the two cells
+    lut_ref,   # [1, 1, 2, 4, 256] LUTs for the two cells (bf16 or f32)
     out_ref,   # [1, th, 2*tw] f32
     vflat,     # VMEM scratch [1, npx] int32
     rflat,     # VMEM scratch [1, npx] f32
@@ -159,13 +192,8 @@ def _apply_kernel_slab(
                 0, row, half * tw : (half + 1) * tw
             ]
         v = vflat[0:1, :]
-        mask = (bins == v).astype(jnp.bfloat16)  # [256, npx], exact 0/1
-        sel = jax.lax.dot_general(
-            lut_ref[0, 0, half], mask, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if split:
-            sel = sel[0:4] + sel[4:8]
+        mask = _onehot256(v, bins)  # [256, npx], exact 0/1 bf16
+        sel = _select_luts(lut_ref[0, 0, half], mask, split)  # [4, npx]
 
         yg = (i * th - th // 2).astype(jnp.float32) + r
         xg = (j * tw - tw // 2).astype(jnp.float32) + c
@@ -185,10 +213,8 @@ def _apply_kernel_slab(
 
 def _apply33_kernel(
     v_ref,    # [1, th, 2*tw] int32: two adjacent tiles of one tile-row
-    lut_ref,  # [1, 1, 2, 9*k, 256] bf16: 3x3 neighbor LUT stacks per tile
+    lut_ref,  # [1, 1, 2, 9, 256] 3x3 neighbor LUT stacks (bf16 or f32)
     out_ref,  # [1, th, 2*tw] f32
-    vflat,    # VMEM scratch [1, npx] int32
-    rflat,    # VMEM scratch [1, npx] f32
     *,
     th: int,
     tw: int,
@@ -196,76 +222,72 @@ def _apply33_kernel(
     gx: int,
     split: bool,
 ):
-    """Tile-aligned apply: each program handles two ORIGINAL tiles, with
-    the 3x3 neighboring LUTs mask-matmul'd at once ([9 or 18, 256] x
-    [256, npx]) and the 4 bilinear corners chosen per pixel by a
-    two-level select (y picks a 3-row group, x picks within it). Unlike
-    the half-shifted cell decomposition this needs NO edge padding of
-    the image, NO output crop, and NO per-cell LUT gather (_cell_luts) —
-    the stack is 9 shifted slices of the edge-padded LUT grid. Identical
-    arithmetic: the OpenCV weights and blend order are unchanged, the
-    selects reproduce the clamped tile indices exactly (bit-equal vs
-    _apply_lut_slab, measured 1.75 -> 1.47 ms per batch-32 512^2 apply
-    including glue)."""
-    npx = th * tw
+    """Tile-aligned apply, per-ROW: each program owns two ORIGINAL tiles
+    of one tile-row and works slab-row by slab-row — mask [256, 2tw],
+    ONE [18, 256] x [256, 2tw] dot (both tiles' 3x3 LUT stacks stacked
+    on sublanes), per-LANE corner selection (half/left/right as lane
+    masks). vs the flatten-into-scratch form this removes ALL 128
+    strided [1, tw] VMEM copies per tile pair — the copies, not the
+    compares, were the apply's hidden cost (measured 1.63 -> 1.21 ms
+    per batch-32 512^2 apply, BIT-equal on chip). The y-group pick
+    (row < th/2) is a static Python branch per unrolled row; the
+    clamped OpenCV tile indices and blend arithmetic are unchanged.
+
+    No edge padding of the image, no output crop, no per-cell LUT
+    gather (_cell_luts): the stack is 9 shifted slices of the
+    edge-padded LUT grid (cheap XLA slices)."""
+    w2 = 2 * tw
     a = pl.program_id(0)  # b * gy + i
     bcol = pl.program_id(1)
     i = jax.lax.rem(a, gy)
 
     inv_th = np.float32(1.0 / th)
     inv_tw = np.float32(1.0 / tw)
-    pi = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
-    r = (pi // tw).astype(jnp.float32)
-    c = (pi % tw).astype(jnp.float32)
-    top = r < np.float32(th // 2)
-    left = c < np.float32(tw // 2)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (NBINS, npx), 0)
+    lk = jnp.concatenate([lut_ref[0, 0, 0], lut_ref[0, 0, 1]], axis=0)
 
-    for half in range(2):
-        j = bcol * 2 + half
-        for row in range(th):
-            vflat[0, row * tw : (row + 1) * tw] = v_ref[
-                0, row, half * tw : (half + 1) * tw
-            ]
-        v = vflat[0:1, :]
-        mask = (bins == v).astype(jnp.bfloat16)  # [256, npx], exact 0/1
-        sel = jax.lax.dot_general(
-            lut_ref[0, 0, half], mask, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if split:
-            sel = sel[0:9] + sel[9:18]
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1)
+    half = c >= tw                     # per-lane tile-in-pair
+    j0 = bcol * 2
+    jl = j0 + half.astype(jnp.int32)   # per-lane global tile column
+    left = (c - half.astype(jnp.int32) * tw) < (tw // 2)
+    lx = jnp.logical_and(left, jl > 0)
+    rx = jnp.logical_and(jnp.logical_not(left), jl < gx - 1)
+    # xg == j*tw + c_local for both halves (identical f32 value/ops as
+    # the jnp twin: integer add below 2^24, then one cast)
+    xg = (j0 * tw + c).astype(jnp.float32)
+    txf = xg * inv_tw - np.float32(0.5)
+    xa = txf - jnp.floor(txf)          # [1, w2]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (NBINS, w2), 0)
+
+    win = v_ref[0]                     # [th, w2] int32
+    for row in range(th):
+        v = win[row : row + 1, :]
+        mask = _onehot256(v, bins)     # [256, w2], exact 0/1 bf16
+        sel = _select_luts(lk, mask, split)       # [18, w2]
+        s = jnp.where(half, sel[9:18], sel[0:9])  # this tile's 3x3 rows
 
         # clamped OpenCV tile indices -> positions in the 3x3 stack:
         # ty1 = max(floor, 0) -> row 0 unless the clamp hits (i == 0);
         # ty2 = min(floor+1, gy-1) -> row 2 unless i == gy-1; bottom
-        # halves shift everything one row down. Same for x.
-        gy1 = jnp.where(jnp.logical_and(top, i > 0), sel[0:3], sel[3:6])
-        gy2 = jnp.where(
-            jnp.logical_and(jnp.logical_not(top), i < gy - 1),
-            sel[6:9], sel[3:6],
-        )
-        lx = jnp.logical_and(left, j > 0)
-        rx = jnp.logical_and(jnp.logical_not(left), j < gx - 1)
-        v11 = jnp.where(lx, gy1[0:1], gy1[1:2])
-        v12 = jnp.where(lx, gy1[1:2], jnp.where(rx, gy1[2:3], gy1[1:2]))
-        v21 = jnp.where(lx, gy2[0:1], gy2[1:2])
-        v22 = jnp.where(lx, gy2[1:2], jnp.where(rx, gy2[2:3], gy2[1:2]))
+        # halves shift everything one row down. Same for x, per lane.
+        if row < th // 2:
+            g1 = jnp.where(i > 0, s[0:3], s[3:6])
+            g2 = s[3:6]
+        else:
+            g1 = s[3:6]
+            g2 = jnp.where(i < gy - 1, s[6:9], s[3:6])
+        v11 = jnp.where(lx, g1[0:1], g1[1:2])
+        v12 = jnp.where(lx, g1[1:2], jnp.where(rx, g1[2:3], g1[1:2]))
+        v21 = jnp.where(lx, g2[0:1], g2[1:2])
+        v22 = jnp.where(lx, g2[1:2], jnp.where(rx, g2[2:3], g2[1:2]))
 
-        yg = (i * th).astype(jnp.float32) + r
-        xg = (j * tw).astype(jnp.float32) + c
+        yg = (i * th + row).astype(jnp.float32)
         tyf = yg * inv_th - np.float32(0.5)
-        txf = xg * inv_tw - np.float32(0.5)
         ya = tyf - jnp.floor(tyf)
-        xa = txf - jnp.floor(txf)
         res = (v11 * (np.float32(1.0) - xa) + v12 * xa) * (
             np.float32(1.0) - ya
         ) + (v21 * (np.float32(1.0) - xa) + v22 * xa) * ya
-        rflat[0:1, :] = res.astype(jnp.float32)
-        for row in range(th):
-            out_ref[0, row, half * tw : (half + 1) * tw] = rflat[
-                0, row * tw : (row + 1) * tw
-            ]
+        out_ref[0, row : row + 1, :] = res.astype(jnp.float32)
 
 
 def _apply_lut_tile33(
@@ -284,14 +306,10 @@ def _apply_lut_tile33(
         [lp[:, dy : dy + gy, dx : dx + gx] for dy in range(3) for dx in range(3)],
         axis=3,
     )  # [B, gy, gx, 9, 256]
-    if integer_luts:
-        cl_in = stack.astype(jnp.bfloat16)
-        k9 = 9
-    else:
-        hi = stack.astype(jnp.bfloat16)
-        lo = (stack - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        cl_in = jnp.concatenate([hi, lo], axis=3)
-        k9 = 18
+    # integer LUTs ship bf16 (exact); fractional LUTs ship f32 and are
+    # hi/lo-split inside the kernel (_select_luts)
+    cl_in = stack.astype(jnp.bfloat16) if integer_luts else stack
+    k9 = 9
     cl_in = cl_in.reshape(B * gy, gx // 2, 2, k9, NBINS)
 
     kernel = functools.partial(
@@ -310,10 +328,6 @@ def _apply_lut_tile33(
         out_specs=pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * gy, th, W), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((1, npx), jnp.int32),
-            pltpu.VMEM((1, npx), jnp.float32),
-        ],
     )(rows, cl_in)
     return out.reshape(B, H, W)
 
@@ -337,14 +351,8 @@ def _apply_lut_slab(
     slabs = vp.reshape(B * gy1, th, gx1p * tw)  # FREE
 
     cl = _cell_luts(luts, gy, gx)  # [B, gy1, gx+1, 4, 256] f32
-    if integer_luts:
-        cl_in = cl.astype(jnp.bfloat16)
-        k4 = 4
-    else:
-        hi = cl.astype(jnp.bfloat16)
-        lo = (cl - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        cl_in = jnp.concatenate([hi, lo], axis=3)
-        k4 = 8
+    cl_in = cl.astype(jnp.bfloat16) if integer_luts else cl
+    k4 = 4
     if gx1p != gx + 1:
         cl_in = jnp.concatenate([cl_in, cl_in[:, :, -1:]], axis=2)
     cl_in = cl_in.reshape(B * gy1, gx1p // 2, 2, k4, NBINS)
@@ -432,14 +440,8 @@ def _apply_lut_cells(
     )
 
     cl = _cell_luts(luts, gy, gx)  # [B, gy+1, gx+1, 4, 256] f32
-    if integer_luts:
-        cl_in = cl.astype(jnp.bfloat16)
-        k4 = 4
-    else:
-        hi = cl.astype(jnp.bfloat16)
-        lo = (cl - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        cl_in = jnp.concatenate([hi, lo], axis=3)  # [..., 8, 256]
-        k4 = 8
+    cl_in = cl.astype(jnp.bfloat16) if integer_luts else cl
+    k4 = 4
     cl_in = cl_in.reshape(B * ncells, k4, NBINS)
 
     # pad the cell count to the per-program blocking
@@ -653,6 +655,7 @@ def clahe_tpu(
     u8 = jnp.clip(jnp.round(img.astype(jnp.float32) * 255.0), 0, 255).astype(
         jnp.int32
     )
+
     hists = tile_hists_pallas(u8, gy, gx).reshape(B * gy * gx, NBINS)
 
     if convention == "opencv":

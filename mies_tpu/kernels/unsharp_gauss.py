@@ -39,23 +39,28 @@ _STRIP = 64
 _VMEM_BLOCK_LIMIT = 6 * 1024 * 1024
 
 
+def _rowconv(src, taps, out_rows):
+    """Vertical shifted-add correlation, scipy's ascending-tap order."""
+    acc = np.float32(taps[0]) * src[0:out_rows, :]
+    for t in range(1, len(taps)):
+        acc = acc + np.float32(taps[t]) * src[t : t + out_rows, :]
+    return acc
+
+
+def _colconv(src, taps, out_cols):
+    """Horizontal shifted-add correlation, scipy's ascending-tap order."""
+    acc = np.float32(taps[0]) * src[:, 0:out_cols]
+    for t in range(1, len(taps)):
+        acc = acc + np.float32(taps[t]) * src[:, t : t + out_cols]
+    return acc
+
+
 def _kern(x_ref, out_ref, *, w, k1, k2, amount, h):
     r1, r2 = len(k1) // 2, len(k2) // 2
     big_r = r1 + r2
     s = pl.multiple_of(pl.program_id(1) * _STRIP, _STRIP)
     win = x_ref[0, pl.ds(s, _STRIP + 2 * big_r), :]  # rows [s-R, s+S+R)
-
-    def rowconv(src, taps, out_rows):
-        acc = np.float32(taps[0]) * src[0:out_rows, :]
-        for t in range(1, len(taps)):
-            acc = acc + np.float32(taps[t]) * src[t : t + out_rows, :]
-        return acc
-
-    def colconv(src, taps, out_cols):
-        acc = np.float32(taps[0]) * src[:, 0:out_cols]
-        for t in range(1, len(taps)):
-            acc = acc + np.float32(taps[t]) * src[:, t : t + out_cols]
-        return acc
+    rowconv, colconv = _rowconv, _colconv
 
     # G1 + blend: U on rows [s-r2, s+S+r2), cols [0, w)
     y1 = rowconv(win, k1, _STRIP + 2 * r2)
@@ -125,6 +130,84 @@ def unsharp_gauss_tpu(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, h, w), jnp.float32),
     )(xp)
+
+
+def _unsharp_kern(x_ref, out_ref, *, w, k1, amount, quantize):
+    """One row-strip of unsharp_mask(mode='nearest', clip=True), with the
+    optional uint8 quantize folded in (emitted as int32 — Mosaic has no
+    f32->u8 vector cast; XLA's int32->u8 epilogue cast is free-ish)."""
+    r1 = len(k1) // 2
+    s = pl.multiple_of(pl.program_id(1) * _STRIP, _STRIP)
+    win = x_ref[0, pl.ds(s, _STRIP + 2 * r1), :]  # [S+2r1, w+2r1]
+    y1 = _rowconv(win, k1, _STRIP)
+    g = _colconv(y1, k1, w)
+    xc = win[r1 : r1 + _STRIP, r1 : r1 + w]
+    u = jnp.clip(xc + np.float32(amount) * (xc - g), 0.0, 1.0)
+    if quantize:
+        out_ref[0] = jnp.clip(
+            jnp.rint(u * np.float32(255.0)), 0.0, 255.0
+        ).astype(jnp.int32)
+    else:
+        out_ref[0] = u
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "amount", "truncate", "quantize", "interpret"),
+)
+def unsharp_quant_tpu(
+    batch: Array,
+    radius: float = 1.0,
+    amount: float = 1.0,
+    truncate: float = 4.0,
+    quantize: bool = True,
+    interpret: bool = False,
+) -> Array:
+    """Pallas unsharp_mask('nearest', clip=True) with fused uint8
+    quantize on [B, H, W] float [0,1].
+
+    Bit-exact vs unsharp_mask + _quantize_u8: same ascending-tap
+    shifted-add order as ops.filters._conv1d_shifted, and the 'nearest'
+    per-pass border pads collapse to one edge pad of x (row conv
+    commutes with column replication). Saves the separable blur's HBM
+    intermediate and the separate quantize pass."""
+    B, h, w = batch.shape
+    r1 = int(truncate * float(radius) + 0.5)
+    k1 = tuple(gaussian_kernel1d(float(radius), r1).astype(np.float32).tolist())
+    if h % _STRIP:
+        raise ValueError(f"H must be a multiple of {_STRIP}")
+    xp = jnp.pad(
+        batch.astype(jnp.float32), ((0, 0), (r1, r1), (r1, r1)), mode="edge"
+    )
+    kern = functools.partial(
+        _unsharp_kern, w=w, k1=k1, amount=float(amount), quantize=quantize
+    )
+    out = pl.pallas_call(
+        kern,
+        interpret=interpret,
+        grid=(B, h // _STRIP),
+        in_specs=[
+            pl.BlockSpec((1, h + 2 * r1, w + 2 * r1), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _STRIP, w), lambda b, s: (b, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, h, w), jnp.int32 if quantize else jnp.float32
+        ),
+    )(xp)
+    return out.astype(jnp.uint8) if quantize else out
+
+
+def unsharp_quant_supported(
+    shape: tuple[int, int], radius: float, truncate: float = 4.0
+) -> bool:
+    h, w = shape
+    r1 = int(truncate * float(radius) + 0.5)
+    block = (h + 2 * r1) * (w + 2 * r1) * 4
+    return (
+        h % _STRIP == 0 and w >= 128 and r1 >= 1 and block <= _VMEM_BLOCK_LIMIT
+    )
 
 
 def unsharp_gauss_supported(

@@ -199,6 +199,41 @@ def _try_fuse_tail(cfg: PipelineConfig, quantize: bool):
     return cfg.stages[:-2], fused
 
 
+def _try_fuse_unsharp_quant(cfg: PipelineConfig, quantize: bool):
+    """Peephole: a trailing unsharp_mask('nearest', clip=True) runs as
+    ONE Pallas pass with the uint8 quantize folded in — no separable-
+    blur HBM intermediate, no separate quantize pass. Bit-exact vs the
+    unfused tail (same shifted-add tap order; kernels/unsharp_gauss).
+    Returns (prefix_stages, fused_fn | None)."""
+    if not cfg.stages or cfg.stages[-1].op != "unsharp_mask":
+        return cfg.stages, None
+    bk = cfg.stages[-1].kwargs()
+    if bk.get("mode", "nearest") != "nearest" or not bk.get("clip", True):
+        return cfg.stages, None
+    radius = float(bk.get("radius", 1.0))
+    amount = float(bk.get("amount", 1.0))
+    truncate = float(bk.get("truncate", 4.0))
+    if radius <= 0:
+        return cfg.stages, None
+
+    from mies_tpu.kernels.unsharp_gauss import (
+        unsharp_quant_supported,
+        unsharp_quant_tpu,
+    )
+
+    def fused(batch: Array):
+        if jax.default_backend() != "tpu" or not unsharp_quant_supported(
+            batch.shape[-2:], radius, truncate
+        ):
+            return None  # trace-time fallback: run unfused + quantize
+        return unsharp_quant_tpu(
+            batch, radius=radius, amount=amount, truncate=truncate,
+            quantize=quantize,
+        )
+
+    return cfg.stages[:-1], fused
+
+
 def _bind_batched_stage(s, batched_ops):
     if s.op in batched_ops:
         return functools.partial(batched_ops[s.op], **s.kwargs())
@@ -265,6 +300,8 @@ def build_batched_chain(
         _try_fuse_tail(cfg, bool(quantize)) if quantize is not None
         else (cfg.stages, None)
     )
+    if fused_tail is None and quantize is not None:
+        stages, fused_tail = _try_fuse_unsharp_quant(cfg, bool(quantize))
     # pairwise peephole: each entry is (fused_fn_or_None, unfused_fns)
     bound: list[tuple] = []
     i = 0

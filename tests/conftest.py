@@ -5,6 +5,7 @@ answer to 'fake backends'). All correctness tests run on CPU; the
 real-chip path is exercised by bench.py and __graft_entry__.py.
 """
 
+import hashlib
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -24,9 +25,16 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture()
+def rng(request):
+    """Per-test rng seeded from the test's node id: every test sees the
+    SAME draws no matter which subset of the suite runs (the old
+    session-scoped rng made golden tolerances depend on test order —
+    test_clahe_skimage_explicit_kernel_size flaked under subset runs)."""
+    seed = int.from_bytes(
+        hashlib.sha256(request.node.nodeid.encode()).digest()[:4], "little"
+    )
+    return np.random.default_rng(seed)
 
 
 @pytest.fixture(scope="session")
