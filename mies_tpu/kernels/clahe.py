@@ -57,24 +57,35 @@ def _onehot256(v: Array, bins: Array) -> Array:
     return (bins == v).astype(jnp.bfloat16)
 
 
+_dot = functools.partial(
+    jax.lax.dot_general,
+    dimension_numbers=(((1,), (0,)), ((), ())),
+    preferred_element_type=jnp.float32,
+)
+
+
+def _split_luts(lk: Array) -> tuple[Array, Array]:
+    """f32 fractional LUTs -> exact-as-possible bf16 (hi, lo) halves.
+
+    MUST run INSIDE a Pallas kernel: Mosaic compiles exactly what is
+    written, whereas XLA:TPU's bf16-propagation pass demoted the
+    XLA-side subtraction to bf16 — bf16(L) - bf16(L) == 0 — silently
+    zeroing the lo half on real hardware (module docstring)."""
+    hi = lk.astype(jnp.bfloat16)
+    lo = (lk - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _select_luts(lk: Array, mask: Array, split: bool) -> Array:
     """MXU LUT selection: [k, 256] LUTs x [256, npx] onehot -> [k, npx].
 
     split=False: lk is bf16 integer-valued (OpenCV LUTs) — one exact dot.
     split=True: lk is f32 with fractional values (fraction-convention
-    LUTs); the bf16 hi/lo decomposition happens HERE, in-kernel, because
-    Mosaic compiles exactly what is written — XLA-side splitting was
-    silently zeroed by the bf16-propagation pass (module docstring)."""
-    dot = functools.partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    LUTs); hi/lo-decomposed in-kernel (_split_luts) and summed."""
     if not split:
-        return dot(lk, mask)
-    hi = lk.astype(jnp.bfloat16)
-    lo = (lk - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return dot(hi, mask) + dot(lo, mask)
+        return _dot(lk, mask)
+    hi, lo = _split_luts(lk)
+    return _dot(hi, mask) + _dot(lo, mask)
 
 
 def _cell_luts(luts: Array, gy: int, gx: int) -> Array:
@@ -244,6 +255,8 @@ def _apply33_kernel(
     inv_th = np.float32(1.0 / th)
     inv_tw = np.float32(1.0 / tw)
     lk = jnp.concatenate([lut_ref[0, 0, 0], lut_ref[0, 0, 1]], axis=0)
+    if split:  # hoist the loop-invariant hi/lo split out of the row loop
+        lk_hi, lk_lo = _split_luts(lk)
 
     c = jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1)
     half = c >= tw                     # per-lane tile-in-pair
@@ -263,7 +276,8 @@ def _apply33_kernel(
     for row in range(th):
         v = win[row : row + 1, :]
         mask = _onehot256(v, bins)     # [256, w2], exact 0/1 bf16
-        sel = _select_luts(lk, mask, split)       # [18, w2]
+        sel = (_dot(lk_hi, mask) + _dot(lk_lo, mask)) if split \
+            else _dot(lk, mask)                   # [18, w2]
         s = jnp.where(half, sel[9:18], sel[0:9])  # this tile's 3x3 rows
 
         # clamped OpenCV tile indices -> positions in the 3x3 stack:
@@ -297,7 +311,6 @@ def _apply_lut_tile33(
     B, H, W = u8.shape
     gy, gx = grid_size
     th, tw = H // gy, W // gx
-    npx = th * tw
     rows = u8.reshape(B * gy, th, W)  # FREE
 
     # 3x3 neighbor stacks: edge-pad the LUT grid, take 9 shifted slices
@@ -309,8 +322,7 @@ def _apply_lut_tile33(
     # integer LUTs ship bf16 (exact); fractional LUTs ship f32 and are
     # hi/lo-split inside the kernel (_select_luts)
     cl_in = stack.astype(jnp.bfloat16) if integer_luts else stack
-    k9 = 9
-    cl_in = cl_in.reshape(B * gy, gx // 2, 2, k9, NBINS)
+    cl_in = cl_in.reshape(B * gy, gx // 2, 2, 9, NBINS)
 
     kernel = functools.partial(
         _apply33_kernel, th=th, tw=tw, gy=gy, gx=gx, split=not integer_luts
@@ -322,7 +334,7 @@ def _apply_lut_tile33(
         in_specs=[
             pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, k9, NBINS), lambda a, b: (a, b, 0, 0, 0),
+            pl.BlockSpec((1, 1, 2, 9, NBINS), lambda a, b: (a, b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
@@ -352,10 +364,9 @@ def _apply_lut_slab(
 
     cl = _cell_luts(luts, gy, gx)  # [B, gy1, gx+1, 4, 256] f32
     cl_in = cl.astype(jnp.bfloat16) if integer_luts else cl
-    k4 = 4
     if gx1p != gx + 1:
         cl_in = jnp.concatenate([cl_in, cl_in[:, :, -1:]], axis=2)
-    cl_in = cl_in.reshape(B * gy1, gx1p // 2, 2, k4, NBINS)
+    cl_in = cl_in.reshape(B * gy1, gx1p // 2, 2, 4, NBINS)
 
     kernel = functools.partial(
         _apply_kernel_slab, th=th, tw=tw, gy1=gy1, split=not integer_luts
@@ -367,7 +378,7 @@ def _apply_lut_slab(
         in_specs=[
             pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, k4, NBINS), lambda a, b: (a, b, 0, 0, 0),
+            pl.BlockSpec((1, 1, 2, 4, NBINS), lambda a, b: (a, b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
@@ -441,8 +452,7 @@ def _apply_lut_cells(
 
     cl = _cell_luts(luts, gy, gx)  # [B, gy+1, gx+1, 4, 256] f32
     cl_in = cl.astype(jnp.bfloat16) if integer_luts else cl
-    k4 = 4
-    cl_in = cl_in.reshape(B * ncells, k4, NBINS)
+    cl_in = cl_in.reshape(B * ncells, 4, NBINS)
 
     # pad the cell count to the per-program blocking
     total = B * ncells
@@ -462,7 +472,7 @@ def _apply_lut_cells(
         grid=((total + pad_cells) // cpp,),
         in_specs=[
             pl.BlockSpec((cpp, npx), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cpp, k4, NBINS), lambda g: (g, 0, 0),
+            pl.BlockSpec((cpp, 4, NBINS), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((cpp, npx), lambda g: (g, 0),

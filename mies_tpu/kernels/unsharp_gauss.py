@@ -60,11 +60,10 @@ def _kern(x_ref, out_ref, *, w, k1, k2, amount, h):
     big_r = r1 + r2
     s = pl.multiple_of(pl.program_id(1) * _STRIP, _STRIP)
     win = x_ref[0, pl.ds(s, _STRIP + 2 * big_r), :]  # rows [s-R, s+S+R)
-    rowconv, colconv = _rowconv, _colconv
 
     # G1 + blend: U on rows [s-r2, s+S+r2), cols [0, w)
-    y1 = rowconv(win, k1, _STRIP + 2 * r2)
-    g1 = colconv(y1, k1, w)
+    y1 = _rowconv(win, k1, _STRIP + 2 * r2)
+    g1 = _colconv(y1, k1, w)
     xc = win[r1 : r1 + _STRIP + 2 * r2, r1 : r1 + w]
     u = jnp.clip(xc + np.float32(amount) * (xc - g1), 0.0, 1.0)
 
@@ -79,11 +78,11 @@ def _kern(x_ref, out_ref, *, w, k1, k2, amount, h):
     u = jnp.where(gi > h - 1, last_row, u)
 
     # G2: rows then cols; the col pad replicates V's edge columns
-    v = rowconv(u, k2, _STRIP)
+    v = _rowconv(u, k2, _STRIP)
     left = jax.lax.broadcast_in_dim(v[:, 0:1], (_STRIP, r2), (0, 1))
     right = jax.lax.broadcast_in_dim(v[:, w - 1 : w], (_STRIP, r2), (0, 1))
     vext = jnp.concatenate([left, v, right], axis=1)
-    out_ref[0] = colconv(vext, k2, w)
+    out_ref[0] = _colconv(vext, k2, w)
 
 
 @functools.partial(
