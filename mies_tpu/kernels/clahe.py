@@ -561,6 +561,60 @@ def tile_hists_pallas(
     return out[:total].reshape(B, gy, gx, NBINS)
 
 
+def _hist_rows_kernel(v_ref, out_ref, *, th: int, tw: int):
+    """Rows-layout nibble histogram: v_ref [1, th, 2*tw] int32 (two
+    adjacent tiles of one tile-row, the SAME block shape the apply
+    kernel reads) -> out_ref [1, 2, 16, 16] f32 histograms.
+
+    Per slab row: full-width nibble masks (compares at 128 lanes), then
+    one accumulating [16, tw] x [tw, 16] dot per tile (static lane
+    slices of the masks). The [16, 16] f32 accumulators live in
+    registers across the unrolled row loop — integer counts, exact.
+    Removes the XLA tiles transpose entirely (hist and apply now share
+    one free reshape; measured 0.65 -> 0.56 ms for hist+LUT per
+    batch-32 512^2)."""
+    w2 = 2 * tw
+    i16 = jax.lax.broadcasted_iota(jnp.int32, (16, w2), 0)
+    win = v_ref[0]
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc0 = jnp.zeros((16, 16), jnp.float32)
+    acc1 = jnp.zeros((16, 16), jnp.float32)
+    for row in range(th):
+        v = win[row : row + 1, :]
+        mhi = (i16 == (v >> 4)).astype(jnp.bfloat16)  # [16, w2]
+        mlo = (i16 == (v & 15)).astype(jnp.bfloat16)
+        acc0 = acc0 + dot(mhi[:, :tw], mlo[:, :tw])
+        acc1 = acc1 + dot(mhi[:, tw:], mlo[:, tw:])
+    out_ref[0, 0] = acc0
+    out_ref[0, 1] = acc1
+
+
+@functools.partial(jax.jit, static_argnames=("gy", "gx", "interpret"))
+def tile_hists_rows_pallas(
+    u8: Array, gy: int, gx: int, interpret: bool = False
+) -> Array:
+    """Per-tile histograms from the rows layout (no XLA transpose):
+    [B, H, W] int32 -> [B, gy, gx, 256]. Requires gx % 2 == 0."""
+    B, H, W = u8.shape
+    th, tw = H // gy, W // gx
+    rows = u8.reshape(B * gy, th, W)  # FREE
+    out = pl.pallas_call(
+        functools.partial(_hist_rows_kernel, th=th, tw=tw),
+        interpret=interpret,
+        grid=(B * gy, gx // 2),
+        in_specs=[pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, 16, 16), lambda a, b: (a, b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * gy, gx, 16, 16), jnp.float32),
+    )(rows)
+    return out.reshape(B, gy, gx, NBINS)
+
+
 def _tile_hists_onehot(u8: Array, gy: int, gx: int) -> Array:
     """Per-tile histograms via NIBBLE OUTER PRODUCT on the MXU.
 
@@ -666,7 +720,11 @@ def clahe_tpu(
         jnp.int32
     )
 
-    hists = tile_hists_pallas(u8, gy, gx).reshape(B * gy * gx, NBINS)
+    if gx % 2 == 0 and tw >= 64:
+        # transpose-free: shares the apply kernel's rows layout
+        hists = tile_hists_rows_pallas(u8, gy, gx).reshape(B * gy * gx, NBINS)
+    else:
+        hists = tile_hists_pallas(u8, gy, gx).reshape(B * gy * gx, NBINS)
 
     if convention == "opencv":
         clip_value = jnp.float32(max(int(clip_limit * tile_area / NBINS), 1))

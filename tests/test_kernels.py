@@ -222,6 +222,20 @@ def test_tile_hists_pallas_matches_jnp_interpret(rng):
     assert (got.sum(-1) == 32 * 32).all()
 
 
+def test_tile_hists_rows_pallas_matches_onehot(rng):
+    """Rows-layout hist kernel (no XLA transpose) == the jnp twin,
+    exactly, across tile shapes."""
+    from mies_tpu.kernels.clahe import _tile_hists_onehot, tile_hists_rows_pallas
+
+    for shape, grid in [((128, 128), (2, 2)), ((128, 256), (2, 4)),
+                        ((256, 256), (4, 4))]:
+        u8 = jnp.asarray(
+            (rng.random((2, *shape)) * 255.999).astype(np.int32))
+        got = np.asarray(tile_hists_rows_pallas(u8, *grid, interpret=True))
+        want = np.asarray(_tile_hists_onehot(u8, *grid))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_tile_hists_pallas_odd_tile_count(rng):
     """Tile counts not divisible by the per-program blocking pad cleanly."""
     from mies_tpu.kernels.clahe import _tile_hists_onehot, tile_hists_pallas
