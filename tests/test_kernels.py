@@ -388,6 +388,52 @@ def test_unsharp_quant_chain_peephole(rng):
     np.testing.assert_array_equal(got, wantq)
 
 
+def test_clahe_skimage_tpu_interpret_matches_jnp(rng):
+    """Batched skimage fast path (Pallas hist + apply, interpreter) vs
+    the vmapped jnp transcription: selection and counts are exact, so
+    only FMA-contraction ties in the coefficient blend may flip a
+    floored 14-bit level (tiny, isolated)."""
+    from mies_tpu.kernels.clahe import clahe_skimage_tpu
+
+    imgs = rng.random((2, 128, 128)).astype(np.float32)
+    ref = _jnp_clahe_batch(jnp.asarray(imgs), 0.02, (2, 2), "skimage")
+    out = np.asarray(clahe_skimage_tpu(
+        jnp.asarray(imgs), (64, 64), 0.02, interpret=True
+    ))
+    d = np.abs(out - ref)
+    assert (d > 1.0 / 255.0).mean() <= 5e-5, d.max()
+    assert d.max() <= 2.0 / 255.0 + 0.02, d.max()
+
+
+def test_clahe_skimage_tpu_interpret_matches_golden(rng):
+    """Batched skimage fast path vs the transcribed skimage 0.26 golden
+    (same outlier contract as the jnp path's golden tests)."""
+    import sys as _sys
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from goldens import golden_ops as G
+    from mies_tpu.kernels.clahe import clahe_skimage_tpu
+
+    img = rng.random((96, 160)).astype(np.float32)
+    out = np.asarray(clahe_skimage_tpu(
+        jnp.asarray(img[None]), (24, 40), 0.02, interpret=True
+    ))[0]
+    ref = G.equalize_adapthist_skimage(img, kernel_size=(24, 40),
+                                       clip_limit=0.02)
+    d = np.abs(out - ref)
+    assert (d > 1.0 / 255.0).mean() <= 5e-5, d.max()
+    assert d.max() <= 2.0 / 255.0 + 0.02, d.max()
+
+
+def test_clahe_skimage_supported_gate():
+    from mies_tpu.kernels.clahe import clahe_skimage_supported
+
+    assert clahe_skimage_supported((512, 512), (64, 64))
+    assert clahe_skimage_supported((96, 160), (32, 32))
+    assert not clahe_skimage_supported((512, 512), (64, 64), nbins=128)
+    assert not clahe_skimage_supported((96, 160), (24, 40))  # 960 % 128
+    assert not clahe_skimage_supported((1024, 1024), (128, 128))  # npx cap
+
+
 def test_unsharp_gauss_supported_bounds():
     from mies_tpu.kernels.unsharp_gauss import unsharp_gauss_supported
 
