@@ -386,16 +386,14 @@ def _clip_histogram_skimage(hist: Array, clim: int, nbins: int) -> Array:
     return jax.vmap(sweep)(hist, n_excess)
 
 
-def _apply_maps_selection_blocks(
-    blocks: Array, maps: Array, coeffs: list[Array], nbins: int
-) -> Array:
-    """Multilinear interpolation core shared by the 2-D and 3-D skimage
-    paths: blocks [NB, P] int32 bin indices, maps [NB, E, nbins] f32
-    integer-valued region maps (E = 2^ndim corners), coeffs: E arrays of
-    [P] f32 weights. Gatherless — the LUT lookup is a selection-by-
-    matmul (onehot @ maps, exact under HIGHEST precision) scanned in
-    block chunks to bound the onehot working set; per-term f32
-    accumulation and a truncating floor, like the goldens.
+def _select_blocks(blocks: Array, maps: Array, nbins: int) -> Array:
+    """Gatherless batched LUT selection: blocks [NB, P] int32 bin
+    indices x maps [NB, E, nbins] f32 -> sels [NB, P, E].
+
+    The lookup is a selection-by-matmul (onehot @ maps, exact under
+    HIGHEST precision for integer-valued maps) scanned in block chunks
+    to bound the onehot working set. Shared by the skimage paths and
+    the 3-D OpenCV/fraction trilinear apply.
     """
     nb, p = blocks.shape
     e_corners = maps.shape[1]
@@ -425,8 +423,21 @@ def _apply_maps_selection_blocks(
         None,
         (blocks.reshape(-1, ch, p), maps.reshape(-1, ch, e_corners, nbins)),
     )
-    sels = sels.reshape(-1, p, e_corners)[:nb]  # [NB, P, E]
+    return sels.reshape(-1, p, e_corners)[:nb]  # [NB, P, E]
 
+
+def _apply_maps_selection_blocks(
+    blocks: Array, maps: Array, coeffs: list[Array], nbins: int
+) -> Array:
+    """Multilinear interpolation core shared by the 2-D and 3-D skimage
+    paths: blocks [NB, P] int32 bin indices, maps [NB, E, nbins] f32
+    integer-valued region maps (E = 2^ndim corners), coeffs: E arrays of
+    [P] f32 weights. Per-term f32 accumulation and a truncating floor,
+    like the goldens.
+    """
+    nb, p = blocks.shape
+    e_corners = maps.shape[1]
+    sels = _select_blocks(blocks, maps, nbins)
     acc = jnp.zeros((nb, p), jnp.float32)
     for e in range(e_corners):
         acc = acc + sels[:, :, e] * coeffs[e][None, :]
