@@ -304,6 +304,79 @@ def _bilinear_lut_apply(
     return top * (1.0 - ya) + bot * ya
 
 
+def _bilinear_lut_apply_selection(
+    u8: Array,
+    luts: Array,
+    grid: tuple[int, int],
+    tile_shape: tuple[int, int] | None = None,
+    y_offset=0,
+) -> Array:
+    """Gatherless twin of _bilinear_lut_apply (selection-by-matmul).
+
+    Same signature, same OpenCV weight arithmetic and blend order, but
+    the 4-corner LUT lookup runs through _select_blocks on the
+    half-tile-shifted CELLS decomposition instead of advanced-indexing
+    gathers — on TPU the gather form measured 910 ms for a 4096² band
+    program (XLA lowers it to gather loops); this form rides the MXU.
+    Requires H % th == 0, W % tw == 0, and y_offset % th == 0 (the
+    tile-aligned band contract of parallel.clahe_shard; y_offset may be
+    traced — the corner slices are dynamic).
+    """
+    gy, gx = grid
+    h, w = u8.shape
+    th, tw = tile_shape if tile_shape is not None else (h // gy, w // gx)
+    py, px = th // 2, tw // 2
+    ny1, nx1 = h // th + 1, w // tw + 1
+    p_px = th * tw
+    nb = ny1 * nx1
+    m_row = y_offset // th
+
+    up = jnp.pad(u8, ((py, th - py), (px, tw - px)), mode="edge")
+
+    def to_blocks(x):
+        return (
+            x.reshape(ny1, th, nx1, tw).transpose(0, 2, 1, 3).reshape(nb, p_px)
+        )
+
+    blocks = to_blocks(up)
+    # edge-padded LUT grid folds OpenCV's index clamping into slicing:
+    # cell row i's ty1 = max(m+i-1, 0) = lp[m+i], ty2 = min(m+i, gy-1)
+    # = lp[m+i+1]; same for x. Corner order matches v11,v12,v21,v22.
+    lp = jnp.pad(luts, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    corners = [
+        jax.lax.dynamic_slice(
+            lp, (m_row + ey, ex, 0), (ny1, nx1, NBINS)
+        )
+        for ey in range(2)
+        for ex in range(2)
+    ]
+    m4 = jnp.stack(corners, axis=2).reshape(nb, 4, NBINS)
+    sels = _select_blocks(blocks, m4, NBINS)  # [NB, P, 4]
+
+    # the EXACT frac arithmetic of _bilinear_lut_apply, relocated into
+    # cell blocks (arange values equal the original integer coords)
+    inv_th = np.float32(1.0) / np.float32(th)
+    inv_tw = np.float32(1.0) / np.float32(tw)
+    ygp = jnp.arange(-py, h + th - py, dtype=jnp.float32) + jnp.float32(
+        y_offset
+    )
+    yfp = ygp * inv_th - np.float32(0.5)
+    yap = yfp - jnp.floor(yfp)
+    xfp = jnp.arange(-px, w + tw - px, dtype=jnp.float32) * inv_tw - np.float32(0.5)
+    xap = xfp - jnp.floor(xfp)
+    shape_p = (h + th, w + tw)
+    yab = to_blocks(jnp.broadcast_to(yap[:, None], shape_p))
+    xab = to_blocks(jnp.broadcast_to(xap[None, :], shape_p))
+
+    top = sels[:, :, 0] * (1.0 - xab) + sels[:, :, 1] * xab
+    bot = sels[:, :, 2] * (1.0 - xab) + sels[:, :, 3] * xab
+    res = top * (1.0 - yab) + bot * yab
+    resp = (
+        res.reshape(ny1, nx1, th, tw).transpose(0, 2, 1, 3).reshape(*shape_p)
+    )
+    return resp[py : py + h, px : px + w]
+
+
 # ---------------------------------------------------------------------------
 # skimage equalize_adapthist convention
 # ---------------------------------------------------------------------------

@@ -64,8 +64,14 @@ def clahe_band(
         jnp.round(band.astype(jnp.float32) * 255.0), 0, 255
     ).astype(jnp.int32)
 
-    # local tile histograms (tiles never straddle devices)
-    hists = H._tile_histograms(u8, (gy_local, gx))  # [gy_local*gx, 256]
+    # local tile histograms (tiles never straddle devices) — via the
+    # nibble onehot matmul, NOT the scatter form: TPU has no fast
+    # scatter (the scatter-hist half of the 910 ms sharded-CLAHE bug)
+    from mies_tpu.kernels.clahe import _tile_hists_onehot
+
+    hists = _tile_hists_onehot(u8[None], gy_local, gx)[0].reshape(
+        gy_local * gx, 256
+    )
 
     if convention == "opencv":
         clip_value = jnp.float32(max(int(clip_limit * tile_area / 256), 1))
@@ -83,9 +89,17 @@ def clahe_band(
     # the ONE collective: full LUT grid everywhere (tiny)
     luts = lax.all_gather(luts_local, axis_name, tiled=True)  # [gy,gx,256]
 
-    out = H._bilinear_lut_apply(
-        u8, luts, (gy, gx), tile_shape=(th, tw), y_offset=idx * hb
-    )
+    if jax.default_backend() == "tpu":
+        # selection-by-matmul: the gather form measured 910 ms for one
+        # 4096^2 band program on chip (gather loops); identical
+        # arithmetic, MXU selection (ops.histogram docstring)
+        out = H._bilinear_lut_apply_selection(
+            u8, luts, (gy, gx), tile_shape=(th, tw), y_offset=idx * hb
+        )
+    else:
+        out = H._bilinear_lut_apply(
+            u8, luts, (gy, gx), tile_shape=(th, tw), y_offset=idx * hb
+        )
     if convention == "opencv":
         out = jnp.clip(jnp.rint(out), 0, 255) / 255.0
     else:

@@ -272,3 +272,35 @@ def test_equalize_in_pipeline(rng):
     img = rng.random((64, 64)).astype(np.float32)
     out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
     assert out.shape == (64, 64) and out.dtype == np.uint8
+
+
+def test_bilinear_apply_selection_matches_gather(rng):
+    """The gatherless selection twin of _bilinear_lut_apply reproduces
+    the gather form (same weights, same blend order; selection is exact
+    for integer LUTs) — including the tile-aligned band case that
+    parallel.clahe_shard uses on TPU."""
+    u8 = jnp.asarray((rng.random((128, 256)) * 255.999).astype(np.int32))
+    luts = jnp.asarray(
+        np.rint(rng.random((8, 4, 256)).astype(np.float32) * 255)
+    )
+    # full image (y_offset 0): 128 rows = 4 of the 8 tile rows' worth
+    ref = np.asarray(
+        H._bilinear_lut_apply(u8, luts, (8, 4), tile_shape=(32, 64),
+                              y_offset=0)
+    )
+    got = np.asarray(
+        H._bilinear_lut_apply_selection(u8, luts, (8, 4),
+                                        tile_shape=(32, 64), y_offset=0)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    assert np.abs(got - ref).max() <= 1e-4
+    # band at a tile-aligned offset (rows 64..192 of the virtual image)
+    ref_b = np.asarray(
+        H._bilinear_lut_apply(u8, luts, (8, 4), tile_shape=(32, 64),
+                              y_offset=64)
+    )
+    got_b = np.asarray(
+        H._bilinear_lut_apply_selection(u8, luts, (8, 4),
+                                        tile_shape=(32, 64), y_offset=64)
+    )
+    np.testing.assert_allclose(got_b, ref_b, atol=1e-4)
