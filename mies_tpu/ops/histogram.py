@@ -204,11 +204,19 @@ def _pad_reflect101(img: Array, grid: tuple[int, int]) -> tuple[Array, int, int]
 
 
 def _tile_histograms(u8: Array, grid: tuple[int, int]) -> Array:
-    """Per-tile 256-bin histograms, shape [gy*gx, 256] (float32 counts)."""
+    """Per-tile 256-bin histograms, shape [gy*gx, 256] (float32 counts).
+
+    On TPU the scatter form lowers to sort-based scatter (the 74 ms
+    disaster of round 1) — this jnp path serves Pallas-unsupported
+    shapes on TPU too, so it switches to the gatherless onehot
+    histogram there; CPU keeps the (faster there) scatter-add."""
     gy, gx = grid
     h, w = u8.shape
     th, tw = h // gy, w // gx
     tiles = u8.reshape(gy, th, gx, tw).transpose(0, 2, 1, 3).reshape(gy * gx, th * tw)
+
+    if jax.default_backend() == "tpu":
+        return _region_hists_onehot(tiles, NBINS).astype(jnp.float32)
 
     def one_hist(t: Array) -> Array:
         return jnp.zeros((NBINS,), jnp.float32).at[t].add(1.0)
@@ -689,6 +697,13 @@ def clahe(
 
     hists = _tile_histograms(u8, (gy, gx))  # [T, 256]
 
+    # gatherless apply on TPU (advanced-indexing gather lowers to ~100 ms
+    # loops there; this path serves Pallas-unsupported shapes on TPU too)
+    apply = (
+        _bilinear_lut_apply_selection
+        if jax.default_backend() == "tpu"
+        else _bilinear_lut_apply
+    )
     if convention == "opencv":
         clip_value = jnp.float32(max(int(clip_limit * tile_area / NBINS), 1))
         hists = _clip_redistribute_opencv(hists, clip_value)
@@ -697,7 +712,7 @@ def clahe(
         # cvRound == round-half-to-even == rint
         luts = jnp.clip(jnp.rint(cdf * lut_scale), 0, 255)  # uint8-valued f32
         luts = luts.reshape(gy, gx, NBINS)
-        out = _bilinear_lut_apply(u8, luts, (gy, gx))
+        out = apply(u8, luts, (gy, gx))
         out = jnp.clip(jnp.rint(out), 0, 255)
         out = out[:h0, :w0] / 255.0
     elif convention == "fraction":
@@ -705,7 +720,7 @@ def clahe(
         hists = _clip_redistribute_fraction(hists, clip_value)
         cdf = jnp.cumsum(hists, axis=1)
         luts = (cdf / tile_area).reshape(gy, gx, NBINS)
-        out = _bilinear_lut_apply(u8, luts, (gy, gx))
+        out = apply(u8, luts, (gy, gx))
         out = jnp.clip(out[:h0, :w0], 0.0, 1.0)
     else:
         raise ValueError(f"unknown CLAHE convention: {convention!r}")
