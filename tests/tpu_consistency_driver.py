@@ -1,0 +1,228 @@
+"""TPU <-> CPU cross-backend numerics driver (run OUTSIDE the pinned
+test process — tests/test_tpu_numerics.py subprocesses this).
+
+Why this exists: fake-device CI can NEVER catch TPU-only numeric bugs.
+Round 3 found two the suite was blind to — XLA:TPU's bf16-propagation
+pass silently zeroing the fraction convention's lo half (every output
+off by up to 2^-9, on hardware only), and scatter/gather lowerings
+hundreds of times slower than CPU. This driver computes each contract
+on the REAL chip and on the in-process CPU backend and prints one JSON
+line of per-case results; the test asserts the documented tolerances.
+
+Contracts (each mirrors a docs/KERNELS.md or CLAUDE.md claim):
+  clahe_opencv_vs_cv2        bit-exact (the flagship claim)
+  clahe_fraction_vs_cpu      <= 3e-5   (would have caught the lo-half bug)
+  clahe_skimage_vs_cpu       <= 1 u8 ULP beyond tiny outlier fraction
+  bilateral_vs_cpu           <= 2e-6   (pair-reorder ULPs)
+  unsharp_quant_vs_cpu       <= 1 level, < 1e-3 of pixels (FMA ties)
+  chain_uint8_vs_cpu         <= 1 level, < 1e-3 of pixels
+  clahe3d_opencv_vs_cpu      <= 1 level (u8 grid)
+  sharded_clahe_vs_unsharded <= 0 levels (space=1 program)
+"""
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+
+import numpy as np
+
+from mies_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> int:
+    if jax.default_backend() == "cpu":
+        print(json.dumps({"error": "no TPU backend"}))
+        return 1
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.default_rng(7)
+    out: dict = {"backend": jax.default_backend(), "cases": {}}
+
+    def both(fn, *args):
+        """fn jitted on the default (TPU) backend and on CPU."""
+        t = np.asarray(jax.jit(fn)(*args))
+        c = np.asarray(jax.jit(fn)(*[jax.device_put(a, cpu) for a in args]))
+        return t, c
+
+    imgs8 = rng.integers(0, 256, size=(8, 512, 512)).astype(np.uint8)
+    imgs = jnp.asarray(imgs8.astype(np.float32) / 255.0)
+
+    # 1. opencv CLAHE (Pallas path) vs cv2 — bit-exact
+    from mies_tpu.kernels.clahe import clahe_batched, clahe_skimage_tpu
+
+    got = np.asarray(
+        jax.jit(lambda a: clahe_batched(a, 2.0, (8, 8), "opencv"))(imgs)
+    )
+    gotq = np.clip(np.rint(got * 255.0), 0, 255).astype(np.uint8)
+    try:
+        import cv2
+
+        c = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+        lvl = max(
+            int(np.abs(c.apply(imgs8[b]).astype(int) - gotq[b].astype(int)).max())
+            for b in range(imgs8.shape[0])
+        )
+        out["cases"]["clahe_opencv_vs_cv2"] = {"max_level": lvl, "ok": lvl == 0}
+    except ImportError:
+        out["cases"]["clahe_opencv_vs_cv2"] = {"skipped": "no cv2"}
+
+    # 2. fraction convention TPU vs CPU (the lo-half regression gate)
+    from mies_tpu.ops import histogram as H
+
+    t, c = both(
+        lambda a: jax.vmap(
+            lambda x: H.clahe.__wrapped__(
+                x, clip_limit=0.01, grid_size=(8, 8), convention="fraction"
+            )
+        )(a),
+        imgs[:4],
+    )
+    d = float(np.abs(t - c).max())
+    out["cases"]["clahe_fraction_vs_cpu"] = {"max_abs": d, "ok": d <= 3e-5}
+
+    # 3. skimage fast path vs CPU jnp transcription
+    t = np.asarray(
+        jax.jit(lambda a: clahe_skimage_tpu(a, (64, 64), 0.01))(imgs[:4])
+    )
+    c = np.asarray(
+        jax.jit(
+            lambda a: jax.vmap(
+                lambda x: H.clahe.__wrapped__(
+                    x, clip_limit=0.01, grid_size=(8, 8), convention="skimage"
+                )
+            )(a)
+        )(jax.device_put(imgs[:4], cpu))
+    )
+    d = np.abs(t - c)
+    frac = float((d > 1.0 / 255.0).mean())
+    out["cases"]["clahe_skimage_vs_cpu"] = {
+        "outlier_frac": frac,
+        "max_abs": float(d.max()),
+        "ok": frac <= 5e-5 and float(d.max()) <= 2.0 / 255.0 + 0.01,
+    }
+
+    # 4. bilateral Pallas vs CPU jnp twin (dispatching entry points pick
+    # Pallas from the DEFAULT backend even when jitted for CPU — use the
+    # twin directly for the reference)
+    from mies_tpu.kernels.bilateral import bilateral_batched
+    from mies_tpu.ops.filters import bilateral_blur
+
+    t = np.asarray(
+        jax.jit(lambda a: bilateral_batched(a, 5, 0.1, 1.5))(imgs[:4])
+    )
+    c = np.asarray(
+        jax.jit(lambda a: jax.vmap(lambda x: bilateral_blur(x, 5, 0.1, 1.5))(a))(
+            jax.device_put(imgs[:4], cpu)
+        )
+    )
+    d = float(np.abs(t - c).max())
+    out["cases"]["bilateral_vs_cpu"] = {"max_abs": d, "ok": d <= 2e-6}
+
+    # 5. unsharp+quantize tail vs CPU unfused
+    from mies_tpu.kernels.unsharp_gauss import unsharp_quant_tpu
+    from mies_tpu.ops.filters import unsharp_mask
+
+    t = np.asarray(unsharp_quant_tpu(imgs[:4], radius=1.5, amount=1.0))
+    cref = np.asarray(
+        jax.jit(
+            lambda a: jax.vmap(lambda x: unsharp_mask(x, 1.5, 1.0))(a)
+        )(jax.device_put(imgs[:4], cpu))
+    )
+    cq = np.clip(np.rint(cref * 255.0), 0, 255).astype(np.uint8)
+    dl = np.abs(t.astype(int) - cq.astype(int))
+    out["cases"]["unsharp_quant_vs_cpu"] = {
+        "max_level": int(dl.max()),
+        "flip_frac": float((dl > 0).mean()),
+        "ok": int(dl.max()) <= 1 and float((dl > 0).mean()) < 1e-3,
+    }
+
+    # 6. the flagship chain, uint8 end to end
+    from mies_tpu.pipeline.compiler import build_batched_chain
+    from mies_tpu.pipeline.config import PipelineConfig
+
+    cfg = PipelineConfig.make(
+        [
+            ("clahe", {"clip_limit": 2.0, "grid_size": (8, 8),
+                       "convention": "opencv"}),
+            ("bilateral_blur", {"kernel_size": 5, "sigma_color": 0.1,
+                                "sigma_space": 1.5}),
+            ("unsharp_mask", {"radius": 1.5, "amount": 1.0}),
+        ],
+        name="consistency",
+    )
+    t = np.asarray(jax.jit(build_batched_chain(cfg, quantize=True))(imgs[:4]))
+
+    # CPU reference from the jnp semantic twins (the dispatching chain
+    # picks Pallas from the DEFAULT backend even when jitted for CPU)
+    from mies_tpu.ops.filters import bilateral_blur
+
+    def cpu_chain(a):
+        x = jax.vmap(
+            lambda i: H.clahe.__wrapped__(
+                i, clip_limit=2.0, grid_size=(8, 8), convention="opencv"
+            )
+        )(a)
+        x = jax.vmap(lambda i: bilateral_blur(i, 5, 0.1, 1.5))(x)
+        x = jax.vmap(lambda i: unsharp_mask(i, 1.5, 1.0))(x)
+        return jnp.clip(jnp.rint(x * 255.0), 0, 255).astype(jnp.uint8)
+
+    c = np.asarray(jax.jit(cpu_chain)(jax.device_put(imgs[:4], cpu)))
+    dl = np.abs(t.astype(int) - c.astype(int))
+    out["cases"]["chain_uint8_vs_cpu"] = {
+        "max_level": int(dl.max()),
+        "flip_frac": float((dl > 0).mean()),
+        "ok": int(dl.max()) <= 1 and float((dl > 0).mean()) < 1e-3,
+    }
+
+    # 7. 3-D opencv CLAHE TPU vs CPU
+    from mies_tpu.ops.volume3d import clahe3d
+
+    vol = jnp.asarray(rng.random((32, 128, 128)).astype(np.float32))
+    t, c = both(
+        lambda v: clahe3d.__wrapped__(
+            v, clip_limit=2.0, grid_size=(4, 4, 4), convention="opencv"
+        ),
+        vol,
+    )
+    dl = np.abs(np.rint(t * 255.0) - np.rint(c * 255.0))
+    out["cases"]["clahe3d_opencv_vs_cpu"] = {
+        "max_level": float(dl.max()),
+        "ok": float(dl.max()) <= 1.0,
+    }
+
+    # 8. sharded CLAHE program (space=1) vs unsharded Pallas — levels
+    from mies_tpu.parallel.clahe_shard import clahe_spatial_shard
+    from mies_tpu.parallel.mesh import make_mesh
+
+    img1 = jnp.asarray(rng.random((1024, 1024)).astype(np.float32))
+    fn = clahe_spatial_shard(
+        make_mesh(space=1), clip_limit=2.0, grid_size=(8, 8),
+        convention="opencv", quantize=False,
+    )
+    sh = np.rint(np.asarray(fn(img1)) * 255.0)
+    un = np.rint(
+        np.asarray(
+            jax.jit(lambda a: clahe_batched(a, 2.0, (8, 8), "opencv"))(
+                img1[None]
+            )
+        )[0]
+        * 255.0
+    )
+    dl = float(np.abs(sh - un).max())
+    out["cases"]["sharded_clahe_vs_unsharded"] = {
+        "max_level": dl, "ok": dl == 0.0,
+    }
+
+    out["ok"] = all(
+        case.get("ok", True) for case in out["cases"].values()
+    )
+    print(json.dumps(out))
+    return 0 if out["ok"] else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
