@@ -683,6 +683,141 @@ def _apply_maps_kernel(v_ref, map_ref, out_ref, *, kr: int, kc: int):
         out_ref[k : k + 1, :] = jnp.floor(acc)
 
 
+def _blocks8_kernel(
+    v_ref,    # [8, chunk] int32 bin indices (one chunk of 8 blocks)
+    map_ref,  # [8, 8, 256] f32 corner maps (ez,ey,ex lexicographic)
+    out_ref,  # [8, chunk] f32
+    *,
+    dims: tuple[int, int, int],     # (kz, kr, kc) block shape
+    grids: tuple[int, int, int],    # (n_z, n_y, n_x) block grid
+    chunk: int,
+    mode: str,                      # 'skimage' | 'opencv'
+    split: bool,                    # hi/lo split (maps >= 2^8)
+):
+    """8-corner (trilinear) blocks selection for the 3-D CLAHE paths.
+
+    mode='skimage': arange(k)/k coefficients (cell-independent, true
+    division — the jnp transcription's exact arithmetic), sum of the 8
+    sel*coeff terms in corner order, truncating floor.
+    mode='opencv': per-axis OpenCV fracs computed in-kernel from the
+    block's GLOBAL cell identity (flat block id -> (iz, iy, ix), voxel
+    coord n = i*t - t//2 + local, a = frac(n*inv - 0.5) — the same f32
+    ops as ops.volume3d._axis_weights), nested x->y->z lerp.
+
+    Selection exactness: opencv maps are integers <= 255 (bf16-exact,
+    one dot); skimage maps are integers < 2^14 (exact via the in-kernel
+    hi/lo split). Fraction-convention maps are NOT integer — that path
+    stays on the jnp selection (HIGH-precision, exact).
+    """
+    kz, kr, kc = dims
+    nz, ny, nx = grids
+    base = pl.program_id(0) * _CELLS_PER_PROGRAM
+    coff = pl.program_id(1) * chunk
+
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + coff
+    rz = p // (kr * kc)
+    rem = p % (kr * kc)
+    ry = rem // kc
+    rx = rem % kc
+    bins = jax.lax.broadcasted_iota(jnp.int32, (NBINS, chunk), 0)
+
+    if mode == "skimage":
+        wz = rz.astype(jnp.float32) / np.float32(kz)
+        wy = ry.astype(jnp.float32) / np.float32(kr)
+        wx = rx.astype(jnp.float32) / np.float32(kc)
+        one = np.float32(1.0)
+        cs = []
+        for ez in range(2):
+            cz = wz if ez else one - wz
+            for ey in range(2):
+                cy = wy if ey else one - wy
+                for ex in range(2):
+                    cx = wx if ex else one - wx
+                    cs.append((cz * cy) * cx)
+
+    for k in range(_CELLS_PER_PROGRAM):
+        v = v_ref[k : k + 1, :]
+        mask = _onehot256(v, bins)  # [256, chunk] exact 0/1 bf16
+        sel = _select_luts(map_ref[k], mask, split)  # [8, chunk]
+
+        if mode == "skimage":
+            acc = sel[0:1] * cs[0]
+            for e in range(1, 8):
+                acc = acc + sel[e : e + 1] * cs[e]
+            out_ref[k : k + 1, :] = jnp.floor(acc)
+        else:
+            b = base + k
+            iz = jax.lax.div(b, ny * nx)
+            r2 = jax.lax.rem(b, ny * nx)
+            iy = jax.lax.div(r2, nx)
+            ix = jax.lax.rem(r2, nx)
+
+            def frac(i, local, t):
+                n = (i * t - t // 2 + local).astype(jnp.float32)
+                f = n * (np.float32(1.0) / np.float32(t)) - np.float32(0.5)
+                return f - jnp.floor(f)
+
+            az = frac(iz, rz, kz)
+            ay = frac(iy, ry, kr)
+            ax = frac(ix, rx, kc)
+            one = np.float32(1.0)
+            c00 = sel[0:1] * (one - ax) + sel[1:2] * ax
+            c01 = sel[2:3] * (one - ax) + sel[3:4] * ax
+            c10 = sel[4:5] * (one - ax) + sel[5:6] * ax
+            c11 = sel[6:7] * (one - ax) + sel[7:8] * ax
+            c0 = c00 * (one - ay) + c01 * ay
+            c1 = c10 * (one - ay) + c11 * ay
+            out_ref[k : k + 1, :] = c0 * (one - az) + c1 * az
+
+
+def blocks8_supported(npx: int) -> bool:
+    """Chunking gate for the 8-corner blocks kernel."""
+    chunk = min(npx, 4096)
+    return npx % 128 == 0 and npx % chunk == 0 and chunk % 128 == 0
+
+
+def blocks8_apply(
+    blocks: Array,
+    m8: Array,
+    dims: tuple[int, int, int],
+    grids: tuple[int, int, int],
+    mode: str,
+    split: bool,
+    interpret: bool = False,
+) -> Array:
+    """Run _blocks8_kernel over [NB, npx] blocks with [NB, 8, 256] maps."""
+    nb, npx = blocks.shape
+    chunk = min(npx, 4096)
+    cpp = _CELLS_PER_PROGRAM
+    pad = (-nb) % cpp
+    if pad:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((pad, npx), blocks.dtype)], axis=0
+        )
+        m8 = jnp.concatenate(
+            [m8, jnp.zeros((pad, 8, NBINS), m8.dtype)], axis=0
+        )
+    maps_in = m8 if split else m8.astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        functools.partial(
+            _blocks8_kernel, dims=dims, grids=grids, chunk=chunk,
+            mode=mode, split=split,
+        ),
+        interpret=interpret,
+        grid=((nb + pad) // cpp, npx // chunk),
+        in_specs=[
+            pl.BlockSpec((cpp, chunk), lambda g, c: (g, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cpp, 8, NBINS), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cpp, chunk), lambda g, c: (g, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb + pad, npx), jnp.float32),
+    )(blocks, maps_in)
+    return out[:nb]
+
+
 def clahe_skimage_supported(
     shape: tuple[int, int], kernel_size: tuple[int, int], nbins: int = NBINS
 ) -> bool:

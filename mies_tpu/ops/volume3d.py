@@ -54,7 +54,8 @@ def _axis_weights(n: int, t: int, g: int):
 
 
 def _apply_luts_trilinear_selection(
-    u8: Array, luts: Array, grid: tuple[int, int, int]
+    u8: Array, luts: Array, grid: tuple[int, int, int],
+    integer_luts: bool = False,
 ) -> Array:
     """OpenCV-weight trilinear LUT interpolation, GATHERLESS.
 
@@ -98,6 +99,22 @@ def _apply_luts_trilinear_selection(
         ],
         axis=3,
     ).reshape(nb, 8, NBINS)
+
+    if integer_luts and jax.default_backend() == "tpu":
+        from mies_tpu.kernels.clahe import blocks8_apply, blocks8_supported
+
+        if blocks8_supported(p_vox):
+            res = blocks8_apply(
+                blocks, m8, dims=(tz, th, tw), grids=(nz1, ny1, nx1),
+                mode="opencv", split=False,
+            )
+            resp = (
+                res.reshape(nz1, ny1, nx1, tz, th, tw)
+                .transpose(0, 3, 1, 4, 2, 5)
+                .reshape(z + tz, h + th, w + tw)
+            )
+            return resp[pz : pz + z, py : py + h, px : px + w]
+
     sels = H._select_blocks(blocks, m8, NBINS)  # [NB, P, 8]
 
     _, _, za = _axis_weights(z, tz, gz)
@@ -160,6 +177,20 @@ def _apply_maps_selection3d(
         ],
         axis=3,
     ).reshape(nb, 8, nbins)
+
+    if nbins == NBINS and jax.default_backend() == "tpu":
+        from mies_tpu.kernels.clahe import blocks8_apply, blocks8_supported
+
+        if blocks8_supported(p):
+            result = blocks8_apply(
+                blocks, m8, dims=(kz, ky, kx), grids=(nz, ny, nx),
+                mode="skimage", split=True,
+            )
+            return (
+                result.reshape(nz, ny, nx, kz, ky, kx)
+                .transpose(0, 3, 1, 4, 2, 5)
+                .reshape(z, h, w)
+            )
 
     wz = jnp.arange(kz, dtype=jnp.float32) / kz
     wy = jnp.arange(ky, dtype=jnp.float32) / ky
@@ -293,7 +324,9 @@ def clahe3d(
     else:
         raise ValueError(f"unknown CLAHE convention: {convention!r}")
     luts = luts.reshape(gz, gy, gx, NBINS)
-    res = _apply_luts_trilinear_selection(u8, luts, grid_size)
+    res = _apply_luts_trilinear_selection(
+        u8, luts, grid_size, integer_luts=(convention == "opencv")
+    )
 
     if convention == "opencv":
         out = jnp.clip(jnp.rint(res), 0, 255) / 255.0

@@ -434,6 +434,91 @@ def test_clahe_skimage_supported_gate():
     assert not clahe_skimage_supported((1024, 1024), (128, 128))  # npx cap
 
 
+def test_blocks8_kernel_skimage_interpret(rng):
+    """8-corner blocks kernel (skimage mode) == the jnp selection core
+    with the same coefficients (selection exact; floor ties are the only
+    FMA exposure — tolerate isolated single-level flips)."""
+    from mies_tpu.kernels.clahe import blocks8_apply, blocks8_supported
+
+    kz, ky, kx = 4, 8, 8
+    npx = kz * ky * kx
+    assert blocks8_supported(npx)
+    nb = 8
+    blocks = jnp.asarray(rng.integers(0, 256, (nb, npx)).astype(np.int32))
+    maps = jnp.asarray(
+        np.rint(rng.random((nb, 8, 256)) * 16383).astype(np.float32)
+    )
+    wz = np.arange(kz, dtype=np.float32) / kz
+    wy = np.arange(ky, dtype=np.float32) / ky
+    wx = np.arange(kx, dtype=np.float32) / kx
+    coeffs = []
+    for ez in range(2):
+        cz = wz if ez else 1.0 - wz
+        for ey in range(2):
+            cy = wy if ey else 1.0 - wy
+            for ex in range(2):
+                cx = wx if ex else 1.0 - wx
+                coeffs.append(jnp.asarray(
+                    (cz[:, None, None] * cy[None, :, None]
+                     * cx[None, None, :]).reshape(npx)
+                ))
+    ref = np.asarray(
+        H._apply_maps_selection_blocks(blocks, maps, coeffs, 256)
+    )
+    got = np.asarray(blocks8_apply(
+        blocks, maps, dims=(kz, ky, kx), grids=(2, 2, 2),
+        mode="skimage", split=True, interpret=True,
+    ))
+    d = np.abs(got - ref)
+    assert d.max() <= 1.0 and (d > 0).mean() < 1e-3, (d.max(), (d > 0).mean())
+
+
+def test_blocks8_kernel_opencv_interpret(rng):
+    """8-corner blocks kernel (opencv mode): in-kernel cell fracs + the
+    nested x->y->z lerp reproduce the jnp selection path."""
+    from mies_tpu.kernels.clahe import blocks8_apply
+
+    kz, ky, kx = 4, 8, 8
+    npx = kz * ky * kx
+    nz, ny, nx = 3, 2, 2
+    nb = nz * ny * nx
+    blocks = jnp.asarray(rng.integers(0, 256, (nb, npx)).astype(np.int32))
+    maps = jnp.asarray(
+        np.rint(rng.random((nb, 8, 256)) * 255).astype(np.float32)
+    )
+    got = np.asarray(blocks8_apply(
+        blocks, maps, dims=(kz, ky, kx), grids=(nz, ny, nx),
+        mode="opencv", split=False, interpret=True,
+    ))
+
+    sels = np.asarray(H._select_blocks(blocks, maps, 256))  # [NB, P, 8]
+
+    def frac(i, local, t):
+        n = (i * t - t // 2 + local).astype(np.float32)
+        f = n * np.float32(1.0 / t) - np.float32(0.5)
+        return f - np.floor(f)
+
+    p = np.arange(npx)
+    rz, rem = p // (ky * kx), p % (ky * kx)
+    ry, rx = rem // kx, rem % kx
+    ref = np.zeros((nb, npx), np.float32)
+    for b in range(nb):
+        iz, r2 = b // (ny * nx), b % (ny * nx)
+        iy, ix = r2 // nx, r2 % nx
+        az = frac(np.full(npx, iz), rz, kz)
+        ay = frac(np.full(npx, iy), ry, ky)
+        ax = frac(np.full(npx, ix), rx, kx)
+        s = sels[b]
+        c00 = s[:, 0] * (1 - ax) + s[:, 1] * ax
+        c01 = s[:, 2] * (1 - ax) + s[:, 3] * ax
+        c10 = s[:, 4] * (1 - ax) + s[:, 5] * ax
+        c11 = s[:, 6] * (1 - ax) + s[:, 7] * ax
+        c0 = c00 * (1 - ay) + c01 * ay
+        c1 = c10 * (1 - ay) + c11 * ay
+        ref[b] = c0 * (1 - az) + c1 * az
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
 def test_unsharp_gauss_supported_bounds():
     from mies_tpu.kernels.unsharp_gauss import unsharp_gauss_supported
 

@@ -181,13 +181,23 @@ def main() -> int:
     # 7. 3-D opencv CLAHE TPU vs CPU
     from mies_tpu.ops.volume3d import clahe3d
 
+    from unittest import mock
+
     vol = jnp.asarray(rng.random((32, 128, 128)).astype(np.float32))
-    t, c = both(
-        lambda v: clahe3d.__wrapped__(
-            v, clip_limit=2.0, grid_size=(4, 4, 4), convention="opencv"
-        ),
-        vol,
+    f3 = lambda v: clahe3d.__wrapped__(
+        v, clip_limit=2.0, grid_size=(4, 4, 4), convention="opencv"
     )
+    t = np.asarray(jax.jit(f3)(vol))
+    # the internal dispatch keys on the DEFAULT backend; patch it so the
+    # CPU-jitted reference takes the jnp path (no Pallas on CPU). A FRESH
+    # fn object is required — the jaxpr cache would otherwise reuse the
+    # TPU trace (with the pallas_call) for the CPU lowering.
+    with mock.patch.object(jax, "default_backend", lambda: "cpu"):
+        c = np.asarray(jax.jit(
+            lambda v: clahe3d.__wrapped__(
+                v, clip_limit=2.0, grid_size=(4, 4, 4), convention="opencv"
+            )
+        )(jax.device_put(vol, cpu)))
     dl = np.abs(np.rint(t * 255.0) - np.rint(c * 255.0))
     out["cases"]["clahe3d_opencv_vs_cpu"] = {
         "max_level": float(dl.max()),
