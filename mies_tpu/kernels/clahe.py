@@ -770,6 +770,80 @@ def _blocks8_kernel(
             out_ref[k : k + 1, :] = c0 * (one - az) + c1 * az
 
 
+def _blocks4_fracs_kernel(
+    v_ref,   # [8, chunk] int32 bin indices
+    m4_ref,  # [8, 4, 256] maps (bf16 integer or f32 fractional)
+    ya_ref,  # [8, chunk] f32 y fracs (precomputed — band offsets are traced)
+    xa_ref,  # [8, chunk] f32 x fracs
+    out_ref,  # [8, chunk] f32
+    *,
+    split: bool,
+):
+    """4-corner bilinear blocks selection with frac INPUTS.
+
+    Used by _bilinear_lut_apply_selection (the band/fallback 2-D apply):
+    the cell identity there involves a TRACED row offset (shard_map
+    axis_index), so the OpenCV fracs are computed XLA-side with the
+    exact _bilinear_lut_apply arithmetic and shipped as blocks instead
+    of being derived in-kernel. Blend: x lerp then y lerp — the same op
+    order as the gather form."""
+    chunk = out_ref.shape[1]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (NBINS, chunk), 0)
+    one = np.float32(1.0)
+    for k in range(_CELLS_PER_PROGRAM):
+        v = v_ref[k : k + 1, :]
+        mask = _onehot256(v, bins)
+        sel = _select_luts(m4_ref[k], mask, split)  # [4, chunk]
+        xa = xa_ref[k : k + 1, :]
+        ya = ya_ref[k : k + 1, :]
+        top = sel[0:1] * (one - xa) + sel[1:2] * xa
+        bot = sel[2:3] * (one - xa) + sel[3:4] * xa
+        out_ref[k : k + 1, :] = top * (one - ya) + bot * ya
+
+
+def blocks4_fracs_apply(
+    blocks: Array,
+    m4: Array,
+    yab: Array,
+    xab: Array,
+    integer_luts: bool,
+    interpret: bool = False,
+) -> Array:
+    """Run _blocks4_fracs_kernel over [NB, npx] blocks."""
+    nb, npx = blocks.shape
+    chunk = min(npx, 4096)
+    cpp = _CELLS_PER_PROGRAM
+    pad = (-nb) % cpp
+    if pad:
+        blocks = jnp.concatenate(
+            [blocks, jnp.zeros((pad, npx), blocks.dtype)], axis=0
+        )
+        m4 = jnp.concatenate([m4, jnp.zeros((pad, 4, NBINS), m4.dtype)], axis=0)
+        zf = jnp.zeros((pad, npx), jnp.float32)
+        yab = jnp.concatenate([yab, zf], axis=0)
+        xab = jnp.concatenate([xab, zf], axis=0)
+    maps_in = m4.astype(jnp.bfloat16) if integer_luts else m4
+    out = pl.pallas_call(
+        functools.partial(_blocks4_fracs_kernel, split=not integer_luts),
+        interpret=interpret,
+        grid=((nb + pad) // cpp, npx // chunk),
+        in_specs=[
+            pl.BlockSpec((cpp, chunk), lambda g, c: (g, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cpp, 4, NBINS), lambda g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cpp, chunk), lambda g, c: (g, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cpp, chunk), lambda g, c: (g, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cpp, chunk), lambda g, c: (g, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb + pad, npx), jnp.float32),
+    )(blocks, maps_in, yab, xab)
+    return out[:nb]
+
+
 def blocks8_supported(npx: int) -> bool:
     """Chunking gate for the 8-corner blocks kernel."""
     chunk = min(npx, 4096)

@@ -318,6 +318,7 @@ def _bilinear_lut_apply_selection(
     grid: tuple[int, int],
     tile_shape: tuple[int, int] | None = None,
     y_offset=0,
+    integer_luts: bool = False,
 ) -> Array:
     """Gatherless twin of _bilinear_lut_apply (selection-by-matmul).
 
@@ -359,7 +360,6 @@ def _bilinear_lut_apply_selection(
         for ex in range(2)
     ]
     m4 = jnp.stack(corners, axis=2).reshape(nb, 4, NBINS)
-    sels = _select_blocks(blocks, m4, NBINS)  # [NB, P, 4]
 
     # the EXACT frac arithmetic of _bilinear_lut_apply, relocated into
     # cell blocks (arange values equal the original integer coords)
@@ -376,6 +376,19 @@ def _bilinear_lut_apply_selection(
     yab = to_blocks(jnp.broadcast_to(yap[:, None], shape_p))
     xab = to_blocks(jnp.broadcast_to(xap[None, :], shape_p))
 
+    if jax.default_backend() == "tpu":
+        from mies_tpu.kernels.clahe import blocks4_fracs_apply, blocks8_supported
+
+        if blocks8_supported(p_px):
+            res = blocks4_fracs_apply(blocks, m4, yab, xab, integer_luts)
+            resp = (
+                res.reshape(ny1, nx1, th, tw)
+                .transpose(0, 2, 1, 3)
+                .reshape(*shape_p)
+            )
+            return resp[py : py + h, px : px + w]
+
+    sels = _select_blocks(blocks, m4, NBINS)  # [NB, P, 4]
     top = sels[:, :, 0] * (1.0 - xab) + sels[:, :, 1] * xab
     bot = sels[:, :, 2] * (1.0 - xab) + sels[:, :, 3] * xab
     res = top * (1.0 - yab) + bot * yab
@@ -703,11 +716,13 @@ def clahe(
 
     # gatherless apply on TPU (advanced-indexing gather lowers to ~100 ms
     # loops there; this path serves Pallas-unsupported shapes on TPU too)
-    apply = (
-        _bilinear_lut_apply_selection
-        if jax.default_backend() == "tpu"
-        else _bilinear_lut_apply
-    )
+    if jax.default_backend() == "tpu":
+        apply = functools.partial(
+            _bilinear_lut_apply_selection,
+            integer_luts=(convention == "opencv"),
+        )
+    else:
+        apply = _bilinear_lut_apply
     if convention == "opencv":
         clip_value = jnp.float32(max(int(clip_limit * tile_area / NBINS), 1))
         hists = _clip_redistribute_opencv(hists, clip_value)

@@ -94,7 +94,8 @@ def clahe_band(
         # 4096^2 band program on chip (gather loops); identical
         # arithmetic, MXU selection (ops.histogram docstring)
         out = H._bilinear_lut_apply_selection(
-            u8, luts, (gy, gx), tile_shape=(th, tw), y_offset=idx * hb
+            u8, luts, (gy, gx), tile_shape=(th, tw), y_offset=idx * hb,
+            integer_luts=(convention == "opencv"),
         )
     else:
         out = H._bilinear_lut_apply(
@@ -139,5 +140,6 @@ def clahe_spatial_shard(
         mesh=mesh,
         in_specs=P(axis_name, None),
         out_specs=P(axis_name, None),
+        check_vma=False,  # Pallas inside shard_map: out_shape has no vma info
     )
     return jax.jit(sharded)

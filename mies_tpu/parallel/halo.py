@@ -209,6 +209,7 @@ def spatial_shard_apply(
         mesh=mesh,
         in_specs=P(axis_name, None),
         out_specs=P(axis_name, None),
+        check_vma=False,  # Pallas inside shard_map: out_shape has no vma info
     )
     return jax.jit(sharded)
 
@@ -234,5 +235,6 @@ def batch_spatial_shard_apply(
         mesh=mesh,
         in_specs=P(data_axis, space_axis, None),
         out_specs=P(data_axis, space_axis, None),
+        check_vma=False,  # Pallas inside shard_map: out_shape has no vma info
     )
     return jax.jit(sharded)

@@ -519,6 +519,29 @@ def test_blocks8_kernel_opencv_interpret(rng):
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+@pytest.mark.parametrize("integer_luts", [True, False])
+def test_blocks4_fracs_kernel_interpret(rng, integer_luts):
+    """4-corner blocks kernel with frac inputs (the band/fallback apply)
+    == the jnp selection + x-then-y lerp."""
+    from mies_tpu.kernels.clahe import blocks4_fracs_apply
+
+    nb, npx = 8, 256
+    blocks = jnp.asarray(rng.integers(0, 256, (nb, npx)).astype(np.int32))
+    vals = rng.random((nb, 4, 256)).astype(np.float32)
+    m4 = jnp.asarray(np.rint(vals * 255) if integer_luts else vals)
+    yab = jnp.asarray(rng.random((nb, npx)).astype(np.float32))
+    xab = jnp.asarray(rng.random((nb, npx)).astype(np.float32))
+    got = np.asarray(blocks4_fracs_apply(
+        blocks, m4, yab, xab, integer_luts=integer_luts, interpret=True,
+    ))
+    sels = np.asarray(H._select_blocks(blocks, m4, 256))
+    ya, xa = np.asarray(yab), np.asarray(xab)
+    top = sels[:, :, 0] * (1 - xa) + sels[:, :, 1] * xa
+    bot = sels[:, :, 2] * (1 - xa) + sels[:, :, 3] * xa
+    ref = top * (1 - ya) + bot * ya
+    np.testing.assert_allclose(got, ref, atol=2e-4 if not integer_luts else 1e-3)
+
+
 def test_unsharp_gauss_supported_bounds():
     from mies_tpu.kernels.unsharp_gauss import unsharp_gauss_supported
 

@@ -73,14 +73,20 @@ def main() -> int:
     # 2. fraction convention TPU vs CPU (the lo-half regression gate)
     from mies_tpu.ops import histogram as H
 
-    t, c = both(
-        lambda a: jax.vmap(
+    from unittest import mock
+
+    t = np.asarray(jax.jit(lambda a: jax.vmap(
+        lambda x: H.clahe.__wrapped__(
+            x, clip_limit=0.01, grid_size=(8, 8), convention="fraction"
+        ))(a))(imgs[:4]))
+    # fresh fn + patched backend: the jnp path's apply dispatch reaches
+    # Pallas when it sees the TPU default backend (jaxpr cache is keyed
+    # on the function object — see case 7)
+    with mock.patch.object(jax, "default_backend", lambda: "cpu"):
+        c = np.asarray(jax.jit(lambda a: jax.vmap(
             lambda x: H.clahe.__wrapped__(
                 x, clip_limit=0.01, grid_size=(8, 8), convention="fraction"
-            )
-        )(a),
-        imgs[:4],
-    )
+            ))(a))(jax.device_put(imgs[:4], cpu)))
     d = float(np.abs(t - c).max())
     out["cases"]["clahe_fraction_vs_cpu"] = {"max_abs": d, "ok": d <= 3e-5}
 
@@ -170,7 +176,8 @@ def main() -> int:
         x = jax.vmap(lambda i: unsharp_mask(i, 1.5, 1.0))(x)
         return jnp.clip(jnp.rint(x * 255.0), 0, 255).astype(jnp.uint8)
 
-    c = np.asarray(jax.jit(cpu_chain)(jax.device_put(imgs[:4], cpu)))
+    with mock.patch.object(jax, "default_backend", lambda: "cpu"):
+        c = np.asarray(jax.jit(cpu_chain)(jax.device_put(imgs[:4], cpu)))
     dl = np.abs(t.astype(int) - c.astype(int))
     out["cases"]["chain_uint8_vs_cpu"] = {
         "max_level": int(dl.max()),
