@@ -85,3 +85,7 @@ def test_clahe3d_opencv(consistency):
 
 def test_sharded_clahe_levels(consistency):
     _case(consistency, "sharded_clahe_vs_unsharded")
+
+
+def test_clahe3d_skimage(consistency):
+    _case(consistency, "clahe3d_skimage_vs_cpu")

@@ -17,6 +17,7 @@ Contracts (each mirrors a docs/KERNELS.md or CLAUDE.md claim):
   unsharp_quant_vs_cpu       <= 1 level, < 1e-3 of pixels (FMA ties)
   chain_uint8_vs_cpu         <= 1 level, < 1e-3 of pixels
   clahe3d_opencv_vs_cpu      <= 1 level (u8 grid)
+  clahe3d_skimage_vs_cpu     <= 1 u8 ULP beyond tiny outlier fraction
   sharded_clahe_vs_unsharded <= 0 levels (space=1 program)
 """
 import json
@@ -209,6 +210,25 @@ def main() -> int:
     out["cases"]["clahe3d_opencv_vs_cpu"] = {
         "max_level": float(dl.max()),
         "ok": float(dl.max()) <= 1.0,
+    }
+
+    # 7b. 3-D skimage CLAHE TPU (blocks8 kernel) vs CPU jnp
+    f3s = lambda v: clahe3d.__wrapped__(
+        v, clip_limit=0.01, grid_size=(4, 4, 4), convention="skimage"
+    )
+    t = np.asarray(jax.jit(f3s)(vol))
+    with mock.patch.object(jax, "default_backend", lambda: "cpu"):
+        c = np.asarray(jax.jit(
+            lambda v: clahe3d.__wrapped__(
+                v, clip_limit=0.01, grid_size=(4, 4, 4), convention="skimage"
+            )
+        )(jax.device_put(vol, cpu)))
+    d = np.abs(t - c)
+    out["cases"]["clahe3d_skimage_vs_cpu"] = {
+        "max_abs": float(d.max()),
+        "outlier_frac": float((d > 1.0 / 255.0).mean()),
+        "ok": float((d > 1.0 / 255.0).mean()) <= 5e-5
+        and float(d.max()) <= 2.0 / 255.0 + 0.01,
     }
 
     # 8. sharded CLAHE program (space=1) vs unsharded Pallas — levels
