@@ -36,16 +36,26 @@ def main() -> int:
     )
     res = time_pipeline(cfg, shape=(512, 512), batch_size=32, iters=16, repeats=9)
     value = res["slices_per_sec"]
-    print(
-        json.dumps(
-            {
-                "metric": "slices_per_sec_512_clahe_denoise_sharpen",
-                "value": round(value, 2),
-                "unit": "slices/sec/chip",
-                "vs_baseline": round(value / 5000.0, 4),
-            }
-        )
-    )
+    line = {
+        "metric": "slices_per_sec_512_clahe_denoise_sharpen",
+        "value": round(value, 2),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(value / 5000.0, 4),
+    }
+    # record the headline next to the workload history so every cited
+    # number is reproducible from the repo
+    try:
+        import os
+        import time
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "bench_history.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps({"ts": time.time(), "bench_headline": line})
+                    + "\n")
+    except OSError:
+        pass  # read-only checkout: still print the metric
+    print(json.dumps(line))
     return 0
 
 
