@@ -939,6 +939,20 @@ def _apply_maps_rows_kernel(
         out_ref[0, row : row + 1, :] = jnp.floor(acc)
 
 
+def _stretch_out_batched(result: Array) -> Array:
+    """Per-image img_as_float + final rescale_intensity (the batched
+    twin of ops.histogram._skimage_stretch_out), shared by both apply
+    layouts so their bit-identity contract has one implementation."""
+    rmin = jnp.min(result, axis=(1, 2), keepdims=True)
+    rmax = jnp.max(result, axis=(1, 2), keepdims=True)
+    out = jnp.where(
+        rmax > rmin,
+        (result - rmin) / jnp.maximum(rmax - rmin, 1.0),
+        jnp.clip(result / 65535.0, 0.0, 1.0),
+    )
+    return out.astype(jnp.float32)
+
+
 def clahe_skimage_supported(
     shape: tuple[int, int], kernel_size: tuple[int, int], nbins: int = NBINS
 ) -> bool:
@@ -966,10 +980,12 @@ def clahe_skimage_tpu(
     Same semantics as ops.histogram._clahe_skimage (the transcribed
     skimage 0.26 algorithm), with the two hot stages on Pallas: the
     region histograms (nibble outer-product kernels) and the block
-    interpolation (_apply_maps_kernel). Selection and counts are exact,
-    so results match the vmapped jnp path up to FMA-contraction ties in
-    the coefficient blend (same contract as the golden tests). Measured
-    17.4 -> ~3 ms per batch-32 512^2 (~6x).
+    interpolation — _apply_maps_rows_kernel for kc % 64 == 0 (the free
+    rows reshape, no flat-blocks transposes), _apply_maps_kernel
+    otherwise. Selection and counts are exact, so results match the
+    vmapped jnp path up to FMA-contraction ties in the coefficient
+    blend (same contract as the golden tests). Measured 17.4 -> 3.7 ms
+    per batch-32 512^2 (4.7x), bit-identical on chip.
 
     Cites: reference pyproject.toml:12 (scikit-image), SURVEY.md
     section 4 item 1.
@@ -1004,7 +1020,7 @@ def clahe_skimage_tpu(
     nr, nc = h // kr - 1, w // kc - 1
     clim = int(np.clip(clip_limit * k_elems, 1, None))
     crop = binned[:, pr0 : pr0 + nr * kr, pc0 : pc0 + nc * kc]
-    if nc % 2 == 0 and kc >= 64:
+    if nc % 2 == 0 and kc % 64 == 0:
         hists = tile_hists_rows_pallas(crop, nr, nc, interpret=interpret)
     else:
         hists = tile_hists_pallas(crop, nr, nc, interpret=interpret)
@@ -1024,10 +1040,14 @@ def clahe_skimage_tpu(
         axis=3,
     )  # [B, nbr, nbc, 4, nbins]
 
-    if kc >= 64:
+    if kc % 64 == 0:
         # rows layout: blocks are a FREE reshape — no flat-blocks
         # transposes (they were 4.0 of the 4.9 ms fast path). Odd block
         # columns pad one edge-duplicated column (cropped below).
+        # kc must be a MULTIPLE of 64: the [1, kr, 2kc] blocks index at
+        # lane offset b*2kc, and Mosaic needs those 128-aligned (the
+        # same constraint as the OpenCV tile33 gate); other kc fall
+        # through to the flat-blocks kernel below.
         nbc_p = nbc + (nbc % 2)
         bp = binned
         if nbc_p != nbc:
@@ -1054,14 +1074,7 @@ def clahe_skimage_tpu(
         )(rows, m_in)
         result = out.reshape(B, h, nbc_p * kc)
         result = result[:, pr0 : h - pr1, pc0 : w - pc1]
-        rmin = jnp.min(result, axis=(1, 2), keepdims=True)
-        rmax = jnp.max(result, axis=(1, 2), keepdims=True)
-        out = jnp.where(
-            rmax > rmin,
-            (result - rmin) / jnp.maximum(rmax - rmin, 1.0),
-            jnp.clip(result / 65535.0, 0.0, 1.0),
-        )
-        return out.astype(jnp.float32)
+        return _stretch_out_batched(result)
 
     m4 = m4g.reshape(B * nbr * nbc, 4, nbins)
     blocks = (
@@ -1100,15 +1113,7 @@ def clahe_skimage_tpu(
         .reshape(B, h, w)
     )
     result = result[:, pr0 : h - pr1, pc0 : w - pc1]
-
-    rmin = jnp.min(result, axis=(1, 2), keepdims=True)
-    rmax = jnp.max(result, axis=(1, 2), keepdims=True)
-    out = jnp.where(
-        rmax > rmin,
-        (result - rmin) / jnp.maximum(rmax - rmin, 1.0),
-        jnp.clip(result / 65535.0, 0.0, 1.0),
-    )
-    return out.astype(jnp.float32)
+    return _stretch_out_batched(result)
 
 
 def clahe_supported(shape: tuple[int, int], grid_size: tuple[int, int]) -> bool:

@@ -424,6 +424,22 @@ def test_clahe_skimage_tpu_interpret_matches_golden(rng):
     assert d.max() <= 2.0 / 255.0 + 0.02, d.max()
 
 
+def test_clahe_skimage_tpu_kc_not_64_multiple(rng):
+    """kc = 80 (e.g. a 640^2 image at the default grid) must take the
+    flat-blocks kernel — the rows layout's [1, kr, 2kc] blocks index at
+    lane offsets Mosaic needs 128-aligned (review-caught gate hole)."""
+    from mies_tpu.kernels.clahe import clahe_skimage_supported, clahe_skimage_tpu
+
+    assert clahe_skimage_supported((640, 640), (80, 80))  # npx 6400 % 128
+    imgs = rng.random((1, 320, 320)).astype(np.float32)
+    ref = _jnp_clahe_batch(jnp.asarray(imgs), 0.02, (4, 4), "skimage")
+    out = np.asarray(clahe_skimage_tpu(
+        jnp.asarray(imgs), (80, 80), 0.02, interpret=True
+    ))
+    d = np.abs(out - ref)
+    assert (d > 1.0 / 255.0).mean() <= 5e-5 and d.max() <= 2.0 / 255.0 + 0.02
+
+
 def test_clahe_skimage_supported_gate():
     from mies_tpu.kernels.clahe import clahe_skimage_supported
 
