@@ -47,10 +47,20 @@ def cmd_enhance(args) -> int:
         wall_ms = (time.perf_counter() - t0) * 1e3
         metrics = None
         if args.report or args.run_report:
+            if out.ndim != 2:
+                print(
+                    "error: --report/--run-report metrics support "
+                    "grayscale outputs only (io.channels: per-channel "
+                    "produces [C, H, W]); rerun without reports",
+                    file=sys.stderr,
+                )
+                return 2
             from mies_tpu.eval.metrics import evaluate
             from mies_tpu.io.image import from_float, load_image
 
-            orig = from_float(load_image(inputs[0]))
+            orig = from_float(
+                load_image(inputs[0], channels=cfg.io_dict().get("channels"))
+            )
             metrics = evaluate(orig, out, names=("psnr", "ssim"))
         if args.report:
             from mies_tpu.eval.report import save_comparison_report

@@ -369,9 +369,7 @@ def _evaluate_jit(gt: Array, p: Array, names: tuple[str, ...], max_val: float):
     for n in names:
         fn = METRIC_REGISTRY[n]
         if n in ("psnr", "ssim", "msssim", "psnrb"):
-            out[n] = fn(gt, p, max_val=max_val) if n != "ssim" else fn(
-                gt, p, max_val=max_val
-            )
+            out[n] = fn(gt, p, max_val=max_val)
         else:
             out[n] = fn(gt, p)
     return out

@@ -28,6 +28,8 @@ from mies_tpu.ops.geometry import (
     center_crop,
     flip,
     rot90,
+    rotate,
+    affine_warp,
     normalize_meanstd,
     denormalize_meanstd,
 )
@@ -61,6 +63,8 @@ __all__ = [
     "center_crop",
     "flip",
     "rot90",
+    "rotate",
+    "affine_warp",
     "normalize_meanstd",
     "denormalize_meanstd",
     "gaussian_blur",

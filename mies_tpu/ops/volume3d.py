@@ -115,7 +115,9 @@ def _apply_luts_trilinear_selection(
             )
             return resp[pz : pz + z, py : py + h, px : px + w]
 
-    sels = H._select_blocks(blocks, m8, NBINS)  # [NB, P, 8]
+    sels = H._select_blocks(
+        blocks, m8, NBINS, integer_maps=integer_luts
+    )  # [NB, P, 8]
 
     _, _, za = _axis_weights(z, tz, gz)
     _, _, ya = _axis_weights(h, th, gy)
@@ -144,6 +146,42 @@ def _apply_luts_trilinear_selection(
         .reshape(*shape_p)
     )
     return resp[pz : pz + z, py : py + h, px : px + w]
+
+
+def _apply_luts_trilinear_gather(
+    u8: Array, luts: Array, grid: tuple[int, int, int]
+) -> Array:
+    """Gather form of the trilinear apply — CPU only.
+
+    On XLA:CPU advanced-indexing gathers are fast and the onehot-einsum
+    selection is the slow form (the inverse of TPU), mirroring the 2-D
+    dispatch (clahe / clahe_band keep their gather blend off-TPU).
+    Arithmetic is identical to _apply_luts_trilinear_selection: the
+    same 8 corner LUT values, the same f32 fracs, the same x->y->z
+    lerp order.
+    """
+    gz, gy, gx = grid
+    z, h, w = u8.shape
+    tz, th, tw = z // gz, h // gy, w // gx
+    zlo, zhi, za = _axis_weights(z, tz, gz)
+    ylo, yhi, ya = _axis_weights(h, th, gy)
+    xlo, xhi, xa = _axis_weights(w, tw, gx)
+
+    def corner(zi, yi, xi):
+        return luts[
+            zi[:, None, None], yi[None, :, None], xi[None, None, :], u8
+        ]
+
+    zab = za[:, None, None]
+    yab = ya[None, :, None]
+    xab = xa[None, None, :]
+    c00 = corner(zlo, ylo, xlo) * (1.0 - xab) + corner(zlo, ylo, xhi) * xab
+    c01 = corner(zlo, yhi, xlo) * (1.0 - xab) + corner(zlo, yhi, xhi) * xab
+    c10 = corner(zhi, ylo, xlo) * (1.0 - xab) + corner(zhi, ylo, xhi) * xab
+    c11 = corner(zhi, yhi, xlo) * (1.0 - xab) + corner(zhi, yhi, xhi) * xab
+    c0 = c00 * (1.0 - yab) + c01 * yab
+    c1 = c10 * (1.0 - yab) + c11 * yab
+    return c0 * (1.0 - zab) + c1 * zab
 
 
 def _apply_maps_selection3d(
@@ -324,9 +362,14 @@ def clahe3d(
     else:
         raise ValueError(f"unknown CLAHE convention: {convention!r}")
     luts = luts.reshape(gz, gy, gx, NBINS)
-    res = _apply_luts_trilinear_selection(
-        u8, luts, grid_size, integer_luts=(convention == "opencv")
-    )
+    if jax.default_backend() == "tpu":
+        res = _apply_luts_trilinear_selection(
+            u8, luts, grid_size, integer_luts=(convention == "opencv")
+        )
+    else:
+        # CPU keeps the fast advanced-indexing gather (selection-by-
+        # matmul is the slow form off-TPU), matching the 2-D dispatch
+        res = _apply_luts_trilinear_gather(u8, luts, grid_size)
 
     if convention == "opencv":
         out = jnp.clip(jnp.rint(res), 0, 255) / 255.0

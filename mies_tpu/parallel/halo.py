@@ -84,6 +84,8 @@ def stage_receptive_field(op: str, params: dict) -> int:
     if op in (
         "equalize_hist", "equalize", "clahe", "normalize",
         "rescale_intensity", "resize", "center_crop", "flip", "rot90",
+        "rotate", "affine_warp",  # global extent: a rotated pixel can
+        # read from anywhere in the image — no fixed halo exists
     ):
         raise ValueError(
             f"op {op!r} has global/tile extent and cannot be spatially "

@@ -62,6 +62,8 @@ OP_REGISTRY: dict[str, Callable] = {
     "center_crop": GEO.center_crop,
     "flip": GEO.flip,
     "rot90": GEO.rot90,
+    "rotate": GEO.rotate,
+    "affine_warp": GEO.affine_warp,
     "normalize_meanstd": GEO.normalize_meanstd,
     "denormalize_meanstd": GEO.denormalize_meanstd,
 }
@@ -115,7 +117,12 @@ def _batched_registry() -> dict[str, Callable]:
     from mies_tpu.kernels.bilateral import bilateral_batched
     from mies_tpu.kernels.clahe import clahe_batched
 
-    return {"clahe": clahe_batched, "bilateral_blur": bilateral_batched}
+    return {
+        "clahe": clahe_batched,
+        "bilateral_blur": bilateral_batched,
+        "equalize_hist": H.equalize_hist_batched,
+        "equalize": H.equalize_batched,
+    }
 
 
 def build_chain(cfg: PipelineConfig) -> Callable[[Array], Array]:
@@ -434,14 +441,26 @@ def compile_pipeline(
     donate=True donates the input buffer (safe: callers pass ingest
     buffers they don't reuse), letting XLA alias working memory.
     """
+    bchain = build_batched_chain(cfg, quantize=quantize)
     if batched:
         # the batched chain owns quantization so the tail can fuse
-        # bilateral+unsharp+quantize into one Pallas kernel
-        run = build_batched_chain(cfg, quantize=quantize)
+        # bilateral+unsharp+quantize into one Pallas kernel. A 4-D
+        # [B, C, H, W] input (io.channels: per-channel) folds C into the
+        # batch axis so the Pallas kernels grid over B*C channels, then
+        # unfolds — per-channel processing at full batched throughput.
+        def run(x: Array) -> Array:
+            if x.ndim == 4:
+                b, c = x.shape[:2]
+                out = bchain(x.reshape(b * c, *x.shape[2:]))
+                return out.reshape(b, c, *out.shape[1:])
+            return bchain(x)
     else:
         chain = build_chain(cfg)
 
         def run(img: Array) -> Array:
+            if img.ndim == 3:
+                # [C, H, W] per-channel: channels ride the batch axis
+                return bchain(img)
             x = chain(_ingest(img))
             return _quantize_u8(x) if quantize else x
 

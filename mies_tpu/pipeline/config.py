@@ -330,6 +330,30 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "width": (_pos_int, "an int >= 1"),
     },
     "rot90": {"k": (_is_int, "an int")},
+    "rotate": {
+        "angle": (_is_num, "a number (degrees)"),
+        "mode": (
+            lambda v: v in ("constant", "nearest"),
+            "one of 'constant', 'nearest'",
+        ),
+        "cval": (_is_num, "a number"),
+    },
+    "affine_warp": {
+        "matrix": (
+            lambda v: (
+                isinstance(v, (tuple, list))
+                and len(v) == 2
+                and all(_num_pair(r) for r in v)
+            ),
+            "a 2x2 matrix (output->input map)",
+        ),
+        "offset": (_num_pair, "a 2-vector"),
+        "mode": (
+            lambda v: v in ("constant", "nearest"),
+            "one of 'constant', 'nearest'",
+        ),
+        "cval": (_is_num, "a number"),
+    },
     "learned_denoise": {
         "checkpoint": (lambda v: isinstance(v, str) and v, "a checkpoint path")
     },
@@ -343,6 +367,12 @@ def validate(cfg: PipelineConfig) -> None:
 
     from mies_tpu.pipeline.compiler import OP_REGISTRY
 
+    ch = cfg.io_dict().get("channels")
+    if ch not in (None, "gray", "per-channel"):
+        raise ValueError(
+            f"io.channels={ch!r} is invalid — expected 'gray' (explicit "
+            f"luminance collapse) or 'per-channel'"
+        )
     for i, s in enumerate(cfg.stages):
         if s.op not in OP_REGISTRY:
             raise ValueError(

@@ -117,6 +117,33 @@ def test_stage_costs_reports_per_stage():
         assert ("flops" in c) or ("error" in c)
 
 
+def test_stage_costs_covers_builders_and_3d(tmp_path):
+    """learned_denoise (a stage BUILDER) and clahe3d (a volume op) must
+    report real flops/bytes, not a recorded error (VERDICT r2 weak #5)."""
+    from mies_tpu.models.train import train_denoiser
+    from mies_tpu.utils import stage_costs
+
+    train_denoiser(
+        steps=1, batch=2, patch=32, features=4, depth=1,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    cfg = PipelineConfig.make(
+        [
+            ("learned_denoise", {"checkpoint": str(tmp_path / "ck")}),
+            ("clahe3d", {"clip_limit": 2.0, "grid_size": (4, 4, 4),
+                         "convention": "opencv"}),
+            ("clahe", {"clip_limit": 2.0, "grid_size": (4, 4),
+                       "convention": "opencv"}),
+        ]
+    )
+    costs = stage_costs(cfg, shape=(64, 64), batch_size=2, volume_depth=16)
+    assert [c["op"] for c in costs] == ["learned_denoise", "clahe3d", "clahe"]
+    for c in costs:
+        assert "error" not in c, f"{c['op']} fell back to error: {c}"
+        assert np.isfinite(c["flops"]) and c["flops"] > 0
+        assert np.isfinite(c["bytes"]) and c["bytes"] > 0
+
+
 def test_trace_writes_profile(tmp_path):
     import jax.numpy as jnp
 

@@ -35,6 +35,9 @@ _CHAINABLE = [
     ("laplacian_sharpen", {}),
     ("flip", {}),
     ("rot90", {"k": 2}),
+    ("rotate", {"angle": 12.5, "mode": "nearest"}),
+    ("affine_warp", {"matrix": ((0.9, 0.1), (-0.1, 0.9)),
+                     "offset": (1.0, -1.0), "mode": "nearest"}),
     ("center_crop", {"height": 64, "width": 64}),
     ("adjust_brightness", {"factor": 0.1}),
     ("adjust_contrast", {"factor": 1.2}),

@@ -26,6 +26,57 @@ def test_equalize_hist_uint8_exact(xray):
     assert (diff > 0).mean() < 1e-3
 
 
+def test_equalize_hist_batched_matches_unbatched(rng):
+    """The nibble-selection batched fast path (the form the compiler
+    routes through) must reproduce the per-image op."""
+    import jax
+
+    batch = rng.random((4, 96, 128), dtype=np.float32)
+    out = np.asarray(H.equalize_hist_batched(jnp.asarray(batch)))
+    ref = np.asarray(jax.vmap(H.equalize_hist)(jnp.asarray(batch)))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_equalize_hist_batched_matches_golden(xray):
+    out = np.asarray(H.equalize_hist_batched(jnp.asarray(xray)[None]))[0]
+    ref = G.equalize_hist(xray)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_equalize_hist_batched_nbins_fallback(rng):
+    import jax
+
+    batch = rng.random((2, 64, 64), dtype=np.float32)
+    out = np.asarray(H.equalize_hist_batched(jnp.asarray(batch), nbins=128))
+    ref = np.asarray(
+        jax.vmap(lambda x: H.equalize_hist(x, nbins=128))(jnp.asarray(batch))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_equalize_batched_matches_unbatched(rng):
+    import jax
+
+    batch = rng.random((4, 96, 128), dtype=np.float32)
+    out = np.asarray(H.equalize_batched(jnp.asarray(batch)))
+    ref = np.asarray(jax.vmap(H.equalize)(jnp.asarray(batch)))
+    # exact integer LUT + exact selection: bit-identical
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_equalize_batched_skewed_per_image_luts(rng):
+    """Each image in the batch must get its OWN LUT (skewed histograms
+    differ strongly between images)."""
+    import jax
+
+    a = (rng.random((64, 64)) * 0.2).astype(np.float32)
+    b = (0.8 + rng.random((64, 64)) * 0.2).astype(np.float32)
+    batch = jnp.asarray(np.stack([a, b]))
+    out = np.asarray(H.equalize_batched(batch))
+    ref = np.asarray(jax.vmap(H.equalize)(batch))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_equalize_hist_flattens(xray):
     """Equalized histogram must be much flatter than the input's."""
     out = np.asarray(H.equalize_hist(jnp.asarray(xray)))
@@ -63,6 +114,56 @@ def test_clahe_improves_local_contrast(xray):
         m2 = ndimage.uniform_filter(a * a, 16)
         return np.sqrt(np.maximum(m2 - m * m, 0)).mean()
     assert local_std(out) > local_std(xray) * 1.2
+
+
+def test_skimage_pin_replay():
+    """Replay the real scikit-image outputs pinned by
+    tools/verify_skimage_golden.py (run in an environment WITH skimage)
+    against the transcription — closes the one untestable assumption
+    (non-square-kernel bilinear orientation) operationally whenever a
+    pin file exists. Skips until someone produces one."""
+    from pathlib import Path
+
+    pin_path = Path(__file__).parent / "goldens" / "skimage_pin.npz"
+    if not pin_path.exists():
+        pytest.skip(
+            "no skimage_pin.npz — run tools/verify_skimage_golden.py in an "
+            "environment with scikit-image 0.26 to create it"
+        )
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.verify_skimage_golden import ATOL, make_cases, transcription
+
+    pin = np.load(pin_path)
+    for case in make_cases():
+        if case["name"] not in pin:
+            continue  # pin predates an appended case
+        ours = transcription(case)
+        np.testing.assert_allclose(
+            ours, pin[case["name"]], atol=ATOL,
+            err_msg=f"transcription diverges from pinned skimage on "
+                    f"{case['name']}",
+        )
+
+
+def test_verify_skimage_golden_transcription_selfcheck():
+    """The verification tool's own plumbing runs in THIS environment:
+    deterministic cases build and the transcription produces valid
+    output on each (the skimage side only runs where it's installed)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.verify_skimage_golden import make_cases, transcription
+
+    cases = make_cases()
+    names = [c["name"] for c in cases]
+    assert "2d_nonsquare_k16x24" in names  # the load-bearing case
+    for case in cases[:2]:
+        out = transcription(case)
+        assert out.shape == case["img"].shape
+        assert 0.0 <= out.min() and out.max() <= 1.0
 
 
 def test_equalize_hist_constant_image():

@@ -99,6 +99,66 @@ class TestGeometry:
             np.asarray(rot90(jnp.asarray(xray), 2)), xray[::-1, ::-1]
         )
 
+    def test_rotate_matches_scipy(self, xray):
+        import jax.numpy as jnp
+        import scipy.ndimage as ndi
+
+        from mies_tpu.ops import rotate
+
+        for angle in (17.3, -42.0, 90.0, 5.0):
+            for mode in ("constant", "nearest"):
+                ref = ndi.rotate(
+                    xray, angle, reshape=False, order=1, mode=mode, cval=0.3
+                )
+                got = np.asarray(
+                    rotate(jnp.asarray(xray), angle, mode=mode, cval=0.3)
+                )
+                np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_affine_warp_matches_scipy(self, rng):
+        import jax.numpy as jnp
+        import scipy.ndimage as ndi
+
+        from mies_tpu.ops import affine_warp
+
+        img = rng.random((64, 80)).astype(np.float32)
+        # generic params (exact-boundary coordinate hits differ between
+        # scipy's f64 arithmetic and ours by design — see affine_warp)
+        m = np.array([[0.53, 0.31], [0.11, 0.73]])
+        off = np.array([-3.2, 4.1])
+        for mode in ("constant", "nearest"):
+            ref = ndi.affine_transform(img, m, offset=off, order=1, mode=mode)
+            got = np.asarray(affine_warp(jnp.asarray(img), m, off, mode=mode))
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_rotate_in_pipeline_and_validation(self, xray):
+        import jax.numpy as jnp
+
+        from mies_tpu.pipeline.compiler import compile_pipeline
+        from mies_tpu.pipeline.config import PipelineConfig, validate
+
+        cfg = PipelineConfig.make(
+            [("rotate", {"angle": 12.5, "mode": "nearest"}),
+             ("adjust_gamma", {"gamma": 0.9})]
+        )
+        validate(cfg)
+        out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(xray)))
+        assert out.shape == xray.shape and out.dtype == np.uint8
+
+        import pytest
+
+        bad = PipelineConfig.make([("rotate", {"angle": 10.0, "mode": "wrap"})])
+        with pytest.raises(ValueError, match="constant"):
+            validate(bad)
+
+    def test_rotate_rejected_for_spatial_sharding(self):
+        import pytest
+
+        from mies_tpu.parallel.halo import stage_receptive_field
+
+        with pytest.raises(ValueError, match="sharded"):
+            stage_receptive_field("rotate", {"angle": 10.0})
+
     def test_normalize_meanstd_roundtrip(self, xray):
         import jax.numpy as jnp
         from mies_tpu.ops import denormalize_meanstd, normalize_meanstd

@@ -581,3 +581,30 @@ def test_unsharp_gauss_rejects_oversized_sigma():
     with pytest.raises(ValueError, match="strip height"):
         unsharp_gauss_tpu(jnp.zeros((1, 128, 128), jnp.float32),
                           sigma=17.0, interpret=True)
+
+
+def test_apply33_variants_bit_equal_interpret(rng, monkeypatch):
+    """The measurement-only apply variants (v2 half-stack dot, v3
+    two-rows-per-dot — both measured SLOWER on chip, docs/KERNELS.md
+    round 4) must stay BIT-identical to the production kernel so the
+    recorded A/B numbers remain reproducible."""
+    import os
+
+    import mies_tpu.kernels.clahe as K
+
+    u8 = jnp.asarray(rng.integers(0, 256, (2, 128, 128)).astype(np.int32))
+    luts = jnp.asarray(
+        rng.integers(0, 256, (2, 4, 2, 256)).astype(np.float32)
+    )
+    flut = jnp.asarray(rng.random((2, 4, 2, 256)).astype(np.float32))
+
+    outs = {}
+    for v in ("v1", "v2", "v3"):
+        monkeypatch.setenv("MIES_TPU_APPLY33", v)
+        outs[v] = (
+            np.asarray(K._apply_lut_tile33(u8, luts, (4, 2), True, True)),
+            np.asarray(K._apply_lut_tile33(u8, flut, (4, 2), False, True)),
+        )
+    for v in ("v2", "v3"):
+        np.testing.assert_array_equal(outs["v1"][0], outs[v][0])
+        np.testing.assert_array_equal(outs["v1"][1], outs[v][1])

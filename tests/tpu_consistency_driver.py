@@ -71,6 +71,31 @@ def main() -> int:
     except ImportError:
         out["cases"]["clahe_opencv_vs_cv2"] = {"skipped": "no cv2"}
 
+    # 1b. opencv CLAHE with tw % 64 != 0 (512x768, grid (8,8) -> tw=96):
+    # the rows-layout hist kernel needs lane offsets 128-aligned, so this
+    # shape must take tile_hists_pallas — a wrong gate fails ONLY on the
+    # real chip (ADVICE r2 high finding).
+    imgs8w = rng.integers(0, 256, size=(4, 512, 768)).astype(np.uint8)
+    got = np.asarray(
+        jax.jit(lambda a: clahe_batched(a, 2.0, (8, 8), "opencv"))(
+            jnp.asarray(imgs8w.astype(np.float32) / 255.0)
+        )
+    )
+    gotq = np.clip(np.rint(got * 255.0), 0, 255).astype(np.uint8)
+    try:
+        import cv2
+
+        c = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+        lvl = max(
+            int(np.abs(c.apply(imgs8w[b]).astype(int) - gotq[b].astype(int)).max())
+            for b in range(imgs8w.shape[0])
+        )
+        out["cases"]["clahe_opencv_tw96_vs_cv2"] = {
+            "max_level": lvl, "ok": lvl == 0,
+        }
+    except ImportError:
+        out["cases"]["clahe_opencv_tw96_vs_cv2"] = {"skipped": "no cv2"}
+
     # 2. fraction convention TPU vs CPU (the lo-half regression gate)
     from mies_tpu.ops import histogram as H
 
