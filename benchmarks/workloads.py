@@ -197,6 +197,20 @@ def main() -> int:
             iters=w_iters // 4 if args.quick else w_iters,
             dtype=np.dtype(w["dtype"]).type,
         )
+        if name == "w1_histeq_gamma":
+            # per-call batch-1 throughput over the tunnel varies 5.0-7.9k
+            # run to run (dispatch-rate jitter); also report the stable
+            # DEVICE-side number (fori_loop program, no per-call
+            # dispatch) — that one is floors-gated
+            from mies_tpu.pipeline.runner import time_latency_device
+
+            dev = time_latency_device(
+                w["cfg"], shape=w["shape"],
+                inner=32 if args.quick else 64,
+                repeats=8 if args.quick else 16,
+            )
+            res["device_p50_ms_per_slice"] = dev["p50_ms"]
+            res["device_slices_per_sec"] = 1000.0 / dev["p50_ms"]
         res["workload"] = name
         import jax
 

@@ -39,6 +39,8 @@ from mies_tpu.ops.filters import (
     median_blur,
     bilateral_blur,
     box_blur,
+    guided_blur,
+    joint_bilateral_blur,
     laplacian_sharpen,
     sobel_edges,
 )
@@ -71,6 +73,8 @@ __all__ = [
     "unsharp_mask",
     "median_blur",
     "bilateral_blur",
+    "guided_blur",
+    "joint_bilateral_blur",
     "box_blur",
     "laplacian_sharpen",
     "sobel_edges",

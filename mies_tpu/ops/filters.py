@@ -222,6 +222,72 @@ def bilateral_blur(
     return jnp.sum(w * win, axis=0) / jnp.sum(w, axis=0)
 
 
+def joint_bilateral_blur(
+    img: Array,
+    guide: Array,
+    kernel_size: int = 5,
+    sigma_color: float = 0.1,
+    sigma_space: float = 1.5,
+    mode: str = "reflect",
+) -> Array:
+    """Joint/cross bilateral filter, kornia.filters.joint_bilateral_blur
+    semantics: range weights come from the GUIDE image, values from
+    ``img``. With ``guide is img`` this is exactly ``bilateral_blur``
+    (tested). Library function — a single-image pipeline stage has no
+    second input, so the registry op for edge-preserving smoothing with
+    a structure prior is ``guided_blur``.
+    """
+    if kernel_size % 2 != 1:
+        raise ValueError("kernel_size must be odd")
+    r = kernel_size // 2
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    spatial = np.exp(
+        -(dy**2 + dx**2) / (2.0 * float(sigma_space) ** 2)
+    ).astype(np.float32).ravel()
+
+    win = _window_stack(img, kernel_size, mode)
+    gwin = _window_stack(guide, kernel_size, mode)
+    diff = gwin - guide[None]
+    rng = jnp.exp(-(diff * diff) / (2.0 * float(sigma_color) ** 2))
+    w = rng * jnp.asarray(spatial)[:, None, None]
+    return jnp.sum(w * win, axis=0) / jnp.sum(w, axis=0)
+
+
+def guided_blur(
+    img: Array,
+    kernel_size: int = 3,
+    eps: float = 1e-2,
+    mode: str = "reflect",
+    guide: Array | None = None,
+) -> Array:
+    """Guided filter (He et al. 2010), kornia.filters.guided_blur
+    semantics, self-guided by default (the classic edge-preserving
+    denoiser; O(1) in kernel size).
+
+    Pure box filters — separable shifted-add chains, zero gathers, the
+    ideal TPU shape: XLA fuses the whole 5-box dataflow into a few
+    passes. ``eps`` regularizes the per-window variance (larger = closer
+    to a plain box blur). Golden:
+    tests/goldens/golden_ops.py::guided_blur.
+    """
+    if kernel_size % 2 != 1:
+        raise ValueError("kernel_size must be odd")
+    g = img if guide is None else guide
+
+    def f(x):
+        return box_blur(x, kernel_size, mode)
+
+    mean_i = f(g)
+    mean_p = mean_i if guide is None else f(img)
+    corr_i = f(g * g)
+    corr_ip = corr_i if guide is None else f(g * img)
+    var_i = corr_i - mean_i * mean_i
+    cov_ip = corr_ip - mean_i * mean_p
+    a = cov_ip / (var_i + jnp.float32(eps))
+    b = mean_p - a * mean_i
+    return f(a) * g + f(b)
+
+
 def denoise_bilateral(
     img: Array,
     sigma_color: float = 0.1,

@@ -74,6 +74,9 @@ def stage_receptive_field(op: str, params: dict) -> int:
         return int(truncate * float(sigma) + 0.5)
     if op in ("median_blur", "box_blur", "bilateral_blur"):
         return params.get("kernel_size", 5 if op == "bilateral_blur" else 3) // 2
+    if op == "guided_blur":
+        # two box-filter levels: image statistics, then the a/b means
+        return 2 * (params.get("kernel_size", 3) // 2)
     if op == "denoise_bilateral":
         import numpy as np
 
@@ -139,7 +142,11 @@ def _build_band_fn(
     stages = []  # (op, fn, radius, mode); clahe -> (op, params, None, None)
     for s in cfg.stages:
         params = s.kwargs()
-        if s.op == "clahe":
+        if s.op in ("clahe", "guided_blur"):
+            # stages whose band form is NOT (extend, run, crop): clahe
+            # needs the tile-aligned band algorithm; guided_blur nests
+            # box filters, and reflect(a(x)) != a(reflect(x)) at the
+            # GLOBAL edges — each box must halo-wrap individually
             stages.append((s.op, params, None, None))
             continue
         r = stage_receptive_field(s.op, params)
@@ -162,6 +169,30 @@ def _build_band_fn(
                 p.pop("nbins", None)
                 p.pop("kernel_size", None)
                 x = clahe_band(x, axis_name=axis_name, **p)
+            elif op == "guided_blur":
+                from mies_tpu.ops.filters import box_blur
+
+                p = dict(fn)
+                k = p.get("kernel_size", 3)
+                eps = p.get("eps", 1e-2)
+                gmode = p.get("mode", "reflect")
+                rb = k // 2
+
+                def fbox(v):
+                    if rb == 0:
+                        return box_blur(v, k, gmode)
+                    ext = halo_extend_rows(v, rb, axis_name, mode=gmode)
+                    return box_blur(ext, k, gmode)[rb:-rb]
+
+                # guided-filter dataflow with every box halo-wrapped:
+                # each box is exact under (extend, run, crop) including
+                # the global edges, so the whole filter is
+                mean_i = fbox(x)
+                corr_i = fbox(x * x)
+                var_i = corr_i - mean_i * mean_i
+                a = var_i / (var_i + jnp.float32(eps))
+                b = mean_i - a * mean_i
+                x = fbox(a) * x + fbox(b)
             elif r > 0:
                 x_in = x
                 ext = halo_extend_rows(x, r, axis_name, mode=mode)

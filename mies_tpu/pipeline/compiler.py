@@ -52,6 +52,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "median_blur": F.median_blur,
     "bilateral_blur": F.bilateral_blur,
     "denoise_bilateral": F.denoise_bilateral,
+    "guided_blur": F.guided_blur,
     "sobel_edges": F.sobel_edges,
     "laplacian_sharpen": F.laplacian_sharpen,
     # volumetric (3-D) stages — validated here, executed by

@@ -312,6 +312,11 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "sigma_spatial": (_pos, "a number > 0"),
         "mode": (_mode_ok, f"one of {_PAD_MODES}"),
     },
+    "guided_blur": {
+        "kernel_size": (_odd_kernel, "an odd int >= 1"),
+        "eps": (_pos, "a number > 0"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
     "sobel_edges": {"mode": (_mode_ok, f"one of {_PAD_MODES}")},
     "laplacian_sharpen": {
         "alpha": (_nonneg, "a number >= 0"),

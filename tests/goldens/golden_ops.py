@@ -351,6 +351,26 @@ def box_blur(img, kernel_size=3, mode="reflect"):
     ).astype(np.float32)
 
 
+def guided_blur(img, kernel_size=3, eps=1e-2, mode="reflect", guide=None):
+    """Guided filter (He et al. 2010; kornia.filters.guided_blur role),
+    self-guided by default — all statistics via box means."""
+    x = img.astype(np.float64)
+    g = x if guide is None else guide.astype(np.float64)
+
+    def f(v):
+        return ndimage.uniform_filter(v, size=kernel_size, mode=mode)
+
+    mean_i = f(g)
+    mean_p = mean_i if guide is None else f(x)
+    corr_i = f(g * g)
+    corr_ip = corr_i if guide is None else f(g * x)
+    var_i = corr_i - mean_i * mean_i
+    cov_ip = corr_ip - mean_i * mean_p
+    a = cov_ip / (var_i + eps)
+    b = mean_p - a * mean_i
+    return (f(a) * g + f(b)).astype(np.float32)
+
+
 def bilateral_blur(img, kernel_size=5, sigma_color=0.1, sigma_space=1.5, mode="reflect"):
     """Direct windowed bilateral (kornia.filters.bilateral_blur formula)."""
     r = kernel_size // 2

@@ -105,3 +105,80 @@ def test_median_modes(impulse_image, mode):
     out = np.asarray(F.median_blur(jnp.asarray(impulse_image), 3, mode=mode))
     ref = G.median_blur(impulse_image, 3, mode=mode)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("k,eps", [(3, 1e-2), (5, 1e-3), (7, 1e-1)])
+def test_guided_blur_matches_golden(xray, k, eps):
+    out = np.asarray(F.guided_blur(jnp.asarray(xray), k, eps))
+    ref = G.guided_blur(xray, k, eps)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_guided_blur_external_guide(rng):
+    img = rng.random((64, 64), dtype=np.float32)
+    guide = rng.random((64, 64), dtype=np.float32)
+    out = np.asarray(F.guided_blur(jnp.asarray(img), 5, 1e-2, guide=jnp.asarray(guide)))
+    ref = G.guided_blur(img, 5, 1e-2, guide=guide)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_guided_blur_preserves_edges(xray):
+    """Edge-preserving: a hard step survives guided filtering far better
+    than a box blur of the same window."""
+    step = np.zeros((64, 64), np.float32)
+    step[:, 32:] = 1.0
+    gf = np.asarray(F.guided_blur(jnp.asarray(step), 5, 1e-4))
+    bx = np.asarray(F.box_blur(jnp.asarray(step), 5))
+    # compare the transition sharpness at the step
+    assert abs(gf[32, 32] - step[32, 32]) < abs(bx[32, 32] - step[32, 32])
+
+
+def test_joint_bilateral_self_guide_is_bilateral(xray):
+    x = jnp.asarray(xray[:64, :64])
+    joint = np.asarray(F.joint_bilateral_blur(x, x, 5, 0.1, 1.5))
+    plain = np.asarray(F.bilateral_blur(x, 5, 0.1, 1.5))
+    np.testing.assert_array_equal(joint, plain)
+
+
+def test_joint_bilateral_uses_guide_edges(rng):
+    """Range weights must come from the GUIDE: a flat guide makes the
+    joint bilateral equal a plain gaussian-weighted mean, regardless of
+    edges in the input."""
+    img = np.zeros((32, 32), np.float32)
+    img[:, 16:] = 1.0
+    flat_guide = jnp.full((32, 32), 0.5, jnp.float32)
+    out = np.asarray(
+        F.joint_bilateral_blur(jnp.asarray(img), flat_guide, 5, 0.1, 1.5)
+    )
+    # with constant guide, weights reduce to the spatial kernel only
+    r = 2
+    dy, dx = np.mgrid[-r:r + 1, -r:r + 1]
+    sp = np.exp(-(dy**2 + dx**2) / (2 * 1.5**2)).ravel()
+    p = np.pad(img, r, mode="symmetric")
+    ref = np.zeros_like(img)
+    h, w = img.shape
+    views = [p[dy0:dy0 + h, dx0:dx0 + w]
+             for dy0 in range(5) for dx0 in range(5)]
+    ref = sum(s * v for s, v in zip(sp, views)) / sp.sum()
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_guided_blur_in_pipeline(xray):
+    from mies_tpu.pipeline.compiler import compile_pipeline
+    from mies_tpu.pipeline.config import PipelineConfig, validate
+
+    cfg = PipelineConfig.make(
+        [("guided_blur", {"kernel_size": 5, "eps": 0.01}),
+         ("adjust_gamma", {"gamma": 0.9})]
+    )
+    validate(cfg)
+    out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(xray)))
+    assert out.shape == xray.shape and out.dtype == np.uint8
+
+
+def test_guided_blur_spatial_shard_exact(xray):
+    """guided_blur has a fixed 2*(k//2) receptive field, so halo
+    sharding must reproduce the unsharded result exactly."""
+    from mies_tpu.parallel.halo import stage_receptive_field
+
+    assert stage_receptive_field("guided_blur", {"kernel_size": 5}) == 4

@@ -31,6 +31,7 @@ _CHAINABLE = [
     ("median_blur", {}),
     ("bilateral_blur", {}),
     ("denoise_bilateral", {}),
+    ("guided_blur", {"kernel_size": 3, "eps": 0.01}),
     ("sobel_edges", {}),
     ("laplacian_sharpen", {}),
     ("flip", {}),

@@ -132,6 +132,20 @@ def test_spatial_sharding_bilateral_exact(rng):
     _assert_shard_matches(out, ref)
 
 
+def test_spatial_sharding_guided_blur_exact(rng):
+    """guided_blur's two box-filter levels need a 2*(k//2) halo; the
+    sharded program must reproduce the unsharded result."""
+    cfg = PipelineConfig.make(
+        [("guided_blur", {"kernel_size": 5, "eps": 0.01}),
+         ("adjust_gamma", {"gamma": 0.9})]
+    )
+    img = rng.random((128, 64)).astype(np.float32)
+    mesh = make_mesh(data=1, space=4)
+    out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+    ref = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+    _assert_shard_matches(out, ref)
+
+
 @pytest.mark.parametrize("n", [2, 4, 8])
 @pytest.mark.parametrize("convention", ["opencv", "fraction"])
 def test_clahe_spatial_shard_exact(rng, n, convention):

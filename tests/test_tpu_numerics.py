@@ -58,6 +58,23 @@ def test_clahe_opencv_bit_exact_vs_cv2(consistency):
     _case(consistency, "clahe_opencv_vs_cv2")
 
 
+def test_clahe_opencv_tw96_rows_gate(consistency):
+    """Regression gate for the rows-layout kernel gates: tw=96 must take
+    the 128-aligned layout and stay bit-exact vs cv2 (ADVICE r2 high)."""
+    _case(consistency, "clahe_opencv_tw96_vs_cv2")
+
+
+def test_equalize_hist_batched_backend_consistency(consistency):
+    """The nibble-selection batched equalize paths (round 4) match the
+    per-image CPU reference — the selection exactness claim asserted on
+    real hardware, not just fake devices."""
+    _case(consistency, "equalize_hist_batched_vs_cpu")
+
+
+def test_equalize_batched_bit_exact(consistency):
+    _case(consistency, "equalize_batched_vs_cpu")
+
+
 def test_clahe_fraction_lo_half_alive(consistency):
     """Regression gate for the bf16-propagation lo-half bug."""
     _case(consistency, "clahe_fraction_vs_cpu")

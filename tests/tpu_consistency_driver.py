@@ -96,6 +96,33 @@ def main() -> int:
     except ImportError:
         out["cases"]["clahe_opencv_tw96_vs_cv2"] = {"skipped": "no cv2"}
 
+    # 1c. batched equalize_hist / equalize (nibble-selection fast paths,
+    # round 4): selection exactness and the bf16 nibble hist are TPU-
+    # sensitive (same class as the bf16-propagation bug) — compare the
+    # batched TPU path against the per-image CPU reference.
+    from mies_tpu.ops.histogram import (
+        equalize as _eq,
+        equalize_batched,
+        equalize_hist,
+        equalize_hist_batched,
+    )
+
+    t = np.asarray(jax.jit(equalize_hist_batched)(imgs[:4]))
+    cpu_ref = np.asarray(
+        jax.jit(jax.vmap(equalize_hist))(jax.device_put(imgs[:4], cpu))
+    )
+    d = float(np.abs(t - cpu_ref).max())
+    out["cases"]["equalize_hist_batched_vs_cpu"] = {
+        "max_abs": d, "ok": d <= 2e-6,
+    }
+    t = np.asarray(jax.jit(equalize_batched)(imgs[:4]))
+    c = np.asarray(
+        jax.jit(jax.vmap(_eq))(jax.device_put(imgs[:4], cpu))
+    )
+    d = float(np.abs(t - c).max())
+    # exact integer LUTs + exact selection: bit-identical across backends
+    out["cases"]["equalize_batched_vs_cpu"] = {"max_abs": d, "ok": d == 0.0}
+
     # 2. fraction convention TPU vs CPU (the lo-half regression gate)
     from mies_tpu.ops import histogram as H
 
