@@ -181,6 +181,30 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_ops(args) -> int:
+    """Print the op registry as JSON: params, defaults, constraints."""
+    import inspect
+
+    from mies_tpu.pipeline.compiler import OP_REGISTRY
+    from mies_tpu.pipeline.config import _VALUE_RULES
+
+    out = {}
+    for name, fn in sorted(OP_REGISTRY.items()):
+        sig = inspect.signature(fn)
+        params = {}
+        for p in list(sig.parameters.values())[1:]:  # skip the image arg
+            info = {}
+            if p.default is not inspect.Parameter.empty:
+                info["default"] = p.default
+            rule = _VALUE_RULES.get(name, {}).get(p.name)
+            if rule is not None:
+                info["expects"] = rule[1]
+            params[p.name] = info
+        out[name] = params
+    print(json.dumps(out, indent=2, default=str))
+    return 0
+
+
 def cmd_train_denoiser(args) -> int:
     from mies_tpu.models.train import train_denoiser
 
@@ -200,6 +224,7 @@ def cmd_train_denoiser(args) -> int:
         checkpoint_dir=args.output,
         data_dir=args.data,
         evaluate=args.eval,
+        self_supervised=args.self_supervised,
     )
     print(
         json.dumps(
@@ -292,9 +317,17 @@ def main(argv=None) -> int:
     p.add_argument("--features", type=int, default=32)
     p.add_argument("--depth", type=int, default=6)
     p.add_argument("--noise-sigma", type=float, default=0.08)
+    p.add_argument("--self-supervised", action="store_true",
+                   help="Noise2Void blind-spot training: no clean "
+                        "targets — learns from the (noisy) data alone; "
+                        "with --data, the slices' own noise is the noise")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
     p.set_defaults(fn=cmd_train_denoiser)
+
+    p = sub.add_parser("ops", help="list every pipeline op with its "
+                                   "params, defaults, and constraints")
+    p.set_defaults(fn=cmd_ops)
 
     p = sub.add_parser("bench", help="throughput benchmark for a config")
     p.add_argument("-c", "--config", required=True)

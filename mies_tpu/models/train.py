@@ -33,12 +33,21 @@ def make_train_step(
     depth: int = 6,
     learning_rate: float = 1e-3,
     mesh: Mesh | None = None,
+    self_supervised: bool = False,
 ) -> tuple[Callable, Callable, optax.GradientTransformation]:
-    """Returns (init_fn, train_step) for noise2clean L2 training.
+    """Returns (init_fn, train_step).
 
-    train_step(state, noisy, clean) -> (state, loss). With a mesh, the
-    batch is sharded over 'data' and params are replicated; XLA inserts
-    the gradient all-reduce.
+    self_supervised=False (noise2clean): train_step(state, noisy, clean)
+    — L2 on the predicted residual vs the true noise.
+    self_supervised=True (Noise2Void blind-spot): train_step(state,
+    masked, target, mask) — the input has a random pixel subset replaced
+    by neighbors (n2v_mask_batch), and the loss is the masked-pixel MSE
+    of the DENOISED estimate against the original noisy values; with
+    pixelwise-independent zero-mean noise the minimizer is the clean
+    signal, so the model learns to denoise WITHOUT clean targets.
+
+    With a mesh, the batch is sharded over 'data' and params are
+    replicated; XLA inserts the gradient all-reduce.
     """
     model = DenoiserCNN(features=features, depth=depth)
     tx = optax.adamw(learning_rate)
@@ -48,11 +57,28 @@ def make_train_step(
         true_noise = noisy - clean
         return jnp.mean((pred_noise - true_noise) ** 2)
 
-    def train_step(state: TrainState, noisy, clean):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, noisy, clean)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+    def n2v_loss_fn(params, masked, target, mask):
+        denoised = masked - model.apply(params, masked)
+        se = (denoised - target) ** 2 * mask
+        return jnp.sum(se) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    if self_supervised:
+
+        def train_step(state: TrainState, masked, target, mask):
+            loss, grads = jax.value_and_grad(n2v_loss_fn)(
+                state.params, masked, target, mask
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+    else:
+
+        def train_step(state: TrainState, noisy, clean):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, noisy, clean)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
 
     def init_fn(rng) -> TrainState:
         params = init_params(rng, features, depth)
@@ -71,12 +97,43 @@ def make_train_step(
         ),
         step=rep,
     )
+    n_batch_args = 3 if self_supervised else 2
     sharded_step = jax.jit(
         train_step,
-        in_shardings=(state_spec, batch_spec, batch_spec),
+        in_shardings=(state_spec, *([batch_spec] * n_batch_args)),
         out_shardings=(state_spec, rep),
     )
     return init_fn, sharded_step, tx
+
+
+def n2v_mask_batch(
+    rng: np.random.Generator,
+    noisy: np.ndarray,
+    frac: float = 0.01,
+    radius: int = 2,
+):
+    """Noise2Void blind-spot masking (uniform pixel selection).
+
+    Replaces ``frac`` of each patch's pixels with a RANDOM NEIGHBOR
+    within ``radius`` (never the pixel itself — that would leak the
+    value the network must predict). Returns (masked, target, mask),
+    all [B, p, p, 1]; target is the untouched noisy batch.
+    """
+    b, p = noisy.shape[0], noisy.shape[1]
+    n_mask = max(1, int(frac * p * p))
+    masked = noisy.copy()
+    mask = np.zeros_like(noisy)
+    for i in range(b):
+        ys = rng.integers(0, p, n_mask)
+        xs = rng.integers(0, p, n_mask)
+        dy = rng.integers(-radius, radius + 1, n_mask)
+        dx = rng.integers(-radius, radius + 1, n_mask)
+        dx = np.where((dy == 0) & (dx == 0), 1, dx)  # exclude the center
+        sy = np.clip(ys + dy, 0, p - 1)
+        sx = np.clip(xs + dx, 0, p - 1)
+        masked[i, ys, xs, 0] = noisy[i, sy, sx, 0]
+        mask[i, ys, xs, 0] = 1.0
+    return masked, noisy, mask
 
 
 def synth_batch(rng: np.random.Generator, batch: int, patch: int, sigma: float = 0.08):
@@ -149,16 +206,21 @@ class FileDataset:
         lo, hi = np.percentile(arr, (1.0, 99.0))
         return np.clip((arr - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
 
-    def batch(self, rng: np.random.Generator, batch: int, sigma: float):
-        """Random crops + gaussian noise -> (noisy, clean) [B,p,p,1]."""
+    def crops(self, rng: np.random.Generator, batch: int) -> np.ndarray:
+        """Random raw patch crops [B, p, p, 1] — no synthetic noise
+        (the Noise2Void input: the data's OWN noise is the noise)."""
         p = self.patch
-        clean = []
+        out = []
         for _ in range(batch):
             im = self.images[rng.integers(len(self.images))]
             y = rng.integers(im.shape[0] - p + 1)
             x = rng.integers(im.shape[1] - p + 1)
-            clean.append(im[y : y + p, x : x + p])
-        clean = np.stack(clean)[..., None].astype(np.float32)
+            out.append(im[y : y + p, x : x + p])
+        return np.stack(out)[..., None].astype(np.float32)
+
+    def batch(self, rng: np.random.Generator, batch: int, sigma: float):
+        """Random crops + gaussian noise -> (noisy, clean) [B,p,p,1]."""
+        clean = self.crops(rng, batch)
         noisy = np.clip(
             clean + rng.normal(0, sigma, clean.shape).astype(np.float32), 0, 1
         )
@@ -211,30 +273,51 @@ def train_denoiser(
     log_every: int = 50,
     data_dir: str | None = None,
     evaluate: bool = False,
+    self_supervised: bool = False,
 ) -> tuple[TrainState, list[float], dict]:
     """Train the denoiser; returns (state, losses, report).
 
-    data_dir=None trains on synthetic phantoms; with a directory, clean
+    data_dir=None trains on synthetic phantoms; with a directory,
     patches come from the real slices in it (FileDataset). With
     evaluate=True the report carries PSNR vs the bilateral baseline on a
     held-out phantom set; it is also saved next to the checkpoint.
+
+    self_supervised=True trains Noise2Void-style: NO clean targets — the
+    model learns from the (noisy) data alone via blind-spot masking.
+    This is the realistic medical setup, where clean references don't
+    exist; with a data_dir the raw crops' own noise is the noise (no
+    synthetic corruption added).
     """
-    init_fn, step_fn, _ = make_train_step(features, depth, mesh=mesh)
+    init_fn, step_fn, _ = make_train_step(
+        features, depth, mesh=mesh, self_supervised=self_supervised
+    )
     state = init_fn(jax.random.PRNGKey(seed))
     rng = np.random.default_rng(seed)
     dataset = FileDataset(data_dir, patch=patch) if data_dir else None
     losses = []
     for i in range(steps):
-        if dataset is not None:
-            noisy, clean = dataset.batch(rng, batch, sigma)
+        if self_supervised:
+            if dataset is not None:
+                noisy = dataset.crops(rng, batch)
+            else:
+                noisy, _ = synth_batch(rng, batch, patch, sigma)
+            masked, target, mask = n2v_mask_batch(rng, noisy)
+            state, loss = step_fn(
+                state, jnp.asarray(masked), jnp.asarray(target),
+                jnp.asarray(mask),
+            )
         else:
-            noisy, clean = synth_batch(rng, batch, patch, sigma)
-        state, loss = step_fn(state, jnp.asarray(noisy), jnp.asarray(clean))
+            if dataset is not None:
+                noisy, clean = dataset.batch(rng, batch, sigma)
+            else:
+                noisy, clean = synth_batch(rng, batch, patch, sigma)
+            state, loss = step_fn(state, jnp.asarray(noisy), jnp.asarray(clean))
         if i % log_every == 0 or i == steps - 1:
             losses.append(float(loss))
     report = {
         "steps": steps,
         "data": data_dir or "synthetic-phantoms",
+        "objective": "noise2void" if self_supervised else "noise2clean",
         "final_loss": losses[-1] if losses else None,
     }
     if evaluate:

@@ -145,14 +145,48 @@ def is_low_contrast(
     return (hi - lo) < fraction_threshold
 
 
-def window_hu(hu: Array, center: float, width: float) -> Array:
+# Standard clinical CT windows (center, width) in Hounsfield units.
+HU_PRESETS: dict[str, tuple[float, float]] = {
+    "soft_tissue": (40.0, 400.0),
+    "lung": (-600.0, 1500.0),
+    "bone": (400.0, 1800.0),
+    "brain": (40.0, 80.0),
+    "liver": (60.0, 160.0),
+    "mediastinum": (50.0, 350.0),
+    "stroke": (40.0, 40.0),
+    "subdural": (75.0, 215.0),
+    "abdomen": (50.0, 400.0),
+}
+
+
+def window_hu(
+    hu: Array,
+    center: float | None = None,
+    width: float | None = None,
+    preset: str | None = None,
+) -> Array:
     """CT Hounsfield-unit windowing to float [0, 1].
 
     ``clip((hu - (center - width/2)) / width, 0, 1)`` — the [N] contract
     (SURVEY.md section 3.3). Accepts int16 or float input; computes in
     float32 so the whole window+chain fuses into one XLA program with the
     int16->f32 cast happening on-device.
+
+    ``preset`` names a standard clinical window (HU_PRESETS:
+    soft_tissue, lung, bone, brain, liver, mediastinum, stroke,
+    subdural, abdomen); explicit center/width override the preset's.
     """
+    if preset is not None:
+        if preset not in HU_PRESETS:
+            raise ValueError(
+                f"unknown HU preset {preset!r}; available: "
+                f"{sorted(HU_PRESETS)}"
+            )
+        pc, pw = HU_PRESETS[preset]
+        center = pc if center is None else center
+        width = pw if width is None else width
+    if center is None or width is None:
+        raise ValueError("window_hu needs center+width or a preset")
     x = hu.astype(jnp.float32)
     lo = center - width / 2.0
     return jnp.clip((x - lo) / width, 0.0, 1.0)

@@ -378,6 +378,55 @@ def clahe3d(
     return out.astype(jnp.float32)
 
 
+def _box3d(vol: Array, kernel_size: int, mode: str) -> Array:
+    """Separable 3-D box mean via shifted adds along each axis."""
+    from mies_tpu.ops.filters import _PAD_MODE
+
+    r = kernel_size // 2
+    inv = np.float32(1.0 / kernel_size)
+    x = vol.astype(jnp.float32)
+    if r == 0:
+        return x
+    for axis in range(3):
+        pads = [(0, 0)] * 3
+        pads[axis] = (r, r)
+        xp = jnp.pad(x, pads, mode=_PAD_MODE[mode])
+        acc = inv * jax.lax.slice_in_dim(xp, 0, x.shape[axis], axis=axis)
+        for t in range(1, kernel_size):
+            acc = acc + inv * jax.lax.slice_in_dim(
+                xp, t, t + x.shape[axis], axis=axis
+            )
+        x = acc
+    return x
+
+
+def guided_blur3d(
+    vol: Array,
+    kernel_size: int = 3,
+    eps: float = 1e-2,
+    mode: str = "reflect",
+) -> Array:
+    """Volumetric self-guided filter (He et al. 2010 extended to 3-D
+    windows): z-consistent edge-preserving denoising — the guided-filter
+    sibling of clahe3d's motivation (slice-by-slice filtering flickers
+    between slices; cubic windows don't). Pure separable box means —
+    zero gathers. Golden: tests/goldens/golden_ops.py::guided_blur3d.
+    """
+    if kernel_size % 2 != 1:
+        raise ValueError("kernel_size must be odd")
+    x = vol.astype(jnp.float32)
+
+    def f(v):
+        return _box3d(v, kernel_size, mode)
+
+    mean_i = f(x)
+    corr_i = f(x * x)
+    var_i = corr_i - mean_i * mean_i
+    a = var_i / (var_i + jnp.float32(eps))
+    b = mean_i - a * mean_i
+    return f(a) * x + f(b)
+
+
 def gaussian_blur3d(
     vol: Array, sigma: float = 1.0, truncate: float = 4.0, mode: str = "nearest"
 ) -> Array:

@@ -102,10 +102,11 @@ OP_REGISTRY["learned_denoise"] = _learned_denoise_builder
 
 
 def _register_volume_ops() -> None:
-    from mies_tpu.ops.volume3d import clahe3d, gaussian_blur3d
+    from mies_tpu.ops.volume3d import clahe3d, gaussian_blur3d, guided_blur3d
 
     OP_REGISTRY.setdefault("clahe3d", clahe3d.__wrapped__)
     OP_REGISTRY.setdefault("gaussian_blur3d", gaussian_blur3d)
+    OP_REGISTRY.setdefault("guided_blur3d", guided_blur3d)
 
 
 _register_volume_ops()
@@ -379,11 +380,12 @@ def _ingest(x: Array) -> Array:
 # Ops that operate on a whole [Z, H, W] volume. Pointwise 2-D ops are
 # shape-polymorphic and reused directly.
 def _volume_registry() -> dict[str, Callable]:
-    from mies_tpu.ops.volume3d import clahe3d, gaussian_blur3d
+    from mies_tpu.ops.volume3d import clahe3d, gaussian_blur3d, guided_blur3d
 
     return {
         "clahe3d": clahe3d.__wrapped__,
         "gaussian_blur3d": gaussian_blur3d,
+        "guided_blur3d": guided_blur3d,
         # shape-polymorphic pointwise ops
         "window_hu": I.window_hu,
         "adjust_gamma": I.adjust_gamma,

@@ -214,6 +214,14 @@ def _num_pair(v) -> bool:
     )
 
 
+def _hu_preset_ok(v) -> bool:
+    if v is None:
+        return True
+    from mies_tpu.ops.intensity import HU_PRESETS
+
+    return isinstance(v, str) and v in HU_PRESETS
+
+
 _VALUE_RULES: dict[str, dict[str, tuple]] = {
     "adjust_gamma": {
         "gamma": (_pos, "a number > 0"),
@@ -234,8 +242,13 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
     },
     "sharpness": {"factor": (_is_num, "a number")},
     "window_hu": {
-        "center": (_is_num, "a number"),
-        "width": (_pos, "a number > 0"),
+        "center": (lambda v: v is None or _is_num(v), "a number"),
+        "width": (lambda v: v is None or _pos(v), "a number > 0"),
+        "preset": (
+            _hu_preset_ok,
+            "a named clinical window (see mies_tpu.ops.intensity"
+            ".HU_PRESETS)",
+        ),
     },
     "normalize": {"eps": (_pos, "a number > 0")},
     "normalize_meanstd": {
@@ -313,6 +326,11 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "mode": (_mode_ok, f"one of {_PAD_MODES}"),
     },
     "guided_blur": {
+        "kernel_size": (_odd_kernel, "an odd int >= 1"),
+        "eps": (_pos, "a number > 0"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
+    "guided_blur3d": {
         "kernel_size": (_odd_kernel, "an odd int >= 1"),
         "eps": (_pos, "a number > 0"),
         "mode": (_mode_ok, f"one of {_PAD_MODES}"),

@@ -371,6 +371,21 @@ def guided_blur(img, kernel_size=3, eps=1e-2, mode="reflect", guide=None):
     return (f(a) * g + f(b)).astype(np.float32)
 
 
+def guided_blur3d(vol, kernel_size=3, eps=1e-2, mode="reflect"):
+    """Volumetric self-guided filter: cubic box-mean statistics."""
+    x = vol.astype(np.float64)
+
+    def f(v):
+        return ndimage.uniform_filter(v, size=kernel_size, mode=mode)
+
+    mean_i = f(x)
+    corr_i = f(x * x)
+    var_i = corr_i - mean_i * mean_i
+    a = var_i / (var_i + eps)
+    b = mean_i - a * mean_i
+    return (f(a) * x + f(b)).astype(np.float32)
+
+
 def bilateral_blur(img, kernel_size=5, sigma_color=0.1, sigma_space=1.5, mode="reflect"):
     """Direct windowed bilateral (kornia.filters.bilateral_blur formula)."""
     r = kernel_size // 2

@@ -240,3 +240,68 @@ class TestEnhanceExtras:
         )
         out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(xray)))
         assert out.dtype == np.uint8 and out.shape == xray.shape
+
+
+def test_window_hu_presets(ct_slice_hu):
+    import jax.numpy as jnp
+
+    from mies_tpu.ops.intensity import HU_PRESETS, window_hu
+
+    x = jnp.asarray(ct_slice_hu)
+    for name, (c, w) in HU_PRESETS.items():
+        np.testing.assert_array_equal(
+            np.asarray(window_hu(x, preset=name)),
+            np.asarray(window_hu(x, center=c, width=w)),
+        )
+    # explicit params override the preset's
+    np.testing.assert_array_equal(
+        np.asarray(window_hu(x, center=0.0, preset="lung")),
+        np.asarray(window_hu(x, center=0.0, width=1500.0)),
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="preset"):
+        window_hu(x, preset="femur")
+    with pytest.raises(ValueError, match="center"):
+        window_hu(x)
+
+
+def test_window_hu_preset_in_config(ct_slice_hu):
+    import jax.numpy as jnp
+    import pytest
+
+    from mies_tpu.pipeline.compiler import compile_pipeline
+    from mies_tpu.pipeline.config import PipelineConfig, validate
+
+    cfg = PipelineConfig.make(
+        [("window_hu", {"preset": "soft_tissue"}),
+         ("adjust_gamma", {"gamma": 0.9})]
+    )
+    validate(cfg)
+    out = np.asarray(
+        compile_pipeline(cfg, donate=False)(jnp.asarray(ct_slice_hu))
+    )
+    ref_cfg = PipelineConfig.make(
+        [("window_hu", {"center": 40.0, "width": 400.0}),
+         ("adjust_gamma", {"gamma": 0.9})]
+    )
+    ref = np.asarray(
+        compile_pipeline(ref_cfg, donate=False)(jnp.asarray(ct_slice_hu))
+    )
+    np.testing.assert_array_equal(out, ref)
+
+    bad = PipelineConfig.make([("window_hu", {"preset": "femur"})])
+    with pytest.raises(ValueError, match="preset"):
+        validate(bad)
+
+
+def test_cli_ops_listing(capsys):
+    import json as _json
+
+    from mies_tpu import cli
+
+    rc = cli.main(["ops"])
+    assert rc == 0
+    listing = _json.loads(capsys.readouterr().out)
+    assert "clahe" in listing and "guided_blur" in listing
+    assert listing["clahe"]["clip_limit"]["expects"] == "a number > 0"

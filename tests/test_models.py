@@ -116,3 +116,51 @@ def test_file_dataset_rejects_empty_and_small(tmp_path):
     Image.fromarray(np.zeros((16, 16), np.uint8)).save(tmp_path / "tiny.png")
     with pytest.raises(ValueError, match="smaller than patch"):
         FileDataset(tmp_path, patch=32)
+
+
+def test_n2v_mask_batch_properties(rng):
+    from mies_tpu.models.train import n2v_mask_batch, synth_batch
+
+    noisy, _ = synth_batch(rng, 4, 32, 0.1)
+    masked, target, mask = n2v_mask_batch(rng, noisy, frac=0.02)
+    # target is the untouched input
+    np.testing.assert_array_equal(target, noisy)
+    # each patch has ~frac * p^2 masked positions
+    per_img = mask.sum(axis=(1, 2, 3))
+    assert (per_img >= 1).all() and (per_img <= 0.02 * 32 * 32 + 1).all()
+    # unmasked positions are untouched; masked positions carry values
+    # that exist in the patch (neighbor substitution)
+    np.testing.assert_array_equal(masked[mask == 0], noisy[mask == 0])
+
+
+def test_n2v_training_denoises_without_clean_targets(rng):
+    """Noise2Void: train on NOISY phantoms only (the clean images never
+    enter the loss); the model must still denoise — PSNR above the noisy
+    input on held-out data."""
+    from mies_tpu.models.train import _eval_vs_bilateral, train_denoiser
+
+    state, losses, report = train_denoiser(
+        steps=250, batch=16, patch=48, features=16, depth=4,
+        sigma=0.08, seed=3, self_supervised=True, evaluate=True,
+    )
+    assert report["objective"] == "noise2void"
+    assert report["psnr_model"] > report["psnr_noisy"] + 1.0, report
+
+
+def test_n2v_sharded_step_runs(rng):
+    from mies_tpu.models.train import make_train_step, n2v_mask_batch, synth_batch
+    from mies_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    init_fn, step_fn, _ = make_train_step(
+        features=8, depth=2, mesh=mesh, self_supervised=True
+    )
+    import jax
+
+    state = init_fn(jax.random.PRNGKey(0))
+    noisy, _ = synth_batch(rng, 16, 32, 0.1)
+    masked, target, mask = n2v_mask_batch(rng, noisy)
+    state, loss = step_fn(
+        state, jnp.asarray(masked), jnp.asarray(target), jnp.asarray(mask)
+    )
+    assert np.isfinite(float(loss)) and int(state.step) == 1

@@ -165,3 +165,48 @@ def test_clahe3d_skimage_nondivisible_shape():
     d = np.abs(out - ref)
     assert (d > 1.0 / 255.0).mean() <= 5e-5
     assert d.max() <= max(2.0 / 255.0, 0.02 + 1.0 / 255.0)
+
+
+def test_guided_blur3d_matches_golden(rng):
+    from mies_tpu.ops.volume3d import guided_blur3d
+
+    vol = rng.random((16, 32, 32)).astype(np.float32)
+    out = np.asarray(guided_blur3d(jnp.asarray(vol), 3, 1e-2))
+    ref = G.guided_blur3d(vol, 3, 1e-2)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_guided_blur3d_in_volume_pipeline(rng):
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+    from mies_tpu.pipeline.config import PipelineConfig, validate
+
+    cfg = PipelineConfig.make(
+        [("window_hu", {"center": 40.0, "width": 400.0}),
+         ("guided_blur3d", {"kernel_size": 3, "eps": 0.001}),
+         ("clahe3d", {"clip_limit": 2.0, "grid_size": (4, 4, 4),
+                      "convention": "opencv"})]
+    )
+    validate(cfg)
+    vol = rng.integers(-500, 1500, (16, 64, 64)).astype(np.int16)
+    out = np.asarray(compile_volume_pipeline(cfg)(jnp.asarray(vol)))
+    assert out.shape == vol.shape and out.dtype == np.uint8
+
+
+def test_guided_blur3d_z_consistency(rng):
+    """The cubic window mixes information across z: two identical noisy
+    slices with a noisy slice between them must end up closer to each
+    other than slice-independent filtering leaves them."""
+    from mies_tpu.ops.filters import guided_blur
+    from mies_tpu.ops.volume3d import guided_blur3d
+
+    base = rng.random((32, 32)).astype(np.float32)
+    vol = np.stack([base + 0.05 * rng.standard_normal((32, 32)).astype(np.float32)
+                    for _ in range(5)])
+    out3 = np.asarray(guided_blur3d(jnp.asarray(vol), 3, 1e-2))
+    out2 = np.stack([
+        np.asarray(guided_blur(jnp.asarray(vol[z]), 3, 1e-2))
+        for z in range(5)
+    ])
+    d3 = np.abs(out3[1] - out3[3]).mean()
+    d2 = np.abs(out2[1] - out2[3]).mean()
+    assert d3 < d2
