@@ -69,7 +69,9 @@ def main() -> int:
 
         def histlut(v):
             h = tile_hists_rows_pallas(v, 8, 8).reshape(b * 64, 256)
-            h = H._clip_redistribute_opencv(h, jnp.float32(2048 * 2 / 256))
+            # the w5 chain's clip: clip_limit * tile_px / nbins =
+            # 2.0 * 64*64 / 256 = 32
+            h = H._clip_redistribute_opencv(h, jnp.float32(2.0 * 4096 / 256))
             cdf = jnp.cumsum(h, axis=1)
             return jnp.clip(jnp.rint(cdf * (255.0 / 4096)), 0, 255)
 

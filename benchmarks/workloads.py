@@ -185,16 +185,18 @@ def main() -> int:
 
     from mies_tpu.pipeline.runner import time_pipeline
 
-    iters = 4 if args.quick else 16
     for name, w in workload_configs().items():
         if args.only and name != args.only:
             continue
-        w_iters = w.get("iters", iters)
+        w_iters = w.get("iters", 16)
+        # --quick: quarter the slope length but keep n_long > n_short
+        # (time_pipeline's slope divides by n_long - n_long//4)
+        run_iters = max(w_iters // 4, 4) if args.quick else w_iters
         res = time_pipeline(
             w["cfg"],
             shape=w["shape"],
             batch_size=w["batch"],
-            iters=w_iters // 4 if args.quick else w_iters,
+            iters=run_iters,
             dtype=np.dtype(w["dtype"]).type,
         )
         if name == "w1_histeq_gamma":

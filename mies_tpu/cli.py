@@ -55,12 +55,42 @@ def cmd_enhance(args) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            import numpy as np
+
             from mies_tpu.eval.metrics import evaluate
             from mies_tpu.io.image import from_float, load_image
 
-            orig = from_float(
-                load_image(inputs[0], channels=cfg.io_dict().get("channels"))
+            raw = load_image(
+                inputs[0], dtype="raw",
+                channels=cfg.io_dict().get("channels"),
             )
+            if raw.dtype == np.int16:
+                # int16 HU (single-file DICOM): the clinically meaningful
+                # "original" is the same window the chain applies
+                from mies_tpu.ops.intensity import window_hu
+
+                wstage = next(
+                    (s for s in cfg.stages if s.op == "window_hu"), None
+                )
+                if wstage is not None:
+                    orig = from_float(
+                        np.asarray(window_hu(raw, **wstage.kwargs()))
+                    )
+                else:
+                    lo, hi = np.percentile(raw, (1.0, 99.0))
+                    orig = from_float(
+                        np.clip(
+                            (raw.astype(np.float32) - lo)
+                            / max(hi - lo, 1e-6),
+                            0.0, 1.0,
+                        )
+                    )
+            else:
+                orig = from_float(
+                    load_image(
+                        inputs[0], channels=cfg.io_dict().get("channels")
+                    )
+                )
             metrics = evaluate(orig, out, names=("psnr", "ssim"))
         if args.report:
             from mies_tpu.eval.report import save_comparison_report
@@ -185,14 +215,16 @@ def cmd_ops(args) -> int:
     """Print the op registry as JSON: params, defaults, constraints."""
     import inspect
 
-    from mies_tpu.pipeline.compiler import OP_REGISTRY
+    from mies_tpu.pipeline.compiler import OP_REGISTRY, STAGE_BUILDERS
     from mies_tpu.pipeline.config import _VALUE_RULES
 
     out = {}
     for name, fn in sorted(OP_REGISTRY.items()):
         sig = inspect.signature(fn)
+        # builders take ONLY config params (no image arg to skip)
+        skip = 0 if name in STAGE_BUILDERS else 1
         params = {}
-        for p in list(sig.parameters.values())[1:]:  # skip the image arg
+        for p in list(sig.parameters.values())[skip:]:
             info = {}
             if p.default is not inspect.Parameter.empty:
                 info["default"] = p.default

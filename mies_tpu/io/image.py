@@ -56,6 +56,10 @@ def load_image(
         if dtype == "raw":
             return arr.astype(np.uint16)
         return arr.astype(np.float32) / 65535.0
+    if img.mode != "L" and len(img.getbands()) == 1:
+        # single-band non-L modes ('1' bilevel, 'P' palette, 'F' float)
+        # keep the pre-multichannel behavior: convert to L
+        img = img.convert("L")
     if img.mode != "L":
         if channels is None:
             raise ValueError(

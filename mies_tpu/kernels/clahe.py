@@ -471,6 +471,8 @@ def _apply_lut_tile33(
     # the dot is ONE MXU pass for any M <= 128, so shrinking M or
     # batching rows saves nothing; the kernel is mask-build-bound).
     variant = os.environ.get("MIES_TPU_APPLY33", "v1")
+    if variant == "v3" and th % 2:
+        variant = "v1"  # v3 processes row PAIRS; odd tile heights can't
     body = {
         "v2": _apply33_kernel_v2,
         "v3": _apply33_kernel_v3,

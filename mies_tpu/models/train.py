@@ -112,7 +112,8 @@ def n2v_mask_batch(
     frac: float = 0.01,
     radius: int = 2,
 ):
-    """Noise2Void blind-spot masking (uniform pixel selection).
+    """Noise2Void blind-spot masking (Krull et al., CVPR 2019 —
+    uniform pixel selection variant).
 
     Replaces ``frac`` of each patch's pixels with a RANDOM NEIGHBOR
     within ``radius`` (never the pixel itself — that would leak the
@@ -131,6 +132,10 @@ def n2v_mask_batch(
         dx = np.where((dy == 0) & (dx == 0), 1, dx)  # exclude the center
         sy = np.clip(ys + dy, 0, p - 1)
         sx = np.clip(xs + dx, 0, p - 1)
+        # border clipping can land back ON the masked pixel (leaking the
+        # value the blind spot must hide) — step off it deterministically
+        collide = (sy == ys) & (sx == xs)
+        sx = np.where(collide, np.where(xs > 0, xs - 1, xs + 1), sx)
         masked[i, ys, xs, 0] = noisy[i, sy, sx, 0]
         mask[i, ys, xs, 0] = 1.0
     return masked, noisy, mask

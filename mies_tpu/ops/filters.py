@@ -253,6 +253,19 @@ def joint_bilateral_blur(
     return jnp.sum(w * win, axis=0) / jnp.sum(w, axis=0)
 
 
+def _guided_dataflow(box, x: Array, eps: float) -> Array:
+    """SELF-guided He-et-al dataflow: shared by guided_blur (2-D),
+    guided_blur3d, and the sharded band branch in parallel/halo.py —
+    each caller supplies its own box-mean function, so a formula fix
+    propagates to all three."""
+    mean_i = box(x)
+    corr_i = box(x * x)
+    var_i = corr_i - mean_i * mean_i
+    a = var_i / (var_i + jnp.float32(eps))
+    b = mean_i - a * mean_i
+    return box(a) * x + box(b)
+
+
 def guided_blur(
     img: Array,
     kernel_size: int = 3,
@@ -272,15 +285,17 @@ def guided_blur(
     """
     if kernel_size % 2 != 1:
         raise ValueError("kernel_size must be odd")
-    g = img if guide is None else guide
 
     def f(x):
         return box_blur(x, kernel_size, mode)
 
+    if guide is None:
+        return _guided_dataflow(f, img, eps)
+    g = guide
     mean_i = f(g)
-    mean_p = mean_i if guide is None else f(img)
+    mean_p = f(img)
     corr_i = f(g * g)
-    corr_ip = corr_i if guide is None else f(g * img)
+    corr_ip = f(g * img)
     var_i = corr_i - mean_i * mean_i
     cov_ip = corr_ip - mean_i * mean_p
     a = cov_ip / (var_i + jnp.float32(eps))

@@ -217,7 +217,11 @@ def _nibble_select_batched(idx: Array, tables: Array) -> Array:
     inner = jnp.einsum(
         "bpl,bhlk->bphk", ohl, t2, precision=jax.lax.Precision.HIGHEST
     )  # inner[p, hi, k] = T[hi, lo_p, k]
-    return jnp.einsum("bph,bphk->bpk", ohh, inner)
+    # the h-contraction also carries f32 table values — HIGHEST here too
+    # (default precision could demote to bf16 on TPU; CLAUDE.md rule)
+    return jnp.einsum(
+        "bph,bphk->bpk", ohh, inner, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def equalize_hist_batched(batch: Array, nbins: int = NBINS) -> Array:

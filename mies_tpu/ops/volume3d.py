@@ -414,17 +414,13 @@ def guided_blur3d(
     """
     if kernel_size % 2 != 1:
         raise ValueError("kernel_size must be odd")
-    x = vol.astype(jnp.float32)
+    from mies_tpu.ops.filters import _guided_dataflow
 
-    def f(v):
-        return _box3d(v, kernel_size, mode)
-
-    mean_i = f(x)
-    corr_i = f(x * x)
-    var_i = corr_i - mean_i * mean_i
-    a = var_i / (var_i + jnp.float32(eps))
-    b = mean_i - a * mean_i
-    return f(a) * x + f(b)
+    return _guided_dataflow(
+        lambda v: _box3d(v, kernel_size, mode),
+        vol.astype(jnp.float32),
+        eps,
+    )
 
 
 def gaussian_blur3d(

@@ -170,7 +170,7 @@ def _build_band_fn(
                 p.pop("kernel_size", None)
                 x = clahe_band(x, axis_name=axis_name, **p)
             elif op == "guided_blur":
-                from mies_tpu.ops.filters import box_blur
+                from mies_tpu.ops.filters import _guided_dataflow, box_blur
 
                 p = dict(fn)
                 k = p.get("kernel_size", 3)
@@ -184,15 +184,10 @@ def _build_band_fn(
                     ext = halo_extend_rows(v, rb, axis_name, mode=gmode)
                     return box_blur(ext, k, gmode)[rb:-rb]
 
-                # guided-filter dataflow with every box halo-wrapped:
-                # each box is exact under (extend, run, crop) including
-                # the global edges, so the whole filter is
-                mean_i = fbox(x)
-                corr_i = fbox(x * x)
-                var_i = corr_i - mean_i * mean_i
-                a = var_i / (var_i + jnp.float32(eps))
-                b = mean_i - a * mean_i
-                x = fbox(a) * x + fbox(b)
+                # the shared dataflow with every box halo-wrapped: each
+                # box is exact under (extend, run, crop) including the
+                # global edges, so the whole filter is
+                x = _guided_dataflow(fbox, x, eps)
             elif r > 0:
                 x_in = x
                 ext = halo_extend_rows(x, r, axis_name, mode=mode)

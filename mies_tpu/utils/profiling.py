@@ -123,7 +123,7 @@ def stage_costs(
     )
 
     batched_ops = _batched_registry()
-    volume_only = {"clahe3d", "gaussian_blur3d"}
+    volume_only = {"clahe3d", "gaussian_blur3d", "guided_blur3d"}
     out = []
     x2 = jnp.zeros((batch_size, *shape), jnp.float32)
     x3 = jnp.zeros((volume_depth, *shape), jnp.float32)

@@ -132,12 +132,15 @@ def test_stage_costs_covers_builders_and_3d(tmp_path):
             ("learned_denoise", {"checkpoint": str(tmp_path / "ck")}),
             ("clahe3d", {"clip_limit": 2.0, "grid_size": (4, 4, 4),
                          "convention": "opencv"}),
+            ("guided_blur3d", {"kernel_size": 3, "eps": 0.01}),
             ("clahe", {"clip_limit": 2.0, "grid_size": (4, 4),
                        "convention": "opencv"}),
         ]
     )
     costs = stage_costs(cfg, shape=(64, 64), batch_size=2, volume_depth=16)
-    assert [c["op"] for c in costs] == ["learned_denoise", "clahe3d", "clahe"]
+    assert [c["op"] for c in costs] == [
+        "learned_denoise", "clahe3d", "guided_blur3d", "clahe"
+    ]
     for c in costs:
         assert "error" not in c, f"{c['op']} fell back to error: {c}"
         assert np.isfinite(c["flops"]) and c["flops"] > 0

@@ -305,3 +305,5 @@ def test_cli_ops_listing(capsys):
     listing = _json.loads(capsys.readouterr().out)
     assert "clahe" in listing and "guided_blur" in listing
     assert listing["clahe"]["clip_limit"]["expects"] == "a number > 0"
+    # builder ops take ONLY config params — none may be skipped
+    assert "checkpoint" in listing["learned_denoise"]

@@ -287,6 +287,52 @@ def test_enhance_image_single_dicom(tmp_path, ct_slice_hu):
     np.testing.assert_array_equal(got, out2)
 
 
+def test_load_image_single_band_modes(tmp_path, rng):
+    """PIL modes '1' (bilevel), 'P' (palette), 'F' (float) are SINGLE
+    band: they must keep the classic convert('L') path, never trip the
+    multi-channel policy error (review finding, round 4)."""
+    from PIL import Image
+
+    from mies_tpu.io.image import load_image
+
+    gray = (rng.random((32, 32)) * 255).astype(np.uint8)
+    cases = {
+        "bilevel.png": Image.fromarray(gray > 128),             # mode '1'
+        "palette.png": Image.fromarray(gray).convert("P"),      # mode 'P'
+        "float.tif": Image.fromarray(gray.astype(np.float32)),  # mode 'F'
+    }
+    for name, im in cases.items():
+        p = tmp_path / name
+        im.save(p)
+        arr = load_image(p)  # channels=None must NOT raise
+        assert arr.shape == (32, 32) and arr.dtype == np.float32
+        ref = np.asarray(Image.open(p).convert("L")).astype(np.float32) / 255.0
+        np.testing.assert_array_equal(arr, ref)
+
+
+def test_cli_report_on_single_dicom(tmp_path, ct_slice_hu):
+    """--report on a lone .dcm uses the chain's own HU window as the
+    comparison baseline instead of crashing on the float-load guard."""
+    import json as _json
+
+    from mies_tpu import cli
+    from mies_tpu.io.dicom import write_dicom
+
+    src = tmp_path / "s.dcm"
+    write_dicom(src, ct_slice_hu)
+    cfg = tmp_path / "c.json"
+    cfg.write_text(_json.dumps({"name": "ct", "pipeline": [
+        {"op": "window_hu", "center": 40.0, "width": 400.0},
+        {"op": "adjust_gamma", "gamma": 0.9},
+    ]}))
+    rep = tmp_path / "run.json"
+    rc = cli.main(["enhance", str(src), "-c", str(cfg),
+                   "-o", str(tmp_path / "o.png"), "--run-report", str(rep)])
+    assert rc == 0
+    report = _json.loads(rep.read_text())
+    assert np.isfinite(report["metrics"]["psnr"])
+
+
 def test_load_image_dicom_float_requires_window(tmp_path, ct_slice_hu):
     from mies_tpu.io.dicom import write_dicom
     from mies_tpu.io.image import load_image
