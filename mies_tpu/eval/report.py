@@ -27,21 +27,35 @@ def save_comparison_report(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    def display_form(img):
+        """uint8 -> (img, 0..255); float -> (img, 0..1); signed ints
+        (raw HU) -> percentile-windowed [0, 1] so the panel shows
+        anatomy instead of clipping everything to white."""
+        img = np.asarray(img)
+        if img.dtype == np.uint8:
+            return img, (0, 255)
+        if np.issubdtype(img.dtype, np.signedinteger):
+            lo, hi = np.percentile(img, (1.0, 99.0))
+            img = np.clip(
+                (img.astype(np.float32) - lo) / max(hi - lo, 1e-6), 0.0, 1.0
+            )
+        return img, (0.0, 1.0)
+
     fig, axes = plt.subplots(2, 2, figsize=(10, 9))
     for ax, img, name in (
         (axes[0, 0], original, "original"),
         (axes[0, 1], enhanced, "enhanced"),
     ):
-        ax.imshow(img, cmap="gray", vmin=0, vmax=255 if img.dtype == np.uint8 else 1.0)
+        disp, rng = display_form(img)
+        ax.imshow(disp, cmap="gray", vmin=rng[0], vmax=rng[1])
         ax.set_title(name)
         ax.axis("off")
     for ax, img, name in (
         (axes[1, 0], original, "original histogram"),
         (axes[1, 1], enhanced, "enhanced histogram"),
     ):
-        flat = img.ravel()
-        rng = (0, 255) if img.dtype == np.uint8 else (0.0, 1.0)
-        ax.hist(flat, bins=64, range=rng, color="#444")
+        disp, rng = display_form(img)
+        ax.hist(disp.ravel(), bins=64, range=rng, color="#444")
         ax.set_title(name)
     sup = title
     if metrics:
@@ -60,13 +74,22 @@ def write_run_report(
     extra: dict | None = None,
 ) -> dict:
     """Structured JSON run report; returns the dict it wrote."""
+    def finite(d):
+        """inf/nan metric values (psnr on identical images is inf by
+        design) serialize as strings — bare Infinity/NaN is not valid
+        RFC-8259 JSON and strict parsers reject the report."""
+        return {
+            k: (v if not isinstance(v, float) or np.isfinite(v) else str(v))
+            for k, v in d.items()
+        }
+
     rec = {
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "config_name": cfg.name,
         "config_hash": cfg.cache_key(),
         "config": cfg.to_dict(),
-        "metrics": metrics or {},
-        "timings": timings or {},
+        "metrics": finite(metrics or {}),
+        "timings": finite(timings or {}),
         **(extra or {}),
     }
     Path(path).write_text(json.dumps(rec, indent=2) + "\n")

@@ -46,13 +46,22 @@ def _open_scipy_nc(path: Path, var_name: str | None, mmap: bool = True):
     from scipy.io import netcdf_file
 
     f = netcdf_file(str(path), "r", mmap=mmap)
-    if var_name is None:
-        var_name = next(
-            (n for n, v in f.variables.items() if v.data.ndim == 3), None
-        )
+    try:
         if var_name is None:
-            raise ValueError(f"no 3-D variable found in {path}")
-    var = f.variables[var_name]
+            var_name = next(
+                (n for n, v in f.variables.items() if v.data.ndim == 3), None
+            )
+            if var_name is None:
+                raise ValueError(f"no 3-D variable found in {path}")
+        if var_name not in f.variables:
+            raise KeyError(
+                f"variable {var_name!r} not in {path}; has: "
+                f"{sorted(f.variables)}"
+            )
+        var = f.variables[var_name]
+    except Exception:
+        f.close()  # don't leak the open mmap on a bad var_name
+        raise
     # the netCDF convention puts _Unsigned on the variable; also accept
     # a global attribute (files written by mies_tpu < r2 review fix)
     flag = getattr(var, "_attributes", {}).get(

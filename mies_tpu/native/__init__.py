@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import subprocess
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
@@ -22,6 +23,7 @@ _SO = _DIR / "_dicomfast.so"
 
 _lib = None
 _build_error: str | None = None
+_build_lock = threading.Lock()
 
 
 class _Meta(ctypes.Structure):
@@ -40,22 +42,30 @@ class _Meta(ctypes.Structure):
     ]
 
 
-def build(force: bool = False) -> bool:
-    """Compile the shared object (idempotent). Returns availability."""
-    global _lib, _build_error
-    if _lib is not None and not force:
-        return True
+def _compile() -> bool:
+    """g++ to a temp path + atomic rename (a concurrent loader must
+    never see a half-written .so)."""
+    global _build_error
+    import os
+
     src = _DIR / "dicomfast.cpp"
-    if force or not _SO.exists() or _SO.stat().st_mtime < src.stat().st_mtime:
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-o", str(_SO), str(src)],
-                check=True, capture_output=True, text=True,
-            )
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            _build_error = getattr(e, "stderr", str(e))
-            return False
+    tmp = _DIR / f"_dicomfast.tmp{os.getpid()}.so"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", str(tmp), str(src)],
+            check=True, capture_output=True, text=True,
+        )
+        os.replace(tmp, _SO)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
+        _build_error = getattr(e, "stderr", str(e))
+        tmp.unlink(missing_ok=True)
+        return False
+
+
+def _load() -> bool:
+    global _lib, _build_error
     try:
         lib = ctypes.CDLL(str(_SO))
         lib.mies_dicom_read_file.argtypes = [
@@ -74,6 +84,35 @@ def build(force: bool = False) -> bool:
         return False
 
 
+def build(force: bool = False) -> bool:
+    """Compile + load the shared object (idempotent, thread-safe).
+
+    A stale/foreign .so that fails to dlopen triggers ONE recompile
+    with the local toolchain before giving up (a checked-out binary
+    built elsewhere must not permanently disable the native path).
+    The lock serializes first-use from enhance_batch's decode pool —
+    concurrent g++ runs to one output corrupted the library.
+    """
+    global _lib, _build_error
+    if _lib is not None and not force:
+        return True
+    with _build_lock:
+        if _lib is not None and not force:
+            return True
+        src = _DIR / "dicomfast.cpp"
+        stale = (
+            force
+            or not _SO.exists()
+            or _SO.stat().st_mtime < src.stat().st_mtime
+        )
+        if stale and not _compile():
+            return False
+        if _load():
+            return True
+        # the existing .so didn't load (wrong arch/glibc): rebuild once
+        return (not stale) and _compile() and _load()
+
+
 def available() -> bool:
     return build()
 
@@ -89,7 +128,16 @@ _ERRORS = {
 
 
 def read_dicom_native(path: str | Path) -> tuple[np.ndarray, dict]:
-    """Read one slice with the native parser. Raises on failure."""
+    """Read one slice with the native parser. Raises on failure.
+
+    Dtype contract MATCHES the Python twin (io.dicom.read_dicom):
+    int16 when a rescale applies or pixels are signed; otherwise the
+    STORED unsigned dtype (uint16/uint8). The C core emits an int16
+    buffer; for unsigned-no-rescale data its modulo-2^16 cast preserves
+    the bit pattern, so the uint16 view recovers the stored values —
+    without this, a uint16 MR slice decoded machine-dependently
+    (review finding, round 4).
+    """
     if not build():
         raise RuntimeError(f"native dicom parser unavailable: {_build_error}")
     meta = _Meta()
@@ -104,6 +152,9 @@ def read_dicom_native(path: str | Path) -> tuple[np.ndarray, dict]:
     )
     if rc != 0:
         raise ValueError(f"{path}: {_ERRORS.get(rc, rc)}")
+    rescale = meta.slope != 1.0 or meta.intercept != 0.0
+    if not rescale and not meta.is_signed:
+        out = out.view(np.uint16) if meta.bits == 16 else out.astype(np.uint8)
     return out, {
         "instance": meta.instance if meta.instance >= 0 else None,
         "slice_loc": meta.slice_loc if meta.has_slice_loc else None,
@@ -138,4 +189,6 @@ def read_dicom_series_native(
         return (3, i)
 
     ordered = [r for _, r in sorted(enumerate(results), key=lambda t: key(t))]
-    return np.stack([px for px, _ in ordered], axis=0)
+    # the series contract is int16 (matching io.dicom.read_dicom_series,
+    # which casts each slice's pixels the same way)
+    return np.stack([px.astype(np.int16) for px, _ in ordered], axis=0)

@@ -36,11 +36,11 @@ def shard_pipeline(
     re-trace a Pallas-containing program (5-20 min remote compiles on
     this platform).
     """
-    chain = build_batched_chain(cfg)
-
-    def run(batch):
-        out = chain(batch)
-        return _quantize_u8(out) if quantize else out
+    # the batched chain owns quantization so the fused Pallas
+    # unsharp(+quantize) tail applies on the sharded path too — the
+    # multi-chip program must not silently take a slower tail than
+    # compile_pipeline's (review finding, round 4)
+    run = build_batched_chain(cfg, quantize=quantize)
 
     # batch shards over ALL mesh axes: on a ('data','space') mesh used
     # purely data-parallel, leaving 'space' out of the spec would
@@ -54,6 +54,7 @@ def shard_pipeline(
     )
 
 
+@functools.lru_cache(maxsize=64)
 def sharded_evaluate(
     cfg: PipelineConfig,
     mesh: Mesh,
@@ -66,17 +67,34 @@ def sharded_evaluate(
     Metrics are computed per-shard and combined with jnp.mean — under
     SPMD partitioning XLA lowers the mean over the sharded batch axis
     to a psum over the 'data' axis (the only collective in the program).
+    Cached like shard_pipeline: repeated calls must not re-trace a
+    Pallas-containing program.
     """
     from mies_tpu.eval.metrics import METRIC_REGISTRY
 
     chain = build_batched_chain(cfg)
+    # int16 HU input has no [0,1] normalization in _ingest; the
+    # meaningful comparison baseline is the chain's own HU window
+    # (matching the CLI report path) — without one the metrics would
+    # silently compare raw HU against [0,1] outputs
+    wstage = next((s for s in cfg.stages if s.op == "window_hu"), None)
 
     def run(batch):
         enhanced = chain(batch)
         # ground truth goes through the SAME ingest normalization the
         # chain applies (uint8/uint16 -> float [0,1]) before rescaling,
         # or integer inputs would be compared 255x/65535x off-scale
-        scaled_in = _ingest(batch) * max_val
+        gt = _ingest(batch)
+        if jnp.issubdtype(batch.dtype, jnp.signedinteger):
+            if wstage is None:
+                raise ValueError(
+                    "sharded_evaluate: int16 HU input needs a window_hu "
+                    "stage in the config to define the metric baseline"
+                )
+            from mies_tpu.ops.intensity import window_hu
+
+            gt = window_hu(gt, **wstage.kwargs())
+        scaled_in = gt * max_val
         scaled_out = enhanced * max_val
 
         def per_image(gt, p):

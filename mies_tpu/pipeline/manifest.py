@@ -55,6 +55,9 @@ class RunManifest:
     def mark_done(self, item: str, **extra: Any) -> None:
         self._append({"config": self.config_hash, "item": item, "status": "done", **extra})
         self._done[item] = extra
+        # an item that failed in a PRIOR run and succeeds on resume is
+        # done, not failed (matching how _load replays the journal)
+        self._failed.pop(item, None)
 
     def mark_failed(self, item: str, error: str) -> None:
         self._append(

@@ -222,3 +222,53 @@ def test_time_latency_batch1(rng):
     assert res["p50_ms"] > 0
     assert res["p95_ms"] >= res["p50_ms"] * 0.5  # sane ordering, noisy env
     assert "no vmap" in res["program"]
+
+
+def test_manifest_resume_clears_prior_failure(tmp_path):
+    """An item that failed in a prior run and succeeds on resume must
+    not be reported failed (review finding, round 4)."""
+    from mies_tpu.pipeline.manifest import RunManifest
+
+    path = tmp_path / "m.jsonl"
+    m1 = RunManifest(path, "cfg1")
+    m1.mark_failed("a.png", "transient io error")
+    assert "a.png" in m1.failures
+
+    m2 = RunManifest(path, "cfg1")  # resume: replays the journal
+    assert "a.png" in m2.failures
+    m2.mark_done("a.png", output="out/a.png")
+    assert "a.png" not in m2.failures
+    assert m2.done_count == 1
+
+    m3 = RunManifest(path, "cfg1")  # a third process reads the journal
+    assert "a.png" not in m3.failures and m3.done_count == 1
+
+
+def test_run_report_serializes_inf_metrics(tmp_path):
+    import json as _json
+
+    from mies_tpu.eval.report import write_run_report
+
+    cfg = PipelineConfig.make([("adjust_gamma", {"gamma": 0.9})])
+    p = tmp_path / "r.json"
+    write_run_report(p, cfg, metrics={"psnr": float("inf"), "ssim": 0.5})
+    rec = _json.loads(p.read_text())  # must be strict-parseable
+    assert rec["metrics"]["psnr"] == "inf" and rec["metrics"]["ssim"] == 0.5
+
+
+def test_comparison_report_int16_original(tmp_path, ct_slice_hu):
+    """int16 HU originals render percentile-windowed, not blank white."""
+    from mies_tpu.eval.report import save_comparison_report
+
+    out = (np.abs(ct_slice_hu.astype(np.int32)) % 255).astype(np.uint8)
+    dst = tmp_path / "rep.png"
+    save_comparison_report(ct_slice_hu, out, dst, title="hu")
+    assert dst.exists() and dst.stat().st_size > 10_000
+
+
+def test_load_volume_bad_var_name_raises_cleanly(tmp_path):
+    vol = np.zeros((4, 8, 8), np.int16)
+    p = tmp_path / "v.nc"
+    save_volume(p, vol, var_name="hu")
+    with pytest.raises(KeyError, match="typo"):
+        load_volume(p, var_name="typo")

@@ -85,3 +85,40 @@ def test_native_zero_length_us_element_at_tail(tmp_path, ct_slice_hu):
         f.write(bytes([0x28, 0x00, 0x10, 0x00]) + b"US" + bytes([0x00, 0x00]))
     px, meta = native.read_dicom_native(p)
     np.testing.assert_array_equal(px, ref.pixels)
+
+
+def test_native_unsigned_no_rescale_dtype_matches_python(tmp_path):
+    """A uint16 slice with NO rescale must decode to uint16 on BOTH
+    paths — the native parser previously emitted wrapped int16 for
+    values >= 32768 (review finding, round 4)."""
+    raw = np.array([[0, 1000, 32767, 32768], [40000, 65535, 7, 9]],
+                   dtype=np.uint16).repeat(16, 0).repeat(16, 1)
+    p = tmp_path / "u16.dcm"
+    write_dicom(p, raw)  # no rescale args
+    px, _ = native.read_dicom_native(p)
+    ref = read_dicom(p)
+    assert px.dtype == ref.pixels.dtype == np.uint16
+    np.testing.assert_array_equal(px, ref.pixels)
+
+
+def test_native_uint8_no_rescale_dtype_matches_python(tmp_path):
+    raw = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    p = tmp_path / "u8.dcm"
+    write_dicom(p, raw)
+    px, _ = native.read_dicom_native(p)
+    ref = read_dicom(p)
+    assert px.dtype == ref.pixels.dtype == np.uint8
+    np.testing.assert_array_equal(px, ref.pixels)
+
+
+def test_native_build_thread_safe(tmp_path):
+    """Concurrent first-use from a decode pool must not race g++."""
+    import importlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    import mies_tpu.native as nat
+
+    nat._lib = None  # force re-load through the locked path
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(lambda _: nat.build(), range(16)))
+    assert all(results)

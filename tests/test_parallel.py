@@ -132,6 +132,33 @@ def test_spatial_sharding_bilateral_exact(rng):
     _assert_shard_matches(out, ref)
 
 
+def test_sharded_evaluate_int16_hu_baseline(rng):
+    """int16 HU batches: the metric baseline is the chain's own HU
+    window; raw-HU-vs-[0,1] comparisons were silently meaningless
+    (review finding, round 4)."""
+    from mies_tpu.parallel.sharding import sharded_evaluate
+
+    cfg = PipelineConfig.make(
+        [("window_hu", {"center": 40.0, "width": 400.0}),
+         ("adjust_gamma", {"gamma": 0.9})],
+        name="hu-eval",
+    )
+    mesh = make_mesh()
+    hu = rng.integers(-500, 1500, (8, 32, 32)).astype(np.int16)
+    enhanced, metrics = sharded_evaluate(
+        cfg, mesh, metric_names=("psnr",), max_val=1.0
+    )(jnp.asarray(hu))
+    # gamma 0.9 barely changes the windowed image: psnr must be the
+    # sane "nearly identical" range, not the garbage of raw-HU scaling
+    assert 15.0 < float(metrics["psnr"]) < 80.0
+
+    nowin = PipelineConfig.make(
+        [("adjust_gamma", {"gamma": 0.9})], name="hu-nowin"
+    )
+    with pytest.raises(ValueError, match="window_hu"):
+        sharded_evaluate(nowin, mesh, metric_names=("psnr",))(jnp.asarray(hu))
+
+
 def test_spatial_sharding_guided_blur_exact(rng):
     """guided_blur's two box-filter levels need a 2*(k//2) halo; the
     sharded program must reproduce the unsharded result."""
