@@ -205,21 +205,13 @@ def bilateral_blur(
     out(p) = sum_q w * I(q) / sum_q w   over the odd square window.
 
     Static shifted-window formulation: k^2 fused multiply-adds over the
-    image — pure VPU work with no gathers.
+    image — pure VPU work with no gathers. Exactly the self-guided case
+    of ``joint_bilateral_blur`` (identical expressions, tested
+    bit-equal) — one windowed-bilateral implementation to maintain.
     """
-    if kernel_size % 2 != 1:
-        raise ValueError("kernel_size must be odd")
-    r = kernel_size // 2
-    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
-    spatial = np.exp(
-        -(dy**2 + dx**2) / (2.0 * float(sigma_space) ** 2)
-    ).astype(np.float32).ravel()
-
-    win = _window_stack(img, kernel_size, mode)  # [k*k, H, W]
-    diff = win - img[None]
-    rng = jnp.exp(-(diff * diff) / (2.0 * float(sigma_color) ** 2))
-    w = rng * jnp.asarray(spatial)[:, None, None]
-    return jnp.sum(w * win, axis=0) / jnp.sum(w, axis=0)
+    return joint_bilateral_blur(
+        img, img, kernel_size, sigma_color, sigma_space, mode
+    )
 
 
 def joint_bilateral_blur(
@@ -253,17 +245,25 @@ def joint_bilateral_blur(
     return jnp.sum(w * win, axis=0) / jnp.sum(w, axis=0)
 
 
-def _guided_dataflow(box, x: Array, eps: float) -> Array:
+def _guided_dataflow(box, x: Array, eps: float, box2=None) -> Array:
     """SELF-guided He-et-al dataflow: shared by guided_blur (2-D),
     guided_blur3d, and the sharded band branch in parallel/halo.py —
     each caller supplies its own box-mean function, so a formula fix
-    propagates to all three."""
-    mean_i = box(x)
-    corr_i = box(x * x)
+    propagates to all three.
+
+    ``box2(u, v) -> (box(u), box(v))`` lets a caller box two same-shape
+    arrays in one go (the sharded band pairs them to HALVE its halo
+    collectives); the default is two independent calls."""
+    if box2 is None:
+        def box2(u, v):
+            return box(u), box(v)
+
+    mean_i, corr_i = box2(x, x * x)
     var_i = corr_i - mean_i * mean_i
     a = var_i / (var_i + jnp.float32(eps))
     b = mean_i - a * mean_i
-    return box(a) * x + box(b)
+    fa, fb = box2(a, b)
+    return fa * x + fb
 
 
 def guided_blur(

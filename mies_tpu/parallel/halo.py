@@ -184,10 +184,29 @@ def _build_band_fn(
                     ext = halo_extend_rows(v, rb, axis_name, mode=gmode)
                     return box_blur(ext, k, gmode)[rb:-rb]
 
+                def fbox2(u, v):
+                    """Pair the two boxes of each dataflow level into
+                    ONE halo exchange: column-concat, exchange rows
+                    once, split, box each half (each half's own column
+                    padding is applied after the split, so results are
+                    identical to independent boxes — this halves the
+                    ppermute rounds per guided stage)."""
+                    if rb == 0:
+                        return box_blur(u, k, gmode), box_blur(v, k, gmode)
+                    wcols = u.shape[1]
+                    ext = halo_extend_rows(
+                        jnp.concatenate([u, v], axis=1), rb, axis_name,
+                        mode=gmode,
+                    )
+                    return (
+                        box_blur(ext[:, :wcols], k, gmode)[rb:-rb],
+                        box_blur(ext[:, wcols:], k, gmode)[rb:-rb],
+                    )
+
                 # the shared dataflow with every box halo-wrapped: each
                 # box is exact under (extend, run, crop) including the
                 # global edges, so the whole filter is
-                x = _guided_dataflow(fbox, x, eps)
+                x = _guided_dataflow(fbox, x, eps, box2=fbox2)
             elif r > 0:
                 x_in = x
                 ext = halo_extend_rows(x, r, axis_name, mode=mode)

@@ -343,13 +343,22 @@ def time_latency(
         t_short = _timed_run(fn, x, n_short)
         t_long = _timed_run(fn, x, iters)
         samples.append((t_long - t_short) / (iters - n_short))
-    samples.sort()
     return {
-        "p50_ms": samples[len(samples) // 2] * 1000.0,
-        "p95_ms": samples[min(int(len(samples) * 0.95), len(samples) - 1)] * 1000.0,
+        **_latency_percentiles_ms(samples),
         "batch_size": 1,
         "shape": list(shape),
         "program": "single-slice (no vmap)",
+    }
+
+
+def _latency_percentiles_ms(samples: list[float]) -> dict:
+    """p50/p95 (ms) over per-call latency estimates — one convention
+    for every latency harness."""
+    samples = sorted(samples)
+    return {
+        "p50_ms": samples[len(samples) // 2] * 1000.0,
+        "p95_ms": samples[min(int(len(samples) * 0.95), len(samples) - 1)]
+        * 1000.0,
     }
 
 
@@ -377,6 +386,14 @@ def time_latency_device(
     img = rng.random(shape, dtype=np.float32)
     chain = build_chain(cfg)
 
+    carry = jax.eval_shape(lambda x: chain(x), jnp.zeros(shape, jnp.float32))
+    if carry.shape != shape or carry.dtype != jnp.float32:
+        raise ValueError(
+            f"time_latency_device needs a shape/dtype-preserving float "
+            f"chain (fori_loop carry): {cfg.name!r} maps "
+            f"{shape}/float32 -> {carry.shape}/{carry.dtype}"
+        )
+
     def loop(x):
         return lax.fori_loop(0, inner, lambda _, y: chain(y), x)
 
@@ -390,11 +407,8 @@ def time_latency_device(
         t_short = _timed_run(fn, x, n_short)
         t_long = _timed_run(fn, x, n_long)
         samples.append((t_long - t_short) / (n_long - n_short) / inner)
-    samples.sort()
     return {
-        "p50_ms": samples[len(samples) // 2] * 1000.0,
-        "p95_ms": samples[min(int(len(samples) * 0.95), len(samples) - 1)]
-        * 1000.0,
+        **_latency_percentiles_ms(samples),
         "inner": inner,
         "shape": list(shape),
         "program": f"device fori_loop x{inner} (no per-call dispatch)",

@@ -583,13 +583,11 @@ def test_unsharp_gauss_rejects_oversized_sigma():
                           sigma=17.0, interpret=True)
 
 
-def test_apply33_variants_bit_equal_interpret(rng, monkeypatch):
+def test_apply33_variants_bit_equal_interpret(rng):
     """The measurement-only apply variants (v2 half-stack dot, v3
     two-rows-per-dot — both measured SLOWER on chip, docs/KERNELS.md
-    round 4) must stay BIT-identical to the production kernel so the
-    recorded A/B numbers remain reproducible."""
-    import os
-
+    round 4; kernels/clahe_variants.py) must stay BIT-identical to the
+    production kernel so the recorded A/B numbers stay reproducible."""
     import mies_tpu.kernels.clahe as K
 
     u8 = jnp.asarray(rng.integers(0, 256, (2, 128, 128)).astype(np.int32))
@@ -600,11 +598,30 @@ def test_apply33_variants_bit_equal_interpret(rng, monkeypatch):
 
     outs = {}
     for v in ("v1", "v2", "v3"):
-        monkeypatch.setenv("MIES_TPU_APPLY33", v)
         outs[v] = (
-            np.asarray(K._apply_lut_tile33(u8, luts, (4, 2), True, True)),
-            np.asarray(K._apply_lut_tile33(u8, flut, (4, 2), False, True)),
+            np.asarray(K._apply_lut_tile33(u8, luts, (4, 2), True, True, v)),
+            np.asarray(K._apply_lut_tile33(u8, flut, (4, 2), False, True, v)),
         )
     for v in ("v2", "v3"):
         np.testing.assert_array_equal(outs["v1"][0], outs[v][0])
         np.testing.assert_array_equal(outs["v1"][1], outs[v][1])
+
+
+def test_apply33_env_variant_keys_jit_cache(rng, monkeypatch):
+    """Flipping MIES_TPU_APPLY33 mid-process must take effect: the env
+    var is resolved BEFORE jit dispatch, not at trace time (review
+    finding, round 4)."""
+    import mies_tpu.kernels.clahe as K
+
+    u8 = jnp.asarray(rng.integers(0, 256, (1, 128, 128)).astype(np.int32))
+    luts = jnp.asarray(
+        rng.integers(0, 256, (1, 2, 2, 256)).astype(np.float32)
+    )
+    monkeypatch.setenv("MIES_TPU_APPLY33", "v1")
+    a = np.asarray(K.clahe_apply_lut(u8, luts, (2, 2), interpret=True))
+    monkeypatch.setenv("MIES_TPU_APPLY33", "v2")
+    b = np.asarray(K.clahe_apply_lut(u8, luts, (2, 2), interpret=True))
+    np.testing.assert_array_equal(a, b)  # bit-equal variants
+    # the two calls must have compiled DISTINCT programs (cache keyed
+    # on the variant)
+    assert K._clahe_apply_lut_jit._cache_size() >= 2
