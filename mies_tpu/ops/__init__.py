@@ -22,7 +22,12 @@ from mies_tpu.ops.intensity import (
     is_low_contrast,
     window_hu,
 )
-from mies_tpu.ops.histogram import equalize_hist, clahe
+from mies_tpu.ops.histogram import (
+    clahe,
+    equalize_hist,
+    match_histograms,
+    reference_cdf,
+)
 from mies_tpu.ops.geometry import (
     resize,
     center_crop,
@@ -60,6 +65,8 @@ __all__ = [
     "is_low_contrast",
     "window_hu",
     "equalize_hist",
+    "match_histograms",
+    "reference_cdf",
     "clahe",
     "resize",
     "center_crop",

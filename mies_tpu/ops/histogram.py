@@ -298,6 +298,42 @@ def equalize_batched(batch: Array) -> Array:
     return (out[..., 0] / 255.0).reshape(batch.shape).astype(img_dtype)
 
 
+def reference_cdf(ref: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """Host-side half of histogram matching: the reference image's
+    (unique values, cumulative quantiles) — skimage
+    ``_match_cumulative_cdf``'s template side, computed once at chain
+    build time and baked into the program as constants."""
+    values, counts = np.unique(np.asarray(ref).ravel(), return_counts=True)
+    quantiles = np.cumsum(counts) / ref.size
+    return values.astype(np.float32), quantiles.astype(np.float32)
+
+
+def match_histograms(img: Array, ref_values, ref_quantiles) -> Array:
+    """skimage.exposure.match_histograms semantics on float [0,1] input
+    quantized to 256 levels (the framework's uint8 contract; u8-sourced
+    images match the library exactly — tests/goldens).
+
+    Per-pixel quantile = inclusive CDF of the pixel's level over THIS
+    image; output = the reference value at that quantile
+    (``np.interp(q, ref_quantiles, ref_values)``). Everything is
+    gatherless: nibble histogram, a 256-entry on-device LUT through
+    ``jnp.interp`` (tiny), nibble selection to apply it. The classic
+    cross-scanner intensity harmonization op
+    (reference pyproject.toml:12 — skimage exposure surface).
+    """
+    u8 = jnp.clip(jnp.rint(img.astype(jnp.float32) * 255.0), 0, 255).astype(
+        jnp.int32
+    )
+    flat = u8.ravel()[None, :]  # [1, P] for the batched helpers
+    hist = _nibble_hist_batched(flat)[0]
+    q = jnp.cumsum(hist) / jnp.float32(u8.size)  # inclusive CDF per level
+    lut = jnp.interp(
+        q, jnp.asarray(ref_quantiles), jnp.asarray(ref_values)
+    ).astype(jnp.float32)
+    out = _nibble_select_batched(flat, lut[None, :, None])
+    return out[0, :, 0].reshape(img.shape)
+
+
 # ---------------------------------------------------------------------------
 # CLAHE
 # ---------------------------------------------------------------------------

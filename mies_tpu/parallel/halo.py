@@ -89,6 +89,7 @@ def stage_receptive_field(op: str, params: dict) -> int:
         "rescale_intensity", "resize", "center_crop", "flip", "rot90",
         "rotate", "affine_warp",  # global extent: a rotated pixel can
         # read from anywhere in the image — no fixed halo exists
+        "histogram_match",  # per-image CDF = global extent
     ):
         raise ValueError(
             f"op {op!r} has global/tile extent and cannot be spatially "

@@ -90,15 +90,50 @@ def _learned_denoise_builder(checkpoint: str):
     return stage
 
 
+def _histogram_match_builder(reference: str):
+    """Stage builder: load the reference image HOST-side at chain-build
+    time and bake its (values, quantiles) CDF into the program as
+    constants — every processed image is intensity-matched to it
+    (skimage match_histograms; cross-scanner harmonization)."""
+    import numpy as np
+
+    from mies_tpu.io.image import load_image
+    from mies_tpu.ops.histogram import match_histograms, reference_cdf
+
+    try:
+        ref = load_image(reference)
+    except FileNotFoundError as e:
+        raise FileNotFoundError(
+            f"histogram_match stage: reference image {reference!r} not found"
+        ) from e
+    values, quantiles = reference_cdf(np.asarray(ref))
+    import jax.numpy as _jnp
+
+    vj, qj = _jnp.asarray(values), _jnp.asarray(quantiles)
+
+    def stage(img):
+        return match_histograms(img, vj, qj)
+
+    return stage
+
+
 # Ops whose parameters require host-side work at build time (checkpoint
 # loads). Signature: builder(**params) -> fn(img) -> img.
 STAGE_BUILDERS: dict[str, Callable] = {
     "learned_denoise": _learned_denoise_builder,
+    "histogram_match": _histogram_match_builder,
 }
 
 
 # validation needs learned ops visible in the registry namespace
 OP_REGISTRY["learned_denoise"] = _learned_denoise_builder
+OP_REGISTRY["histogram_match"] = _histogram_match_builder
+
+
+# Ops that ONLY operate on [Z, H, W] volumes (single source of truth —
+# stage_costs and the registries key off this; a new 3-D op added to
+# the registry without updating a parallel set regressed once).
+VOLUME_ONLY_OPS = frozenset({"clahe3d", "gaussian_blur3d", "guided_blur3d"})
 
 
 def _register_volume_ops() -> None:
@@ -386,6 +421,9 @@ def _volume_registry() -> dict[str, Callable]:
         "clahe3d": clahe3d.__wrapped__,
         "gaussian_blur3d": gaussian_blur3d,
         "guided_blur3d": guided_blur3d,
+        # global equalization is shape-polymorphic: one CDF over the
+        # WHOLE volume (the volumetric sibling of kornia's equalize3d)
+        "equalize_hist": H.equalize_hist,
         # shape-polymorphic pointwise ops
         "window_hu": I.window_hu,
         "adjust_gamma": I.adjust_gamma,

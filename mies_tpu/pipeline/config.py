@@ -380,6 +380,12 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
     "learned_denoise": {
         "checkpoint": (lambda v: isinstance(v, str) and v, "a checkpoint path")
     },
+    "histogram_match": {
+        "reference": (
+            lambda v: isinstance(v, str) and v,
+            "a reference image path",
+        )
+    },
 }
 
 

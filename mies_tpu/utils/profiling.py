@@ -117,13 +117,14 @@ def stage_costs(
     (VERDICT r2 weak #5).
     """
     from mies_tpu.pipeline.compiler import (
+        VOLUME_ONLY_OPS,
         _batched_registry,
         _bind_batched_stage,
         _volume_registry,
     )
 
     batched_ops = _batched_registry()
-    volume_only = {"clahe3d", "gaussian_blur3d", "guided_blur3d"}
+    volume_only = VOLUME_ONLY_OPS
     out = []
     x2 = jnp.zeros((batch_size, *shape), jnp.float32)
     x3 = jnp.zeros((volume_depth, *shape), jnp.float32)

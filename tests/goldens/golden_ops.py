@@ -371,6 +371,25 @@ def guided_blur(img, kernel_size=3, eps=1e-2, mode="reflect", guide=None):
     return (f(a) * g + f(b)).astype(np.float32)
 
 
+def match_histograms(source, template):
+    """skimage.exposure.match_histograms (0.26, single channel) —
+    transcription of _match_cumulative_cdf: per unique source value,
+    its inclusive quantile, linearly interpolated into the template's
+    (quantile, value) curve."""
+    src = np.asarray(source, dtype=np.float64)
+    tmpl = np.asarray(template, dtype=np.float64)
+    src_values, src_unique_indices, src_counts = np.unique(
+        src.ravel(), return_inverse=True, return_counts=True
+    )
+    tmpl_values, tmpl_counts = np.unique(tmpl.ravel(), return_counts=True)
+    src_quantiles = np.cumsum(src_counts) / src.size
+    tmpl_quantiles = np.cumsum(tmpl_counts) / tmpl.size
+    interp_values = np.interp(src_quantiles, tmpl_quantiles, tmpl_values)
+    return (
+        interp_values[src_unique_indices].reshape(src.shape).astype(np.float32)
+    )
+
+
 def guided_blur3d(vol, kernel_size=3, eps=1e-2, mode="reflect"):
     """Volumetric self-guided filter: cubic box-mean statistics."""
     x = vol.astype(np.float64)

@@ -75,6 +75,7 @@ def test_every_registered_2d_op_has_defaults_or_coverage():
         "window_hu",  # int16 path, needs center/width
         "resize",  # needs height/width
         "learned_denoise",  # needs a checkpoint
+        "histogram_match",  # needs a reference image file
         "clahe3d", "gaussian_blur3d", "guided_blur3d",  # volume-only
         "normalize_meanstd", "denormalize_meanstd",  # trivially pointwise
     }

@@ -116,6 +116,74 @@ def test_clahe_improves_local_contrast(xray):
     assert local_std(out) > local_std(xray) * 1.2
 
 
+def test_match_histograms_u8_exact_vs_golden(rng):
+    """u8-quantized sources match the skimage transcription exactly (the
+    quantized levels ARE the unique values)."""
+    src8 = rng.integers(0, 256, (96, 128)).astype(np.uint8)
+    ref8 = rng.integers(30, 220, (64, 64)).astype(np.uint8)
+    src = src8.astype(np.float32) / 255.0
+    ref = ref8.astype(np.float32) / 255.0
+    v, q = H.reference_cdf(ref)
+    out = np.asarray(H.match_histograms(jnp.asarray(src), v, q))
+    gold = G.match_histograms(src, ref)
+    np.testing.assert_allclose(out, gold, atol=1e-6)
+
+
+def test_match_histograms_matches_reference_distribution(rng):
+    """After matching, the source's histogram tracks the reference's."""
+    src = (rng.random((128, 128)) ** 2).astype(np.float32)  # dark-skewed
+    ref = (1.0 - rng.random((128, 128)) ** 2).astype(np.float32)  # bright
+    v, q = H.reference_cdf(np.clip(np.rint(ref * 255) / 255, 0, 1))
+    out = np.asarray(H.match_histograms(jnp.asarray(src), v, q))
+    assert abs(out.mean() - ref.mean()) < 0.05
+    assert abs(src.mean() - ref.mean()) > 0.2  # it actually moved
+
+
+def test_histogram_match_stage_in_pipeline(tmp_path, rng):
+    from PIL import Image
+
+    from mies_tpu.pipeline.compiler import compile_pipeline
+    from mies_tpu.pipeline.config import PipelineConfig, validate
+
+    ref8 = (rng.random((64, 64)) * 255).astype(np.uint8)
+    refp = tmp_path / "ref.png"
+    Image.fromarray(ref8).save(refp)
+
+    cfg = PipelineConfig.make(
+        [("histogram_match", {"reference": str(refp)}),
+         ("adjust_gamma", {"gamma": 0.9})],
+        name="match",
+    )
+    validate(cfg)
+    src8 = (rng.random((96, 96)) * 255).astype(np.uint8)
+    out = np.asarray(
+        compile_pipeline(cfg, donate=False)(
+            jnp.asarray(src8.astype(np.float32) / 255.0)
+        )
+    )
+    assert out.shape == (96, 96) and out.dtype == np.uint8
+
+    # missing reference fails at build with a named error
+    bad = PipelineConfig.make(
+        [("histogram_match", {"reference": str(tmp_path / "nope.png")})]
+    )
+    with pytest.raises(FileNotFoundError, match="reference"):
+        compile_pipeline(bad, donate=False)
+
+
+def test_equalize_hist_volume_op(rng):
+    """equalize_hist registers as a volume op: ONE CDF over the whole
+    [Z, H, W] volume (z-consistent, unlike per-slice equalization)."""
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+    from mies_tpu.pipeline.config import PipelineConfig
+
+    vol = rng.random((8, 32, 32)).astype(np.float32)
+    cfg = PipelineConfig.make([("equalize_hist", {})], name="eq3d")
+    out = np.asarray(compile_volume_pipeline(cfg, quantize=False)(jnp.asarray(vol)))
+    ref = np.asarray(H.equalize_hist(jnp.asarray(vol)))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
 def test_skimage_pin_replay():
     """Replay the real scikit-image outputs pinned by
     tools/verify_skimage_golden.py (run in an environment WITH skimage)
