@@ -234,6 +234,17 @@ def scc(gt: Array, p: Array) -> Array:
     """Spatial correlation coefficient: Pearson r of high-passed images.
 
     High-pass = 3x3 Laplacian ([-1]*8 ring, +8 center), valid mode.
+
+    DEVIATION NOTE: this is the GLOBAL-correlation form. sewar 0.4.6
+    computes a windowed variant (mean of ws=8 local correlation
+    coefficients of the high-passed images); sewar is not installable
+    in this environment to pin its exact windowing, so this module
+    ships the unambiguous global form and the divergence is closed
+    operationally by tools/verify_sewar_golden.py — run it wherever
+    sewar installs to record the reference values and quantify the
+    difference (golden_metrics.py transcribes THIS formula, so the
+    in-repo tests pin self-consistency, not sewar lineage, for scc
+    alone; the other 11 metrics follow sewar's documented definitions).
     """
     gt, p = _f32(gt), _f32(p)
     k = jnp.asarray(

@@ -122,8 +122,15 @@ def _parse_meta(data: bytes) -> tuple[str, int]:
     """Parse the file-meta group (always explicit VR LE); return
     (transfer_syntax_uid, offset_of_dataset)."""
     if data[128:132] != b"DICM":
-        # some exporters omit the preamble; treat as raw dataset
-        return EXPLICIT_VR_LE, 0
+        # some exporters omit the preamble; treat as a raw dataset and
+        # SNIFF the VR form: in explicit VR, bytes 4:6 of the first
+        # element are a two-uppercase-letter VR code; implicit VR (the
+        # DEFAULT transfer syntax, which headerless dumps usually are)
+        # has a 4-byte length there instead
+        vr = data[4:6]
+        if len(vr) == 2 and vr.isalpha() and vr == vr.upper():
+            return EXPLICIT_VR_LE, 0
+        return IMPLICIT_VR_LE, 0
     r = _Reader(data, explicit=True)
     r.pos = 132
     ts = EXPLICIT_VR_LE
@@ -216,7 +223,11 @@ def read_dicom(path: str | Path) -> DicomSlice:
     slope = meta.get("slope", 1.0)
     intercept = meta.get("intercept", 0.0)
     if slope != 1.0 or intercept != 0.0:
-        px = (px.astype(np.float32) * slope + intercept).astype(np.int16)
+        # saturate instead of wrapping: uint16 40000 with intercept
+        # -1024 must clamp at int16 max, not flip sign
+        px = np.clip(
+            px.astype(np.float32) * slope + intercept, -32768, 32767
+        ).astype(np.int16)
 
     return DicomSlice(
         pixels=np.ascontiguousarray(px),
@@ -291,17 +302,30 @@ def read_dicom_series(directory: str | Path, pattern: str = "*.dcm") -> np.ndarr
     slices = [read_dicom(p) for p in paths]
 
     def key(i_s):
+        # IPP z and SliceLocation are both mm positions on the same
+        # axis, so a slice missing one but carrying the other sorts in
+        # the SAME tier (a tiered sort relocated mixed-metadata slices
+        # to the end — silent anatomical misordering)
         i, s = i_s
-        if s.image_position_z is not None:
-            return (0, s.image_position_z)
-        if s.slice_location is not None:
-            return (1, s.slice_location)
+        z = (
+            s.image_position_z
+            if s.image_position_z is not None
+            else s.slice_location
+        )
+        if z is not None:
+            return (0, z, 0)
         if s.instance_number is not None:
-            return (2, s.instance_number)
-        return (3, i)
+            return (1, s.instance_number, 0)
+        return (2, 0, i)
 
     slices = [s for _, s in sorted(enumerate(slices), key=lambda t: key(t))]
-    return np.stack([s.pixels.astype(np.int16) for s in slices], axis=0)
+    return np.stack(
+        [
+            np.clip(s.pixels, -32768, 32767).astype(np.int16)
+            for s in slices
+        ],
+        axis=0,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -329,6 +353,7 @@ def write_dicom(
     slice_location: float | None = None,
     rescale_slope: float = 1.0,
     rescale_intercept: float = 0.0,
+    image_position: tuple[float, float, float] | None = None,
 ) -> None:
     """Write a minimal explicit-VR-LE Part-10 DICOM file (int16/uint8)."""
     pixels = np.asarray(pixels)
@@ -349,6 +374,11 @@ def write_dicom(
     ds += _el_short(_TAG_INSTANCE, b"IS", str(instance_number).encode())
     if slice_location is not None:
         ds += _el_short(_TAG_SLICE_LOC, b"DS", f"{slice_location:.3f}".encode())
+    if image_position is not None:
+        ds += _el_short(
+            _TAG_IPP, b"DS",
+            "\\".join(f"{v:.3f}" for v in image_position).encode(),
+        )
     ds += _el_short(_TAG_ROWS, b"US", struct.pack("<H", rows))
     ds += _el_short(_TAG_COLS, b"US", struct.pack("<H", cols))
     ds += _el_short(_TAG_BITS_ALLOC, b"US", struct.pack("<H", bits))

@@ -101,7 +101,13 @@ def _load_dicom_slice(path: Path, dtype: str) -> np.ndarray:
     from mies_tpu.io.dicom import read_dicom
 
     if native.available():
-        px, _ = native.read_dicom_native(path)
+        try:
+            px, _ = native.read_dicom_native(path)
+        except ValueError:
+            # the Python reader handles forms the C parser doesn't
+            # (e.g. preamble-less implicit-VR dumps) — fall back rather
+            # than fail on a file the framework CAN decode
+            px = read_dicom(path).pixels
     else:
         px = read_dicom(path).pixels
     if dtype == "raw":

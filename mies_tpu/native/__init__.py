@@ -179,16 +179,19 @@ def read_dicom_series_native(
         results = list(pool.map(read_dicom_native, paths))
 
     def key(item):
+        # same merged-position ordering as io.dicom.read_dicom_series
         i, (_, m) = item
-        if m["ipp_z"] is not None:
-            return (0, m["ipp_z"])
-        if m["slice_loc"] is not None:
-            return (1, m["slice_loc"])
+        z = m["ipp_z"] if m["ipp_z"] is not None else m["slice_loc"]
+        if z is not None:
+            return (0, z, 0)
         if m["instance"] is not None:
-            return (2, m["instance"])
-        return (3, i)
+            return (1, m["instance"], 0)
+        return (2, 0, i)
 
     ordered = [r for _, r in sorted(enumerate(results), key=lambda t: key(t))]
     # the series contract is int16 (matching io.dicom.read_dicom_series,
-    # which casts each slice's pixels the same way)
-    return np.stack([px.astype(np.int16) for px, _ in ordered], axis=0)
+    # which saturates out-of-range values the same way)
+    return np.stack(
+        [np.clip(px, -32768, 32767).astype(np.int16) for px, _ in ordered],
+        axis=0,
+    )

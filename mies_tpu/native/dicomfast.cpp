@@ -225,29 +225,40 @@ int mies_dicom_parse(const uint8_t* data, size_t len, Meta* meta,
 
   const double slope = meta->slope, icpt = meta->intercept;
   const bool rescale = slope != 1.0 || icpt != 0.0;
+  // Rescaled values SATURATE at the int16 range (matching the Python
+  // twin's np.clip; a float->int16 cast out of range is UB besides).
+  // Unrescaled unsigned values use a bit-preserving modulo cast: the
+  // Python wrapper views the buffer back as uint16.
+  const auto sat16 = [](double v) -> int16_t {
+    if (v <= -32768.0) return INT16_MIN;
+    if (v >= 32767.0) return INT16_MAX;
+    return static_cast<int16_t>(v);
+  };
   if (meta->bits == 16) {
     if (px_len < npx * 2) return -1;
     if (meta->is_signed) {
       const int16_t* s = reinterpret_cast<const int16_t*>(px);
       if (rescale)
         for (size_t i = 0; i < npx; ++i)
-          out_pixels[i] = static_cast<int16_t>(
-              static_cast<float>(s[i]) * slope + icpt);
+          out_pixels[i] = sat16(static_cast<double>(
+              static_cast<float>(s[i]) * slope + icpt));
       else
         memcpy(out_pixels, s, npx * 2);
     } else {
       const uint16_t* s = reinterpret_cast<const uint16_t*>(px);
       for (size_t i = 0; i < npx; ++i)
-        out_pixels[i] = static_cast<int16_t>(
-            rescale ? static_cast<float>(s[i]) * slope + icpt
-                    : static_cast<double>(s[i]));
+        out_pixels[i] = rescale
+            ? sat16(static_cast<double>(
+                  static_cast<float>(s[i]) * slope + icpt))
+            : static_cast<int16_t>(s[i]);
     }
   } else if (meta->bits == 8) {
     if (px_len < npx) return -1;
     for (size_t i = 0; i < npx; ++i)
-      out_pixels[i] = static_cast<int16_t>(
-          rescale ? static_cast<float>(px[i]) * slope + icpt
-                  : static_cast<double>(px[i]));
+      out_pixels[i] = rescale
+          ? sat16(static_cast<double>(
+                static_cast<float>(px[i]) * slope + icpt))
+          : static_cast<int16_t>(px[i]);
   } else {
     return -4;
   }

@@ -152,6 +152,29 @@ def rotate(
             return img.astype(jnp.float32)
         if k == 2 or h == w:
             return jnp.rot90(img, k).astype(jnp.float32)
+        if (h - w) % 2 == 0:
+            # non-square 90/270 with even h-w: coordinates are exact
+            # integers — out[y, x] = rot90(img, k)[y - d1, x + d1]
+            # (verified against scipy), cval outside; the sampled path
+            # would knife-edge these integer boundaries
+            d1 = (h - w) // 2
+            rot = jnp.rot90(img, k).astype(jnp.float32)  # [w, h]
+            out = jnp.full((h, w), jnp.float32(cval))
+            y0, y1 = max(0, d1), min(h, d1 + w)
+            x0, x1 = max(0, -d1), min(w, h - d1)
+            if y1 > y0 and x1 > x0:
+                out = out.at[y0:y1, x0:x1].set(
+                    rot[y0 - d1 : y1 - d1, x0 + d1 : x1 + d1]
+                )
+            if mode == "nearest":
+                # edge replication instead of cval: the sampled 'nearest'
+                # clamps coordinates, so out-of-extent pixels read the
+                # nearest edge of the rotated content — fall through to
+                # sampling for that case (no knife-edge there: clamped
+                # coords are interior)
+                pass
+            else:
+                return out
     a = np.deg2rad(float(angle))
     c, s = np.cos(a), np.sin(a)
     # scipy builds the output->input matrix [[cos, sin], [-sin, cos]]

@@ -540,7 +540,11 @@ def _bilinear_lut_apply_selection(
             )
             return resp[py : py + h, px : px + w]
 
-    sels = _select_blocks(blocks, m4, NBINS)  # [NB, P, 4]
+    # fraction-convention LUTs are non-integer: they need HIGHEST, not
+    # the bf16x3 integer fast path (same omission the 3-D caller fixed)
+    sels = _select_blocks(
+        blocks, m4, NBINS, integer_maps=integer_luts
+    )  # [NB, P, 4]
     top = sels[:, :, 0] * (1.0 - xab) + sels[:, :, 1] * xab
     bot = sels[:, :, 2] * (1.0 - xab) + sels[:, :, 3] * xab
     res = top * (1.0 - yab) + bot * yab

@@ -28,6 +28,10 @@ NBINS = 256
 
 
 def _tile_hists_3d(u8: Array, grid: tuple[int, int, int]) -> Array:
+    """Per-tile histograms over volumetric tiles via the shared nibble
+    outer product (32 compares/voxel + a [P,16]x[16,16] matmul per tile
+    — the same exact-f32-counts form every other histogram in the
+    codebase uses; the old full-256 onehot was 8x the compares)."""
     gz, gy, gx = grid
     z, h, w = u8.shape
     tz, th, tw = z // gz, h // gy, w // gx
@@ -36,10 +40,7 @@ def _tile_hists_3d(u8: Array, grid: tuple[int, int, int]) -> Array:
         .transpose(0, 2, 4, 1, 3, 5)
         .reshape(gz * gy * gx, tz * th * tw)
     )
-    bins = jnp.arange(NBINS, dtype=jnp.int32)
-    oh = (tiles[:, :, None] == bins[None, None, :]).astype(jnp.bfloat16)
-    ones = jnp.ones((tz * th * tw,), jnp.bfloat16)
-    return jnp.einsum("tpb,p->tb", oh, ones, preferred_element_type=jnp.float32)
+    return H._nibble_hist_batched(tiles)
 
 
 def _axis_weights(n: int, t: int, g: int):

@@ -136,6 +136,19 @@ OP_REGISTRY["histogram_match"] = _histogram_match_builder
 VOLUME_ONLY_OPS = frozenset({"clahe3d", "gaussian_blur3d", "guided_blur3d"})
 
 
+def _reject_volume_only(cfg: PipelineConfig) -> None:
+    """2-D chain builders fail at BUILD time with the stage named —
+    validate() must accept volume ops (the same config file drives
+    `enhance-volume --mode 3d`), so the 2-D/3-D split is enforced here,
+    never as a mid-trace traceback (review finding, round 4)."""
+    bad = [s.op for s in cfg.stages if s.op in VOLUME_ONLY_OPS]
+    if bad:
+        raise ValueError(
+            f"op(s) {bad} are volume-only ([Z, H, W]); run this config "
+            f"through compile_volume_pipeline / `enhance-volume --mode 3d`"
+        )
+
+
 def _register_volume_ops() -> None:
     from mies_tpu.ops.volume3d import clahe3d, gaussian_blur3d, guided_blur3d
 
@@ -172,6 +185,7 @@ def build_chain(cfg: PipelineConfig) -> Callable[[Array], Array]:
     gather-based and ~5x slower per call on TPU — batch-1 p50 latency
     dropped 12.7 -> per-call Pallas time with this).
     """
+    _reject_volume_only(cfg)
     batched_ops = _batched_registry()
     bound = []
     for s in cfg.stages:
@@ -339,6 +353,7 @@ def build_batched_chain(
     are identical either way. When ``quantize`` is not None the chain
     ALSO handles the final uint8 conversion (enables tail fusion).
     """
+    _reject_volume_only(cfg)
     batched_ops = _batched_registry()
     stages, fused_tail = (
         _try_fuse_tail(cfg, bool(quantize)) if quantize is not None

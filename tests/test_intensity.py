@@ -115,6 +115,30 @@ class TestGeometry:
                 )
                 np.testing.assert_allclose(got, ref, atol=1e-5)
 
+    def test_rotate_90_nonsquare_matches_scipy(self, rng):
+        """Non-square exact-90 rotations: even h-w takes the integer
+        permutation path (the sampled form knife-edges the integer
+        boundary coordinates); odd h-w has half-integer coordinates and
+        samples safely (review finding, round 4)."""
+        import jax.numpy as jnp
+        import scipy.ndimage as ndi
+
+        from mies_tpu.ops import rotate
+
+        for shape in ((64, 96), (96, 64), (33, 47)):
+            img = rng.random(shape).astype(np.float32)
+            for angle in (90.0, 270.0):
+                for mode in ("constant", "nearest"):
+                    ref = ndi.rotate(img, angle, reshape=False, order=1,
+                                     mode=mode, cval=0.25)
+                    got = np.asarray(
+                        rotate(jnp.asarray(img), angle, mode=mode, cval=0.25)
+                    )
+                    np.testing.assert_allclose(
+                        got, ref, atol=1e-5,
+                        err_msg=f"{shape} {angle} {mode}",
+                    )
+
     def test_affine_warp_matches_scipy(self, rng):
         import jax.numpy as jnp
         import scipy.ndimage as ndi

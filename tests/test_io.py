@@ -319,3 +319,71 @@ def test_dicom_stream_rejects_mixed_sizes(tmp_path, ct_slice_hu):
     write_dicom(tmp_path / "b.dcm", ct_slice_hu[:128], instance_number=2)
     with pytest.raises(ValueError, match="mixed slice sizes"):
         open_volume_slabs(tmp_path, slab_size=2)
+
+
+def test_dicom_rescale_saturates_not_wraps(tmp_path):
+    """uint16 pixels whose rescaled value exceeds int16 must clamp at
+    the int16 range, not wrap negative (review finding, round 4)."""
+    raw = np.array([[40000, 100], [65535, 0]], dtype=np.uint16).repeat(
+        8, 0
+    ).repeat(8, 1)
+    p = tmp_path / "sat.dcm"
+    write_dicom(p, raw, rescale_slope=1.0, rescale_intercept=-1024.0)
+    s = read_dicom(p)
+    assert s.pixels.dtype == np.int16
+    assert s.pixels.max() == 32767          # 65535-1024 saturates
+    assert s.pixels.min() == -1024          # 0-1024 stays exact
+    assert (s.pixels >= -1024).all()        # nothing wrapped negative
+
+    from mies_tpu import native
+
+    if native.available():
+        px, _ = native.read_dicom_native(p)
+        np.testing.assert_array_equal(px, s.pixels)
+
+
+def test_dicom_implicit_vr_without_preamble(tmp_path):
+    """Headerless implicit-VR dumps (the DEFAULT transfer syntax) parse:
+    the VR bytes are sniffed instead of assuming explicit."""
+    import struct
+
+    def el(group, elem, value):
+        return struct.pack("<HHI", group, elem, len(value)) + value
+
+    rows, cols = 4, 6
+    px = np.arange(rows * cols, dtype=np.int16).reshape(rows, cols)
+    ds = b""
+    ds += el(0x0028, 0x0010, struct.pack("<H", rows))
+    ds += el(0x0028, 0x0011, struct.pack("<H", cols))
+    ds += el(0x0028, 0x0100, struct.pack("<H", 16))
+    ds += el(0x0028, 0x0103, struct.pack("<H", 1))
+    ds += el(0x7FE0, 0x0010, px.tobytes())
+    p = tmp_path / "implicit.dcm"
+    p.write_bytes(ds)  # no preamble, no DICM, implicit VR
+    s = read_dicom(p)
+    np.testing.assert_array_equal(s.pixels, px)
+
+    # and the 2-D loader path survives it (native parser falls back)
+    from mies_tpu.io.image import load_image
+
+    got = load_image(p, dtype="raw")
+    np.testing.assert_array_equal(got, px)
+
+
+def test_dicom_series_mixed_metadata_merged_order(tmp_path):
+    """A slice carrying only SliceLocation sorts by position alongside
+    IPP-bearing slices (a tiered sort relocated it to the end)."""
+    d = tmp_path / "series"
+    d.mkdir()
+    base = np.zeros((8, 8), np.int16)
+    write_dicom(d / "a.dcm", base + 50, image_position=(0.0, 0.0, 5.0))
+    write_dicom(d / "b.dcm", base + 10, slice_location=1.0)  # no IPP
+    write_dicom(d / "c.dcm", base + 30, image_position=(0.0, 0.0, 3.0))
+    vol = read_dicom_series(d)
+    np.testing.assert_array_equal(vol[:, 0, 0], [10, 30, 50])
+
+    from mies_tpu import native
+
+    if native.available():
+        nvol = native.read_dicom_series_native(d)
+        np.testing.assert_array_equal(nvol, vol)

@@ -104,3 +104,52 @@ def test_evaluate_volume_per_slice(pair):
     assert np.isinf(out["per_slice"]["psnr"][0])  # identical slice
     assert out["per_slice"]["rmse"][1] > 0
     assert set(out["mean"]) == {"psnr", "rmse"}
+
+
+def test_sewar_pin_replay():
+    """Replay real sewar outputs pinned by tools/verify_sewar_golden.py
+    (run in an environment WITH sewar) against this suite — closes the
+    metric-lineage loop operationally. Skips until a pin exists."""
+    from pathlib import Path
+
+    import pytest
+
+    pin_path = Path(__file__).parent / "goldens" / "sewar_pin.npz"
+    if not pin_path.exists():
+        pytest.skip(
+            "no sewar_pin.npz — run tools/verify_sewar_golden.py in an "
+            "environment with sewar 0.4.6 to create it"
+        )
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.verify_sewar_golden import ATOL, make_pairs, ours
+
+    pin = np.load(pin_path)
+    for pair in make_pairs():
+        for key in pin.files:
+            name, m = key.split(":")
+            if name != pair["name"]:
+                continue
+            mine = ours(m, pair["gt"], pair["p"])
+            theirs = float(pin[key])
+            if np.isinf(theirs):
+                assert np.isinf(mine)
+            else:
+                assert abs(mine - theirs) <= ATOL[m], (m, mine, theirs)
+
+
+def test_verify_sewar_golden_selfcheck():
+    """The tool's plumbing runs HERE: deterministic pairs build and the
+    local implementation evaluates every metric on them (the sewar side
+    only runs where sewar is installed)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from tools.verify_sewar_golden import METRICS, make_pairs, ours
+
+    pair = make_pairs()[0]
+    for m in METRICS:
+        v = ours(m, pair["gt"], pair["p"])
+        assert np.isfinite(v), m
