@@ -23,17 +23,10 @@ def main() -> int:
 
     enable_compilation_cache()  # Pallas kernels compile slowly; cache them
 
-    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.presets import flagship_config
     from mies_tpu.pipeline.runner import time_pipeline
 
-    cfg = PipelineConfig.make(
-        [
-            ("clahe", {"clip_limit": 2.0, "grid_size": (8, 8), "convention": "opencv"}),
-            ("bilateral_blur", {"kernel_size": 5, "sigma_color": 0.1, "sigma_space": 1.5}),
-            ("unsharp_mask", {"radius": 1.5, "amount": 1.0}),
-        ],
-        name="bench-clahe-denoise-sharpen",
-    )
+    cfg = flagship_config()
     res = time_pipeline(cfg, shape=(512, 512), batch_size=32, iters=16, repeats=9)
     value = res["slices_per_sec"]
     line = {

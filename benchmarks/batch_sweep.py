@@ -38,18 +38,11 @@ def main() -> int:
     from mies_tpu.kernels.clahe import clahe_apply_lut, tile_hists_rows_pallas
     from mies_tpu.kernels.unsharp_gauss import unsharp_quant_tpu
     from mies_tpu.ops import histogram as H
-    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.presets import flagship_config
     from mies_tpu.pipeline.runner import time_pipeline
     from mies_tpu.utils.profiling import time_fn
 
-    cfg = PipelineConfig.make(
-        [("clahe", {"clip_limit": 2.0, "grid_size": (8, 8),
-                    "convention": "opencv"}),
-         ("bilateral_blur", {"kernel_size": 5, "sigma_color": 0.1,
-                             "sigma_space": 1.5}),
-         ("unsharp_mask", {"radius": 1.5, "amount": 1.0})],
-        name="w5-sweep",
-    )
+    cfg = flagship_config(name="w5-sweep")
 
     rng = np.random.default_rng(0)
     for b in [int(x) for x in args.batches.split(",")]:

@@ -18,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def workload_configs():
     from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.presets import flagship_config
 
     return {
         # 1. global hist-eq + gamma, single 512^2 X-ray. batch 1 per the
@@ -61,33 +62,19 @@ def workload_configs():
             ),
             shape=(512, 512), batch=64, dtype="int16",
         ),
-        # 5. full chain (the bench.py headline): clahe+denoise+sharpen
+        # 5. full chain (the bench.py headline): clahe+denoise+sharpen —
+        # the ONE flagship definition (pipeline/presets.py)
         "w5_full_chain": dict(
-            cfg=PipelineConfig.make(
-                [("clahe", {"clip_limit": 2.0, "grid_size": (8, 8),
-                            "convention": "opencv"}),
-                 ("bilateral_blur", {"kernel_size": 5, "sigma_color": 0.1,
-                                     "sigma_space": 1.5}),
-                 ("unsharp_mask", {"radius": 1.5, "amount": 1.0})],
-                name="w5",
-            ),
+            cfg=flagship_config(name="w5"),
             shape=(512, 512), batch=32, dtype="float32",
         ),
     }
 
 
 def volume_chain():
-    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.presets import flagship_volume_config
 
-    return PipelineConfig.make(
-        [("window_hu", {"center": 40.0, "width": 400.0}),
-         ("clahe", {"clip_limit": 2.0, "grid_size": (8, 8),
-                    "convention": "opencv"}),
-         ("bilateral_blur", {"kernel_size": 5, "sigma_color": 0.1,
-                             "sigma_space": 1.5}),
-         ("unsharp_mask", {"radius": 1.5, "amount": 1.0})],
-        name="w5-volume",
-    )
+    return flagship_volume_config(name="w5-volume")
 
 
 def run_volume_stream(quick: bool = False) -> dict:
@@ -113,21 +100,29 @@ def run_volume_stream(quick: bool = False) -> dict:
     from mies_tpu.io.volume import save_volume
     from mies_tpu.pipeline.runner import enhance_volume_stream, time_pipeline
 
+    import shutil
+
     cfg = volume_chain()
     z = 128 if quick else 512
     rng = np.random.default_rng(0)
     tmp = Path(tempfile.mkdtemp(prefix="mies_vol_"))
-    src = tmp / "ct.nc"
-    save_volume(src, rng.integers(-1000, 2000, (z, 512, 512), dtype=np.int16),
-                var_name="hu")
+    try:
+        src = tmp / "ct.nc"
+        save_volume(
+            src, rng.integers(-1000, 2000, (z, 512, 512), dtype=np.int16),
+            var_name="hu",
+        )
 
-    # device-only figure first (also warms the compile cache)
-    dev = time_pipeline(cfg, shape=(512, 512), batch_size=16,
-                        iters=8 if quick else 16, dtype=np.int16)
+        # device-only figure first (also warms the compile cache)
+        dev = time_pipeline(cfg, shape=(512, 512), batch_size=16,
+                            iters=8 if quick else 16, dtype=np.int16)
 
-    t0 = time.perf_counter()
-    enhance_volume_stream(src, cfg, tmp / "enhanced.nc", slab_size=16)
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        enhance_volume_stream(src, cfg, tmp / "enhanced.nc", slab_size=16)
+        dt = time.perf_counter() - t0
+    finally:
+        # ~384 MB of scratch per run must not accumulate in /tmp
+        shutil.rmtree(tmp, ignore_errors=True)
     return {
         "workload": "w5_volume_stream_512cubed" if z == 512 else f"w5_volume_stream_z{z}",
         "device_slices_per_sec": dev["slices_per_sec"],
@@ -142,16 +137,10 @@ def run_latency(quick: bool = False) -> dict:
     """BASELINE.json metric 2: p50 per-slice latency of the 512^2
     CLAHE+denoise pipeline — a dedicated batch-1 program (no vmap),
     slope-timed per call (VERDICT round 1, missing #5)."""
-    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.presets import latency_config
     from mies_tpu.pipeline.runner import time_latency
 
-    cfg = PipelineConfig.make(
-        [("clahe", {"clip_limit": 2.0, "grid_size": (8, 8),
-                    "convention": "opencv"}),
-         ("bilateral_blur", {"kernel_size": 5, "sigma_color": 0.1,
-                             "sigma_space": 1.5})],
-        name="latency-clahe-denoise",
-    )
+    cfg = latency_config()
     res = time_latency(cfg, shape=(512, 512),
                        iters=16 if quick else 32,
                        repeats=8 if quick else 32)
@@ -185,7 +174,15 @@ def main() -> int:
 
     from mies_tpu.pipeline.runner import time_pipeline
 
-    for name, w in workload_configs().items():
+    configs = workload_configs()
+    if args.only and args.only not in configs:
+        print(
+            f"error: unknown workload {args.only!r}; available: "
+            f"{sorted(configs)}",
+            file=sys.stderr,
+        )
+        return 2
+    for name, w in configs.items():
         if args.only and name != args.only:
             continue
         w_iters = w.get("iters", 16)

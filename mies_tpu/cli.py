@@ -36,9 +36,30 @@ def cmd_enhance(args) -> int:
 
     from mies_tpu.pipeline import runner
 
+    import os
+
     cfg = _load_cfg(args.config)
     inputs = [Path(p) for p in args.inputs]
-    if len(inputs) == 1 and not (args.output and Path(args.output).is_dir()):
+    # batch mode when there are multiple inputs OR the output names a
+    # directory — existing, trailing-separator, or suffix-less (a
+    # one-file glob with a not-yet-created outdir/ must NOT silently
+    # degrade to single-file mode and save an image AS the dir path)
+    batch_mode = len(inputs) > 1 or (
+        args.output is not None
+        and (
+            Path(args.output).is_dir()
+            or str(args.output).endswith(os.sep)
+            or Path(args.output).suffix == ""
+        )
+    )
+    if not batch_mode:
+        if args.data_parallel:
+            print(
+                "error: --data-parallel applies to batch mode only "
+                "(single-image runs use one device)",
+                file=sys.stderr,
+            )
+            return 2
         out_path = args.output or inputs[0].with_name(
             inputs[0].stem + ".enhanced" + inputs[0].suffix
         )
@@ -91,6 +112,15 @@ def cmd_enhance(args) -> int:
                         inputs[0], channels=cfg.io_dict().get("channels")
                     )
                 )
+            if orig.shape != out.shape:
+                print(
+                    f"error: --report/--run-report metrics need a "
+                    f"shape-preserving chain (input {orig.shape} vs "
+                    f"output {out.shape} — resize/crop/rot90 stages "
+                    f"change it); rerun without reports",
+                    file=sys.stderr,
+                )
+                return 2
             metrics = evaluate(orig, out, names=("psnr", "ssim"))
         if args.report:
             from mies_tpu.eval.report import save_comparison_report
@@ -111,6 +141,13 @@ def cmd_enhance(args) -> int:
         return 0
     if not args.output:
         print("error: batch mode requires -o OUTPUT_DIR", file=sys.stderr)
+        return 2
+    if args.report or args.run_report:
+        print(
+            "error: --report/--run-report are single-image flags; batch "
+            "runs record progress in the manifest instead",
+            file=sys.stderr,
+        )
         return 2
     manifest = runner.enhance_batch(
         inputs, cfg, args.output, batch_size=args.batch,

@@ -319,13 +319,15 @@ def read_dicom_series(directory: str | Path, pattern: str = "*.dcm") -> np.ndarr
         return (2, 0, i)
 
     slices = [s for _, s in sorted(enumerate(slices), key=lambda t: key(t))]
-    return np.stack(
-        [
-            np.clip(s.pixels, -32768, 32767).astype(np.int16)
-            for s in slices
-        ],
-        axis=0,
-    )
+    return np.stack([_to_int16_sat(s.pixels) for s in slices], axis=0)
+
+
+def _to_int16_sat(px: np.ndarray) -> np.ndarray:
+    """Saturating int16 cast (np.clip on a uint8 array rejects an
+    int16-range bound under numpy 2 — widen first)."""
+    if px.dtype == np.int16:
+        return px
+    return np.clip(px.astype(np.int32), -32768, 32767).astype(np.int16)
 
 
 # ---------------------------------------------------------------------------

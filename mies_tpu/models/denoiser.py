@@ -103,8 +103,8 @@ def load_denoiser(path: str):
     return params, meta["features"], meta["depth"]
 
 
-def learned_denoise(img: Array, checkpoint: str, _cache={}) -> Array:
-    """Pipeline op: denoise with a trained checkpoint (host-side load,
-    weights become jit constants). SURVEY.md section 2b D3 coverage."""
-    params, features, depth = load_denoiser(checkpoint)
-    return denoise(params, img, features=features, depth=depth)
+# NOTE: the pipeline's 'learned_denoise' op is a STAGE BUILDER
+# (mies_tpu.pipeline.compiler._learned_denoise_builder) that restores
+# the checkpoint EAGERLY at chain-build time; an op-shaped variant here
+# would perform orbax IO inside a jit trace if ever wired into one, so
+# none is provided.

@@ -188,10 +188,9 @@ def read_dicom_series_native(
             return (1, m["instance"], 0)
         return (2, 0, i)
 
+    from mies_tpu.io.dicom import _to_int16_sat
+
     ordered = [r for _, r in sorted(enumerate(results), key=lambda t: key(t))]
     # the series contract is int16 (matching io.dicom.read_dicom_series,
     # which saturates out-of-range values the same way)
-    return np.stack(
-        [np.clip(px, -32768, 32767).astype(np.int16) for px, _ in ordered],
-        axis=0,
-    )
+    return np.stack([_to_int16_sat(px) for px, _ in ordered], axis=0)
