@@ -131,11 +131,18 @@ def cmd_enhance(args) -> int:
         if args.run_report:
             from mies_tpu.eval.report import write_run_report
 
+            extra = {"input": str(inputs[0]), "output": str(out_path)}
+            if args.stage_costs:
+                from mies_tpu.utils.profiling import stage_costs
+
+                extra["stage_costs"] = stage_costs(
+                    cfg, shape=out.shape[-2:], batch_size=1
+                )
             write_run_report(
                 args.run_report, cfg,
                 metrics=metrics,
                 timings={"wall_ms_including_compile": wall_ms},
-                extra={"input": str(inputs[0]), "output": str(out_path)},
+                extra=extra,
             )
         print(json.dumps({"output": str(out_path), "shape": list(out.shape)}))
         return 0
@@ -234,6 +241,41 @@ def cmd_enhance_volume(args) -> int:
         result["metrics_mean"] = m["mean"]
         result["metrics_file"] = mpath
     print(json.dumps(result))
+    return 0
+
+
+def cmd_warmup(args) -> int:
+    """Pre-compile a config's programs into the persistent jit cache.
+
+    First Pallas compiles take 5-20 minutes on remote-compile runtimes;
+    a deployment warms the cache once (per config x shape x batch) so
+    production jobs start hot. Compiles only — no data is processed.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mies_tpu.pipeline.compiler import compile_pipeline
+    from mies_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = _load_cfg(args.config)
+    h, w = args.size, args.size
+    compiled = []
+    for b in args.batch:
+        t0 = time.perf_counter()
+        fn = compile_pipeline(cfg, batched=(b > 1), donate=False)
+        shape = (b, h, w) if b > 1 else (h, w)
+        dtype = jnp.int16 if args.dtype == "int16" else jnp.float32
+        fn.lower(jax.ShapeDtypeStruct(shape, dtype)).compile()
+        compiled.append(
+            {"batch": b, "shape": [h, w], "dtype": args.dtype,
+             "seconds": round(time.perf_counter() - t0, 2)}
+        )
+    print(json.dumps({"config": cfg.name, "backend": jax.default_backend(),
+                      "compiled": compiled}))
     return 0
 
 
@@ -341,6 +383,10 @@ def main(argv=None) -> int:
         "--run-report",
         help="write a structured JSON run report (config hash, timings, metrics)",
     )
+    p.add_argument(
+        "--stage-costs", action="store_true",
+        help="include per-stage XLA flops/bytes in the run report",
+    )
     p.set_defaults(fn=cmd_enhance)
 
     p = sub.add_parser("enhance-volume", help="stream a volume through the chain")
@@ -397,6 +443,21 @@ def main(argv=None) -> int:
     p = sub.add_parser("ops", help="list every pipeline op with its "
                                    "params, defaults, and constraints")
     p.set_defaults(fn=cmd_ops)
+
+    p = sub.add_parser(
+        "warmup",
+        help="pre-compile a config's programs into the persistent jit "
+             "cache (cold Pallas compiles take minutes; deployments warm "
+             "once, then start hot)",
+    )
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--batch", type=int, nargs="+", default=[1, 32],
+                   help="batch sizes to compile (1 = the single-slice "
+                        "latency program)")
+    p.add_argument("--dtype", choices=("float32", "int16"),
+                   default="float32")
+    p.set_defaults(fn=cmd_warmup)
 
     p = sub.add_parser("bench", help="throughput benchmark for a config")
     p.add_argument("-c", "--config", required=True)

@@ -74,23 +74,27 @@ def write_run_report(
     extra: dict | None = None,
 ) -> dict:
     """Structured JSON run report; returns the dict it wrote."""
-    def finite(d):
-        """inf/nan metric values (psnr on identical images is inf by
-        design) serialize as strings — bare Infinity/NaN is not valid
+    def finite(v):
+        """inf/nan values anywhere in the record (psnr on identical
+        images is inf by design; XLA cost analysis reports nan for some
+        stages) serialize as strings — bare Infinity/NaN is not valid
         RFC-8259 JSON and strict parsers reject the report."""
-        return {
-            k: (v if not isinstance(v, float) or np.isfinite(v) else str(v))
-            for k, v in d.items()
-        }
+        if isinstance(v, dict):
+            return {k: finite(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [finite(x) for x in v]
+        if isinstance(v, float) and not np.isfinite(v):
+            return str(v)
+        return v
 
-    rec = {
+    rec = finite({
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "config_name": cfg.name,
         "config_hash": cfg.cache_key(),
         "config": cfg.to_dict(),
-        "metrics": finite(metrics or {}),
-        "timings": finite(timings or {}),
+        "metrics": metrics or {},
+        "timings": timings or {},
         **(extra or {}),
-    }
-    Path(path).write_text(json.dumps(rec, indent=2) + "\n")
+    })
+    Path(path).write_text(json.dumps(rec, indent=2, allow_nan=False) + "\n")
     return rec

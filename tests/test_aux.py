@@ -272,3 +272,37 @@ def test_load_volume_bad_var_name_raises_cleanly(tmp_path):
     save_volume(p, vol, var_name="hu")
     with pytest.raises(KeyError, match="typo"):
         load_volume(p, var_name="typo")
+
+
+def test_cli_warmup_compiles(tmp_path):
+    import json as _json
+
+    from mies_tpu.cli import main
+
+    cfg = tmp_path / "c.json"
+    cfg.write_text(_json.dumps({"name": "w", "pipeline": [
+        {"op": "adjust_gamma", "gamma": 0.9},
+        {"op": "gaussian_blur", "sigma": 1.0}]}))
+    rc = main(["warmup", "-c", str(cfg), "--size", "64", "--batch", "1", "4"])
+    assert rc == 0
+
+
+def test_cli_run_report_stage_costs(tmp_path, xray, capsys):
+    import json as _json
+
+    from mies_tpu.cli import main
+    from mies_tpu.io.image import from_float, save_image
+
+    src = tmp_path / "x.png"
+    save_image(src, from_float(xray))
+    cfg = tmp_path / "c.json"
+    cfg.write_text(_json.dumps({"name": "t", "pipeline": [
+        {"op": "gaussian_blur", "sigma": 1.0}]}))
+    rep = tmp_path / "run.json"
+    rc = main(["enhance", str(src), "-c", str(cfg),
+               "-o", str(tmp_path / "o.png"),
+               "--run-report", str(rep), "--stage-costs"])
+    assert rc == 0
+    rec = _json.loads(rep.read_text())
+    assert rec["stage_costs"][0]["op"] == "gaussian_blur"
+    assert "flops" in rec["stage_costs"][0]
