@@ -210,6 +210,20 @@ def main() -> int:
             )
             res["device_p50_ms_per_slice"] = dev["p50_ms"]
             res["device_slices_per_sec"] = 1000.0 / dev["p50_ms"]
+        elif w["dtype"] == "float32":
+            # batched float chains get the same treatment: the per-call
+            # slope is dispatch-polluted under host load (w3 recorded
+            # 7.2k-34k slices/s run to run), the fori_loop figure is
+            # stable and device-attributable
+            from mies_tpu.pipeline.runner import time_pipeline_device
+
+            dev = time_pipeline_device(
+                w["cfg"], shape=w["shape"], batch_size=w["batch"],
+                inner=4 if args.quick else 8,
+                repeats=8 if args.quick else 16,
+            )
+            res["device_p50_ms_per_slice"] = dev["p50_ms_per_slice"]
+            res["device_slices_per_sec"] = dev["slices_per_sec"]
         res["workload"] = name
         import jax
 

@@ -446,3 +446,64 @@ def gaussian_blur3d(
             )
         x = acc
     return x
+
+
+def median_blur3d(
+    vol: Array, kernel_size: int = 3, mode: str = "nearest"
+) -> Array:
+    """3-D median filter over a cubic footprint.
+
+    scipy.ndimage.median_filter(size=k, mode='nearest') semantics —
+    skimage.filters.median is n-dimensional, so the declared surface
+    (/root/reference/pyproject.toml:12) extends to volumes; the 2-D
+    ``median_blur`` z-flickers on CT noise, the cubic footprint is
+    z-consistent. Same design as the 2-D op: a Batcher min/max network
+    over the k^3 shifted-volume stack — every comparator is one VPU
+    min+max over the whole volume, no gathers, no generic sort.
+    Golden: tests/goldens/golden_ops.py::median_blur (n-d scipy).
+    """
+    if kernel_size % 2 != 1:
+        raise ValueError("kernel_size must be odd")
+    from mies_tpu.ops.filters import _PAD_MODE, _batcher_network
+
+    k = kernel_size
+    r = k // 2
+    x = vol.astype(jnp.float32)
+    if r == 0:
+        return x
+    z, h, w = x.shape
+    xp = jnp.pad(x, ((r, r), (r, r), (r, r)), mode=_PAD_MODE[mode])
+    vals = [
+        jax.lax.dynamic_slice(xp, (dz, dy, dx), (z, h, w))
+        for dz in range(k)
+        for dy in range(k)
+        for dx in range(k)
+    ]
+    n = k * k * k
+    for i, j in _batcher_network(n):
+        lo = jnp.minimum(vals[i], vals[j])
+        hi = jnp.maximum(vals[i], vals[j])
+        vals[i], vals[j] = lo, hi
+    return vals[n // 2]
+
+
+def unsharp_mask3d(
+    vol: Array,
+    radius: float = 1.0,
+    amount: float = 1.0,
+    mode: str = "nearest",
+    clip: bool = True,
+) -> Array:
+    """3-D unsharp masking: ``vol + amount * (vol - gaussian3d(vol))``.
+
+    skimage.filters.unsharp_mask is n-dimensional (same formula, nD
+    gaussian); sharpening each slice independently amplifies z-noise
+    differently per slice — the volumetric residual is z-consistent.
+    Golden: compose tests/goldens/golden_ops.py gaussian semantics in 3-D.
+    """
+    blurred = gaussian_blur3d(vol, sigma=radius, mode=mode)
+    x = vol.astype(jnp.float32)
+    out = x + amount * (x - blurred)
+    if clip:
+        out = jnp.clip(out, 0.0, 1.0)
+    return out

@@ -133,7 +133,10 @@ OP_REGISTRY["histogram_match"] = _histogram_match_builder
 # Ops that ONLY operate on [Z, H, W] volumes (single source of truth —
 # stage_costs and the registries key off this; a new 3-D op added to
 # the registry without updating a parallel set regressed once).
-VOLUME_ONLY_OPS = frozenset({"clahe3d", "gaussian_blur3d", "guided_blur3d"})
+VOLUME_ONLY_OPS = frozenset(
+    {"clahe3d", "gaussian_blur3d", "guided_blur3d", "median_blur3d",
+     "unsharp_mask3d"}
+)
 
 
 def _reject_volume_only(cfg: PipelineConfig) -> None:
@@ -150,11 +153,19 @@ def _reject_volume_only(cfg: PipelineConfig) -> None:
 
 
 def _register_volume_ops() -> None:
-    from mies_tpu.ops.volume3d import clahe3d, gaussian_blur3d, guided_blur3d
+    from mies_tpu.ops.volume3d import (
+        clahe3d,
+        gaussian_blur3d,
+        guided_blur3d,
+        median_blur3d,
+        unsharp_mask3d,
+    )
 
     OP_REGISTRY.setdefault("clahe3d", clahe3d.__wrapped__)
     OP_REGISTRY.setdefault("gaussian_blur3d", gaussian_blur3d)
     OP_REGISTRY.setdefault("guided_blur3d", guided_blur3d)
+    OP_REGISTRY.setdefault("median_blur3d", median_blur3d)
+    OP_REGISTRY.setdefault("unsharp_mask3d", unsharp_mask3d)
 
 
 _register_volume_ops()
@@ -430,12 +441,20 @@ def _ingest(x: Array) -> Array:
 # Ops that operate on a whole [Z, H, W] volume. Pointwise 2-D ops are
 # shape-polymorphic and reused directly.
 def _volume_registry() -> dict[str, Callable]:
-    from mies_tpu.ops.volume3d import clahe3d, gaussian_blur3d, guided_blur3d
+    from mies_tpu.ops.volume3d import (
+        clahe3d,
+        gaussian_blur3d,
+        guided_blur3d,
+        median_blur3d,
+        unsharp_mask3d,
+    )
 
     return {
         "clahe3d": clahe3d.__wrapped__,
         "gaussian_blur3d": gaussian_blur3d,
         "guided_blur3d": guided_blur3d,
+        "median_blur3d": median_blur3d,
+        "unsharp_mask3d": unsharp_mask3d,
         # global equalization is shape-polymorphic: one CDF over the
         # WHOLE volume (the volumetric sibling of kornia's equalize3d)
         "equalize_hist": H.equalize_hist,

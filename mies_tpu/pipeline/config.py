@@ -335,6 +335,15 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "eps": (_pos, "a number > 0"),
         "mode": (_mode_ok, f"one of {_PAD_MODES}"),
     },
+    "median_blur3d": {
+        "kernel_size": (_odd_kernel, "an odd int >= 1"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
+    "unsharp_mask3d": {
+        "radius": (_pos, "a number > 0"),
+        "amount": (_nonneg, "a number >= 0"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
     "sobel_edges": {"mode": (_mode_ok, f"one of {_PAD_MODES}")},
     "laplacian_sharpen": {
         "alpha": (_nonneg, "a number >= 0"),

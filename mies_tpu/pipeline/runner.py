@@ -476,3 +476,66 @@ def time_pipeline(
         "batch_size": batch_size,
         "shape": list(shape),
     }
+
+
+def time_pipeline_device(
+    cfg: PipelineConfig,
+    shape: tuple[int, int] = (512, 512),
+    batch_size: int = 32,
+    inner: int = 16,
+    repeats: int = 16,
+) -> dict:
+    """Pure DEVICE batched throughput: the BATCHED chain runs ``inner``
+    times inside ONE jitted ``lax.fori_loop`` (each iteration feeding
+    the next so nothing is dead-code-eliminated), excluding per-call
+    host dispatch and tunnel RTT entirely — the batched counterpart of
+    ``time_latency_device``.
+
+    Motivation: ``time_pipeline``'s per-call slope is polluted by host
+    dispatch whenever the host is loaded (w3 at 1024^2 b8 recorded
+    7.2k-34k slices/s run to run; the fori_loop number is stable), so
+    this is the honest, gateable device figure for float chains.
+
+    Float shape/dtype-preserving chains only (the loop carries the
+    float batch; quantization and dtype-changing ingests are per-call
+    edges, measured by ``time_pipeline``).
+    """
+    from jax import lax
+
+    from mies_tpu.pipeline.compiler import build_batched_chain
+
+    chain = build_batched_chain(cfg, quantize=None)
+    bshape = (batch_size, *shape)
+    carry = jax.eval_shape(chain, jnp.zeros(bshape, jnp.float32))
+    if carry.shape != bshape or carry.dtype != jnp.float32:
+        raise ValueError(
+            f"time_pipeline_device needs a shape/dtype-preserving float "
+            f"chain (fori_loop carry): {cfg.name!r} maps "
+            f"{bshape}/float32 -> {carry.shape}/{carry.dtype}"
+        )
+
+    def loop(x):
+        return lax.fori_loop(0, inner, lambda _, y: chain(y), x)
+
+    fn = jax.jit(loop)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(bshape, dtype=np.float32))
+    for _ in range(3):
+        _device_sync(fn(x))
+    n_short, n_long = 2, 8
+    samples = []
+    for _ in range(repeats):
+        t_short = _timed_run(fn, x, n_short)
+        t_long = _timed_run(fn, x, n_long)
+        samples.append((t_long - t_short) / (n_long - n_short) / inner)
+    samples.sort()
+    per_batch = samples[len(samples) // 2]
+    return {
+        "slices_per_sec": batch_size / per_batch,
+        "p50_ms_per_slice": per_batch * 1000.0 / batch_size,
+        "ms_per_batch": per_batch * 1000.0,
+        "batch_size": batch_size,
+        "shape": list(shape),
+        "inner": inner,
+        "program": f"device fori_loop x{inner} (no per-call dispatch)",
+    }

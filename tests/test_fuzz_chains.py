@@ -71,14 +71,15 @@ def test_random_chain_compiles_and_runs(rng, seed):
 def test_every_registered_2d_op_has_defaults_or_coverage():
     """Every op in the registry is either exercised by _CHAINABLE or is a
     known special case (params/volume/checkpoint ops)."""
+    from mies_tpu.pipeline.compiler import VOLUME_ONLY_OPS
+
     special = {
         "window_hu",  # int16 path, needs center/width
         "resize",  # needs height/width
         "learned_denoise",  # needs a checkpoint
         "histogram_match",  # needs a reference image file
-        "clahe3d", "gaussian_blur3d", "guided_blur3d",  # volume-only
         "normalize_meanstd", "denormalize_meanstd",  # trivially pointwise
-    }
+    } | set(VOLUME_ONLY_OPS)
     covered = {op for op, _ in _CHAINABLE}
     missing = set(OP_REGISTRY) - covered - special
     assert not missing, f"registry ops with no fuzz coverage: {missing}"

@@ -391,6 +391,29 @@ def test_time_latency_device_smoke():
     assert r["p50_ms"] >= 0.0 and r["p95_ms"] >= r["p50_ms"] - 1e-9
 
 
+def test_time_pipeline_device_smoke():
+    cfg = PipelineConfig.make(
+        [("adjust_gamma", {"gamma": 0.9}),
+         ("gaussian_blur", {"sigma": 1.0})],
+        name="tp-dev",
+    )
+    r = runner.time_pipeline_device(
+        cfg, shape=(64, 64), batch_size=4, inner=2, repeats=2
+    )
+    assert r["slices_per_sec"] > 0.0
+    assert r["batch_size"] == 4
+
+
+def test_time_pipeline_device_rejects_shape_changing_chain():
+    """A shape-changing chain can't carry through the fori_loop; the
+    harness must refuse with the config named, not crash in tracing."""
+    cfg = PipelineConfig.make(
+        [("resize", {"height": 32, "width": 32})], name="rs-dev",
+    )
+    with pytest.raises(ValueError, match="rs-dev"):
+        runner.time_pipeline_device(cfg, shape=(64, 64), batch_size=2)
+
+
 def test_multichannel_requires_explicit_policy(tmp_path, rng):
     """RGB input with no io.channels is an ERROR with guidance — never a
     silent luminance collapse (VERDICT r2 missing #1)."""

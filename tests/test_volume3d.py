@@ -210,3 +210,68 @@ def test_guided_blur3d_z_consistency(rng):
     d3 = np.abs(out3[1] - out3[3]).mean()
     d2 = np.abs(out2[1] - out2[3]).mean()
     assert d3 < d2
+
+
+def test_median_blur3d_matches_scipy(vol):
+    from mies_tpu.ops.volume3d import median_blur3d
+
+    small = vol[:8, :32, :32]
+    out = np.asarray(median_blur3d(jnp.asarray(small), kernel_size=3))
+    ref = ndimage.median_filter(small, size=3, mode="nearest").astype(
+        np.float32
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_median_blur3d_rejects_even_kernel(vol):
+    from mies_tpu.ops.volume3d import median_blur3d
+
+    with pytest.raises(ValueError, match="odd"):
+        median_blur3d(jnp.asarray(vol), kernel_size=4)
+
+
+def test_unsharp_mask3d_matches_composed_scipy(vol):
+    from mies_tpu.ops.volume3d import unsharp_mask3d
+
+    small = vol[:8, :32, :32]
+    out = np.asarray(
+        unsharp_mask3d(jnp.asarray(small), radius=1.2, amount=0.8)
+    )
+    g = ndimage.gaussian_filter(
+        small.astype(np.float64), sigma=1.2, truncate=4.0, mode="nearest"
+    )
+    ref = np.clip(small + 0.8 * (small - g), 0.0, 1.0).astype(np.float32)
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_median3d_z_consistency_vs_slicewise(vol):
+    """Cubic-footprint median varies less slice-to-slice on z-noise than
+    per-slice 2-D median (same motivation as clahe3d)."""
+    import jax
+
+    from mies_tpu.ops.filters import median_blur
+    from mies_tpu.ops.volume3d import median_blur3d
+
+    out3d = np.asarray(median_blur3d(jnp.asarray(vol), kernel_size=3))
+    out2d = np.asarray(
+        jax.vmap(lambda s: median_blur(s, kernel_size=3))(jnp.asarray(vol))
+    )
+
+    def flicker(v):
+        m = v.mean(axis=(1, 2))
+        return np.abs(np.diff(m)).mean()
+
+    assert flicker(out3d) < flicker(out2d)
+
+
+def test_volume_pipeline_with_new_3d_ops(vol):
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+    from mies_tpu.pipeline.config import PipelineConfig
+
+    cfg = PipelineConfig.make(
+        [("median_blur3d", {"kernel_size": 3}),
+         ("unsharp_mask3d", {"radius": 1.0, "amount": 0.5})],
+        name="vol3d-new",
+    )
+    out = np.asarray(compile_volume_pipeline(cfg)(jnp.asarray(vol)))
+    assert out.shape == vol.shape and out.dtype == np.uint8
