@@ -234,6 +234,8 @@ def _apply33_kernel(
     gy: int,
     gx: int,
     split: bool,
+    quantize: bool = False,
+    finalize: str | None = None,
 ):
     """Tile-aligned apply, per-ROW: each program owns two ORIGINAL tiles
     of one tile-row and works slab-row by slab-row — mask [256, 2tw],
@@ -249,7 +251,13 @@ def _apply33_kernel(
 
     No edge padding of the image, no output crop, no per-cell LUT
     gather (_cell_luts): the stack is 9 shifted slices of the
-    edge-padded LUT grid (cheap XLA slices)."""
+    edge-padded LUT grid (cheap XLA slices).
+
+    quantize=True: v_ref is f32 [0,1]; the uint8 level quantize runs
+    in-kernel (same clip(round(v*255)) ops — bit-identical levels, no
+    int32 HBM intermediate). finalize folds the convention's epilogue
+    into the kernel output: 'u8norm' = clip(rint(res),0,255)/255
+    (OpenCV saturate + renormalize), 'clip01' = clip(res, 0, 1)."""
     w2 = 2 * tw
     a = pl.program_id(0)  # b * gy + i
     bcol = pl.program_id(1)
@@ -275,7 +283,11 @@ def _apply33_kernel(
     xa = txf - jnp.floor(txf)          # [1, w2]
     bins = jax.lax.broadcasted_iota(jnp.int32, (NBINS, w2), 0)
 
-    win = v_ref[0]                     # [th, w2] int32
+    win = v_ref[0]                     # [th, w2] int32 (f32 if quantize)
+    if quantize:
+        win = jnp.clip(
+            jnp.round(win * np.float32(255.0)), 0.0, 255.0
+        ).astype(jnp.int32)
     for row in range(th):
         v = win[row : row + 1, :]
         mask = _onehot256(v, bins)     # [256, w2], exact 0/1 bf16
@@ -303,7 +315,30 @@ def _apply33_kernel(
         res = (v11 * (np.float32(1.0) - xa) + v12 * xa) * (
             np.float32(1.0) - ya
         ) + (v21 * (np.float32(1.0) - xa) + v22 * xa) * ya
-        out_ref[0, row : row + 1, :] = res.astype(jnp.float32)
+        res = res.astype(jnp.float32)
+        if finalize == "u8norm":
+            res = jnp.clip(jnp.rint(res), 0.0, 255.0) / np.float32(255.0)
+        elif finalize == "clip01":
+            res = jnp.clip(res, 0.0, 1.0)
+        out_ref[0, row : row + 1, :] = res
+
+
+def _finalize_xla(res: Array, finalize: str | None) -> Array:
+    """XLA-side twin of the in-kernel ``finalize`` epilogue — used by
+    the apply paths that don't fold it into their Pallas kernel."""
+    if finalize == "u8norm":
+        return jnp.clip(jnp.rint(res), 0, 255) / 255.0
+    if finalize == "clip01":
+        return jnp.clip(res, 0.0, 1.0)
+    return res
+
+
+def _levels_from_float(x: Array) -> Array:
+    """XLA-side uint8 level quantize (the exact ops the kernels run
+    in-kernel under quantize_input=True)."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * 255.0), 0, 255).astype(
+        jnp.int32
+    )
 
 
 def _apply_lut_tile33(
@@ -313,6 +348,8 @@ def _apply_lut_tile33(
     integer_luts: bool,
     interpret: bool,
     variant: str = "v1",
+    quantize_input: bool = False,
+    finalize: str | None = None,
 ) -> Array:
     """3x3-stack tile-aligned apply: no pad, no crop, no _cell_luts.
 
@@ -347,11 +384,22 @@ def _apply_lut_tile33(
             CV._apply33_kernel_v2 if variant == "v2"
             else CV._apply33_kernel_v3
         )
+        # the re-measurement variants don't fold quantize/finalize;
+        # run both XLA-side around them (identical semantics)
+        if quantize_input:
+            rows = _levels_from_float(rows)
+            quantize_input = False
+        xla_finalize, finalize = finalize, None
+        kernel = functools.partial(
+            body, th=th, tw=tw, gy=gy, gx=gx, split=not integer_luts
+        )
     else:
         body = _apply33_kernel
-    kernel = functools.partial(
-        body, th=th, tw=tw, gy=gy, gx=gx, split=not integer_luts
-    )
+        xla_finalize = None
+        kernel = functools.partial(
+            body, th=th, tw=tw, gy=gy, gx=gx, split=not integer_luts,
+            quantize=quantize_input, finalize=finalize,
+        )
     out = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -369,7 +417,7 @@ def _apply_lut_tile33(
             [pltpu.VMEM((1, 4 * tw), jnp.int32)] if variant == "v3" else []
         ),
     )(rows, cl_in)
-    return out.reshape(B, H, W)
+    return _finalize_xla(out, xla_finalize).reshape(B, H, W)
 
 
 def _apply_lut_slab(
@@ -427,6 +475,8 @@ def clahe_apply_lut(
     grid_size: tuple[int, int],
     integer_luts: bool = True,
     interpret: bool = False,
+    quantize_input: bool = False,
+    finalize: str | None = None,
 ) -> Array:
     """Public entry: resolves the MIES_TPU_APPLY33 variant env var HERE
     (before jit dispatch) so it keys the jit cache — a mid-process flip
@@ -436,12 +486,16 @@ def clahe_apply_lut(
     return _clahe_apply_lut_jit(
         u8, luts, grid_size, integer_luts, interpret,
         os.environ.get("MIES_TPU_APPLY33", "v1"),
+        quantize_input, finalize,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_size", "integer_luts", "interpret", "variant"),
+    static_argnames=(
+        "grid_size", "integer_luts", "interpret", "variant",
+        "quantize_input", "finalize",
+    ),
 )
 def _clahe_apply_lut_jit(
     u8: Array,
@@ -450,14 +504,22 @@ def _clahe_apply_lut_jit(
     integer_luts: bool = True,
     interpret: bool = False,
     variant: str = "v1",
+    quantize_input: bool = False,
+    finalize: str | None = None,
 ) -> Array:
     """Bilinear per-pixel LUT interpolation (Pallas, gatherless).
 
     u8:   [B, H, W] int32 levels in [0, 255]; H % gy == 0, W % gx == 0,
           even tile sizes, tile_px % 128 == 0 (pipeline pads beforehand).
+          With quantize_input=True it is instead f32 [0,1] and the level
+          quantize runs in-kernel (tile33 path) or XLA-side (others) —
+          bit-identical levels either way, but the tile33 path skips the
+          int32 HBM intermediate.
     luts: [B, gy, gx, 256] float32 (integer-valued iff integer_luts).
     Returns [B, H, W] float32 un-rounded interpolated values — the exact
-    f32 numbers OpenCV computes before its final saturate_cast.
+    f32 numbers OpenCV computes before its final saturate_cast — unless
+    ``finalize`` folds a convention epilogue in: 'u8norm' =
+    clip(rint(res),0,255)/255, 'clip01' = clip(res,0,1).
 
     Three layouts, identical results: the tile33 path (even grid cols,
     tiles >= 64 wide) reads original tiles with zero padding/cropping;
@@ -470,10 +532,21 @@ def _clahe_apply_lut_jit(
     if tw_ % 64 == 0 and th_ % 2 == 0 and (th_ * tw_) % 128 == 0:
         if gx_ % 2 == 0:
             return _apply_lut_tile33(
-                u8, luts, grid_size, integer_luts, interpret, variant
+                u8, luts, grid_size, integer_luts, interpret, variant,
+                quantize_input, finalize,
             )
-        return _apply_lut_slab(u8, luts, grid_size, integer_luts, interpret)
-    return _apply_lut_cells(u8, luts, grid_size, integer_luts, interpret)
+        if quantize_input:
+            u8 = _levels_from_float(u8)
+        return _finalize_xla(
+            _apply_lut_slab(u8, luts, grid_size, integer_luts, interpret),
+            finalize,
+        )
+    if quantize_input:
+        u8 = _levels_from_float(u8)
+    return _finalize_xla(
+        _apply_lut_cells(u8, luts, grid_size, integer_luts, interpret),
+        finalize,
+    )
 
 
 def _apply_lut_cells(
@@ -611,7 +684,8 @@ def tile_hists_pallas(
     return out[:total].reshape(B, gy, gx, NBINS)
 
 
-def _hist_rows_kernel(v_ref, out_ref, *, th: int, tw: int):
+def _hist_rows_kernel(v_ref, out_ref, *, th: int, tw: int,
+                      quantize: bool = False):
     """Rows-layout nibble histogram: v_ref [1, th, 2*tw] int32 (two
     adjacent tiles of one tile-row, the SAME block shape the apply
     kernel reads) -> out_ref [1, 2, 16, 16] f32 histograms.
@@ -622,10 +696,19 @@ def _hist_rows_kernel(v_ref, out_ref, *, th: int, tw: int):
     registers across the unrolled row loop — integer counts, exact.
     Removes the XLA tiles transpose entirely (hist and apply now share
     one free reshape; measured 0.65 -> 0.56 ms for hist+LUT per
-    batch-32 512^2)."""
+    batch-32 512^2).
+
+    quantize=True: v_ref is f32 [0,1]; the uint8 level quantize
+    (clip(round(v*255))) runs in-kernel on the VPU, eliminating the
+    XLA level-quantize pass's int32 HBM intermediate. Same round-half-
+    even + cast ops as the XLA form — bit-identical levels."""
     w2 = 2 * tw
     i16 = jax.lax.broadcasted_iota(jnp.int32, (16, w2), 0)
     win = v_ref[0]
+    if quantize:
+        win = jnp.clip(
+            jnp.round(win * np.float32(255.0)), 0.0, 255.0
+        ).astype(jnp.int32)
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -643,17 +726,24 @@ def _hist_rows_kernel(v_ref, out_ref, *, th: int, tw: int):
     out_ref[0, 1] = acc1
 
 
-@functools.partial(jax.jit, static_argnames=("gy", "gx", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("gy", "gx", "interpret", "quantize_input")
+)
 def tile_hists_rows_pallas(
-    u8: Array, gy: int, gx: int, interpret: bool = False
+    u8: Array, gy: int, gx: int, interpret: bool = False,
+    quantize_input: bool = False,
 ) -> Array:
     """Per-tile histograms from the rows layout (no XLA transpose):
-    [B, H, W] int32 -> [B, gy, gx, 256]. Requires gx % 2 == 0."""
+    [B, H, W] int32 -> [B, gy, gx, 256]. Requires gx % 2 == 0.
+
+    quantize_input=True: input is f32 [0,1] and the uint8 level
+    quantize happens in-kernel (no int32 HBM intermediate)."""
     B, H, W = u8.shape
     th, tw = H // gy, W // gx
     rows = u8.reshape(B * gy, th, W)  # FREE
     out = pl.pallas_call(
-        functools.partial(_hist_rows_kernel, th=th, tw=tw),
+        functools.partial(_hist_rows_kernel, th=th, tw=tw,
+                          quantize=quantize_input),
         interpret=interpret,
         grid=(B * gy, gx // 2),
         in_specs=[pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
@@ -1237,19 +1327,22 @@ def clahe_tpu(
     th, tw = h // gy, w // gx
     tile_area = th * tw
 
-    u8 = jnp.clip(jnp.round(img.astype(jnp.float32) * 255.0), 0, 255).astype(
-        jnp.int32
-    )
-
+    x = img.astype(jnp.float32)
     if gx % 2 == 0 and tw % 64 == 0:
         # transpose-free: shares the apply kernel's rows layout. tw must
         # be a MULTIPLE of 64 (not merely >= 64): the kernel places
         # [1, th, 2*tw] blocks at lane offset b*2*tw, which Mosaic
         # requires to be 128-aligned (same constraint as the rows apply
-        # gate fixed in 083e).
-        hists = tile_hists_rows_pallas(u8, gy, gx).reshape(B * gy * gx, NBINS)
+        # gate fixed in 083e). Level quantize runs IN-KERNEL (hist and
+        # apply both) — the int32 levels never touch HBM.
+        hists = tile_hists_rows_pallas(
+            x, gy, gx, quantize_input=True
+        ).reshape(B * gy * gx, NBINS)
+        vin, qin = x, True
     else:
+        u8 = jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.int32)
         hists = tile_hists_pallas(u8, gy, gx).reshape(B * gy * gx, NBINS)
+        vin, qin = u8, False
 
     if convention == "opencv":
         clip_value = jnp.float32(max(int(clip_limit * tile_area / NBINS), 1))
@@ -1258,15 +1351,19 @@ def clahe_tpu(
         lut_scale = jnp.float32(NBINS - 1) / tile_area
         luts = jnp.clip(jnp.rint(cdf * lut_scale), 0, 255)
         luts = luts.reshape(B, gy, gx, NBINS)
-        res = clahe_apply_lut(u8, luts, grid_size, integer_luts=True)
-        out = jnp.clip(jnp.rint(res), 0, 255) / 255.0
+        out = clahe_apply_lut(
+            vin, luts, grid_size, integer_luts=True,
+            quantize_input=qin, finalize="u8norm",
+        )
     elif convention == "fraction":
         clip_value = jnp.float32(max(clip_limit * tile_area, 1.0))
         hists = H._clip_redistribute_fraction(hists, clip_value)
         cdf = jnp.cumsum(hists, axis=1)
         luts = (cdf / tile_area).reshape(B, gy, gx, NBINS)
-        res = clahe_apply_lut(u8, luts, grid_size, integer_luts=False)
-        out = jnp.clip(res, 0.0, 1.0)
+        out = clahe_apply_lut(
+            vin, luts, grid_size, integer_luts=False,
+            quantize_input=qin, finalize="clip01",
+        )
     else:
         raise ValueError(f"unknown CLAHE convention: {convention!r}")
     return out.astype(jnp.float32)

@@ -95,6 +95,80 @@ def test_apply_lut_interpret_matches_jnp(rng, convention):
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+@pytest.mark.parametrize("convention", ["opencv", "fraction"])
+def test_apply_lut_fused_quantize_finalize_matches_unfused(rng, convention):
+    """quantize_input=True (f32 in, level quantize in-kernel) +
+    finalize ('u8norm'/'clip01' epilogue in-kernel) == the unfused
+    int32-in / XLA-epilogue form. clip01 is BIT-equal (same ops, only
+    moved inside the kernel). u8norm is levels-exact with values within
+    1 ULP: the kernel's clip(rint(res)) integer is identical, but the
+    final /255 may be compiled as reciprocal-multiply on one side and
+    true division on the other — a 1-ULP wobble the contract tolerates
+    (cv2 parity is asserted on uint8 LEVELS; see tests/test_clahe.py).
+    Uses a tw%64==0 shape so the tile33 in-kernel path (not the
+    XLA-side fallback) is what's exercised."""
+    from mies_tpu.kernels.clahe import _tile_hists_onehot
+    from mies_tpu.ops.histogram import (
+        _clip_redistribute_fraction,
+        _clip_redistribute_opencv,
+    )
+
+    imgs = jnp.asarray(rng.random((2, 128, 128)).astype(np.float32))
+    grid = (2, 2)  # tw = 64: tile33 path
+    u8 = jnp.clip(jnp.round(imgs * 255.0), 0, 255).astype(jnp.int32)
+    hists = _tile_hists_onehot(u8, *grid).reshape(-1, 256)
+    area = 64 * 64
+    if convention == "opencv":
+        hists = _clip_redistribute_opencv(
+            hists, jnp.float32(max(int(2.0 * area / 256), 1))
+        )
+        cdf = jnp.cumsum(hists, axis=1)
+        luts = jnp.clip(jnp.rint(cdf * (jnp.float32(255) / area)), 0, 255)
+        luts = luts.reshape(2, *grid, 256)
+        res = clahe_apply_lut(u8, luts, grid, integer_luts=True,
+                              interpret=True)
+        want = np.asarray(jnp.clip(jnp.rint(res), 0, 255) / 255.0)
+        got = np.asarray(clahe_apply_lut(
+            imgs, luts, grid, integer_luts=True, interpret=True,
+            quantize_input=True, finalize="u8norm",
+        ))
+    else:
+        hists = _clip_redistribute_fraction(
+            hists, jnp.float32(max(0.02 * area, 1.0))
+        )
+        cdf = jnp.cumsum(hists, axis=1)
+        luts = (cdf / area).reshape(2, *grid, 256)
+        res = clahe_apply_lut(u8, luts, grid, integer_luts=False,
+                              interpret=True)
+        want = np.asarray(jnp.clip(res, 0.0, 1.0))
+        got = np.asarray(clahe_apply_lut(
+            imgs, luts, grid, integer_luts=False, interpret=True,
+            quantize_input=True, finalize="clip01",
+        ))
+    if convention == "opencv":
+        # levels bit-exact; value within 1 ULP of 1.0 (the /255 wobble)
+        np.testing.assert_array_equal(
+            np.rint(got * 255.0), np.rint(want * 255.0)
+        )
+        np.testing.assert_allclose(got, want, atol=1.3e-7, rtol=0)
+    else:
+        np.testing.assert_array_equal(got, want)
+
+
+def test_hists_rows_quantize_input_matches_int(rng):
+    """tile_hists_rows_pallas(quantize_input=True) on f32 [0,1] ==
+    the int32-levels form — the in-kernel clip(round(v*255)) is the
+    same op sequence as the XLA-side quantize."""
+    from mies_tpu.kernels.clahe import tile_hists_rows_pallas
+
+    imgs = jnp.asarray(rng.random((2, 128, 128)).astype(np.float32))
+    u8 = jnp.clip(jnp.round(imgs * 255.0), 0, 255).astype(jnp.int32)
+    want = np.asarray(tile_hists_rows_pallas(u8, 2, 2, interpret=True))
+    got = np.asarray(tile_hists_rows_pallas(imgs, 2, 2, interpret=True,
+                                            quantize_input=True))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("k,sc,ss", [(5, 0.1, 1.5), (3, 0.25, 1.0)])
 def test_bilateral_kernel_interpret_matches_jnp(rng, k, sc, ss):
     from mies_tpu.kernels.bilateral import bilateral_tpu
