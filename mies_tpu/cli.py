@@ -324,12 +324,16 @@ def cmd_train_denoiser(args) -> int:
         from mies_tpu.parallel import make_mesh
 
         mesh = make_mesh()
+    depth = args.depth
+    if depth is None:
+        depth = 2 if args.arch == "unet" else 6
     state, losses, report = train_denoiser(
         steps=args.steps,
         batch=args.batch,
         patch=args.patch,
         features=args.features,
-        depth=args.depth,
+        depth=depth,
+        arch=args.arch,
         sigma=args.noise_sigma,
         mesh=mesh,
         checkpoint_dir=args.output,
@@ -429,8 +433,13 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--patch", type=int, default=64)
+    p.add_argument("--arch", choices=("dncnn", "unet"), default="dncnn",
+                   help="model family: all-3x3 residual CNN or U-Net "
+                        "encoder-decoder (larger receptive field/FLOP)")
     p.add_argument("--features", type=int, default=32)
-    p.add_argument("--depth", type=int, default=6)
+    p.add_argument("--depth", type=int, default=None,
+                   help="dncnn: conv layers (default 6); unet: stride-2 "
+                        "levels (default 2)")
     p.add_argument("--noise-sigma", type=float, default=0.08)
     p.add_argument("--self-supervised", action="store_true",
                    help="Noise2Void blind-spot training: no clean "

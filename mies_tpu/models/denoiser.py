@@ -54,16 +54,41 @@ class _MidBlock(nn.Module):
         return nn.relu(h)
 
 
+def build_model(arch: str = "dncnn", features: int = 32, depth: int = 6):
+    """Model-family registry: ``arch`` in {'dncnn', 'unet'}.
+
+    Both families share the residual contract (module output = noise,
+    denoised = input - noise). For 'unet', ``depth`` is the number of
+    stride-2 levels (2-3 is the useful range; DnCNN's 6+ would shrink
+    a 64-pixel patch past usefulness).
+    """
+    if arch == "dncnn":
+        return DenoiserCNN(features=features, depth=depth)
+    if arch == "unet":
+        from mies_tpu.models.unet import UNetDenoiser
+
+        if not 1 <= depth <= 4:
+            raise ValueError(
+                f"unet depth (stride-2 levels) must be 1..4, got {depth}"
+            )
+        return UNetDenoiser(features=features, levels=depth)
+    raise ValueError(f"unknown denoiser arch {arch!r}; use 'dncnn' or 'unet'")
+
+
 def init_params(
-    rng: jax.Array, features: int = 32, depth: int = 6, patch: int = 64
+    rng: jax.Array, features: int = 32, depth: int = 6, patch: int = 64,
+    arch: str = "dncnn",
 ):
-    model = DenoiserCNN(features=features, depth=depth)
+    model = build_model(arch, features, depth)
     return model.init(rng, jnp.zeros((1, patch, patch, 1), jnp.float32))
 
 
-def denoise(params, img: Array, features: int = 32, depth: int = 6) -> Array:
+def denoise(
+    params, img: Array, features: int = 32, depth: int = 6,
+    arch: str = "dncnn",
+) -> Array:
     """Apply the denoiser to [H, W] float [0,1]; returns [H, W]."""
-    model = DenoiserCNN(features=features, depth=depth)
+    model = build_model(arch, features, depth)
     x = img[None, :, :, None].astype(jnp.float32)
     noise = model.apply(params, x)
     return jnp.clip((x - noise)[0, :, :, 0], 0.0, 1.0)
@@ -74,7 +99,10 @@ def denoise(params, img: Array, features: int = 32, depth: int = 6) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def save_denoiser(path: str | Path, params, features: int, depth: int) -> None:
+def save_denoiser(
+    path: str | Path, params, features: int, depth: int,
+    arch: str = "dncnn",
+) -> None:
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
@@ -82,25 +110,30 @@ def save_denoiser(path: str | Path, params, features: int, depth: int) -> None:
     ckptr.save(path / "params", params, force=True)
     ckptr.wait_until_finished()
     (path / "meta.json").write_text(
-        __import__("json").dumps({"features": features, "depth": depth})
+        __import__("json").dumps(
+            {"features": features, "depth": depth, "arch": arch}
+        )
     )
 
 
 @functools.lru_cache(maxsize=8)
 def load_denoiser(path: str):
-    """Load (params, features, depth) from an orbax checkpoint dir."""
+    """Load (params, features, depth, arch) from an orbax checkpoint
+    dir. Checkpoints written before the model-family registry carry no
+    'arch' key and load as 'dncnn'."""
     import json
 
     import orbax.checkpoint as ocp
 
     p = Path(path).absolute()
     meta = json.loads((p / "meta.json").read_text())
+    arch = meta.get("arch", "dncnn")
     template = init_params(
-        jax.random.PRNGKey(0), meta["features"], meta["depth"]
+        jax.random.PRNGKey(0), meta["features"], meta["depth"], arch=arch
     )
     ckptr = ocp.StandardCheckpointer()
     params = ckptr.restore(p / "params", target=template)
-    return params, meta["features"], meta["depth"]
+    return params, meta["features"], meta["depth"], arch
 
 
 # NOTE: the pipeline's 'learned_denoise' op is a STAGE BUILDER

@@ -18,7 +18,7 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mies_tpu.models.denoiser import DenoiserCNN, init_params
+from mies_tpu.models.denoiser import build_model, init_params
 
 
 @struct.dataclass
@@ -34,6 +34,7 @@ def make_train_step(
     learning_rate: float = 1e-3,
     mesh: Mesh | None = None,
     self_supervised: bool = False,
+    arch: str = "dncnn",
 ) -> tuple[Callable, Callable, optax.GradientTransformation]:
     """Returns (init_fn, train_step).
 
@@ -49,7 +50,7 @@ def make_train_step(
     With a mesh, the batch is sharded over 'data' and params are
     replicated; XLA inserts the gradient all-reduce.
     """
-    model = DenoiserCNN(features=features, depth=depth)
+    model = build_model(arch, features, depth)
     tx = optax.adamw(learning_rate)
 
     def loss_fn(params, noisy, clean):
@@ -81,7 +82,7 @@ def make_train_step(
             return TrainState(params, opt_state, state.step + 1), loss
 
     def init_fn(rng) -> TrainState:
-        params = init_params(rng, features, depth)
+        params = init_params(rng, features, depth, arch=arch)
         return TrainState(params, tx.init(params), 0)
 
     if mesh is None:
@@ -233,7 +234,7 @@ class FileDataset:
 
 
 def _eval_vs_bilateral(params, features: int, depth: int, sigma: float,
-                       seed: int = 1234) -> dict:
+                       seed: int = 1234, arch: str = "dncnn") -> dict:
     """PSNR of the trained denoiser vs the bilateral baseline on a fixed
     held-out phantom set (the VERDICT r1 #10 acceptance check)."""
     from mies_tpu.eval.metrics import psnr
@@ -253,7 +254,8 @@ def _eval_vs_bilateral(params, features: int, depth: int, sigma: float,
         )
 
     model_out = jax.vmap(
-        lambda im: denoise(params, im, features=features, depth=depth)
+        lambda im: denoise(params, im, features=features, depth=depth,
+                           arch=arch)
     )(noisy2d)
     bilat_out = jax.vmap(
         lambda im: denoise_bilateral(im, sigma_color=2 * sigma, sigma_spatial=1.5)
@@ -279,6 +281,7 @@ def train_denoiser(
     data_dir: str | None = None,
     evaluate: bool = False,
     self_supervised: bool = False,
+    arch: str = "dncnn",
 ) -> tuple[TrainState, list[float], dict]:
     """Train the denoiser; returns (state, losses, report).
 
@@ -294,7 +297,8 @@ def train_denoiser(
     synthetic corruption added).
     """
     init_fn, step_fn, _ = make_train_step(
-        features, depth, mesh=mesh, self_supervised=self_supervised
+        features, depth, mesh=mesh, self_supervised=self_supervised,
+        arch=arch,
     )
     state = init_fn(jax.random.PRNGKey(seed))
     rng = np.random.default_rng(seed)
@@ -321,19 +325,22 @@ def train_denoiser(
             losses.append(float(loss))
     report = {
         "steps": steps,
+        "arch": arch,
         "data": data_dir or "synthetic-phantoms",
         "objective": "noise2void" if self_supervised else "noise2clean",
         "final_loss": losses[-1] if losses else None,
     }
     if evaluate:
-        report.update(_eval_vs_bilateral(state.params, features, depth, sigma))
+        report.update(
+            _eval_vs_bilateral(state.params, features, depth, sigma, arch=arch)
+        )
     if checkpoint_dir is not None:
         import json
         from pathlib import Path
 
         from mies_tpu.models.denoiser import save_denoiser
 
-        save_denoiser(checkpoint_dir, state.params, features, depth)
+        save_denoiser(checkpoint_dir, state.params, features, depth, arch=arch)
         (Path(checkpoint_dir) / "train_report.json").write_text(
             json.dumps(report, indent=2) + "\n"
         )

@@ -77,7 +77,7 @@ def _learned_denoise_builder(checkpoint: str):
     from mies_tpu.models.denoiser import denoise, load_denoiser
 
     try:
-        params, features, depth = load_denoiser(checkpoint)
+        params, features, depth, arch = load_denoiser(checkpoint)
     except FileNotFoundError as e:
         raise FileNotFoundError(
             f"learned_denoise stage: checkpoint {checkpoint!r} not found "
@@ -85,7 +85,7 @@ def _learned_denoise_builder(checkpoint: str):
         ) from e
 
     def stage(img):
-        return denoise(params, img, features=features, depth=depth)
+        return denoise(params, img, features=features, depth=depth, arch=arch)
 
     return stage
 

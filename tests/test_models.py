@@ -44,8 +44,8 @@ def test_checkpoint_roundtrip_and_denoise(tmp_path):
         steps=30, batch=8, patch=32, features=8, depth=4,
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
-    params, features, depth = load_denoiser(str(tmp_path / "ckpt"))
-    assert features == 8 and depth == 4
+    params, features, depth, arch = load_denoiser(str(tmp_path / "ckpt"))
+    assert features == 8 and depth == 4 and arch == "dncnn"
     rng = np.random.default_rng(2)
     noisy, clean = synth_batch(rng, 1, 64)
     out = np.asarray(
@@ -164,3 +164,85 @@ def test_n2v_sharded_step_runs(rng):
         state, jnp.asarray(masked), jnp.asarray(target), jnp.asarray(mask)
     )
     assert np.isfinite(float(loss)) and int(state.step) == 1
+
+
+# ---------------------------------------------------------------------------
+# U-Net model family (models/unet.py)
+# ---------------------------------------------------------------------------
+
+
+def test_unet_train_loss_decreases():
+    state, losses, report = train_denoiser(
+        steps=40, batch=8, patch=32, features=8, depth=2, arch="unet",
+        log_every=39,
+    )
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert report["arch"] == "unet"
+    assert state.step == 40
+
+
+def test_unet_odd_shapes_and_range(rng):
+    """The internal reflect-pad makes arbitrary shapes work: a 37x51
+    image round-trips at its own shape with output in [0, 1]."""
+    from mies_tpu.models.denoiser import init_params
+
+    import jax
+
+    params = init_params(jax.random.PRNGKey(0), 8, 2, arch="unet")
+    img = jnp.asarray(rng.random((37, 51)).astype(np.float32))
+    out = np.asarray(denoise(params, img, features=8, depth=2, arch="unet"))
+    assert out.shape == (37, 51)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_unet_checkpoint_roundtrip_and_pipeline(tmp_path):
+    """arch travels in meta.json; learned_denoise restores a U-Net
+    checkpoint without being told the family."""
+    train_denoiser(
+        steps=20, batch=8, patch=32, features=8, depth=2, arch="unet",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    params, features, depth, arch = load_denoiser(str(tmp_path / "ck"))
+    assert (features, depth, arch) == (8, 2, "unet")
+
+    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.pipeline.compiler import compile_pipeline
+
+    cfg = PipelineConfig.make(
+        [("learned_denoise", {"checkpoint": str(tmp_path / "ck")})],
+        name="unet-denoise",
+    )
+    rng = np.random.default_rng(5)
+    img = rng.random((70, 70)).astype(np.float32)  # not a 2^levels multiple
+    out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_unet_sharded_step_matches_single_device():
+    from mies_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    init_fn, step_sharded, _ = make_train_step(8, 2, mesh=mesh, arch="unet")
+    _, step_single, _ = make_train_step(8, 2, mesh=None, arch="unet")
+
+    state_a = init_fn(jax.random.PRNGKey(0))
+    state_b = init_fn(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    noisy, clean = synth_batch(rng, 16, 32)
+    a1, loss_a = step_sharded(state_a, jnp.asarray(noisy), jnp.asarray(clean))
+    b1, loss_b = step_single(state_b, jnp.asarray(noisy), jnp.asarray(clean))
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=1e-5)
+    # atol 2e-5 (2 % of one lr=1e-3 step): adamw's step-1 m/(sqrt(v)+eps)
+    # normalization amplifies the sharded mean's reduction-order noise
+    # on near-zero grads; the loss equality above is the tight check
+    for x, y in zip(jax.tree.leaves(a1.params), jax.tree.leaves(b1.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-5)
+
+
+def test_build_model_rejects_unknown_and_bad_depth():
+    from mies_tpu.models.denoiser import build_model
+
+    with pytest.raises(ValueError, match="unknown denoiser arch"):
+        build_model("resnet", 8, 4)
+    with pytest.raises(ValueError, match="levels"):
+        build_model("unet", 8, 9)
