@@ -101,6 +101,17 @@ def equalize_hist(img: Array, nbins: int = NBINS) -> Array:
     # Bin index per pixel; pixels at `hi` land in the last bin.
     idx = jnp.clip(((img - lo) / span * nbins).astype(jnp.int32), 0, nbins - 1)
     hist = _global_hist_onehot(idx.ravel(), nbins)
+    return _equalize_from_hist(img, lo, span, hist, nbins)
+
+
+def _equalize_from_hist(
+    img: Array, lo: Array, span: Array, hist: Array, nbins: int
+) -> Array:
+    """CDF + interpolation half of ``equalize_hist``, split out so the
+    z-sharded volume path (parallel/volume_shard.py) can feed a
+    psum-combined global histogram through the IDENTICAL arithmetic
+    (integer counts sum exactly in f32, so sharded == unsharded bit
+    for bit)."""
     cdf = jnp.cumsum(hist)
     cdf = cdf / cdf[-1]
 

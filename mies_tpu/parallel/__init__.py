@@ -8,7 +8,11 @@ transitive NCCL wheels). The TPU-native scaling story implemented here:
   via ``shard_map``, metrics reduced with ``psum`` over ICI;
 * spatial sharding — the domain's ring-attention analogue (SURVEY.md
   section 5.7): one oversized slice split into row bands across chips,
-  stencil ops made exact with halo exchange via ``lax.ppermute``.
+  stencil ops made exact with halo exchange via ``lax.ppermute``;
+* volume z-sharding — the same idea one dimension up: a whole [Z, H, W]
+  volume sharded into z-slabs, 3-D stencils halo-exchanged, clahe3d on
+  tile-aligned z-bands with one LUT all_gather, global statistics via
+  pmin/pmax/psum (``volume_shard_apply``).
 
 Everything works identically on N fake CPU devices
 (``--xla_force_host_platform_device_count=N``) — that is how CI tests it.
@@ -22,6 +26,7 @@ from mies_tpu.parallel.halo import (
     halo_extend_rows,
     spatial_shard_apply,
 )
+from mies_tpu.parallel.volume_shard import clahe3d_band, volume_shard_apply
 
 __all__ = [
     "init_distributed",
@@ -33,4 +38,6 @@ __all__ = [
     "spatial_shard_apply",
     "batch_spatial_shard_apply",
     "clahe_spatial_shard",
+    "clahe3d_band",
+    "volume_shard_apply",
 ]

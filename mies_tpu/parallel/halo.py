@@ -30,9 +30,11 @@ from mies_tpu.pipeline.config import PipelineConfig
 def halo_extend_rows(
     x: jax.Array, halo: int, axis_name: str, mode: str = "nearest"
 ) -> jax.Array:
-    """Extend a row-band [h, W] by `halo` rows on each side.
+    """Extend a band by `halo` positions on each side of AXIS 0.
 
-    Interior boundaries receive true neighbor rows via two ppermutes
+    Rank-agnostic: [h, W] row bands of a sharded slice and [z, H, W]
+    slab bands of a z-sharded volume both shard on axis 0. Interior
+    boundaries receive true neighbor rows/slabs via two ppermutes
     (up-ring and down-ring — both directions of the ICI links); global
     boundaries fall back to the local border-mode rows, matching what
     the unsharded op's padding would produce.
@@ -43,8 +45,9 @@ def halo_extend_rows(
         return x
 
     # global edges: reproduce the border mode locally
-    pad_top = jnp.pad(x, ((halo, 0), (0, 0)), mode=_PAD_MODE[mode])[:halo]
-    pad_bot = jnp.pad(x, ((0, halo), (0, 0)), mode=_PAD_MODE[mode])[-halo:]
+    pad_w = ((halo, halo),) + ((0, 0),) * (x.ndim - 1)
+    pad_top = jnp.pad(x, pad_w, mode=_PAD_MODE[mode])[:halo]
+    pad_bot = jnp.pad(x, pad_w, mode=_PAD_MODE[mode])[-halo:]
     if n == 1:
         # degenerate mesh: both boundaries are global edges, but the
         # caller still crops `halo` rows per stage — extend locally so

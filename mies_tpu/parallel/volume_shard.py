@@ -1,0 +1,384 @@
+"""Z-sharded volume pipelines: one [Z, H, W] SPMD program over the mesh.
+
+The 3-D sibling of ``parallel.halo.spatial_shard_apply`` (SURVEY.md
+section 5.7's "long-context analogue", section 2d's SP row): a CT/MRI
+volume too large for one chip's HBM is sharded into z-slabs across the
+mesh's 'space' axis and the WHOLE volume chain runs as one SPMD
+program, bit-exact vs the unsharded ``compile_volume_pipeline``:
+
+- 3-D stencil stages (gaussian/median/unsharp/guided) extend their slab
+  with real neighbor slices over ICI (``halo_extend_rows`` on axis 0 —
+  two ppermutes per stage) and crop after.
+- ``clahe3d`` shards on z-TILE boundaries: each device histograms only
+  its own tiles (exact — tiles never straddle devices when gz divides
+  by the axis size), the per-tile LUTs are all-gathered (tiny:
+  gz*gy*gx*256 floats, independent of volume size), and each device
+  runs the trilinear apply at its global z offset.
+- Global-statistics stages use collectives: ``normalize`` /
+  ``rescale_intensity`` take pmin/pmax (min/max are associative — bit
+  cheap and exact), ``equalize_hist`` psums the per-device histogram
+  (integer counts sum exactly in f32) and reuses the unsharded
+  interpolation arithmetic verbatim.
+- Pointwise stages run locally.
+
+Communication per step: two slab ppermutes per stencil stage, one
+all_gather of the LUT grid per clahe3d, one pmin/pmax or psum(256) per
+global stage — everything rides ICI; nothing scales with volume size
+except the stencil halos (halo * H * W voxels).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mies_tpu.ops import histogram as H
+from mies_tpu.ops import intensity as I
+from mies_tpu.ops import volume3d as V
+from mies_tpu.parallel.halo import halo_extend_rows
+from mies_tpu.pipeline.compiler import _quantize_u8
+from mies_tpu.pipeline.config import PipelineConfig
+
+NBINS = H.NBINS
+
+
+# ---------------------------------------------------------------------------
+# clahe3d on a z-slab band
+# ---------------------------------------------------------------------------
+
+
+def _trilinear_zband_gather(u8, luts, grid, Z: int, z0):
+    """Gather form of the z-band trilinear apply (CPU backends).
+
+    Identical arithmetic to ops.volume3d._apply_luts_trilinear_gather
+    with the z axis weights computed from GLOBAL slice indices
+    (z0 + local z): the per-voxel output depends only on the voxel's
+    value and its global position, so a band needs no neighbor voxels —
+    only the full (all-gathered) LUT grid.
+    """
+    gz, gy, gx = grid
+    zb, h, w = u8.shape
+    tz, th, tw = Z // gz, h // gy, w // gx
+
+    # global-z weights: same f32 expression as _axis_weights, evaluated
+    # at indices z0..z0+zb (exact: ints < 2^24 in f32)
+    inv = jnp.float32(1.0) / jnp.float32(tz)
+    f = (z0 + jnp.arange(zb, dtype=jnp.int32)).astype(jnp.float32) * inv - (
+        jnp.float32(0.5)
+    )
+    zlo_f = jnp.floor(f)
+    za = f - zlo_f
+    zlo = jnp.maximum(zlo_f.astype(jnp.int32), 0)
+    zhi = jnp.minimum(zlo_f.astype(jnp.int32) + 1, gz - 1)
+    ylo, yhi, ya = V._axis_weights(h, th, gy)
+    xlo, xhi, xa = V._axis_weights(w, tw, gx)
+
+    def corner(zi, yi, xi):
+        return luts[
+            zi[:, None, None], yi[None, :, None], xi[None, None, :], u8
+        ]
+
+    zab = za[:, None, None]
+    yab = ya[None, :, None]
+    xab = xa[None, None, :]
+    c00 = corner(zlo, ylo, xlo) * (1.0 - xab) + corner(zlo, ylo, xhi) * xab
+    c01 = corner(zlo, yhi, xlo) * (1.0 - xab) + corner(zlo, yhi, xhi) * xab
+    c10 = corner(zhi, ylo, xlo) * (1.0 - xab) + corner(zhi, ylo, xhi) * xab
+    c11 = corner(zhi, yhi, xlo) * (1.0 - xab) + corner(zhi, yhi, xhi) * xab
+    c0 = c00 * (1.0 - yab) + c01 * yab
+    c1 = c10 * (1.0 - yab) + c11 * yab
+    return c0 * (1.0 - zab) + c1 * zab
+
+
+def _trilinear_zband_selection(u8, luts, grid, Z: int, z0, integer_luts):
+    """Gatherless (selection-by-matmul) z-band trilinear apply — the TPU
+    form, mirroring ops.volume3d._apply_luts_trilinear_selection with
+    the cell decomposition relocated by the band's global z offset.
+
+    Per-voxel independence makes the half-tile z padding FREE of
+    communication: padded positions produce outputs that are cropped
+    (they belong to the neighbor band, which computes them from its own
+    real voxels), so local edge padding is sufficient — only the cell
+    ids (offset by z0 // tz into the all-gathered LUT grid) and the z
+    fracs (global indices) must be global.
+    """
+    gz, gy, gx = grid
+    zb, h, w = u8.shape
+    tz, th, tw = Z // gz, h // gy, w // gx
+    pz, py, px = tz // 2, th // 2, tw // 2
+    pads = ((pz, tz - pz), (py, th - py), (px, tw - px))
+    up = jnp.pad(u8, pads, mode="edge")
+    nz1b = zb // tz + 1  # local z cells (+1: cells straddle tile bounds)
+    ny1, nx1 = gy + 1, gx + 1
+    p_vox = tz * th * tw
+    nb = nz1b * ny1 * nx1
+
+    def to_blocks(vol):
+        return (
+            vol.reshape(nz1b, tz, ny1, th, nx1, tw)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(nb, p_vox)
+        )
+
+    blocks = to_blocks(up)
+    lp = jnp.pad(luts, ((1, 1), (1, 1), (1, 1), (0, 0)), mode="edge")
+    c0 = z0 // tz  # first global z cell of this band (traced)
+    lpz = lax.dynamic_slice_in_dim(lp, c0, nz1b + 1, axis=0)
+    m8 = jnp.stack(
+        [
+            lpz[ez : ez + nz1b, ey : ey + ny1, ex : ex + nx1]
+            for ez in range(2)
+            for ey in range(2)
+            for ex in range(2)
+        ],
+        axis=3,
+    ).reshape(nb, 8, NBINS)
+
+    sels = H._select_blocks(blocks, m8, NBINS, integer_maps=integer_luts)
+
+    # weights: y/x as the full volume; z from GLOBAL indices (padded
+    # positions get out-of-range garbage — their outputs are cropped)
+    _, _, ya = V._axis_weights(h, th, gy)
+    _, _, xa = V._axis_weights(w, tw, gx)
+    yap = jnp.pad(ya, pads[1], mode="edge")
+    xap = jnp.pad(xa, pads[2], mode="edge")
+    inv = jnp.float32(1.0) / jnp.float32(tz)
+    zg = z0 + jnp.arange(zb + tz, dtype=jnp.int32) - pz
+    fz = zg.astype(jnp.float32) * inv - jnp.float32(0.5)
+    zap = fz - jnp.floor(fz)
+
+    shape_p = (zb + tz, h + th, w + tw)
+    zab = to_blocks(jnp.broadcast_to(zap[:, None, None], shape_p))
+    yab = to_blocks(jnp.broadcast_to(yap[None, :, None], shape_p))
+    xab = to_blocks(jnp.broadcast_to(xap[None, None, :], shape_p))
+
+    c00 = sels[:, :, 0] * (1.0 - xab) + sels[:, :, 1] * xab
+    c01 = sels[:, :, 2] * (1.0 - xab) + sels[:, :, 3] * xab
+    c10 = sels[:, :, 4] * (1.0 - xab) + sels[:, :, 5] * xab
+    c11 = sels[:, :, 6] * (1.0 - xab) + sels[:, :, 7] * xab
+    c0_ = c00 * (1.0 - yab) + c01 * yab
+    c1_ = c10 * (1.0 - yab) + c11 * yab
+    res = c0_ * (1.0 - zab) + c1_ * zab
+
+    resp = (
+        res.reshape(nz1b, ny1, nx1, tz, th, tw)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(*shape_p)
+    )
+    return resp[pz : pz + zb, py : py + h, px : px + w]
+
+
+def clahe3d_band(
+    band,
+    clip_limit: float = 2.0,
+    grid_size: tuple[int, int, int] = (4, 8, 8),
+    convention: str = "opencv",
+    axis_name: str = "space",
+):
+    """clahe3d on one z-slab of a sharded volume (inside a shard_map).
+
+    Requirements: gz divisible by the axis size; the slab's Z by the
+    local tiles; H, W by gy, gx. Bit-exact vs the unsharded
+    ops.volume3d.clahe3d — local tile histograms, ONE LUT all_gather,
+    local trilinear apply at the global z offset. Returns float [0,1].
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    gz, gy, gx = grid_size
+    if gz % n:
+        raise ValueError(f"grid z {gz} not divisible by axis size {n}")
+    zb, h, w = band.shape
+    gz_local = gz // n
+    if zb % gz_local or h % gy or w % gx:
+        raise ValueError(
+            f"slab {band.shape} not tile-aligned for grid {grid_size}"
+        )
+    if convention not in ("opencv", "fraction"):
+        raise ValueError(
+            f"convention {convention!r} does not z-shard (skimage regions "
+            "straddle slab boundaries); use opencv or fraction"
+        )
+    tz, th, tw = zb // gz_local, h // gy, w // gx
+    tile_vox = tz * th * tw
+
+    u8 = jnp.clip(
+        jnp.round(band.astype(jnp.float32) * 255.0), 0, 255
+    ).astype(jnp.int32)
+    hists = V._tile_hists_3d(u8, (gz_local, gy, gx))
+
+    if convention == "opencv":
+        clip_value = jnp.float32(max(int(clip_limit * tile_vox / NBINS), 1))
+        hists = H._clip_redistribute_opencv(hists, clip_value)
+        cdf = jnp.cumsum(hists, axis=1)
+        luts_local = jnp.clip(
+            jnp.rint(cdf * (jnp.float32(NBINS - 1) / tile_vox)), 0, 255
+        )
+    else:
+        clip_value = jnp.float32(max(clip_limit * tile_vox, 1.0))
+        hists = H._clip_redistribute_fraction(hists, clip_value)
+        cdf = jnp.cumsum(hists, axis=1)
+        luts_local = cdf / tile_vox
+
+    luts_local = luts_local.reshape(gz_local, gy, gx, NBINS)
+    # the ONE collective: the full LUT grid everywhere (tiny)
+    luts = lax.all_gather(luts_local, axis_name, tiled=True)
+
+    Z = zb * n
+    z0 = idx * zb
+    if jax.default_backend() == "tpu":
+        res = _trilinear_zband_selection(
+            u8, luts, grid_size, Z, z0,
+            integer_luts=(convention == "opencv"),
+        )
+    else:
+        res = _trilinear_zband_gather(u8, luts, grid_size, Z, z0)
+
+    if convention == "opencv":
+        out = jnp.clip(jnp.rint(res), 0, 255) / 255.0
+    else:
+        out = jnp.clip(res, 0.0, 1.0)
+    return out.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# per-stage z sharding rules
+# ---------------------------------------------------------------------------
+
+
+def volume_stage_z_field(op: str, params: dict) -> int:
+    """z-slice radius a volume stage reads beyond its output voxel."""
+    if op in ("gaussian_blur3d", "unsharp_mask3d"):
+        sigma = params.get("sigma", params.get("radius", 1.0))
+        truncate = params.get("truncate", 4.0)
+        return int(truncate * float(sigma) + 0.5)
+    if op == "median_blur3d":
+        return params.get("kernel_size", 3) // 2
+    if op == "guided_blur3d":
+        return 2 * (params.get("kernel_size", 3) // 2)
+    _LOCAL = {
+        # pointwise, or global-stat ops the band fn handles explicitly
+        "window_hu", "adjust_gamma", "adjust_log", "adjust_sigmoid",
+        "invert", "normalize_meanstd", "denormalize_meanstd",
+        "clahe3d", "normalize", "rescale_intensity", "equalize_hist",
+    }
+    if op not in _LOCAL:
+        raise ValueError(f"op {op!r} is not z-shardable")
+    return 0
+
+
+def _build_zslab_fn(
+    cfg: PipelineConfig, quantize: bool, axis_name: str
+) -> Callable:
+    """Per-device slab function for a z-sharded volume chain."""
+    from mies_tpu.pipeline.compiler import _volume_registry
+
+    reg = _volume_registry()
+    stages = []
+    for s in cfg.stages:
+        params = s.kwargs()
+        if s.op not in reg:
+            raise ValueError(
+                f"op {s.op!r} is not volume-capable; available: {sorted(reg)}"
+            )
+        volume_stage_z_field(s.op, params)  # reject non-shardable early
+        stages.append((s.op, params))
+
+    def slab_fn(slab):  # [Z/n, H, W] on each device
+        x = slab
+        for op, params in stages:
+            if op == "clahe3d":
+                p = dict(params)
+                p.pop("kernel_size", None)
+                x = clahe3d_band(x, axis_name=axis_name, **p)
+            elif op in ("gaussian_blur3d", "median_blur3d",
+                        "unsharp_mask3d"):
+                r = volume_stage_z_field(op, params)
+                mode = params.get("mode", "nearest")
+                fn = functools.partial(reg[op], **params)
+                if r == 0:
+                    x = fn(x)
+                else:
+                    ext = halo_extend_rows(x, r, axis_name, mode=mode)
+                    x = fn(ext)[r:-r]
+            elif op == "guided_blur3d":
+                from mies_tpu.ops.filters import _guided_dataflow
+
+                k = params.get("kernel_size", 3)
+                eps = params.get("eps", 1e-2)
+                gmode = params.get("mode", "reflect")
+                rb = k // 2
+
+                def fbox(v, _k=k, _m=gmode, _r=rb):
+                    # each box halo-wraps individually: reflect(a(x)) !=
+                    # a(reflect(x)) at the global edges (same subtlety
+                    # the 2-D guided band hit — parallel/halo.py)
+                    if _r == 0:
+                        return V._box3d(v, _k, _m)
+                    ext = halo_extend_rows(v, _r, axis_name, mode=_m)
+                    return V._box3d(ext, _k, _m)[_r:-_r]
+
+                x = _guided_dataflow(fbox, x.astype(jnp.float32), eps)
+            elif op == "normalize":
+                lo = lax.pmin(jnp.min(x), axis_name)
+                hi = lax.pmax(jnp.max(x), axis_name)
+                eps = params.get("eps", 1e-12)
+                x = (x - lo) / jnp.maximum(hi - lo, eps)
+            elif op == "rescale_intensity":
+                in_range = params.get("in_range")
+                if in_range is None:
+                    imin = lax.pmin(jnp.min(x), axis_name)
+                    imax = lax.pmax(jnp.max(x), axis_name)
+                else:
+                    imin = jnp.asarray(in_range[0], x.dtype)
+                    imax = jnp.asarray(in_range[1], x.dtype)
+                omin, omax = params.get("out_range", (0.0, 1.0))
+                xc = jnp.clip(x, imin, imax)
+                scale = (omax - omin) / jnp.maximum(imax - imin, 1e-12)
+                x = (xc - imin) * scale + omin
+            elif op == "equalize_hist":
+                nbins = params.get("nbins", NBINS)
+                x = x.astype(jnp.float32)
+                lo = lax.pmin(jnp.min(x), axis_name)
+                hi = lax.pmax(jnp.max(x), axis_name)
+                span = jnp.maximum(hi - lo, 1e-12)
+                idx8 = jnp.clip(
+                    ((x - lo) / span * nbins).astype(jnp.int32), 0, nbins - 1
+                )
+                hist = lax.psum(
+                    H._global_hist_onehot(idx8.ravel(), nbins), axis_name
+                )
+                x = H._equalize_from_hist(x, lo, span, hist, nbins)
+            else:  # pointwise
+                x = functools.partial(reg[op], **params)(x)
+        return _quantize_u8(x) if quantize else x
+
+    return slab_fn
+
+
+def volume_shard_apply(
+    cfg: PipelineConfig,
+    mesh: Mesh,
+    quantize: bool = True,
+    axis_name: str = "space",
+) -> Callable:
+    """Compile cfg into ONE SPMD program z-sharding a [Z, H, W] volume.
+
+    Z must be divisible by the 'space' axis size (and clahe3d's gz by
+    the axis size, Z by gz). The result equals
+    ``compile_volume_pipeline(cfg, quantize)`` on the whole volume bit
+    for bit — tests/test_parallel.py proves it per stage and for mixed
+    chains on the 8-device CPU mesh.
+    """
+    sharded = shard_map(
+        _build_zslab_fn(cfg, quantize, axis_name),
+        mesh=mesh,
+        in_specs=P(axis_name, None, None),
+        out_specs=P(axis_name, None, None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

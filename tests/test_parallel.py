@@ -408,3 +408,163 @@ def test_enhance_volume_with_mesh(rng):
     sharded = runner.enhance_volume(vol, cfg, slab_size=8, mesh=make_mesh())
     single = runner.enhance_volume(vol, cfg, slab_size=8)
     np.testing.assert_array_equal(sharded, single)
+
+
+# ---------------------------------------------------------------------------
+# z-sharded volume SPMD (parallel/volume_shard.py)
+# ---------------------------------------------------------------------------
+
+
+def _vol(rng, z=32, h=64, w=64):
+    return rng.random((z, h, w)).astype(np.float32)
+
+
+@pytest.mark.parametrize("space", [2, 4, 8])
+@pytest.mark.parametrize("convention", ["opencv", "fraction"])
+def test_clahe3d_zband_exact(rng, space, convention):
+    from mies_tpu.parallel import clahe3d_band, make_mesh, volume_shard_apply
+    from mies_tpu.ops.volume3d import clahe3d
+
+    vol = _vol(rng)
+    mesh = make_mesh(space=space)
+    cfg = PipelineConfig.make(
+        [("clahe3d", {"clip_limit": 2.0, "grid_size": (8, 4, 4),
+                      "convention": convention})],
+        name="zclahe",
+    )
+    out = np.asarray(volume_shard_apply(cfg, mesh, quantize=False)(
+        jnp.asarray(vol)))
+    ref = np.asarray(clahe3d(
+        jnp.asarray(vol), 2.0, (8, 4, 4), convention))
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("op,params", [
+    ("gaussian_blur3d", {"sigma": 1.5}),
+    ("median_blur3d", {"kernel_size": 3}),
+    ("unsharp_mask3d", {"radius": 1.0, "amount": 1.0}),
+])
+def test_volume_stencils_zsharded_exact(rng, op, params):
+    from mies_tpu.parallel import make_mesh, volume_shard_apply
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+    vol = _vol(rng)
+    mesh = make_mesh(space=4)
+    cfg = PipelineConfig.make([(op, params)], name=f"z-{op}")
+    out = np.asarray(volume_shard_apply(cfg, mesh, quantize=False)(
+        jnp.asarray(vol)))
+    ref = np.asarray(compile_volume_pipeline(cfg, quantize=False)(
+        jnp.asarray(vol)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_volume_guided_zsharded(rng):
+    """guided_blur3d's nested boxes: each box halo-wraps individually.
+    XLA:CPU FMA-contracts the deep guided graph differently between the
+    two programs (1-ULP f32 wobble), so the assertion is the repo's
+    cross-program level contract, like the 2-D guided band test."""
+    from mies_tpu.parallel import make_mesh, volume_shard_apply
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+    vol = _vol(rng)
+    mesh = make_mesh(space=4)
+    cfg = PipelineConfig.make(
+        [("guided_blur3d", {"kernel_size": 3, "eps": 1e-2})], name="z-gd")
+    out = np.asarray(volume_shard_apply(cfg, mesh)(jnp.asarray(vol)))
+    ref = np.asarray(compile_volume_pipeline(cfg)(jnp.asarray(vol)))
+    _assert_shard_matches(out, ref)
+
+
+@pytest.mark.parametrize("op,params", [
+    ("normalize", {}),
+    ("rescale_intensity", {}),
+    ("equalize_hist", {}),
+])
+def test_volume_global_stats_zsharded_exact(rng, op, params):
+    """Global-statistics stages: pmin/pmax/psum'd histogram must equal
+    the whole-volume reductions bit for bit."""
+    from mies_tpu.parallel import make_mesh, volume_shard_apply
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+    vol = _vol(rng) * 0.7 + 0.1  # non-trivial range for the rescales
+    mesh = make_mesh(space=8)
+    cfg = PipelineConfig.make([(op, params)], name=f"z-{op}")
+    out = np.asarray(volume_shard_apply(cfg, mesh, quantize=False)(
+        jnp.asarray(vol)))
+    ref = np.asarray(compile_volume_pipeline(cfg, quantize=False)(
+        jnp.asarray(vol)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_volume_chain_single_spmd_program(rng):
+    """A mixed chain — pointwise, clahe3d band, stencil halo, global
+    stats — runs as ONE z-sharded SPMD program, levels equal to the
+    unsharded volume program."""
+    from mies_tpu.parallel import make_mesh, volume_shard_apply
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+    vol = _vol(rng)
+    mesh = make_mesh(space=4)
+    cfg = PipelineConfig.make(
+        [("adjust_gamma", {"gamma": 0.9}),
+         ("clahe3d", {"clip_limit": 2.0, "grid_size": (4, 4, 4)}),
+         ("unsharp_mask3d", {"radius": 1.0, "amount": 0.5}),
+         ("normalize", {})],
+        name="z-chain",
+    )
+    out = np.asarray(volume_shard_apply(cfg, mesh)(jnp.asarray(vol)))
+    ref = np.asarray(compile_volume_pipeline(cfg)(jnp.asarray(vol)))
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_volume_zshard_rejections(rng):
+    from mies_tpu.parallel import make_mesh, volume_shard_apply
+
+    mesh = make_mesh(space=4)
+    # 2-D-only op is not volume-capable
+    with pytest.raises(ValueError, match="not volume-capable"):
+        volume_shard_apply(
+            PipelineConfig.make([("bilateral_blur", {})], name="bad"), mesh
+        )
+    # skimage convention does not z-shard
+    cfg = PipelineConfig.make(
+        [("clahe3d", {"convention": "skimage"})], name="badsk")
+    with pytest.raises(ValueError, match="does not z-shard"):
+        np.asarray(volume_shard_apply(cfg, mesh)(
+            jnp.asarray(_vol(rng))))
+    # grid z not divisible by axis size
+    cfg2 = PipelineConfig.make(
+        [("clahe3d", {"grid_size": (2, 4, 4)})], name="badgz")
+    with pytest.raises(ValueError, match="not divisible by axis size"):
+        np.asarray(volume_shard_apply(cfg2, mesh)(
+            jnp.asarray(_vol(rng))))
+
+
+@pytest.mark.parametrize("integer_luts", [True, False])
+def test_zband_selection_matches_gather(rng, integer_luts):
+    """The TPU (selection-by-matmul) and CPU (gather) forms of the
+    z-band trilinear apply are the same arithmetic — CPU tests only
+    exercise the gather branch inside shard_map, so this pins the
+    selection form directly (both are plain jnp; selection is exact for
+    integer LUTs under HIGH and for fraction LUTs under HIGHEST)."""
+    from mies_tpu.parallel.volume_shard import (
+        _trilinear_zband_gather,
+        _trilinear_zband_selection,
+    )
+
+    grid = (8, 4, 4)
+    Z = 32
+    zb = 8  # band of device 2 of 4
+    z0 = jnp.int32(16)
+    u8 = jnp.asarray(
+        rng.integers(0, 256, (zb, 32, 32)).astype(np.int32))
+    if integer_luts:
+        luts = jnp.asarray(
+            rng.integers(0, 256, (8, 4, 4, 256)).astype(np.float32))
+    else:
+        luts = jnp.asarray(rng.random((8, 4, 4, 256)).astype(np.float32))
+    sel = np.asarray(_trilinear_zband_selection(
+        u8, luts, grid, Z, z0, integer_luts))
+    gat = np.asarray(_trilinear_zband_gather(u8, luts, grid, Z, z0))
+    np.testing.assert_allclose(sel, gat, atol=2e-5 if not integer_luts else 0)

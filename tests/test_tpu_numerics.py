@@ -106,3 +106,7 @@ def test_sharded_clahe_levels(consistency):
 
 def test_clahe3d_skimage(consistency):
     _case(consistency, "clahe3d_skimage_vs_cpu")
+
+
+def test_zsharded_clahe3d_levels(consistency):
+    _case(consistency, "zsharded_clahe3d_vs_unsharded")

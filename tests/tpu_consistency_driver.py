@@ -306,6 +306,33 @@ def main() -> int:
         "max_level": dl, "ok": dl == 0.0,
     }
 
+    # 9. z-sharded clahe3d (space=1) vs unsharded — exercises the
+    # TPU selection form of the z-band trilinear apply ON CHIP (CPU CI
+    # runs the gather branch; the selection branch is TPU-only)
+    from mies_tpu.ops.volume3d import clahe3d
+    from mies_tpu.parallel import volume_shard_apply
+    from mies_tpu.pipeline.config import PipelineConfig
+
+    vol = jnp.asarray(rng.random((32, 128, 128)).astype(np.float32))
+    zcfg = PipelineConfig.make(
+        [("clahe3d", {"clip_limit": 2.0, "grid_size": (4, 4, 4)})],
+        name="zvol",
+    )
+    zsh = np.rint(
+        np.asarray(
+            volume_shard_apply(zcfg, make_mesh(space=1), quantize=False)(vol)
+        ) * 255.0
+    )
+    zun = np.rint(
+        np.asarray(jax.jit(
+            lambda v: clahe3d(v, 2.0, (4, 4, 4), "opencv")
+        )(vol)) * 255.0
+    )
+    dz = float(np.abs(zsh - zun).max())
+    out["cases"]["zsharded_clahe3d_vs_unsharded"] = {
+        "max_level": dz, "ok": dz == 0.0,
+    }
+
     out["ok"] = all(
         case.get("ok", True) for case in out["cases"].values()
     )
