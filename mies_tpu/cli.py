@@ -195,16 +195,28 @@ def cmd_enhance_volume(args) -> int:
         return 0
     vol, meta = load_volume(args.input, var_name=args.var)
     if args.mode == "3d":
-        if getattr(args, "data_parallel", False):
-            raise SystemExit(
-                "--data-parallel is not supported with --mode 3d "
-                "(the volumetric program is not batch-sharded)"
-            )
         import jax.numpy as jnp
 
-        from mies_tpu.pipeline.compiler import compile_volume_pipeline
+        if getattr(args, "data_parallel", False):
+            # multi-device volumetric mode: z-shard the WHOLE volume
+            # across every device as one SPMD program (3-D stencil slab
+            # halos, clahe3d z-bands, psum'd global statistics)
+            import jax
 
-        out = np.asarray(compile_volume_pipeline(cfg)(jnp.asarray(vol)))
+            from mies_tpu.parallel import make_mesh, volume_shard_apply
+
+            n = len(jax.devices())
+            if vol.shape[0] % n:
+                raise SystemExit(
+                    f"--data-parallel with --mode 3d z-shards the volume: "
+                    f"Z={vol.shape[0]} must divide by the {n} devices"
+                )
+            fn = volume_shard_apply(cfg, make_mesh(data=1, space=n))
+        else:
+            from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+            fn = compile_volume_pipeline(cfg)
+        out = np.asarray(fn(jnp.asarray(vol)))
     else:
         out = runner.enhance_volume(
             vol, cfg, slab_size=args.slab, progress=not args.quiet,
@@ -408,8 +420,10 @@ def main(argv=None) -> int:
                    help="disk-to-disk slab streaming (O(slab) host memory; "
                         "output .nc/.npy/DICOM dir)")
     p.add_argument("--data-parallel", action="store_true",
-                   help="shard each slab over all devices (slab must "
-                        "divide by the device count)")
+                   help="shard over all devices: slice mode shards each "
+                        "slab's batch; --mode 3d z-shards the whole "
+                        "volume as one SPMD program (Z must divide by "
+                        "the device count)")
     p.add_argument("-q", "--quiet", action="store_true")
     p.set_defaults(fn=cmd_enhance_volume)
 

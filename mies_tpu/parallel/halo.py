@@ -43,6 +43,12 @@ def halo_extend_rows(
     idx = lax.axis_index(axis_name)
     if halo <= 0:
         return x
+    if n > 1 and halo > x.shape[0]:
+        raise ValueError(
+            f"halo {halo} exceeds the local band size {x.shape[0]} "
+            f"(single-hop neighbor exchange); use fewer devices along "
+            f"the axis or larger bands"
+        )
 
     # global edges: reproduce the border mode locally
     pad_w = ((halo, halo),) + ((0, 0),) * (x.ndim - 1)

@@ -575,3 +575,44 @@ def test_chain_with_unsharp_gauss_pair_matches_unfused(rng):
 
     want = np.asarray(jax.vmap(ref_one)(jnp.asarray(batch)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_cli_enhance_volume_3d_data_parallel(tmp_path):
+    """--mode 3d --data-parallel z-shards the whole volume as one SPMD
+    program over all (8 fake) devices; output equals the unsharded 3-D
+    run at the repo's cross-program level contract."""
+    import json as _json
+
+    from mies_tpu import cli
+    from mies_tpu.io.volume import load_volume, save_volume
+
+    vol = np.random.default_rng(11).integers(
+        -500, 1500, (64, 32, 32), dtype=np.int16)
+    src = tmp_path / "ct.npz"
+    save_volume(src, vol, var_name="hu")
+    cfg = tmp_path / "c.json"
+    cfg.write_text(_json.dumps({"name": "z3d", "pipeline": [
+        {"op": "window_hu", "center": 40.0, "width": 400.0},
+        {"op": "clahe3d", "clip_limit": 2.0, "grid_size": [8, 4, 4]},
+        {"op": "unsharp_mask3d", "radius": 1.0, "amount": 0.5},
+    ]}))
+    out_sh = tmp_path / "sh.npz"
+    out_un = tmp_path / "un.npz"
+    assert cli.main(["enhance-volume", str(src), "-c", str(cfg),
+                     "-o", str(out_sh), "--mode", "3d",
+                     "--data-parallel", "-q"]) == 0
+    assert cli.main(["enhance-volume", str(src), "-c", str(cfg),
+                     "-o", str(out_un), "--mode", "3d", "-q"]) == 0
+    sh, _ = load_volume(out_sh)
+    un, _ = load_volume(out_un)
+    d = np.abs(sh.astype(int) - un.astype(int))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
+    # Z not divisible by the device count is a clean error
+    bad = np.zeros((9, 32, 32), np.int16)
+    src2 = tmp_path / "bad.npz"
+    save_volume(src2, bad, var_name="hu")
+    with pytest.raises(SystemExit, match="must divide"):
+        cli.main(["enhance-volume", str(src2), "-c", str(cfg),
+                  "-o", str(tmp_path / "x.npz"), "--mode", "3d",
+                  "--data-parallel", "-q"])
