@@ -323,6 +323,192 @@ def _apply33_kernel(
         out_ref[0, row : row + 1, :] = res
 
 
+def _apply33z_kernel(
+    v_ref,    # [1, th, 2*tw]: two adjacent tiles of one slice's tile-row
+    lut_ref,  # [1, 1, 2, 18, 256]: per half, z-lo 3x3 stack ++ z-hi stack
+    out_ref,  # [1, th, 2*tw] f32
+    *,
+    th: int,
+    tw: int,
+    gy: int,
+    gx: int,
+    tz: int,
+    split: bool,
+    quantize: bool = False,
+    finalize: str | None = None,
+):
+    """Trilinear (3-D CLAHE) apply in ONE tile33-style pass: the volume
+    is the rows layout [Z*gy, th, W], each program owns two tiles of one
+    slice's tile-row, and the z interpolation happens IN-KERNEL — one
+    onehot mask per row, ONE [36, 256] x [256, 2tw] dot (both z-planes'
+    3x3 stacks stacked on sublanes; an MXU dot is one pass for any
+    M <= 128, so doubling M from the 2-D kernel's 18 is free), two
+    4-corner blends, and a scalar z-lerp with za derived from the
+    program id (z = a // gy; za = frac(z * (1/tz) - 0.5) — the same f32
+    ops as ops.volume3d._axis_weights; no clamp needed: at the global z
+    edges both planes are the same LUT, so the lerp is degenerate).
+
+    vs the two-2-D-applies decomposition this halves the mask builds —
+    the dominant cost of the apply family (docs/KERNELS.md round 4) —
+    and reads the image once instead of twice.
+    """
+    w2 = 2 * tw
+    a = pl.program_id(0)  # z * gy + i
+    bcol = pl.program_id(1)
+    i = jax.lax.rem(a, gy)
+    z = jax.lax.div(a, gy)
+
+    inv_th = np.float32(1.0 / th)
+    inv_tw = np.float32(1.0 / tw)
+    inv_tz = np.float32(1.0 / tz)
+    lk = jnp.concatenate([lut_ref[0, 0, 0], lut_ref[0, 0, 1]], axis=0)
+    if split:
+        lk = _split_luts(lk)
+
+    zf = z.astype(jnp.float32) * inv_tz - np.float32(0.5)
+    za = zf - jnp.floor(zf)            # scalar
+    zb = np.float32(1.0) - za
+
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1)
+    half = c >= tw
+    j0 = bcol * 2
+    jl = j0 + half.astype(jnp.int32)
+    left = (c - half.astype(jnp.int32) * tw) < (tw // 2)
+    lx = jnp.logical_and(left, jl > 0)
+    rx = jnp.logical_and(jnp.logical_not(left), jl < gx - 1)
+    xg = (j0 * tw + c).astype(jnp.float32)
+    txf = xg * inv_tw - np.float32(0.5)
+    xa = txf - jnp.floor(txf)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (NBINS, w2), 0)
+
+    win = v_ref[0]
+    if quantize:
+        win = jnp.clip(
+            jnp.round(win * np.float32(255.0)), 0.0, 255.0
+        ).astype(jnp.int32)
+    for row in range(th):
+        v = win[row : row + 1, :]
+        mask = _onehot256(v, bins)
+        sel = _select_luts(lk, mask, split)  # [36, w2]
+        s0 = jnp.where(half, sel[18:27], sel[0:9])
+        s1 = jnp.where(half, sel[27:36], sel[9:18])
+
+        yg = (i * th + row).astype(jnp.float32)
+        tyf = yg * inv_th - np.float32(0.5)
+        ya = tyf - jnp.floor(tyf)
+
+        def blend(s):
+            if row < th // 2:
+                g1 = jnp.where(i > 0, s[0:3], s[3:6])
+                g2 = s[3:6]
+            else:
+                g1 = s[3:6]
+                g2 = jnp.where(i < gy - 1, s[6:9], s[3:6])
+            v11 = jnp.where(lx, g1[0:1], g1[1:2])
+            v12 = jnp.where(lx, g1[1:2], jnp.where(rx, g1[2:3], g1[1:2]))
+            v21 = jnp.where(lx, g2[0:1], g2[1:2])
+            v22 = jnp.where(lx, g2[1:2], jnp.where(rx, g2[2:3], g2[1:2]))
+            return (v11 * (np.float32(1.0) - xa) + v12 * xa) * (
+                np.float32(1.0) - ya
+            ) + (v21 * (np.float32(1.0) - xa) + v22 * xa) * ya
+
+        r0 = blend(s0).astype(jnp.float32)
+        r1 = blend(s1).astype(jnp.float32)
+        res = r0 * zb + r1 * za
+        if finalize == "u8norm":
+            res = jnp.clip(jnp.rint(res), 0.0, 255.0) / np.float32(255.0)
+        elif finalize == "clip01":
+            res = jnp.clip(res, 0.0, 1.0)
+        out_ref[0, row : row + 1, :] = res
+
+
+def tile33z_supported(
+    shape: tuple[int, int, int], grid: tuple[int, int, int]
+) -> bool:
+    """Shape gate for the fused 3-D tile33-z apply (same alignment rules
+    as the 2-D tile33 path, plus z tile-divisibility)."""
+    z, h, w = shape
+    gz, gy, gx = grid
+    if z % gz or h % gy or w % gx or gx % 2:
+        return False
+    tz, th, tw = z // gz, h // gy, w // gx
+    return tw % 64 == 0 and th % 2 == 0 and (th * tw) % 128 == 0 and tz % 2 == 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid", "integer_luts", "interpret", "quantize_input", "finalize",
+    ),
+)
+def clahe3d_apply_tile33z(
+    vin: Array,
+    luts: Array,
+    grid: tuple[int, int, int],
+    integer_luts: bool = True,
+    interpret: bool = False,
+    quantize_input: bool = False,
+    finalize: str | None = None,
+) -> Array:
+    """Fused 3-D CLAHE apply: [Z, H, W] levels (or f32 [0,1] with
+    quantize_input) x [gz, gy, gx, 256] LUTs -> [Z, H, W] f32.
+
+    Bit-exact vs ops.volume3d._apply_luts_trilinear_gather (tested).
+    The LUT operand is per-z-CELL, not per-slice: only gz+1 distinct
+    (zlo, zhi) plane pairs exist (lpz = edge-padded z axis; cell k
+    reads lpz[k] and lpz[k+1]), and the kernel's lut index_map routes
+    each slice-row program to its cell's stack — [gz+1, gy, gx, 36*256]
+    instead of [Z, ...], 1/tz of the HBM.
+    """
+    gz, gy, gx = grid
+    Z, H, W = vin.shape
+    tz, th, tw = Z // gz, H // gy, W // gx
+    rows = vin.reshape(Z * gy, th, W)  # FREE
+
+    lpz = jnp.pad(luts, ((1, 1), (0, 0), (0, 0), (0, 0)), mode="edge")
+
+    def stack9(l):  # [gz+1, gy, gx, 256] -> [gz+1, gy, gx, 9, 256]
+        lp = jnp.pad(l, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        return jnp.stack(
+            [lp[:, dy : dy + gy, dx : dx + gx]
+             for dy in range(3) for dx in range(3)],
+            axis=3,
+        )
+
+    s18 = jnp.concatenate(
+        [stack9(lpz[: gz + 1]), stack9(lpz[1 : gz + 2])], axis=3
+    )  # [gz+1, gy, gx, 18, 256]
+    cl_in = s18.astype(jnp.bfloat16) if integer_luts else s18
+    cl_in = cl_in.reshape((gz + 1) * gy, gx // 2, 2, 18, NBINS)
+
+    hz = tz // 2
+    kernel = functools.partial(
+        _apply33z_kernel, th=th, tw=tw, gy=gy, gx=gx, tz=tz,
+        split=not integer_luts, quantize=quantize_input, finalize=finalize,
+    )
+    out = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(Z * gy, gx // 2),
+        in_specs=[
+            pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, 2, 18, NBINS),
+                # z-cell of slice a//gy is (a//gy + tz//2) // tz
+                lambda a, b: (
+                    ((a // gy + hz) // tz) * gy + a % gy, b, 0, 0, 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Z * gy, th, W), jnp.float32),
+    )(rows, cl_in)
+    return out.reshape(Z, H, W)
+
+
 def _finalize_xla(res: Array, finalize: str | None) -> Array:
     """XLA-side twin of the in-kernel ``finalize`` epilogue — used by
     the apply paths that don't fold it into their Pallas kernel."""

@@ -149,6 +149,58 @@ def _apply_luts_trilinear_selection(
     return resp[pz : pz + z, py : py + h, px : px + w]
 
 
+def _apply_luts_trilinear_2d2(
+    u8: Array, luts: Array, grid: tuple[int, int, int],
+    integer_luts: bool, interpret: bool = False,
+) -> Array:
+    """Trilinear apply as TWO batched 2-D applies + one z-lerp.
+
+    The z lerp is the OUTER blend of the OpenCV op order
+    (x -> y -> z): out = c0*(1-za) + c1*za where c0/c1 are full 2-D
+    bilinear applies of the slice against the zlo/zhi LUT planes — and
+    the 2-D machinery (kernels.clahe.clahe_apply_lut) computes exactly
+    those c's: identical weight formula (idx * f32-reciprocal - 0.5,
+    unclipped-floor clamping) and identical x->y blend order. So the
+    volume becomes a batch of Z slices with per-slice (z-blend-selected)
+    LUT grids, the 8-corner blocks decomposition — and its two 6-D
+    transposes, which cost more than the selection kernel itself
+    (docs/KERNELS.md round 4) — disappears, and each voxel builds ONE
+    onehot per 2-D apply instead of rematerializing blocks.
+
+    Bit-exact vs _apply_luts_trilinear_gather/_selection (regression-
+    pinned in tests/test_volume3d.py); per-slice LUT planes are
+    selected by onehot einsum (no gather), exact for integer LUTs under
+    HIGH and for fraction LUTs under HIGHEST (pure selection).
+    """
+    from mies_tpu.kernels.clahe import clahe_apply_lut
+
+    gz, gy, gx = grid
+    z = u8.shape[0]
+    tz = z // gz
+    zlo, zhi, za = _axis_weights(z, tz, gz)
+    flat = luts.reshape(gz, gy * gx * NBINS)
+    iz = jnp.arange(gz, dtype=jnp.int32)
+    prec = (
+        jax.lax.Precision.HIGH if integer_luts else jax.lax.Precision.HIGHEST
+    )
+    oh_lo = (zlo[:, None] == iz).astype(jnp.float32)
+    oh_hi = (zhi[:, None] == iz).astype(jnp.float32)
+    L0 = jnp.einsum("zg,gk->zk", oh_lo, flat, precision=prec).reshape(
+        z, gy, gx, NBINS
+    )
+    L1 = jnp.einsum("zg,gk->zk", oh_hi, flat, precision=prec).reshape(
+        z, gy, gx, NBINS
+    )
+    c0 = clahe_apply_lut(
+        u8, L0, (gy, gx), integer_luts=integer_luts, interpret=interpret
+    )
+    c1 = clahe_apply_lut(
+        u8, L1, (gy, gx), integer_luts=integer_luts, interpret=interpret
+    )
+    za3 = za[:, None, None]
+    return c0 * (np.float32(1.0) - za3) + c1 * za3
+
+
 def _apply_luts_trilinear_gather(
     u8: Array, luts: Array, grid: tuple[int, int, int]
 ) -> Array:
@@ -345,9 +397,43 @@ def clahe3d(
     tz, th, tw = z // gz, h // gy, w // gx
     tile_vox = tz * th * tw
 
-    u8 = jnp.clip(jnp.round(vol.astype(jnp.float32) * 255.0), 0, 255).astype(
-        jnp.int32
-    )
+    x = vol.astype(jnp.float32)
+    if jax.default_backend() == "tpu" and convention == "opencv":
+        from mies_tpu.kernels.clahe import (
+            clahe3d_apply_tile33z,
+            tile33z_supported,
+            tile_hists_rows_pallas,
+        )
+
+        if tile33z_supported(vol.shape, grid_size) and tw % 64 == 0:
+            # fully-fused fast path: rows-layout Pallas histograms
+            # (batch = Z slices, per-z-tile sums are exact integer f32
+            # adds) + the tile33-z apply, both with IN-KERNEL level
+            # quantize and the u8norm epilogue folded into the apply —
+            # the int32 levels never touch HBM, and the 6-D block
+            # transposes of the old selection path are gone entirely
+            # (docs/KERNELS.md rounds 4-5).
+            hists = tile_hists_rows_pallas(
+                x, gy, gx, quantize_input=True
+            )  # [Z, gy, gx, 256]
+            hists = (
+                hists.reshape(gz, tz, gy, gx, NBINS)
+                .sum(axis=1)
+                .reshape(gz * gy * gx, NBINS)
+            )
+            clip_value = jnp.float32(
+                max(int(clip_limit * tile_vox / NBINS), 1)
+            )
+            hists = H._clip_redistribute_opencv(hists, clip_value)
+            cdf = jnp.cumsum(hists, axis=1)
+            luts = jnp.clip(
+                jnp.rint(cdf * (jnp.float32(NBINS - 1) / tile_vox)), 0, 255
+            ).reshape(gz, gy, gx, NBINS)
+            return clahe3d_apply_tile33z(
+                x, luts, grid_size, quantize_input=True, finalize="u8norm"
+            )
+
+    u8 = jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.int32)
     hists = _tile_hists_3d(u8, grid_size)
 
     if convention == "opencv":
@@ -364,9 +450,29 @@ def clahe3d(
         raise ValueError(f"unknown CLAHE convention: {convention!r}")
     luts = luts.reshape(gz, gy, gx, NBINS)
     if jax.default_backend() == "tpu":
-        res = _apply_luts_trilinear_selection(
-            u8, luts, grid_size, integer_luts=(convention == "opencv")
+        from mies_tpu.kernels.clahe import (
+            clahe3d_apply_tile33z,
+            tile33z_supported,
         )
+
+        if convention == "opencv" and tile33z_supported(vol.shape, grid_size):
+            # the fused tile33-z kernel: ONE onehot per voxel-row, one
+            # [36,256] dot, in-kernel z-lerp — no 6-D block transposes
+            # (docs/KERNELS.md round 4/5)
+            res = clahe3d_apply_tile33z(u8, luts, grid_size)
+        elif convention == "opencv":
+            # two 2-D applies + outer z-lerp: bit-exact, no 6-D block
+            # transposes (they cost more than the selection kernel —
+            # docs/KERNELS.md round 4; measured 2.99 -> see ledger).
+            # Fraction LUTs stay on _selection: the 2-D kernel's bf16
+            # hi/lo split is exact only for integer values.
+            res = _apply_luts_trilinear_2d2(
+                u8, luts, grid_size, integer_luts=True
+            )
+        else:
+            res = _apply_luts_trilinear_selection(
+                u8, luts, grid_size, integer_luts=False
+            )
     else:
         # CPU keeps the fast advanced-indexing gather (selection-by-
         # matmul is the slow form off-TPU), matching the 2-D dispatch

@@ -110,3 +110,7 @@ def test_clahe3d_skimage(consistency):
 
 def test_zsharded_clahe3d_levels(consistency):
     _case(consistency, "zsharded_clahe3d_vs_unsharded")
+
+
+def test_clahe3d_tile33z_fast_path(consistency):
+    _case(consistency, "clahe3d_opencv_t33z_vs_cpu")

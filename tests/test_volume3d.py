@@ -275,3 +275,25 @@ def test_volume_pipeline_with_new_3d_ops(vol):
     )
     out = np.asarray(compile_volume_pipeline(cfg)(jnp.asarray(vol)))
     assert out.shape == vol.shape and out.dtype == np.uint8
+
+
+def test_trilinear_2d2_bit_equals_gather(rng):
+    """The two-2D-applies + z-lerp decomposition (the TPU opencv fast
+    path) is bit-identical to the 8-corner gather form: same weight
+    formula, same x->y->z blend order, selection exact for integer
+    LUTs. Interpret mode exercises the real Pallas kernel bodies."""
+    from mies_tpu.ops.volume3d import (
+        _apply_luts_trilinear_2d2,
+        _apply_luts_trilinear_gather,
+    )
+
+    for grid, shape in [((4, 4, 4), (16, 64, 64)),
+                        ((2, 4, 2), (8, 32, 64))]:
+        u8 = jnp.asarray(
+            rng.integers(0, 256, shape).astype(np.int32))
+        luts = jnp.asarray(
+            rng.integers(0, 256, (*grid, 256)).astype(np.float32))
+        ref = np.asarray(_apply_luts_trilinear_gather(u8, luts, grid))
+        got = np.asarray(_apply_luts_trilinear_2d2(
+            u8, luts, grid, integer_luts=True, interpret=True))
+        np.testing.assert_array_equal(got, ref)

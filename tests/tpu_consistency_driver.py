@@ -259,6 +259,24 @@ def main() -> int:
             )
         )(jax.device_put(vol, cpu)))
     dl = np.abs(np.rint(t * 255.0) - np.rint(c * 255.0))
+    # 7b. the fused tile33-z fast path (tw % 64 == 0 shapes): rows-hist
+    # + in-kernel quantize + z-lerp apply + folded u8norm epilogue —
+    # the 32x128x128 case above has tw=32 and exercises the 2d2 path
+    vol2 = jnp.asarray(rng.random((16, 256, 256)).astype(np.float32))
+    f3b = lambda v: clahe3d.__wrapped__(
+        v, clip_limit=2.0, grid_size=(4, 4, 4), convention="opencv"
+    )
+    t2 = np.asarray(jax.jit(f3b)(vol2))
+    with mock.patch.object(jax, "default_backend", lambda: "cpu"):
+        c2 = np.asarray(jax.jit(
+            lambda v: clahe3d.__wrapped__(
+                v, clip_limit=2.0, grid_size=(4, 4, 4), convention="opencv"
+            )
+        )(jax.device_put(vol2, cpu)))
+    dl2 = float(np.abs(np.rint(t2 * 255.0) - np.rint(c2 * 255.0)).max())
+    out["cases"]["clahe3d_opencv_t33z_vs_cpu"] = {
+        "max_level": dl2, "ok": dl2 <= 1.0,
+    }
     out["cases"]["clahe3d_opencv_vs_cpu"] = {
         "max_level": float(dl.max()),
         "ok": float(dl.max()) <= 1.0,
