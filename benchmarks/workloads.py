@@ -71,6 +71,39 @@ def workload_configs():
     }
 
 
+def run_clahe3d(quick: bool = False) -> dict:
+    """Volumetric CLAHE throughput (the tile33-z fused path,
+    docs/KERNELS.md round 5): opencv clahe3d on a 32x512x512 float
+    volume, whole-volume jit. Reported as z-slices/s so the floors
+    machinery gates it like the 2-D workloads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+    from mies_tpu.pipeline.config import PipelineConfig
+    from mies_tpu.utils.profiling import time_fn
+
+    cfg = PipelineConfig.make(
+        [("clahe3d", {"clip_limit": 2.0, "grid_size": (4, 8, 8),
+                      "convention": "opencv"})],
+        name="w6",
+    )
+    z = 32
+    vol = jnp.asarray(
+        np.random.default_rng(0).random((z, 512, 512), dtype=np.float32)
+    )
+    fn = compile_volume_pipeline(cfg, quantize=False)
+    t = time_fn(fn, vol, iters=8 if quick else 24)["ms_per_call"]
+    return {
+        "workload": "w6_clahe3d_volume",
+        "ms_per_volume": t,
+        "slices_per_sec": z / t * 1000.0,
+        "shape": [z, 512, 512],
+        "backend": jax.default_backend(),
+    }
+
+
 def volume_chain():
     from mies_tpu.pipeline.presets import flagship_volume_config
 
@@ -175,10 +208,13 @@ def main() -> int:
     from mies_tpu.pipeline.runner import time_pipeline
 
     configs = workload_configs()
+    if args.only == "w6_clahe3d_volume":
+        print(json.dumps(run_clahe3d(quick=args.quick)))
+        return 0
     if args.only and args.only not in configs:
         print(
             f"error: unknown workload {args.only!r}; available: "
-            f"{sorted(configs)}",
+            f"{sorted(configs) + ['w6_clahe3d_volume']}",
             file=sys.stderr,
         )
         return 2
@@ -231,6 +267,7 @@ def main() -> int:
         print(json.dumps(res))
     if not args.only:
         print(json.dumps(run_latency(quick=args.quick)))
+        print(json.dumps(run_clahe3d(quick=args.quick)))
     if args.volume:
         print(json.dumps(run_volume_stream(quick=args.quick)))
     return 0

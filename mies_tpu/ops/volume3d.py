@@ -405,7 +405,7 @@ def clahe3d(
             tile_hists_rows_pallas,
         )
 
-        if tile33z_supported(vol.shape, grid_size) and tw % 64 == 0:
+        if tile33z_supported(vol.shape, grid_size):
             # fully-fused fast path: rows-layout Pallas histograms
             # (batch = Z slices, per-z-tile sums are exact integer f32
             # adds) + the tile33-z apply, both with IN-KERNEL level
@@ -450,22 +450,14 @@ def clahe3d(
         raise ValueError(f"unknown CLAHE convention: {convention!r}")
     luts = luts.reshape(gz, gy, gx, NBINS)
     if jax.default_backend() == "tpu":
-        from mies_tpu.kernels.clahe import (
-            clahe3d_apply_tile33z,
-            tile33z_supported,
-        )
-
-        if convention == "opencv" and tile33z_supported(vol.shape, grid_size):
-            # the fused tile33-z kernel: ONE onehot per voxel-row, one
-            # [36,256] dot, in-kernel z-lerp — no 6-D block transposes
-            # (docs/KERNELS.md round 4/5)
-            res = clahe3d_apply_tile33z(u8, luts, grid_size)
-        elif convention == "opencv":
-            # two 2-D applies + outer z-lerp: bit-exact, no 6-D block
-            # transposes (they cost more than the selection kernel —
-            # docs/KERNELS.md round 4; measured 2.99 -> see ledger).
-            # Fraction LUTs stay on _selection: the 2-D kernel's bf16
-            # hi/lo split is exact only for integer values.
+        # tile33z-eligible opencv shapes already returned via the fully-
+        # fused fast path above, so TPU opencv here means tw % 64 != 0:
+        # two 2-D applies + outer z-lerp — bit-exact, no 6-D block
+        # transposes (they cost more than the selection kernel —
+        # docs/KERNELS.md rounds 4-5; 64x256x256 measured 2.99 -> 2.67).
+        # Fraction LUTs stay on _selection: the 2-D kernel's bf16 hi/lo
+        # split is exact only for integer values.
+        if convention == "opencv":
             res = _apply_luts_trilinear_2d2(
                 u8, luts, grid_size, integer_luts=True
             )

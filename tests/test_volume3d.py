@@ -297,3 +297,41 @@ def test_trilinear_2d2_bit_equals_gather(rng):
         got = np.asarray(_apply_luts_trilinear_2d2(
             u8, luts, grid, integer_luts=True, interpret=True))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_tile33z_bit_equals_gather(rng):
+    """The fused tile33-z kernel (the TPU fast path for tw % 64 == 0)
+    == the 8-corner gather twin, BIT-equal in interpret mode — the
+    repo's kernel-twin invariant (CLAUDE.md): fake-device CI must pin
+    the kernel body, not just the chip driver's level contract."""
+    from mies_tpu.kernels.clahe import (
+        clahe3d_apply_tile33z,
+        tile33z_supported,
+    )
+    from mies_tpu.ops.volume3d import _apply_luts_trilinear_gather
+
+    for grid, shape in [((4, 4, 4), (16, 64, 256)),
+                        ((2, 2, 2), (8, 32, 128))]:
+        assert tile33z_supported(shape, grid)
+        u8 = jnp.asarray(rng.integers(0, 256, shape).astype(np.int32))
+        luts = jnp.asarray(
+            rng.integers(0, 256, (*grid, 256)).astype(np.float32))
+        ref = np.asarray(_apply_luts_trilinear_gather(u8, luts, grid))
+        got = np.asarray(clahe3d_apply_tile33z(
+            u8, luts, grid, interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
+        # the fused production form: f32 in (in-kernel quantize) +
+        # folded u8norm epilogue — levels bit-exact, values within the
+        # /255 reciprocal-vs-division ULP (same contract as the 2-D
+        # fused test in tests/test_kernels.py)
+        imgs = jnp.asarray(rng.random(shape).astype(np.float32))
+        u8b = jnp.clip(jnp.round(imgs * 255.0), 0, 255).astype(jnp.int32)
+        res = _apply_luts_trilinear_gather(u8b, luts, grid)
+        want = np.asarray(jnp.clip(jnp.rint(res), 0, 255) / 255.0)
+        got2 = np.asarray(clahe3d_apply_tile33z(
+            imgs, luts, grid, interpret=True,
+            quantize_input=True, finalize="u8norm"))
+        np.testing.assert_array_equal(
+            np.rint(got2 * 255.0), np.rint(want * 255.0))
+        np.testing.assert_allclose(got2, want, atol=1.3e-7, rtol=0)
