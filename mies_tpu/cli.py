@@ -79,39 +79,9 @@ def cmd_enhance(args) -> int:
             import numpy as np
 
             from mies_tpu.eval.metrics import evaluate
-            from mies_tpu.io.image import from_float, load_image
+            from mies_tpu.eval.report import reference_u8
 
-            raw = load_image(
-                inputs[0], dtype="raw",
-                channels=cfg.io_dict().get("channels"),
-            )
-            if raw.dtype == np.int16:
-                # int16 HU (single-file DICOM): the clinically meaningful
-                # "original" is the same window the chain applies
-                from mies_tpu.ops.intensity import window_hu
-
-                wstage = next(
-                    (s for s in cfg.stages if s.op == "window_hu"), None
-                )
-                if wstage is not None:
-                    orig = from_float(
-                        np.asarray(window_hu(raw, **wstage.kwargs()))
-                    )
-                else:
-                    lo, hi = np.percentile(raw, (1.0, 99.0))
-                    orig = from_float(
-                        np.clip(
-                            (raw.astype(np.float32) - lo)
-                            / max(hi - lo, 1e-6),
-                            0.0, 1.0,
-                        )
-                    )
-            else:
-                orig = from_float(
-                    load_image(
-                        inputs[0], channels=cfg.io_dict().get("channels")
-                    )
-                )
+            orig = reference_u8(inputs[0], cfg)
             if orig.shape != out.shape:
                 print(
                     f"error: --report/--run-report metrics need a "
@@ -302,6 +272,22 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from mies_tpu.serve import serve
+
+    warmup = None
+    if args.warmup:
+        try:
+            h, w = (int(x) for x in args.warmup.lower().split("x"))
+            warmup = (h, w)
+        except ValueError:
+            raise SystemExit(
+                f"--warmup expects HxW (e.g. 512x512), got {args.warmup!r}"
+            )
+    serve(args.config, host=args.host, port=args.port, warmup=warmup)
+    return 0
+
+
 def cmd_ops(args) -> int:
     """Print the op registry as JSON: params, defaults, constraints."""
     import inspect
@@ -462,6 +448,19 @@ def main(argv=None) -> int:
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
     p.set_defaults(fn=cmd_train_denoiser)
+
+    p = sub.add_parser(
+        "serve",
+        help="HTTP inference server: warm-compiled POST /enhance "
+             "endpoint (see mies_tpu/serve.py)",
+    )
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--warmup", default=None, metavar="HxW",
+                   help="compile this input shape before the socket "
+                        "opens, e.g. 512x512")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("ops", help="list every pipeline op with its "
                                    "params, defaults, and constraints")

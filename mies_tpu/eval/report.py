@@ -14,6 +14,40 @@ from pathlib import Path
 import numpy as np
 
 
+def reference_u8(input_path, cfg) -> np.ndarray:
+    """The uint8 'original' an enhanced output should be scored against.
+
+    float/uint8 sources: the loaded image on the 0..255 scale. int16 HU
+    (single-file DICOM): raw HU vs [0,1] output is meaningless, so the
+    clinically meaningful original is the SAME window the chain applies
+    (its ``window_hu`` stage; 1st..99th percentile if the chain has
+    none). Shared by the CLI's --report/--metrics and the HTTP server's
+    ?metrics= (one definition of the comparison baseline).
+    """
+    from mies_tpu.io.image import from_float, load_image
+
+    raw = load_image(
+        input_path, dtype="raw", channels=cfg.io_dict().get("channels")
+    )
+    if raw.dtype == np.int16:
+        from mies_tpu.ops.intensity import window_hu
+
+        wstage = next(
+            (s for s in cfg.stages if s.op == "window_hu"), None
+        )
+        if wstage is not None:
+            return from_float(np.asarray(window_hu(raw, **wstage.kwargs())))
+        lo, hi = np.percentile(raw, (1.0, 99.0))
+        return from_float(
+            np.clip(
+                (raw.astype(np.float32) - lo) / max(hi - lo, 1e-6), 0.0, 1.0
+            )
+        )
+    return from_float(
+        load_image(input_path, channels=cfg.io_dict().get("channels"))
+    )
+
+
 def save_comparison_report(
     original: np.ndarray,
     enhanced: np.ndarray,

@@ -1,0 +1,206 @@
+"""HTTP inference serving: a warm-compiled enhancement endpoint.
+
+The CLI pays process startup + (first-call) XLA compile per invocation;
+clinical integrations (PACS hooks, modality gateways) want a resident
+process that holds the compiled programs and answers over HTTP. This is
+that front end — stdlib only (``http.server``), one process, the same
+``pipeline.runner`` path as the CLI:
+
+  GET  /healthz            liveness + backend + compiled-shape count
+  GET  /config             the active pipeline config (JSON)
+  POST /enhance            body = image bytes (PNG/JPEG/TIFF/DICOM);
+                           responds image/png (uint8). The input format
+                           is taken from Content-Type or ``?filename=``
+                           (DICOM needs one of them; PNG/JPEG/TIFF
+                           sniff fine either way). ``?metrics=psnr,ssim``
+                           adds an ``X-Mies-Metrics`` JSON header
+                           computed against the (windowed) input.
+
+Programs are compiled per input shape on first use and cached for the
+life of the process (``compile_pipeline``'s lru cache); a ``--warmup
+HxW`` shape compiles before the socket opens so the first real request
+is fast. Requests are served from a threading server — JAX dispatch is
+thread-safe, and the GIL serializes the cheap host work.
+
+Role analogue: the reference's torch stack is routinely fronted by
+exactly such a process (SURVEY.md section 1b CLI/scripts layer); no
+reference code exists (section 0), so the surface is self-defined.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from mies_tpu.pipeline.config import PipelineConfig
+
+_SUFFIX_BY_TYPE = {
+    "image/png": ".png",
+    "image/jpeg": ".jpg",
+    "image/tiff": ".tif",
+    "application/dicom": ".dcm",
+}
+
+
+class _State:
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.shapes: set = set()
+        self.lock = threading.Lock()
+
+
+def _enhance_bytes(state: _State, body: bytes, suffix: str,
+                   metric_names: list[str]) -> tuple[bytes, dict | None]:
+    """Decode -> compiled chain -> PNG bytes (+ optional metrics)."""
+    from PIL import Image
+
+    from mies_tpu.pipeline.runner import enhance_image
+
+    with tempfile.NamedTemporaryFile(suffix=suffix or ".png") as f:
+        f.write(body)
+        f.flush()
+        out = enhance_image(f.name, state.cfg)
+        metrics = None
+        if metric_names:
+            from mies_tpu.eval.metrics import evaluate
+            from mies_tpu.eval.report import reference_u8
+
+            ref = reference_u8(f.name, state.cfg)
+            if ref.shape != out.shape:
+                raise ValueError(
+                    f"metrics need a shape-preserving chain (input "
+                    f"{ref.shape} vs output {out.shape})"
+                )
+            if out.ndim == 3:  # per-channel: mean over C
+                m = [evaluate(ref[c], out[c], tuple(metric_names))
+                     for c in range(out.shape[0])]
+                metrics = {
+                    k: float(np.mean([mi[k] for mi in m])) for k in m[0]
+                }
+            else:
+                metrics = evaluate(ref, out, tuple(metric_names))
+    with state.lock:
+        state.shapes.add(out.shape[-2:])
+    buf = io.BytesIO()
+    if out.ndim == 3:  # [C, H, W] per-channel -> interleaved RGB-ish
+        arr = np.moveaxis(out, 0, -1)
+        arr = arr[..., :3] if arr.shape[-1] >= 3 else arr[..., 0]
+    else:
+        arr = out
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue(), metrics
+
+
+def make_server(
+    cfg: PipelineConfig, host: str = "127.0.0.1", port: int = 8080
+) -> ThreadingHTTPServer:
+    """Build (not start) the serving HTTPServer for ``cfg``."""
+    state = _State(cfg)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                import jax
+
+                self._json(200, {
+                    "status": "ok",
+                    "backend": jax.default_backend(),
+                    "pipeline": state.cfg.name,
+                    "compiled_shapes": sorted(map(list, state.shapes)),
+                })
+            elif path == "/config":
+                self._json(200, state.cfg.to_dict())
+            else:
+                self._json(404, {"error": f"no route {path!r}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/enhance":
+                self._json(404, {"error": f"no route {url.path!r}"})
+                return
+            q = parse_qs(url.query)
+            n = int(self.headers.get("Content-Length", 0))
+            if n <= 0:
+                self._json(400, {"error": "empty body"})
+                return
+            body = self.rfile.read(n)
+            fname = q.get("filename", [""])[0]
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            suffix = (
+                Path(fname).suffix.lower()
+                or _SUFFIX_BY_TYPE.get(ctype.strip().lower(), "")
+            )
+            metric_names = [
+                m for ms in q.get("metrics", []) for m in ms.split(",") if m
+            ]
+            try:
+                png, metrics = _enhance_bytes(
+                    state, body, suffix, metric_names
+                )
+            except Exception as e:  # noqa: BLE001 — per-request isolation
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(png)))
+            if metrics is not None:
+                self.send_header("X-Mies-Metrics", json.dumps(metrics))
+            self.end_headers()
+            self.wfile.write(png)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(
+    config_path: str | Path,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    warmup: tuple[int, int] | None = None,
+) -> None:
+    """Blocking entry: load config, optional warm compile, serve."""
+    from mies_tpu.pipeline.config import load_config
+    from mies_tpu.pipeline.compiler import compile_pipeline
+    from mies_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = load_config(config_path)
+    if warmup is not None:
+        import jax.numpy as jnp
+
+        h, w = warmup
+        # requests ingest RAW integer pixels (enhance_image ships
+        # dtype='raw': uint8 PNGs, uint16 16-bit, int16 DICOM) — warm
+        # the uint8 signature, the overwhelmingly common one
+        np.asarray(compile_pipeline(cfg)(
+            jnp.asarray(np.zeros((h, w), np.uint8))
+        ))
+    srv = make_server(cfg, host, port)
+    print(json.dumps({
+        "serving": f"http://{host}:{srv.server_address[1]}",
+        "pipeline": cfg.name,
+    }), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()

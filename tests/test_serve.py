@@ -1,0 +1,135 @@
+"""HTTP serving front end (mies_tpu/serve.py): warm-compiled /enhance,
+health/config introspection, per-request fault isolation."""
+
+import io
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+from mies_tpu.pipeline.config import PipelineConfig
+
+
+@pytest.fixture(scope="module")
+def server():
+    from mies_tpu.serve import make_server
+
+    cfg = PipelineConfig.make(
+        [("clahe", {"clip_limit": 2.0, "grid_size": (4, 4)}),
+         ("adjust_gamma", {"gamma": 0.9})],
+        name="serve-test",
+    )
+    srv = make_server(cfg, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def _png_bytes(rng, shape=(64, 64)) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (rng.random(shape) * 255).astype(np.uint8)
+    ).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(url, body, ctype="image/png"):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": ctype}, method="POST"
+    )
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_healthz_and_config(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok" and h["pipeline"] == "serve-test"
+    with urllib.request.urlopen(server + "/config", timeout=30) as r:
+        c = json.loads(r.read())
+    assert c["pipeline"][0]["op"] == "clahe"
+
+
+def test_enhance_png_roundtrip(server, rng):
+    from PIL import Image
+
+    from mies_tpu.pipeline.compiler import compile_pipeline
+    import jax.numpy as jnp
+
+    png = _png_bytes(rng)
+    with _post(server + "/enhance", png) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        out = np.asarray(Image.open(io.BytesIO(r.read())))
+    assert out.shape == (64, 64) and out.dtype == np.uint8
+
+    # same pixels as the library path (the server IS enhance_image)
+    src = np.asarray(Image.open(io.BytesIO(png))).astype(np.float32)
+    cfg = PipelineConfig.make(
+        [("clahe", {"clip_limit": 2.0, "grid_size": (4, 4)}),
+         ("adjust_gamma", {"gamma": 0.9})],
+        name="serve-test",
+    )
+    # raw-uint8 ingest path: the compiled chain normalizes on device
+    ref = np.asarray(
+        compile_pipeline(cfg, donate=False)(
+            jnp.asarray(src.astype(np.uint8))
+        )
+    )
+    np.testing.assert_array_equal(out, ref)
+
+    # the shape is now recorded in /healthz
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        assert [64, 64] in json.loads(r.read())["compiled_shapes"]
+
+
+def test_enhance_metrics_header(server, rng):
+    with _post(
+        server + "/enhance?metrics=psnr,ssim", _png_bytes(rng)
+    ) as r:
+        m = json.loads(r.headers["X-Mies-Metrics"])
+    assert set(m) == {"psnr", "ssim"} and np.isfinite(m["psnr"])
+
+
+def test_enhance_dicom_by_filename(server, rng, tmp_path):
+    from mies_tpu.io.dicom import write_dicom
+
+    hu = rng.integers(-200, 1200, (32, 32)).astype(np.int16)
+    p = tmp_path / "s.dcm"
+    write_dicom(p, hu)
+    with _post(
+        server + "/enhance?filename=s.dcm", p.read_bytes(),
+        ctype="application/octet-stream",
+    ) as r:
+        assert r.headers["Content-Type"] == "image/png"
+        assert len(r.read()) > 0
+
+
+def test_bad_requests_isolated(server, rng):
+    # garbage body -> 400 with an error payload, server stays up
+    try:
+        _post(server + "/enhance", b"not an image")
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "error" in json.loads(e.read())
+    # empty body
+    try:
+        _post(server + "/enhance", b"")
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # unknown route
+    try:
+        urllib.request.urlopen(server + "/nope", timeout=30)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    # and a good request still works after the failures
+    with _post(server + "/enhance", _png_bytes(rng)) as r:
+        assert r.status == 200
