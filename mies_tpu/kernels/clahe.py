@@ -324,9 +324,9 @@ def _apply33_kernel(
 
 
 def _apply33z_kernel(
-    v_ref,    # [1, th, 2*tw]: two adjacent tiles of one slice's tile-row
-    lut_ref,  # [1, 1, 2, 18, 256]: per half, z-lo 3x3 stack ++ z-hi stack
-    out_ref,  # [1, th, 2*tw] f32
+    v_ref,    # [1, th, P*tw]: P adjacent tiles of one slice's tile-row
+    lut_ref,  # [1, 1, P, 18, 256]: per tile, z-lo 3x3 stack ++ z-hi stack
+    out_ref,  # [1, th, P*tw] f32
     *,
     th: int,
     tw: int,
@@ -336,6 +336,7 @@ def _apply33z_kernel(
     split: bool,
     quantize: bool = False,
     finalize: str | None = None,
+    P: int = 2,
 ):
     """Trilinear (3-D CLAHE) apply in ONE tile33-style pass: the volume
     is the rows layout [Z*gy, th, W], each program owns two tiles of one
@@ -351,8 +352,15 @@ def _apply33z_kernel(
     vs the two-2-D-applies decomposition this halves the mask builds —
     the dominant cost of the apply family (docs/KERNELS.md round 4) —
     and reads the image once instead of twice.
+
+    ``P`` is the tiles-per-program count: 2 for tw % 64 == 0 (the 2-D
+    kernel's pairing), 4 for tw == 32 — the block's lane extent is
+    P * tw, which must be a multiple of 128 for Mosaic's lane-offset
+    alignment, so NARROW tiles ride in wider groups instead of falling
+    off the fast path. The dot is [P*18, 256] x [256, P*tw] — still one
+    MXU pass for P*18 <= 128 (P <= 7).
     """
-    w2 = 2 * tw
+    wp = P * tw
     a = pl.program_id(0)  # z * gy + i
     bcol = pl.program_id(1)
     i = jax.lax.rem(a, gy)
@@ -361,7 +369,7 @@ def _apply33z_kernel(
     inv_th = np.float32(1.0 / th)
     inv_tw = np.float32(1.0 / tw)
     inv_tz = np.float32(1.0 / tz)
-    lk = jnp.concatenate([lut_ref[0, 0, 0], lut_ref[0, 0, 1]], axis=0)
+    lk = jnp.concatenate([lut_ref[0, 0, k] for k in range(P)], axis=0)
     if split:
         lk = _split_luts(lk)
 
@@ -369,17 +377,17 @@ def _apply33z_kernel(
     za = zf - jnp.floor(zf)            # scalar
     zb = np.float32(1.0) - za
 
-    c = jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1)
-    half = c >= tw
-    j0 = bcol * 2
-    jl = j0 + half.astype(jnp.int32)
-    left = (c - half.astype(jnp.int32) * tw) < (tw // 2)
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+    t = c // tw                        # per-lane tile-in-group
+    j0 = bcol * P
+    jl = j0 + t
+    left = (c - t * tw) < (tw // 2)
     lx = jnp.logical_and(left, jl > 0)
     rx = jnp.logical_and(jnp.logical_not(left), jl < gx - 1)
     xg = (j0 * tw + c).astype(jnp.float32)
     txf = xg * inv_tw - np.float32(0.5)
     xa = txf - jnp.floor(txf)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (NBINS, w2), 0)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (NBINS, wp), 0)
 
     win = v_ref[0]
     if quantize:
@@ -389,9 +397,13 @@ def _apply33z_kernel(
     for row in range(th):
         v = win[row : row + 1, :]
         mask = _onehot256(v, bins)
-        sel = _select_luts(lk, mask, split)  # [36, w2]
-        s0 = jnp.where(half, sel[18:27], sel[0:9])
-        s1 = jnp.where(half, sel[27:36], sel[9:18])
+        sel = _select_luts(lk, mask, split)  # [P*18, wp]
+        s0 = sel[0:9]
+        s1 = sel[9:18]
+        for k in range(1, P):
+            pick = t == k
+            s0 = jnp.where(pick, sel[k * 18 : k * 18 + 9], s0)
+            s1 = jnp.where(pick, sel[k * 18 + 9 : k * 18 + 18], s1)
 
         yg = (i * th + row).astype(jnp.float32)
         tyf = yg * inv_th - np.float32(0.5)
@@ -422,17 +434,30 @@ def _apply33z_kernel(
         out_ref[0, row : row + 1, :] = res
 
 
+def _tile33z_group(tw: int, gx: int) -> int:
+    """Tiles-per-program for the tile33-z apply (0 = unsupported):
+    P * tw must be 128-aligned and P must divide gx."""
+    if tw % 64 == 0 and gx % 2 == 0:
+        return 2
+    if tw == 32 and gx % 4 == 0:
+        return 4
+    return 0
+
+
 def tile33z_supported(
     shape: tuple[int, int, int], grid: tuple[int, int, int]
 ) -> bool:
     """Shape gate for the fused 3-D tile33-z apply (same alignment rules
-    as the 2-D tile33 path, plus z tile-divisibility)."""
+    as the 2-D tile33 path — with narrow tw=32 tiles riding in groups
+    of four — plus z tile-divisibility)."""
     z, h, w = shape
     gz, gy, gx = grid
-    if z % gz or h % gy or w % gx or gx % 2:
+    if z % gz or h % gy or w % gx:
         return False
     tz, th, tw = z // gz, h // gy, w // gx
-    return tw % 64 == 0 and th % 2 == 0 and (th * tw) % 128 == 0 and tz % 2 == 0
+    if not _tile33z_group(tw, gx):
+        return False
+    return th % 2 == 0 and (th * tw) % 128 == 0 and tz % 2 == 0
 
 
 @functools.partial(
@@ -478,23 +503,25 @@ def clahe3d_apply_tile33z(
     s18 = jnp.concatenate(
         [stack9(lpz[: gz + 1]), stack9(lpz[1 : gz + 2])], axis=3
     )  # [gz+1, gy, gx, 18, 256]
+    P = _tile33z_group(tw, gx)
     cl_in = s18.astype(jnp.bfloat16) if integer_luts else s18
-    cl_in = cl_in.reshape((gz + 1) * gy, gx // 2, 2, 18, NBINS)
+    cl_in = cl_in.reshape((gz + 1) * gy, gx // P, P, 18, NBINS)
 
     hz = tz // 2
     kernel = functools.partial(
         _apply33z_kernel, th=th, tw=tw, gy=gy, gx=gx, tz=tz,
         split=not integer_luts, quantize=quantize_input, finalize=finalize,
+        P=P,
     )
     out = pl.pallas_call(
         kernel,
         interpret=interpret,
-        grid=(Z * gy, gx // 2),
+        grid=(Z * gy, gx // P),
         in_specs=[
-            pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
+            pl.BlockSpec((1, th, P * tw), lambda a, b: (a, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, 2, 18, NBINS),
+                (1, 1, P, 18, NBINS),
                 # z-cell of slice a//gy is (a//gy + tz//2) // tz
                 lambda a, b: (
                     ((a // gy + hz) // tz) * gy + a % gy, b, 0, 0, 0
@@ -502,7 +529,7 @@ def clahe3d_apply_tile33z(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
+        out_specs=pl.BlockSpec((1, th, P * tw), lambda a, b: (a, 0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Z * gy, th, W), jnp.float32),
     )(rows, cl_in)

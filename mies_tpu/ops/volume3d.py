@@ -413,9 +413,22 @@ def clahe3d(
             # the int32 levels never touch HBM, and the 6-D block
             # transposes of the old selection path are gone entirely
             # (docs/KERNELS.md rounds 4-5).
-            hists = tile_hists_rows_pallas(
-                x, gy, gx, quantize_input=True
-            )  # [Z, gy, gx, 256]
+            if tw % 64 == 0:
+                hists = tile_hists_rows_pallas(
+                    x, gy, gx, quantize_input=True
+                )  # [Z, gy, gx, 256]
+            else:
+                # tw=32 rides the P=4 APPLY, but the rows HIST kernel
+                # places [1, th, 2tw] blocks at lane offset b*2tw —
+                # 128-unaligned for tw=32 (the ADVICE r2 gate class) —
+                # so the histogram stays XLA-side (quantize fuses into
+                # its nibble einsum for free)
+                u8h = jnp.clip(jnp.round(x * 255.0), 0, 255).astype(
+                    jnp.int32
+                )
+                hists = _tile_hists_3d(u8h, (z, gy, gx)).reshape(
+                    z, gy, gx, NBINS
+                )
             hists = (
                 hists.reshape(gz, tz, gy, gx, NBINS)
                 .sum(axis=1)

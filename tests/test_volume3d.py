@@ -311,7 +311,8 @@ def test_tile33z_bit_equals_gather(rng):
     from mies_tpu.ops.volume3d import _apply_luts_trilinear_gather
 
     for grid, shape in [((4, 4, 4), (16, 64, 256)),
-                        ((2, 2, 2), (8, 32, 128))]:
+                        ((2, 2, 2), (8, 32, 128)),
+                        ((4, 4, 8), (16, 64, 256))]:  # tw=32: P=4 group
         assert tile33z_supported(shape, grid)
         u8 = jnp.asarray(rng.integers(0, 256, shape).astype(np.int32))
         luts = jnp.asarray(
