@@ -224,10 +224,23 @@ def _apply_kernel_slab(
             ]
 
 
+def _tile33_group(tw: int, gx: int) -> int:
+    """Tiles-per-program for the tile33 apply family (0 = unsupported):
+    the block's lane extent P*tw must be 128-aligned (Mosaic lane-offset
+    rule) and P must divide gx. P=2 is the classic pairing (tw % 64 ==
+    0); narrow/odd widths (tw = 32, 96, ...) ride in groups of four.
+    The selection dot grows to [P*9, 256] (2-D) / [P*18, 256] (3-D) —
+    still ONE MXU pass while P*18 <= 128."""
+    for P in (2, 4):
+        if gx % P == 0 and (P * tw) % 128 == 0:
+            return P
+    return 0
+
+
 def _apply33_kernel(
-    v_ref,    # [1, th, 2*tw] int32: two adjacent tiles of one tile-row
-    lut_ref,  # [1, 1, 2, 9, 256] 3x3 neighbor LUT stacks (bf16 or f32)
-    out_ref,  # [1, th, 2*tw] f32
+    v_ref,    # [1, th, P*tw] int32: P adjacent tiles of one tile-row
+    lut_ref,  # [1, 1, P, 9, 256] 3x3 neighbor LUT stacks (bf16 or f32)
+    out_ref,  # [1, th, P*tw] f32
     *,
     th: int,
     tw: int,
@@ -236,6 +249,7 @@ def _apply33_kernel(
     split: bool,
     quantize: bool = False,
     finalize: str | None = None,
+    P: int = 2,
 ):
     """Tile-aligned apply, per-ROW: each program owns two ORIGINAL tiles
     of one tile-row and works slab-row by slab-row — mask [256, 2tw],
@@ -257,42 +271,48 @@ def _apply33_kernel(
     in-kernel (same clip(round(v*255)) ops — bit-identical levels, no
     int32 HBM intermediate). finalize folds the convention's epilogue
     into the kernel output: 'u8norm' = clip(rint(res),0,255)/255
-    (OpenCV saturate + renormalize), 'clip01' = clip(res, 0, 1)."""
-    w2 = 2 * tw
+    (OpenCV saturate + renormalize), 'clip01' = clip(res, 0, 1).
+
+    P tiles per program (_tile33_group): P=2 is the classic pairing;
+    tw = 32/96 ride with P=4 so their lane offsets stay 128-aligned
+    instead of falling to the cells path."""
+    wp = P * tw
     a = pl.program_id(0)  # b * gy + i
     bcol = pl.program_id(1)
     i = jax.lax.rem(a, gy)
 
     inv_th = np.float32(1.0 / th)
     inv_tw = np.float32(1.0 / tw)
-    lk = jnp.concatenate([lut_ref[0, 0, 0], lut_ref[0, 0, 1]], axis=0)
+    lk = jnp.concatenate([lut_ref[0, 0, k] for k in range(P)], axis=0)
     if split:  # hoist the loop-invariant hi/lo split out of the row loop
         lk = _split_luts(lk)
 
-    c = jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1)
-    half = c >= tw                     # per-lane tile-in-pair
-    j0 = bcol * 2
-    jl = j0 + half.astype(jnp.int32)   # per-lane global tile column
-    left = (c - half.astype(jnp.int32) * tw) < (tw // 2)
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+    t = c // tw                        # per-lane tile-in-group
+    j0 = bcol * P
+    jl = j0 + t                        # per-lane global tile column
+    left = (c - t * tw) < (tw // 2)
     lx = jnp.logical_and(left, jl > 0)
     rx = jnp.logical_and(jnp.logical_not(left), jl < gx - 1)
-    # xg == j*tw + c_local for both halves (identical f32 value/ops as
+    # xg == j*tw + c_local for every tile (identical f32 value/ops as
     # the jnp twin: integer add below 2^24, then one cast)
     xg = (j0 * tw + c).astype(jnp.float32)
     txf = xg * inv_tw - np.float32(0.5)
-    xa = txf - jnp.floor(txf)          # [1, w2]
-    bins = jax.lax.broadcasted_iota(jnp.int32, (NBINS, w2), 0)
+    xa = txf - jnp.floor(txf)          # [1, wp]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (NBINS, wp), 0)
 
-    win = v_ref[0]                     # [th, w2] int32 (f32 if quantize)
+    win = v_ref[0]                     # [th, wp] int32 (f32 if quantize)
     if quantize:
         win = jnp.clip(
             jnp.round(win * np.float32(255.0)), 0.0, 255.0
         ).astype(jnp.int32)
     for row in range(th):
         v = win[row : row + 1, :]
-        mask = _onehot256(v, bins)     # [256, w2], exact 0/1 bf16
-        sel = _select_luts(lk, mask, split)       # [18, w2]
-        s = jnp.where(half, sel[9:18], sel[0:9])  # this tile's 3x3 rows
+        mask = _onehot256(v, bins)     # [256, wp], exact 0/1 bf16
+        sel = _select_luts(lk, mask, split)       # [9P, wp]
+        s = sel[0:9]                   # this tile's 3x3 rows, per lane
+        for k in range(1, P):
+            s = jnp.where(t == k, sel[k * 9 : k * 9 + 9], s)
 
         # clamped OpenCV tile indices -> positions in the 3x3 stack:
         # ty1 = max(floor, 0) -> row 0 unless the clamp hits (i == 0);
@@ -434,16 +454,6 @@ def _apply33z_kernel(
         out_ref[0, row : row + 1, :] = res
 
 
-def _tile33z_group(tw: int, gx: int) -> int:
-    """Tiles-per-program for the tile33-z apply (0 = unsupported):
-    P * tw must be 128-aligned and P must divide gx."""
-    if tw % 64 == 0 and gx % 2 == 0:
-        return 2
-    if tw == 32 and gx % 4 == 0:
-        return 4
-    return 0
-
-
 def tile33z_supported(
     shape: tuple[int, int, int], grid: tuple[int, int, int]
 ) -> bool:
@@ -455,7 +465,7 @@ def tile33z_supported(
     if z % gz or h % gy or w % gx:
         return False
     tz, th, tw = z // gz, h // gy, w // gx
-    if not _tile33z_group(tw, gx):
+    if not _tile33_group(tw, gx):
         return False
     return th % 2 == 0 and (th * tw) % 128 == 0 and tz % 2 == 0
 
@@ -503,7 +513,7 @@ def clahe3d_apply_tile33z(
     s18 = jnp.concatenate(
         [stack9(lpz[: gz + 1]), stack9(lpz[1 : gz + 2])], axis=3
     )  # [gz+1, gy, gx, 18, 256]
-    P = _tile33z_group(tw, gx)
+    P = _tile33_group(tw, gx)
     cl_in = s18.astype(jnp.bfloat16) if integer_luts else s18
     cl_in = cl_in.reshape((gz + 1) * gy, gx // P, P, 18, NBINS)
 
@@ -585,11 +595,14 @@ def _apply_lut_tile33(
     )  # [B, gy, gx, 9, 256]
     # integer LUTs ship bf16 (exact); fractional LUTs ship f32 and are
     # hi/lo-split inside the kernel (_select_luts)
+    P = _tile33_group(tw, gx)
     cl_in = stack.astype(jnp.bfloat16) if integer_luts else stack
-    cl_in = cl_in.reshape(B * gy, gx // 2, 2, 9, NBINS)
+    cl_in = cl_in.reshape(B * gy, gx // P, P, 9, NBINS)
 
     if variant == "v3" and th % 2:
         variant = "v1"  # v3 processes row PAIRS; odd tile heights can't
+    if P != 2:
+        variant = "v1"  # the re-measurement variants are P=2-only
     if variant in ("v2", "v3"):
         from mies_tpu.kernels import clahe_variants as CV
 
@@ -611,19 +624,19 @@ def _apply_lut_tile33(
         xla_finalize = None
         kernel = functools.partial(
             body, th=th, tw=tw, gy=gy, gx=gx, split=not integer_luts,
-            quantize=quantize_input, finalize=finalize,
+            quantize=quantize_input, finalize=finalize, P=P,
         )
     out = pl.pallas_call(
         kernel,
         interpret=interpret,
-        grid=(B * gy, gx // 2),
+        grid=(B * gy, gx // P),
         in_specs=[
-            pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
+            pl.BlockSpec((1, th, P * tw), lambda a, b: (a, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, 9, NBINS), lambda a, b: (a, b, 0, 0, 0),
+            pl.BlockSpec((1, 1, P, 9, NBINS), lambda a, b: (a, b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th, 2 * tw), lambda a, b: (a, 0, b),
+        out_specs=pl.BlockSpec((1, th, P * tw), lambda a, b: (a, 0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * gy, th, W), jnp.float32),
         scratch_shapes=(
@@ -742,18 +755,22 @@ def _clahe_apply_lut_jit(
     gy_, gx_ = grid_size
     tw_ = u8.shape[2] // gx_
     th_ = u8.shape[1] // gy_
-    if tw_ % 64 == 0 and th_ % 2 == 0 and (th_ * tw_) % 128 == 0:
-        if gx_ % 2 == 0:
+    if th_ % 2 == 0 and (th_ * tw_) % 128 == 0:
+        if _tile33_group(tw_, gx_):
             return _apply_lut_tile33(
                 u8, luts, grid_size, integer_luts, interpret, variant,
                 quantize_input, finalize,
             )
-        if quantize_input:
-            u8 = _levels_from_float(u8)
-        return _finalize_xla(
-            _apply_lut_slab(u8, luts, grid_size, integer_luts, interpret),
-            finalize,
-        )
+        if tw_ % 64 == 0:
+            # wide tiles but odd grid cols: the slab layout
+            if quantize_input:
+                u8 = _levels_from_float(u8)
+            return _finalize_xla(
+                _apply_lut_slab(
+                    u8, luts, grid_size, integer_luts, interpret
+                ),
+                finalize,
+            )
     if quantize_input:
         u8 = _levels_from_float(u8)
     return _finalize_xla(

@@ -744,3 +744,39 @@ def test_apply33_env_variant_keys_jit_cache(rng, monkeypatch):
     # the two calls must have compiled DISTINCT programs (cache keyed
     # on the variant)
     assert K._clahe_apply_lut_jit._cache_size() >= 2
+
+
+def test_apply_tile33_groups_match_cells(rng):
+    """P=4 tile groups (tw=32 and tw=96 — the shapes that used to fall
+    to the cells path) match the cells twin: BIT-equal for dyadic tile
+    widths; 1-ULP (XLA:CPU FMA-contraction of the non-dyadic xa blend)
+    for tw=96 — the same platform class the other apply tests tolerate.
+    On chip the tw=96 case is pinned bit-exact vs cv2
+    (tpu_consistency_driver clahe_opencv_tw96_vs_cv2)."""
+    from mies_tpu.kernels.clahe import (
+        _apply_lut_cells,
+        _tile33_group,
+        clahe_apply_lut,
+    )
+
+    for shape, grid, exact in [
+        ((2, 128, 256), (4, 8), True),    # tw=32 -> P=4, dyadic
+        ((2, 128, 384), (4, 4), False),   # tw=96 -> P=4, non-dyadic
+        ((2, 128, 256), (4, 4), True),    # tw=64 -> P=2 regression
+    ]:
+        gy, gx = grid
+        assert _tile33_group(shape[2] // gx, gx) == (
+            2 if shape[2] // gx == 64 else 4
+        )
+        u8 = jnp.asarray(
+            rng.integers(0, 256, shape).astype(np.int32))
+        luts = jnp.asarray(
+            rng.integers(0, 256, (shape[0], gy, gx, 256)).astype(
+                np.float32))
+        got = np.asarray(clahe_apply_lut(
+            u8, luts, grid, integer_luts=True, interpret=True))
+        ref = np.asarray(_apply_lut_cells(u8, luts, grid, True, True))
+        if exact:
+            np.testing.assert_array_equal(got, ref)
+        else:
+            np.testing.assert_allclose(got, ref, atol=1e-4, rtol=0)
