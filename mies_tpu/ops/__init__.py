@@ -49,6 +49,16 @@ from mies_tpu.ops.filters import (
     laplacian_sharpen,
     sobel_edges,
 )
+from mies_tpu.ops.morphology import (
+    black_hat,
+    dilate,
+    erode,
+    morph_close,
+    morph_gradient,
+    morph_open,
+    structuring_element,
+    top_hat,
+)
 
 __all__ = [
     "adjust_gamma",
@@ -85,4 +95,12 @@ __all__ = [
     "box_blur",
     "laplacian_sharpen",
     "sobel_edges",
+    "erode",
+    "dilate",
+    "morph_open",
+    "morph_close",
+    "morph_gradient",
+    "top_hat",
+    "black_hat",
+    "structuring_element",
 ]

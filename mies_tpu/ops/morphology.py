@@ -1,0 +1,178 @@
+"""Grayscale morphology: erode / dilate and their composites.
+
+Semantics mirror the reference's pinned dependency surface (SURVEY.md
+section 2b D1 — kornia.morphology; no reference code exists, section 0):
+cv2-compatible flat structuring elements and border handling, verified
+against the locally available ``cv2`` in ``tests/test_filters.py``:
+
+  * erode / dilate  -> cv2.erode / cv2.dilate with
+    ``cv2.getStructuringElement(shape, (k, k))`` (rect / ellipse /
+    cross rasterized identically, including cvRound's
+    half-to-even rounding on the ellipse rows)
+  * morph_open/close/gradient, top_hat, black_hat
+                    -> cv2.morphologyEx MORPH_OPEN / CLOSE / GRADIENT /
+                       TOPHAT / BLACKHAT
+  * mode='ignore' (default) -> cv2's default morphology border: the
+    outside of the image never wins the min/max (+inf pad for erode,
+    -inf for dilate — cv2.morphologyDefaultBorderValue). Any
+    ``filters._PAD_MODE`` name selects an explicit border instead
+    (e.g. 'nearest' == cv2.BORDER_REPLICATE).
+
+Clinical use: top-hat pulls small bright structures (vessels,
+microcalcifications) off a slowly varying background; gradient outlines
+bone/organ boundaries; open/close suppress speckle while preserving
+morphology-scale anatomy.
+
+TPU notes: a flat min/max stencil is the ideal VPU shape — static
+shifted-window extrema with no data-dependent control flow, which XLA
+fuses into a tree of elementwise mins/maxes (the same pattern as the
+Batcher-network median, filters.py:173). Rect elements are separable
+(rows pass then columns pass: 2k instead of k*k window reads); ellipse
+and cross run over the masked window list.
+
+All functions take float32 [H, W] in [0, 1] and return the same
+(composites stay in [0, 1]; gradient/top-hat/black-hat are >= 0 and
+<= 1 by construction for inputs in [0, 1]).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+from jax import Array, lax
+
+from mies_tpu.ops.filters import _pad2d
+
+_SE_SHAPES = ("rect", "ellipse", "cross")
+# cv2's default morphology border: a constant the reduction ignores
+_IGNORE = "ignore"
+
+
+@functools.lru_cache(maxsize=64)
+def structuring_element(kernel_size: int, shape: str = "rect") -> tuple:
+    """cv2.getStructuringElement for a square (k, k) element, as a
+    tuple-of-tuples bool mask (hashable for the lru cache).
+
+    The ellipse rasterization replicates cv2's algorithm exactly: per
+    row at dy from center, half-width dx = cvRound(r*sqrt(1-(dy/r)^2))
+    with cvRound's round-half-to-even (np.rint matches).
+    """
+    k = int(kernel_size)
+    if k < 1 or k % 2 != 1:
+        raise ValueError("kernel_size must be an odd int >= 1")
+    if shape not in _SE_SHAPES:
+        raise ValueError(f"shape must be one of {_SE_SHAPES}")
+    r = k // 2
+    se = np.zeros((k, k), dtype=bool)
+    if shape == "rect" or k == 1:
+        se[:] = True
+    elif shape == "cross":
+        se[r, :] = True
+        se[:, r] = True
+    else:  # ellipse
+        inv_r2 = 1.0 / (r * r) if r else 0.0
+        for i in range(k):
+            dy = i - r
+            if abs(dy) <= r:
+                dx = int(np.rint(r * np.sqrt((r * r - dy * dy) * inv_r2)))
+                se[i, max(r - dx, 0): min(r + dx + 1, k)] = True
+    return tuple(map(tuple, se.tolist()))
+
+
+def _extremum(
+    img: Array, kernel_size: int, shape: str, mode: str, maximum: bool
+) -> Array:
+    """min/max over the structuring element's shifted windows."""
+    k = int(kernel_size)
+    se = np.asarray(structuring_element(k, shape), dtype=bool)
+    r = k // 2
+    if r == 0:
+        return img
+    h, w = img.shape
+    red = jnp.maximum if maximum else jnp.minimum
+    if mode == _IGNORE:
+        fill = np.float32(-np.inf if maximum else np.inf)
+        p = jnp.pad(img, ((r, r), (r, r)), mode="constant",
+                    constant_values=fill)
+    else:
+        p = _pad2d(img, r, r, mode)
+    if shape == "rect":
+        # separable: rows pass then columns pass (2k window reads)
+        rows = p[:, r: r + w]
+        for dx in range(k):
+            if dx != r:
+                rows = red(rows, p[:, dx: dx + w])
+        out = rows[r: r + h]
+        for dy in range(k):
+            if dy != r:
+                out = red(out, rows[dy: dy + h])
+        return out
+    out = None
+    for dy in range(k):
+        for dx in range(k):
+            if not se[dy, dx]:
+                continue
+            v = lax.dynamic_slice(p, (dy, dx), (h, w))
+            out = v if out is None else red(out, v)
+    return out
+
+
+def erode(
+    img: Array, kernel_size: int = 3, shape: str = "rect",
+    mode: str = _IGNORE,
+) -> Array:
+    """Grayscale erosion (cv2.erode): min over the structuring element."""
+    return _extremum(img, kernel_size, shape, mode, maximum=False)
+
+
+def dilate(
+    img: Array, kernel_size: int = 3, shape: str = "rect",
+    mode: str = _IGNORE,
+) -> Array:
+    """Grayscale dilation (cv2.dilate): max over the structuring element."""
+    return _extremum(img, kernel_size, shape, mode, maximum=True)
+
+
+def morph_open(
+    img: Array, kernel_size: int = 3, shape: str = "rect",
+    mode: str = _IGNORE,
+) -> Array:
+    """Opening: dilate(erode(img)) — removes small bright specks."""
+    return dilate(erode(img, kernel_size, shape, mode),
+                  kernel_size, shape, mode)
+
+
+def morph_close(
+    img: Array, kernel_size: int = 3, shape: str = "rect",
+    mode: str = _IGNORE,
+) -> Array:
+    """Closing: erode(dilate(img)) — fills small dark gaps."""
+    return erode(dilate(img, kernel_size, shape, mode),
+                 kernel_size, shape, mode)
+
+
+def morph_gradient(
+    img: Array, kernel_size: int = 3, shape: str = "rect",
+    mode: str = _IGNORE,
+) -> Array:
+    """Morphological gradient: dilate - erode (edge outlines)."""
+    return (dilate(img, kernel_size, shape, mode)
+            - erode(img, kernel_size, shape, mode))
+
+
+def top_hat(
+    img: Array, kernel_size: int = 3, shape: str = "rect",
+    mode: str = _IGNORE,
+) -> Array:
+    """White top-hat: img - open(img) — small bright structures."""
+    return img - morph_open(img, kernel_size, shape, mode)
+
+
+def black_hat(
+    img: Array, kernel_size: int = 3, shape: str = "rect",
+    mode: str = _IGNORE,
+) -> Array:
+    """Black top-hat: close(img) - img — small dark structures."""
+    return morph_close(img, kernel_size, shape, mode) - img

@@ -618,3 +618,83 @@ def unsharp_mask3d(
     if clip:
         out = jnp.clip(out, 0.0, 1.0)
     return out
+
+
+def _extremum3d(vol: Array, kernel_size: int, mode: str, maximum: bool) -> Array:
+    """Separable cubic min/max: one shifted-extremum pass per axis.
+
+    A flat rect (cube) structuring element factorizes exactly:
+    min/max over the k^3 window == composition of three axis passes —
+    3k shifted reads instead of k^3 (the same separability _box3d
+    exploits for the mean). 'ignore' pads the constant the reduction
+    ignores (scipy grey_erosion/dilation mode='constant' with
+    cval=+/-inf — morphology's "outside contributes nothing" border);
+    other modes use the shared _PAD_MODE table.
+    """
+    from mies_tpu.ops.filters import _PAD_MODE
+
+    k = int(kernel_size)
+    if k % 2 != 1:
+        raise ValueError("kernel_size must be odd")
+    r = k // 2
+    x = vol.astype(jnp.float32)
+    if r == 0:
+        return x
+    red = jnp.maximum if maximum else jnp.minimum
+    for axis in range(3):
+        pads = [(0, 0)] * 3
+        pads[axis] = (r, r)
+        if mode == "ignore":
+            fill = np.float32(-np.inf if maximum else np.inf)
+            xp = jnp.pad(x, pads, mode="constant", constant_values=fill)
+        else:
+            xp = jnp.pad(x, pads, mode=_PAD_MODE[mode])
+        acc = jax.lax.slice_in_dim(xp, 0, x.shape[axis], axis=axis)
+        for t in range(1, k):
+            acc = red(acc, jax.lax.slice_in_dim(
+                xp, t, t + x.shape[axis], axis=axis))
+        x = acc
+    return x
+
+
+def erode3d(vol: Array, kernel_size: int = 3, mode: str = "ignore") -> Array:
+    """Volumetric grayscale erosion over a cubic footprint.
+
+    scipy.ndimage.grey_erosion(size=(k,k,k)) semantics ('ignore' ==
+    mode='constant', cval=+inf; 'nearest' == mode='nearest'); the 3-D
+    sibling of ops.morphology.erode — slice-wise 2-D morphology is not
+    z-consistent on CT volumes. Golden: real scipy in tests.
+    """
+    return _extremum3d(vol, kernel_size, mode, maximum=False)
+
+
+def dilate3d(vol: Array, kernel_size: int = 3, mode: str = "ignore") -> Array:
+    """Volumetric grayscale dilation (scipy.ndimage.grey_dilation)."""
+    return _extremum3d(vol, kernel_size, mode, maximum=True)
+
+
+def morph_open3d(vol: Array, kernel_size: int = 3, mode: str = "ignore") -> Array:
+    """3-D opening: dilate3d(erode3d(vol)) — removes small bright blobs."""
+    return dilate3d(erode3d(vol, kernel_size, mode), kernel_size, mode)
+
+
+def morph_close3d(vol: Array, kernel_size: int = 3, mode: str = "ignore") -> Array:
+    """3-D closing: erode3d(dilate3d(vol)) — fills small dark cavities."""
+    return erode3d(dilate3d(vol, kernel_size, mode), kernel_size, mode)
+
+
+def morph_gradient3d(vol: Array, kernel_size: int = 3, mode: str = "ignore") -> Array:
+    """3-D morphological gradient: dilate3d - erode3d (surface outlines)."""
+    return (dilate3d(vol, kernel_size, mode)
+            - erode3d(vol, kernel_size, mode))
+
+
+def top_hat3d(vol: Array, kernel_size: int = 3, mode: str = "ignore") -> Array:
+    """3-D white top-hat: vol - open3d(vol) — small bright structures
+    (vessels, calcifications) pulled off the volumetric background."""
+    return vol.astype(jnp.float32) - morph_open3d(vol, kernel_size, mode)
+
+
+def black_hat3d(vol: Array, kernel_size: int = 3, mode: str = "ignore") -> Array:
+    """3-D black top-hat: close3d(vol) - vol — small dark structures."""
+    return morph_close3d(vol, kernel_size, mode) - vol.astype(jnp.float32)

@@ -18,12 +18,18 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from mies_tpu.ops.filters import _PAD_MODE
 from mies_tpu.pipeline.compiler import _quantize_u8
+
+_MORPH_OPS = frozenset((
+    "erode", "dilate", "morph_open", "morph_close", "morph_gradient",
+    "top_hat", "black_hat",
+))
 from mies_tpu.pipeline.config import PipelineConfig
 
 
@@ -50,10 +56,17 @@ def halo_extend_rows(
             f"the axis or larger bands"
         )
 
-    # global edges: reproduce the border mode locally
-    pad_w = ((halo, halo),) + ((0, 0),) * (x.ndim - 1)
-    pad_top = jnp.pad(x, pad_w, mode=_PAD_MODE[mode])[:halo]
-    pad_bot = jnp.pad(x, pad_w, mode=_PAD_MODE[mode])[-halo:]
+    # global edges: reproduce the border mode locally. mode may be a
+    # float: constant-VALUE rows (morphology's 'ignore' border pads
+    # +/-inf so the outside never wins the min/max)
+    if isinstance(mode, float):
+        pad_top = pad_bot = jnp.full(
+            (halo,) + x.shape[1:], mode, dtype=x.dtype
+        )
+    else:
+        pad_w = ((halo, halo),) + ((0, 0),) * (x.ndim - 1)
+        pad_top = jnp.pad(x, pad_w, mode=_PAD_MODE[mode])[:halo]
+        pad_bot = jnp.pad(x, pad_w, mode=_PAD_MODE[mode])[-halo:]
     if n == 1:
         # degenerate mesh: both boundaries are global edges, but the
         # caller still crops `halo` rows per stage — extend locally so
@@ -93,6 +106,11 @@ def stage_receptive_field(op: str, params: dict) -> int:
         return max(5, 2 * int(np.ceil(3.0 * float(ss))) + 1) // 2
     if op in ("sobel_edges", "laplacian_sharpen", "sharpness"):
         return 1
+    if op in ("erode", "dilate", "morph_gradient"):
+        return params.get("kernel_size", 3) // 2
+    if op in ("morph_open", "morph_close", "top_hat", "black_hat"):
+        # two morphology levels (erode then dilate or vice versa)
+        return 2 * (params.get("kernel_size", 3) // 2)
     if op in (
         "equalize_hist", "equalize", "clahe", "normalize",
         "rescale_intensity", "resize", "center_crop", "flip", "rot90",
@@ -152,11 +170,14 @@ def _build_band_fn(
     stages = []  # (op, fn, radius, mode); clahe -> (op, params, None, None)
     for s in cfg.stages:
         params = s.kwargs()
-        if s.op in ("clahe", "guided_blur"):
+        if s.op in ("clahe", "guided_blur") or s.op in _MORPH_OPS:
             # stages whose band form is NOT (extend, run, crop): clahe
             # needs the tile-aligned band algorithm; guided_blur nests
             # box filters, and reflect(a(x)) != a(reflect(x)) at the
-            # GLOBAL edges — each box must halo-wrap individually
+            # GLOBAL edges — each box must halo-wrap individually;
+            # morphology composites interleave erode/dilate levels whose
+            # 'ignore' border pads OPPOSITE constants (+inf vs -inf), so
+            # each level halo-wraps with its own pad
             stages.append((s.op, params, None, None))
             continue
         r = stage_receptive_field(s.op, params)
@@ -217,6 +238,45 @@ def _build_band_fn(
                 # box is exact under (extend, run, crop) including the
                 # global edges, so the whole filter is
                 x = _guided_dataflow(fbox, x, eps, box2=fbox2)
+            elif op in _MORPH_OPS:
+                from mies_tpu.ops import morphology as M
+
+                p = dict(fn)
+                k = p.get("kernel_size", 3)
+                shp = p.get("shape", "rect")
+                mmode = p.get("mode", "ignore")
+                rm = k // 2
+
+                def prim(v, maximum):
+                    """One erode/dilate level under (extend, run, crop).
+
+                    'ignore' extends the GLOBAL edges with the constant
+                    the reduction ignores (+inf for min, -inf for max —
+                    cv2's default morphology border); explicit modes
+                    extend with their own border rows."""
+                    if rm == 0:
+                        return v
+                    emode = (
+                        float(np.float32("-inf" if maximum else "inf"))
+                        if mmode == "ignore" else mmode
+                    )
+                    ext = halo_extend_rows(v, rm, axis_name, mode=emode)
+                    return M._extremum(ext, k, shp, mmode, maximum)[rm:-rm]
+
+                if op == "erode":
+                    x = prim(x, False)
+                elif op == "dilate":
+                    x = prim(x, True)
+                elif op == "morph_open":
+                    x = prim(prim(x, False), True)
+                elif op == "morph_close":
+                    x = prim(prim(x, True), False)
+                elif op == "morph_gradient":
+                    x = prim(x, True) - prim(x, False)
+                elif op == "top_hat":
+                    x = x - prim(prim(x, False), True)
+                else:  # black_hat
+                    x = prim(prim(x, True), False) - x
             elif r > 0:
                 x_in = x
                 ext = halo_extend_rows(x, r, axis_name, mode=mode)

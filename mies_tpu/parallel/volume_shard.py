@@ -34,6 +34,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -260,6 +261,11 @@ def volume_stage_z_field(op: str, params: dict) -> int:
         return params.get("kernel_size", 3) // 2
     if op == "guided_blur3d":
         return 2 * (params.get("kernel_size", 3) // 2)
+    if op in ("erode3d", "dilate3d", "morph_gradient3d"):
+        return params.get("kernel_size", 3) // 2
+    if op in ("morph_open3d", "morph_close3d", "top_hat3d", "black_hat3d"):
+        # two morphology levels (erode then dilate or vice versa)
+        return 2 * (params.get("kernel_size", 3) // 2)
     _LOCAL = {
         # pointwise, or global-stat ops the band fn handles explicitly
         "window_hu", "adjust_gamma", "adjust_log", "adjust_sigmoid",
@@ -305,6 +311,41 @@ def _build_zslab_fn(
                 else:
                     ext = halo_extend_rows(x, r, axis_name, mode=mode)
                     x = fn(ext)[r:-r]
+            elif op in ("erode3d", "dilate3d", "morph_open3d",
+                        "morph_close3d", "morph_gradient3d", "top_hat3d",
+                        "black_hat3d"):
+                k = params.get("kernel_size", 3)
+                mmode = params.get("mode", "ignore")
+                rm = k // 2
+
+                def prim(v, maximum, _k=k, _m=mmode, _r=rm):
+                    """One erode/dilate level under (extend, run, crop) —
+                    the 'ignore' border extends the GLOBAL z edges with
+                    the constant the reduction ignores (the 2-D band
+                    builder's morphology rule, parallel/halo.py)."""
+                    if _r == 0:
+                        return v
+                    emode = (
+                        float(np.float32("-inf" if maximum else "inf"))
+                        if _m == "ignore" else _m
+                    )
+                    ext = halo_extend_rows(v, _r, axis_name, mode=emode)
+                    return V._extremum3d(ext, _k, _m, maximum)[_r:-_r]
+
+                if op == "erode3d":
+                    x = prim(x, False)
+                elif op == "dilate3d":
+                    x = prim(x, True)
+                elif op == "morph_open3d":
+                    x = prim(prim(x, False), True)
+                elif op == "morph_close3d":
+                    x = prim(prim(x, True), False)
+                elif op == "morph_gradient3d":
+                    x = prim(x, True) - prim(x, False)
+                elif op == "top_hat3d":
+                    x = x.astype(jnp.float32) - prim(prim(x, False), True)
+                else:  # black_hat3d
+                    x = prim(prim(x, True), False) - x.astype(jnp.float32)
             elif op == "guided_blur3d":
                 from mies_tpu.ops.filters import _guided_dataflow
 

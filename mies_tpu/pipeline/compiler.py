@@ -23,6 +23,7 @@ from mies_tpu.ops import filters as F
 from mies_tpu.ops import geometry as GEO
 from mies_tpu.ops import histogram as H
 from mies_tpu.ops import intensity as I
+from mies_tpu.ops import morphology as M
 from mies_tpu.pipeline.config import PipelineConfig
 
 # Every op the config schema can name. Signature: fn(img, **params) -> img.
@@ -55,6 +56,14 @@ OP_REGISTRY: dict[str, Callable] = {
     "guided_blur": F.guided_blur,
     "sobel_edges": F.sobel_edges,
     "laplacian_sharpen": F.laplacian_sharpen,
+    # morphology (cv2-compatible flat structuring elements)
+    "erode": M.erode,
+    "dilate": M.dilate,
+    "morph_open": M.morph_open,
+    "morph_close": M.morph_close,
+    "morph_gradient": M.morph_gradient,
+    "top_hat": M.top_hat,
+    "black_hat": M.black_hat,
     # volumetric (3-D) stages — validated here, executed by
     # compile_volume_pipeline (2-D chains reject them by ndim)
     # (values filled in lazily below to avoid import cycles)
@@ -135,7 +144,15 @@ OP_REGISTRY["histogram_match"] = _histogram_match_builder
 # the registry without updating a parallel set regressed once).
 VOLUME_ONLY_OPS = frozenset(
     {"clahe3d", "gaussian_blur3d", "guided_blur3d", "median_blur3d",
-     "unsharp_mask3d"}
+     "unsharp_mask3d", "erode3d", "dilate3d", "morph_open3d",
+     "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d"}
+)
+
+
+_VOLUME_FILTER_OPS = (
+    "gaussian_blur3d", "guided_blur3d", "median_blur3d", "unsharp_mask3d",
+    "erode3d", "dilate3d", "morph_open3d", "morph_close3d",
+    "morph_gradient3d", "top_hat3d", "black_hat3d",
 )
 
 
@@ -153,19 +170,11 @@ def _reject_volume_only(cfg: PipelineConfig) -> None:
 
 
 def _register_volume_ops() -> None:
-    from mies_tpu.ops.volume3d import (
-        clahe3d,
-        gaussian_blur3d,
-        guided_blur3d,
-        median_blur3d,
-        unsharp_mask3d,
-    )
+    from mies_tpu.ops import volume3d as V3
 
-    OP_REGISTRY.setdefault("clahe3d", clahe3d.__wrapped__)
-    OP_REGISTRY.setdefault("gaussian_blur3d", gaussian_blur3d)
-    OP_REGISTRY.setdefault("guided_blur3d", guided_blur3d)
-    OP_REGISTRY.setdefault("median_blur3d", median_blur3d)
-    OP_REGISTRY.setdefault("unsharp_mask3d", unsharp_mask3d)
+    OP_REGISTRY.setdefault("clahe3d", V3.clahe3d.__wrapped__)
+    for _name in _VOLUME_FILTER_OPS:
+        OP_REGISTRY.setdefault(_name, getattr(V3, _name))
 
 
 _register_volume_ops()
@@ -441,20 +450,11 @@ def _ingest(x: Array) -> Array:
 # Ops that operate on a whole [Z, H, W] volume. Pointwise 2-D ops are
 # shape-polymorphic and reused directly.
 def _volume_registry() -> dict[str, Callable]:
-    from mies_tpu.ops.volume3d import (
-        clahe3d,
-        gaussian_blur3d,
-        guided_blur3d,
-        median_blur3d,
-        unsharp_mask3d,
-    )
+    from mies_tpu.ops import volume3d as V3
 
     return {
-        "clahe3d": clahe3d.__wrapped__,
-        "gaussian_blur3d": gaussian_blur3d,
-        "guided_blur3d": guided_blur3d,
-        "median_blur3d": median_blur3d,
-        "unsharp_mask3d": unsharp_mask3d,
+        "clahe3d": V3.clahe3d.__wrapped__,
+        **{name: getattr(V3, name) for name in _VOLUME_FILTER_OPS},
         # global equalization is shape-polymorphic: one CDF over the
         # WHOLE volume (the volumetric sibling of kornia's equalize3d)
         "equalize_hist": H.equalize_hist,

@@ -349,6 +349,38 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "alpha": (_nonneg, "a number >= 0"),
         "mode": (_mode_ok, f"one of {_PAD_MODES}"),
     },
+    **{
+        _m: {
+            "kernel_size": (_odd_kernel, "an odd int >= 1"),
+            "shape": (
+                lambda v: v in ("rect", "ellipse", "cross"),
+                "one of ('rect', 'ellipse', 'cross')",
+            ),
+            # 'ignore' = cv2's default morphology border (outside the
+            # image never wins the min/max)
+            "mode": (
+                lambda v: v == "ignore" or _mode_ok(v),
+                f"'ignore' or one of {_PAD_MODES}",
+            ),
+        }
+        for _m in (
+            "erode", "dilate", "morph_open", "morph_close",
+            "morph_gradient", "top_hat", "black_hat",
+        )
+    },
+    **{
+        _m: {
+            "kernel_size": (_odd_kernel, "an odd int >= 1"),
+            "mode": (
+                lambda v: v == "ignore" or _mode_ok(v),
+                f"'ignore' or one of {_PAD_MODES}",
+            ),
+        }
+        for _m in (
+            "erode3d", "dilate3d", "morph_open3d", "morph_close3d",
+            "morph_gradient3d", "top_hat3d", "black_hat3d",
+        )
+    },
     "resize": {
         "height": (_pos_int, "an int >= 1"),
         "width": (_pos_int, "an int >= 1"),

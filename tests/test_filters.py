@@ -182,3 +182,86 @@ def test_guided_blur_spatial_shard_exact(xray):
     from mies_tpu.parallel.halo import stage_receptive_field
 
     assert stage_receptive_field("guided_blur", {"kernel_size": 5}) == 4
+
+
+# -- morphology (cv2-compatible; goldens vs the REAL cv2) ---------------------
+
+
+_CV2_SHAPE = {"rect": 0, "ellipse": 2, "cross": 1}  # cv2.MORPH_* values
+
+
+def test_structuring_element_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    from mies_tpu.ops.morphology import structuring_element
+
+    for k in (1, 3, 5, 7, 9, 11, 13, 15):
+        for name, flag in _CV2_SHAPE.items():
+            ref = cv2.getStructuringElement(flag, (k, k)).astype(bool)
+            got = np.asarray(structuring_element(k, name), dtype=bool)
+            np.testing.assert_array_equal(got, ref, err_msg=f"{name} k={k}")
+
+
+@pytest.mark.parametrize("shape", ["rect", "ellipse", "cross"])
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_erode_dilate_vs_cv2(xray, shape, k):
+    """Flat min/max morphology is exact arithmetic: bit-equal vs cv2,
+    both under cv2's default border (ours: mode='ignore') and
+    BORDER_REPLICATE (mode='nearest')."""
+    cv2 = pytest.importorskip("cv2")
+    from mies_tpu.ops import morphology as M
+
+    se = cv2.getStructuringElement(_CV2_SHAPE[shape], (k, k))
+    x = jnp.asarray(xray)
+    np.testing.assert_array_equal(
+        np.asarray(M.erode(x, k, shape)), cv2.erode(xray, se))
+    np.testing.assert_array_equal(
+        np.asarray(M.dilate(x, k, shape)), cv2.dilate(xray, se))
+    np.testing.assert_array_equal(
+        np.asarray(M.erode(x, k, shape, mode="nearest")),
+        cv2.erode(xray, se, borderType=cv2.BORDER_REPLICATE))
+    np.testing.assert_array_equal(
+        np.asarray(M.dilate(x, k, shape, mode="nearest")),
+        cv2.dilate(xray, se, borderType=cv2.BORDER_REPLICATE))
+
+
+@pytest.mark.parametrize("opname,cvflag", [
+    ("morph_open", 2), ("morph_close", 3), ("morph_gradient", 4),
+    ("top_hat", 5), ("black_hat", 6),
+])
+def test_morph_composites_vs_cv2(xray, opname, cvflag):
+    cv2 = pytest.importorskip("cv2")
+    from mies_tpu.ops import morphology as M
+
+    se = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5))
+    got = np.asarray(getattr(M, opname)(jnp.asarray(xray), 5, "ellipse"))
+    ref = cv2.morphologyEx(xray, cvflag, se)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_morphology_in_pipeline(xray):
+    """top_hat + gradient chain compiles/validates through the full
+    pipeline path (single and batched) and rejects bad params at load."""
+    from mies_tpu.pipeline.compiler import compile_pipeline
+    from mies_tpu.pipeline.config import PipelineConfig, validate
+
+    cfg = PipelineConfig.make(
+        [("top_hat", {"kernel_size": 5, "shape": "ellipse"}),
+         ("adjust_gamma", {"gamma": 0.8})],
+        name="vessel-tophat",
+    )
+    validate(cfg)
+    out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(xray)))
+    assert out.dtype == np.uint8 and out.shape == xray.shape
+    outb = np.asarray(
+        compile_pipeline(cfg, batched=True, donate=False)(
+            jnp.asarray(np.stack([xray] * 2))))
+    np.testing.assert_array_equal(outb[0], outb[1])
+
+    bad = PipelineConfig.make(
+        [("erode", {"kernel_size": 4})], name="bad-even-kernel")
+    with pytest.raises(ValueError, match="erode"):
+        validate(bad)
+    bad2 = PipelineConfig.make(
+        [("dilate", {"shape": "diamond"})], name="bad-shape")
+    with pytest.raises(ValueError, match="dilate"):
+        validate(bad2)

@@ -34,6 +34,13 @@ _CHAINABLE = [
     ("guided_blur", {"kernel_size": 3, "eps": 0.01}),
     ("sobel_edges", {}),
     ("laplacian_sharpen", {}),
+    ("erode", {}),
+    ("dilate", {"kernel_size": 5, "shape": "ellipse"}),
+    ("morph_open", {"shape": "cross"}),
+    ("morph_close", {"mode": "nearest"}),
+    ("morph_gradient", {}),
+    ("top_hat", {"kernel_size": 5}),
+    ("black_hat", {}),
     ("flip", {}),
     ("rot90", {"k": 2}),
     ("rotate", {"angle": 12.5, "mode": "nearest"}),

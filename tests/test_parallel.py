@@ -568,3 +568,47 @@ def test_zband_selection_matches_gather(rng, integer_luts):
         u8, luts, grid, Z, z0, integer_luts))
     gat = np.asarray(_trilinear_zband_gather(u8, luts, grid, Z, z0))
     np.testing.assert_allclose(sel, gat, atol=2e-5 if not integer_luts else 0)
+
+
+@pytest.mark.parametrize("space", [2, 8])
+def test_spatial_sharding_morphology_exact(rng, space):
+    """Morphology band form: every erode/dilate level halo-wraps with
+    its own border (+/-inf constant rows for the 'ignore' default), so
+    composites (top_hat = two levels) and the explicit-mode primitives
+    match the unsharded chain exactly, including global edges."""
+    cfg = PipelineConfig.make(
+        [("top_hat", {"kernel_size": 5, "shape": "ellipse"}),
+         ("morph_gradient", {"kernel_size": 3}),
+         ("dilate", {"kernel_size": 3, "mode": "nearest"}),
+         ("morph_close", {"kernel_size": 3, "shape": "cross"})],
+        name="morph-chain",
+    )
+    img = rng.random((256, 128)).astype(np.float32)
+    mesh = make_mesh(data=1, space=space)
+    out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+    ref = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+    # min/max trees are reassociation-insensitive: exact on every backend
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("op,params", [
+    ("erode3d", {"kernel_size": 3}),
+    ("top_hat3d", {"kernel_size": 3}),
+    ("morph_gradient3d", {"kernel_size": 5, "mode": "nearest"}),
+    ("black_hat3d", {"kernel_size": 3}),
+])
+def test_volume_morphology_zsharded_exact(rng, op, params):
+    """3-D morphology z-bands: each erode/dilate level halo-wraps with
+    its own border (+/-inf slabs for 'ignore'), exactly like the 2-D
+    band rule — composites match the unsharded volume bit-for-bit."""
+    from mies_tpu.parallel import make_mesh, volume_shard_apply
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+    vol = _vol(rng)
+    mesh = make_mesh(space=4)
+    cfg = PipelineConfig.make([(op, params)], name=f"z-{op}")
+    out = np.asarray(volume_shard_apply(cfg, mesh, quantize=False)(
+        jnp.asarray(vol)))
+    ref = np.asarray(compile_volume_pipeline(cfg, quantize=False)(
+        jnp.asarray(vol)))
+    np.testing.assert_array_equal(out, ref)

@@ -336,3 +336,62 @@ def test_tile33z_bit_equals_gather(rng):
         np.testing.assert_array_equal(
             np.rint(got2 * 255.0), np.rint(want * 255.0))
         np.testing.assert_allclose(got2, want, atol=1.3e-7, rtol=0)
+
+
+# -- 3-D morphology (goldens vs the REAL scipy.ndimage) -----------------------
+
+
+@pytest.mark.parametrize("k", [3, 5])
+@pytest.mark.parametrize("mode", ["ignore", "nearest"])
+def test_erode3d_dilate3d_vs_scipy(vol, k, mode):
+    """Cubic flat morphology is exact arithmetic: bit-equal vs
+    scipy.ndimage grey_erosion/grey_dilation ('ignore' == constant
+    +/-inf border, the outside-never-wins convention)."""
+    from mies_tpu.ops.volume3d import dilate3d, erode3d
+
+    if mode == "ignore":
+        kw_e = dict(mode="constant", cval=np.inf)
+        kw_d = dict(mode="constant", cval=-np.inf)
+    else:
+        kw_e = kw_d = dict(mode="nearest")
+    np.testing.assert_array_equal(
+        np.asarray(erode3d(jnp.asarray(vol), k, mode)),
+        ndimage.grey_erosion(vol, size=(k, k, k), **kw_e))
+    np.testing.assert_array_equal(
+        np.asarray(dilate3d(jnp.asarray(vol), k, mode)),
+        ndimage.grey_dilation(vol, size=(k, k, k), **kw_d))
+
+
+def test_morph3d_composites_vs_scipy(vol):
+    from mies_tpu.ops import volume3d as V3
+
+    x = jnp.asarray(vol)
+    er = ndimage.grey_erosion(vol, size=(3, 3, 3), mode="constant", cval=np.inf)
+    dl = ndimage.grey_dilation(vol, size=(3, 3, 3), mode="constant", cval=-np.inf)
+    op = ndimage.grey_dilation(er, size=(3, 3, 3), mode="constant", cval=-np.inf)
+    cl = ndimage.grey_erosion(dl, size=(3, 3, 3), mode="constant", cval=np.inf)
+    np.testing.assert_array_equal(np.asarray(V3.morph_open3d(x)), op)
+    np.testing.assert_array_equal(np.asarray(V3.morph_close3d(x)), cl)
+    np.testing.assert_array_equal(np.asarray(V3.morph_gradient3d(x)), dl - er)
+    np.testing.assert_array_equal(np.asarray(V3.top_hat3d(x)), vol - op)
+    np.testing.assert_array_equal(np.asarray(V3.black_hat3d(x)), cl - vol)
+
+
+def test_morph3d_in_volume_pipeline(vol):
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+    from mies_tpu.pipeline.config import PipelineConfig, validate
+
+    cfg = PipelineConfig.make(
+        [("top_hat3d", {"kernel_size": 5}),
+         ("rescale_intensity", {"out_range": (0.0, 1.0)})],
+        name="vessel-tophat-3d",
+    )
+    validate(cfg)
+    out = np.asarray(
+        compile_volume_pipeline(cfg, quantize=False)(jnp.asarray(vol)))
+    assert out.shape == vol.shape and np.isfinite(out).all()
+
+    bad = PipelineConfig.make(
+        [("erode3d", {"kernel_size": 2})], name="bad-even-3d")
+    with pytest.raises(ValueError, match="erode3d"):
+        validate(bad)
