@@ -364,6 +364,16 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("MIES_TPU_BACKEND", "").lower() == "cpu":
+        # Escape hatch when the TPU tunnel is down (backend init hangs
+        # ~30 min before raising): the axon plugin force-overrides
+        # JAX_PLATFORMS, so pin via jax.config — the one knob it honors.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from mies_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()  # Pallas kernels compile slowly; cache them

@@ -224,15 +224,17 @@ def _apply_kernel_slab(
             ]
 
 
-def _tile33_group(tw: int, gx: int) -> int:
+def _tile33_group(tw: int, gx: int, max_p: int = 4) -> int:
     """Tiles-per-program for the tile33 apply family (0 = unsupported):
     the block's lane extent P*tw must be 128-aligned (Mosaic lane-offset
     rule) and P must divide gx. P=2 is the classic pairing (tw % 64 ==
     0); narrow/odd widths (tw = 32, 96, ...) ride in groups of four.
     The selection dot grows to [P*9, 256] (2-D) / [P*18, 256] (3-D) —
-    still ONE MXU pass while P*18 <= 128."""
-    for P in (2, 4):
-        if gx % P == 0 and (P * tw) % 128 == 0:
+    still ONE MXU pass while P*18 <= 128. The 2-D callers allow
+    max_p=8 ([72, 256] dot — covers tw = 16/48/80/112); the 3-D kernel
+    caps at 4 so its [P*18, 256] dot stays a single pass."""
+    for P in (2, 4, 8):
+        if P <= max_p and gx % P == 0 and (P * tw) % 128 == 0:
             return P
     return 0
 
@@ -595,7 +597,7 @@ def _apply_lut_tile33(
     )  # [B, gy, gx, 9, 256]
     # integer LUTs ship bf16 (exact); fractional LUTs ship f32 and are
     # hi/lo-split inside the kernel (_select_luts)
-    P = _tile33_group(tw, gx)
+    P = _tile33_group(tw, gx, max_p=8)
     cl_in = stack.astype(jnp.bfloat16) if integer_luts else stack
     cl_in = cl_in.reshape(B * gy, gx // P, P, 9, NBINS)
 
@@ -756,7 +758,7 @@ def _clahe_apply_lut_jit(
     tw_ = u8.shape[2] // gx_
     th_ = u8.shape[1] // gy_
     if th_ % 2 == 0 and (th_ * tw_) % 128 == 0:
-        if _tile33_group(tw_, gx_):
+        if _tile33_group(tw_, gx_, max_p=8):
             return _apply_lut_tile33(
                 u8, luts, grid_size, integer_luts, interpret, variant,
                 quantize_input, finalize,

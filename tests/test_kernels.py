@@ -747,11 +747,11 @@ def test_apply33_env_variant_keys_jit_cache(rng, monkeypatch):
 
 
 def test_apply_tile33_groups_match_cells(rng):
-    """P=4 tile groups (tw=32 and tw=96 — the shapes that used to fall
-    to the cells path) match the cells twin: BIT-equal for dyadic tile
-    widths; 1-ULP (XLA:CPU FMA-contraction of the non-dyadic xa blend)
-    for tw=96 — the same platform class the other apply tests tolerate.
-    On chip the tw=96 case is pinned bit-exact vs cv2
+    """P=4/P=8 tile groups (tw = 32/96/16/48 — the shapes that used to
+    fall to the cells path) match the cells twin: BIT-equal for dyadic
+    tile widths; 1-ULP (XLA:CPU FMA-contraction of the non-dyadic xa
+    blend) for tw=96/48 — the same platform class the other apply tests
+    tolerate. On chip the tw=96 case is pinned bit-exact vs cv2
     (tpu_consistency_driver clahe_opencv_tw96_vs_cv2)."""
     from mies_tpu.kernels.clahe import (
         _apply_lut_cells,
@@ -759,14 +759,17 @@ def test_apply_tile33_groups_match_cells(rng):
         clahe_apply_lut,
     )
 
+    expected_p = {32: 4, 96: 4, 64: 2, 16: 8, 48: 8}
     for shape, grid, exact in [
         ((2, 128, 256), (4, 8), True),    # tw=32 -> P=4, dyadic
         ((2, 128, 384), (4, 4), False),   # tw=96 -> P=4, non-dyadic
         ((2, 128, 256), (4, 4), True),    # tw=64 -> P=2 regression
+        ((2, 128, 128), (4, 8), True),    # tw=16 -> P=8, dyadic
+        ((2, 128, 384), (4, 8), False),   # tw=48 -> P=8, non-dyadic
     ]:
         gy, gx = grid
-        assert _tile33_group(shape[2] // gx, gx) == (
-            2 if shape[2] // gx == 64 else 4
+        assert _tile33_group(shape[2] // gx, gx, max_p=8) == (
+            expected_p[shape[2] // gx]
         )
         u8 = jnp.asarray(
             rng.integers(0, 256, shape).astype(np.int32))
