@@ -314,6 +314,16 @@ def cmd_ops(args) -> int:
     return 0
 
 
+def _default_augment():
+    """The standard medical-training recipe: full D4 geometry, mild
+    intensity jitter on the input, no extra noise (the objective's own
+    noise model stays in charge)."""
+    from mies_tpu.models.augment import AugmentConfig
+
+    return AugmentConfig(hflip=0.5, vflip=0.5, rot90=True,
+                         brightness=0.05, contrast=0.1, gamma=0.1)
+
+
 def cmd_train_denoiser(args) -> int:
     from mies_tpu.models.train import train_denoiser
 
@@ -338,6 +348,7 @@ def cmd_train_denoiser(args) -> int:
         data_dir=args.data,
         evaluate=args.eval,
         self_supervised=args.self_supervised,
+        augment=_default_augment() if args.augment else None,
     )
     print(
         json.dumps(
@@ -455,6 +466,11 @@ def main(argv=None) -> int:
                    help="Noise2Void blind-spot training: no clean "
                         "targets — learns from the (noisy) data alone; "
                         "with --data, the slices' own noise is the noise")
+    p.add_argument("--augment", action="store_true",
+                   help="device-side stochastic augmentation (flips + "
+                        "90-degree rotations on input AND target, "
+                        "brightness/contrast/gamma jitter on the input "
+                        "only)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
     p.set_defaults(fn=cmd_train_denoiser)

@@ -9,6 +9,7 @@ CPU devices (how tests and the driver's dry-run exercise it).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 import jax
@@ -282,6 +283,7 @@ def train_denoiser(
     evaluate: bool = False,
     self_supervised: bool = False,
     arch: str = "dncnn",
+    augment: "AugmentConfig | None" = None,
 ) -> tuple[TrainState, list[float], dict]:
     """Train the denoiser; returns (state, losses, report).
 
@@ -295,6 +297,12 @@ def train_denoiser(
     This is the realistic medical setup, where clean references don't
     exist; with a data_dir the raw crops' own noise is the noise (no
     synthetic corruption added).
+
+    augment (models.augment.AugmentConfig) enables device-side
+    stochastic augmentation (kornia.augmentation analogue): the SAME
+    geometric transform on input and target, photometric jitter on the
+    input only; in the self-supervised path the crops are augmented
+    BEFORE blind-spot masking (masking statistics stay untouched).
     """
     init_fn, step_fn, _ = make_train_step(
         features, depth, mesh=mesh, self_supervised=self_supervised,
@@ -303,6 +311,12 @@ def train_denoiser(
     state = init_fn(jax.random.PRNGKey(seed))
     rng = np.random.default_rng(seed)
     dataset = FileDataset(data_dir, patch=patch) if data_dir else None
+    if augment is not None:
+        from mies_tpu.models.augment import augment_batch, augment_pair
+
+        aug_key = jax.random.PRNGKey(seed ^ 0x5A5A5A)
+        aug_one = jax.jit(lambda k, x: augment_batch(k, x, augment))
+        aug_two = jax.jit(lambda k, x, y: augment_pair(k, x, y, augment))
     losses = []
     for i in range(steps):
         if self_supervised:
@@ -310,6 +324,9 @@ def train_denoiser(
                 noisy = dataset.crops(rng, batch)
             else:
                 noisy, _ = synth_batch(rng, batch, patch, sigma)
+            if augment is not None:
+                aug_key, k_ = jax.random.split(aug_key)
+                noisy = np.asarray(aug_one(k_, jnp.asarray(noisy)))
             masked, target, mask = n2v_mask_batch(rng, noisy)
             state, loss = step_fn(
                 state, jnp.asarray(masked), jnp.asarray(target),
@@ -320,7 +337,11 @@ def train_denoiser(
                 noisy, clean = dataset.batch(rng, batch, sigma)
             else:
                 noisy, clean = synth_batch(rng, batch, patch, sigma)
-            state, loss = step_fn(state, jnp.asarray(noisy), jnp.asarray(clean))
+            noisy, clean = jnp.asarray(noisy), jnp.asarray(clean)
+            if augment is not None:
+                aug_key, k_ = jax.random.split(aug_key)
+                noisy, clean = aug_two(k_, noisy, clean)
+            state, loss = step_fn(state, noisy, clean)
         if i % log_every == 0 or i == steps - 1:
             losses.append(float(loss))
     report = {
@@ -328,6 +349,7 @@ def train_denoiser(
         "arch": arch,
         "data": data_dir or "synthetic-phantoms",
         "objective": "noise2void" if self_supervised else "noise2clean",
+        "augment": None if augment is None else dataclasses.asdict(augment),
         "final_loss": losses[-1] if losses else None,
     }
     if evaluate:

@@ -246,3 +246,26 @@ def test_build_model_rejects_unknown_and_bad_depth():
         build_model("resnet", 8, 4)
     with pytest.raises(ValueError, match="levels"):
         build_model("unet", 8, 9)
+
+
+def test_train_with_augmentation():
+    """Augmented training runs both objectives and records the recipe
+    in the report; loss stays finite and decreasing-ish."""
+    from mies_tpu.models.augment import AugmentConfig
+
+    aug = AugmentConfig(hflip=0.5, vflip=0.5, rot90=True,
+                        brightness=0.05, contrast=0.1, gamma=0.1)
+    state, losses, report = train_denoiser(
+        steps=30, batch=8, patch=32, features=8, depth=3,
+        log_every=10, augment=aug,
+    )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert report["augment"]["rot90"] is True
+
+    _, losses_n2v, report_n2v = train_denoiser(
+        steps=20, batch=8, patch=32, features=8, depth=3,
+        log_every=10, self_supervised=True, augment=aug,
+    )
+    assert np.isfinite(losses_n2v).all()
+    assert report_n2v["augment"]["hflip"] == 0.5
