@@ -164,6 +164,33 @@ def cmd_enhance_volume(args) -> int:
         }))
         return 0
     vol, meta = load_volume(args.input, var_name=args.var)
+    if getattr(args, "isotropic", None) is not None:
+        if args.mode != "3d":
+            raise SystemExit("--isotropic needs --mode 3d (it resamples "
+                             "the whole [Z, H, W] grid)")
+        if args.metrics:
+            raise SystemExit("--isotropic changes the grid shape; "
+                             "full-reference --metrics need matching "
+                             "shapes")
+        if meta.spacing is None:
+            raise SystemExit(
+                "--isotropic needs voxel spacing, which only DICOM "
+                "series inputs carry (PixelSpacing + slice positions); "
+                "use an explicit resample3d stage for other formats"
+            )
+        from mies_tpu.pipeline.config import PipelineConfig
+
+        tgt = float(args.isotropic)
+        d, h, w = (
+            max(1, round(n * s / tgt))
+            for n, s in zip(vol.shape, meta.spacing)
+        )
+        cfg = PipelineConfig.make(
+            [("resample3d", {"depth": d, "height": h, "width": w}),
+             *cfg.stages],
+            name=f"{cfg.name}-iso{tgt:g}mm",
+            io=cfg.io_dict(), eval=cfg.eval_dict(),
+        )
     if args.mode == "3d":
         import jax.numpy as jnp
 
@@ -420,6 +447,10 @@ def main(argv=None) -> int:
     p.add_argument("--slab", type=int, default=16)
     p.add_argument("--mode", choices=["slices", "3d"], default="slices",
                    help="'3d' runs a volumetric chain (clahe3d etc.) on the whole volume")
+    p.add_argument("--isotropic", type=float, metavar="MM",
+                   help="(--mode 3d) resample to isotropic MM-mm voxels "
+                        "before the chain, using the DICOM series' "
+                        "PixelSpacing/slice positions")
     p.add_argument("--metrics", nargs="+", default=None,
                    help="also write per-slice quality metrics vs the "
                         "(windowed) input, e.g. --metrics psnr ssim")

@@ -34,6 +34,8 @@ _TAG_BITS_ALLOC = (0x0028, 0x0100)
 _TAG_PIXEL_REP = (0x0028, 0x0103)
 _TAG_INTERCEPT = (0x0028, 0x1052)
 _TAG_SLOPE = (0x0028, 0x1053)
+_TAG_SLICE_THICK = (0x0018, 0x0050)
+_TAG_PIXEL_SPACING = (0x0028, 0x0030)
 _TAG_INSTANCE = (0x0020, 0x0013)
 _TAG_IPP = (0x0020, 0x0032)
 _TAG_SLICE_LOC = (0x0020, 0x1041)
@@ -54,6 +56,8 @@ class DicomSlice:
     instance_number: int | None = None
     slice_location: float | None = None
     image_position_z: float | None = None
+    pixel_spacing: tuple[float, float] | None = None  # (row, col) mm
+    slice_thickness: float | None = None  # mm
     rescale_slope: float = 1.0
     rescale_intercept: float = 0.0
     transfer_syntax: str = EXPLICIT_VR_LE
@@ -204,6 +208,19 @@ def read_dicom(path: str | Path) -> DicomSlice:
             parts = v.decode("ascii").strip(" \x00").split("\\")
             if len(parts) == 3:
                 meta["ipp_z"] = float(parts[2])
+        elif t == _TAG_PIXEL_SPACING:
+            parts = v.decode("ascii").strip(" \x00").split("\\")
+            if len(parts) == 2:
+                try:
+                    meta["pixel_spacing"] = (float(parts[0]), float(parts[1]))
+                except ValueError:
+                    pass
+        elif t == _TAG_SLICE_THICK:
+            try:
+                meta["slice_thickness"] = float(
+                    v.decode("ascii").strip(" \x00"))
+            except ValueError:
+                pass
 
     if pixel_bytes is None or "rows" not in meta or "cols" not in meta:
         raise ValueError(f"{path}: missing PixelData / Rows / Columns")
@@ -236,6 +253,8 @@ def read_dicom(path: str | Path) -> DicomSlice:
         instance_number=meta.get("instance"),
         slice_location=meta.get("slice_loc"),
         image_position_z=meta.get("ipp_z"),
+        pixel_spacing=meta.get("pixel_spacing"),
+        slice_thickness=meta.get("slice_thickness"),
         rescale_slope=slope,
         rescale_intercept=intercept,
         transfer_syntax=ts,
@@ -287,6 +306,19 @@ def read_dicom_header(path: str | Path) -> dict:
             parts = v.decode("ascii").strip(" \x00").split("\\")
             if len(parts) == 3:
                 meta["ipp_z"] = float(parts[2])
+        elif t == _TAG_PIXEL_SPACING:
+            parts = v.decode("ascii").strip(" \x00").split("\\")
+            if len(parts) == 2:
+                try:
+                    meta["pixel_spacing"] = (float(parts[0]), float(parts[1]))
+                except ValueError:
+                    pass
+        elif t == _TAG_SLICE_THICK:
+            try:
+                meta["slice_thickness"] = float(
+                    v.decode("ascii").strip(" \x00"))
+            except ValueError:
+                pass
     return meta
 
 
@@ -320,6 +352,49 @@ def read_dicom_series(directory: str | Path, pattern: str = "*.dcm") -> np.ndarr
 
     slices = [s for _, s in sorted(enumerate(slices), key=lambda t: key(t))]
     return np.stack([_to_int16_sat(s.pixels) for s in slices], axis=0)
+
+
+def series_spacing(
+    directory: str | Path, pattern: str = "*.dcm"
+) -> tuple[float, float, float] | None:
+    """(dz, dy, dx) voxel spacing in mm for a DICOM series, or None.
+
+    dz prefers the |ImagePositionPatient z| delta between the first two
+    position-sorted slices (the actual reconstruction interval) and
+    falls back to SliceThickness; (dy, dx) from PixelSpacing (row, col).
+    Reads at most two headers — cheap enough for the CLI to call
+    unconditionally (`enhance-volume --isotropic`).
+    """
+    paths = sorted(Path(directory).glob(pattern))
+    if not paths:
+        return None
+    heads = [read_dicom_header(p) for p in paths]
+    spacing = next(
+        (h.get("pixel_spacing") for h in heads if h.get("pixel_spacing")),
+        None,
+    )
+    if spacing is None:
+        return None
+    zs = sorted(h["ipp_z"] for h in heads if "ipp_z" in h)
+    dz = None
+    if len(zs) >= 2:
+        deltas = sorted(
+            b - a for a, b in zip(zs, zs[1:]) if b - a > 0
+        )
+        if deltas:
+            dz = deltas[len(deltas) // 2]  # median adjacent interval
+    if dz is None:
+        dz = next(
+            (h.get("slice_thickness") for h in heads
+             if h.get("slice_thickness")),
+            None,
+        )
+    if dz is None or dz <= 0:
+        return None
+    dy, dx = spacing
+    if dy <= 0 or dx <= 0:
+        return None
+    return (float(dz), float(dy), float(dx))
 
 
 def _to_int16_sat(px: np.ndarray) -> np.ndarray:
@@ -356,6 +431,8 @@ def write_dicom(
     rescale_slope: float = 1.0,
     rescale_intercept: float = 0.0,
     image_position: tuple[float, float, float] | None = None,
+    pixel_spacing: tuple[float, float] | None = None,
+    slice_thickness: float | None = None,
 ) -> None:
     """Write a minimal explicit-VR-LE Part-10 DICOM file (int16/uint8)."""
     pixels = np.asarray(pixels)
@@ -380,6 +457,14 @@ def write_dicom(
         ds += _el_short(
             _TAG_IPP, b"DS",
             "\\".join(f"{v:.3f}" for v in image_position).encode(),
+        )
+    if slice_thickness is not None:
+        ds += _el_short(
+            _TAG_SLICE_THICK, b"DS", f"{slice_thickness:.4f}".encode())
+    if pixel_spacing is not None:
+        ds += _el_short(
+            _TAG_PIXEL_SPACING, b"DS",
+            "\\".join(f"{v:.4f}" for v in pixel_spacing).encode(),
         )
     ds += _el_short(_TAG_ROWS, b"US", struct.pack("<H", rows))
     ds += _el_short(_TAG_COLS, b"US", struct.pack("<H", cols))

@@ -32,6 +32,7 @@ class VolumeMeta:
     dtype: str
     source: str
     var_name: str | None = None
+    spacing: tuple[float, float, float] | None = None  # (dz, dy, dx) mm
 
 
 def _is_classic_netcdf(path: Path) -> bool:
@@ -92,7 +93,12 @@ def load_volume(
 
             vol = read_dicom_series(path)
             src = f"dicom-series:{path}"
-        return vol, VolumeMeta(vol.shape, str(vol.dtype), src)
+        from mies_tpu.io.dicom import series_spacing
+
+        return vol, VolumeMeta(
+            vol.shape, str(vol.dtype), src,
+            spacing=series_spacing(path),
+        )
     suffix = path.suffix.lower()
     if suffix == ".nc":
         if _is_classic_netcdf(path):

@@ -145,14 +145,15 @@ OP_REGISTRY["histogram_match"] = _histogram_match_builder
 VOLUME_ONLY_OPS = frozenset(
     {"clahe3d", "gaussian_blur3d", "guided_blur3d", "median_blur3d",
      "unsharp_mask3d", "erode3d", "dilate3d", "morph_open3d",
-     "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d"}
+     "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
+     "resample3d"}
 )
 
 
 _VOLUME_FILTER_OPS = (
     "gaussian_blur3d", "guided_blur3d", "median_blur3d", "unsharp_mask3d",
     "erode3d", "dilate3d", "morph_open3d", "morph_close3d",
-    "morph_gradient3d", "top_hat3d", "black_hat3d",
+    "morph_gradient3d", "top_hat3d", "black_hat3d", "resample3d",
 )
 
 

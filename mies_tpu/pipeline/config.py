@@ -381,6 +381,11 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
             "morph_gradient3d", "top_hat3d", "black_hat3d",
         )
     },
+    "resample3d": {
+        "depth": (_pos_int, "an int >= 1"),
+        "height": (_pos_int, "an int >= 1"),
+        "width": (_pos_int, "an int >= 1"),
+    },
     "resize": {
         "height": (_pos_int, "an int >= 1"),
         "width": (_pos_int, "an int >= 1"),

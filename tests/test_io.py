@@ -387,3 +387,23 @@ def test_dicom_series_mixed_metadata_merged_order(tmp_path):
     if native.available():
         nvol = native.read_dicom_series_native(d)
         np.testing.assert_array_equal(nvol, vol)
+
+
+def test_dicom_spacing_roundtrip(tmp_path):
+    """PixelSpacing/SliceThickness write+read; series_spacing prefers
+    the median IPP z interval over SliceThickness."""
+    from mies_tpu.io.dicom import read_dicom, series_spacing, write_dicom
+
+    for i in range(4):
+        write_dicom(tmp_path / f"s{i:03d}.dcm",
+                    np.full((8, 8), i, np.int16), instance_number=i + 1,
+                    image_position=(0.0, 0.0, 2.5 * i),
+                    pixel_spacing=(0.7, 0.8), slice_thickness=2.0)
+    s = read_dicom(tmp_path / "s000.dcm")
+    assert s.pixel_spacing == (0.7, 0.8) and s.slice_thickness == 2.0
+    assert series_spacing(tmp_path) == (2.5, 0.7, 0.8)
+    # load_volume carries it into VolumeMeta
+    from mies_tpu.io.volume import load_volume
+
+    _, meta = load_volume(tmp_path)
+    assert meta.spacing == (2.5, 0.7, 0.8)

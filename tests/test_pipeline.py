@@ -616,3 +616,34 @@ def test_cli_enhance_volume_3d_data_parallel(tmp_path):
         cli.main(["enhance-volume", str(src2), "-c", str(cfg),
                   "-o", str(tmp_path / "x.npz"), "--mode", "3d",
                   "--data-parallel", "-q"])
+
+
+def test_cli_enhance_volume_isotropic(tmp_path):
+    """--isotropic resamples an anisotropic DICOM series to a uniform
+    grid before the 3-D chain (5 mm z-spacing, 1 mm in-plane, target
+    2.5 mm: 8x64x64 -> 16x26x26)."""
+    from mies_tpu import cli
+    from mies_tpu.io.dicom import write_dicom
+
+    rng = np.random.default_rng(0)
+    series = tmp_path / "series"
+    series.mkdir()
+    for i in range(8):
+        write_dicom(series / f"s{i:03d}.dcm",
+                    rng.integers(-500, 1500, (64, 64)).astype(np.int16),
+                    instance_number=i + 1,
+                    image_position=(0.0, 0.0, 5.0 * i),
+                    pixel_spacing=(1.0, 1.0))
+    cfgp = tmp_path / "c.yaml"
+    cfgp.write_text(
+        "name: iso\npipeline:\n"
+        "  - {op: window_hu, center: 40.0, width: 400.0}\n"
+        "  - {op: gaussian_blur3d, sigma: 1.0}\n"
+    )
+    out = tmp_path / "out.npz"
+    rc = cli.main(["enhance-volume", str(series), "-c", str(cfgp),
+                   "-o", str(out), "--mode", "3d", "--isotropic", "2.5"])
+    assert rc == 0
+    with np.load(out) as z:
+        vol = z[z.files[0]]
+    assert vol.shape == (16, 26, 26)  # round(8*5/2.5), round(64*1/2.5)

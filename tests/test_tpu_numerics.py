@@ -114,3 +114,7 @@ def test_zsharded_clahe3d_levels(consistency):
 
 def test_clahe3d_tile33z_fast_path(consistency):
     _case(consistency, "clahe3d_opencv_t33z_vs_cpu")
+
+
+def test_morphology_bit_exact_vs_cv2(consistency):
+    _case(consistency, "morphology_vs_cv2")

@@ -395,3 +395,54 @@ def test_morph3d_in_volume_pipeline(vol):
         [("erode3d", {"kernel_size": 2})], name="bad-even-3d")
     with pytest.raises(ValueError, match="erode3d"):
         validate(bad)
+
+
+# -- resample3d (isotropic-spacing preprocessing) ------------------------------
+
+
+def test_resample3d_matches_scipy_map_coordinates(vol):
+    """The separable banded-matmul trilinear resample matches
+    scipy.ndimage.map_coordinates(order=1) on the same align-corners
+    coordinate grid within f32 tolerance (up- and down-sampling)."""
+    from mies_tpu.ops.volume3d import resample3d
+
+    for out_shape in [(48, 96, 80), (16, 32, 32), (32, 64, 64)]:
+        got = np.asarray(resample3d(jnp.asarray(vol), *out_shape))
+        grids = [
+            np.linspace(0, s_in - 1, s_out, dtype=np.float64)
+            if s_out > 1 else np.array([0.5 * (s_in - 1)])
+            for s_in, s_out in zip(vol.shape, out_shape)
+        ]
+        zz, yy, xx = np.meshgrid(*grids, indexing="ij")
+        ref = ndimage.map_coordinates(
+            vol.astype(np.float64), [zz, yy, xx], order=1, mode="nearest")
+        np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
+        assert got.shape == out_shape
+
+
+def test_resample3d_identity_and_int16(vol):
+    from mies_tpu.ops.volume3d import resample3d
+
+    same = np.asarray(resample3d(jnp.asarray(vol), *vol.shape))
+    np.testing.assert_array_equal(same, vol)
+    hu = (vol * 2000 - 1000).astype(np.int16)
+    up = np.asarray(resample3d(jnp.asarray(hu), 64, 64, 64))
+    assert up.dtype == np.float32
+    assert hu.min() <= up.min() and up.max() <= hu.max() + 1
+
+
+def test_resample3d_in_volume_pipeline(vol):
+    """resample3d as the FIRST stage (the --isotropic order: resample
+    raw HU, then window) through compile_volume_pipeline."""
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+    from mies_tpu.pipeline.config import PipelineConfig, validate
+
+    cfg = PipelineConfig.make(
+        [("resample3d", {"depth": 16, "height": 32, "width": 32}),
+         ("gaussian_blur3d", {"sigma": 1.0})],
+        name="iso-then-blur",
+    )
+    validate(cfg)
+    out = np.asarray(
+        compile_volume_pipeline(cfg, quantize=False)(jnp.asarray(vol)))
+    assert out.shape == (16, 32, 32) and np.isfinite(out).all()

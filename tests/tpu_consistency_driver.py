@@ -351,6 +351,33 @@ def main() -> int:
         "max_level": dz, "ok": dz == 0.0,
     }
 
+    # 10. morphology vs cv2 ON CHIP — min/max trees are reassociation-
+    # insensitive, so top_hat (two levels + subtraction) must be
+    # BIT-exact vs cv2 on the TPU, both borders
+    from mies_tpu.ops.morphology import morph_gradient, top_hat
+
+    try:
+        import cv2
+
+        img = np.asarray(imgs[0], np.float32)
+        se = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5))
+        got_th = np.asarray(jax.jit(
+            lambda x: top_hat(x, 5, "ellipse"))(jnp.asarray(img)))
+        ref_th = cv2.morphologyEx(img, cv2.MORPH_TOPHAT, se)
+        got_gr = np.asarray(jax.jit(
+            lambda x: morph_gradient(x, 3, "rect", mode="nearest")
+        )(jnp.asarray(img)))
+        ref_gr = cv2.morphologyEx(
+            img, cv2.MORPH_GRADIENT,
+            cv2.getStructuringElement(cv2.MORPH_RECT, (3, 3)),
+            borderType=cv2.BORDER_REPLICATE,
+        )
+        dm = max(float(np.abs(got_th - ref_th).max()),
+                 float(np.abs(got_gr - ref_gr).max()))
+        out["cases"]["morphology_vs_cv2"] = {"max_abs": dm, "ok": dm == 0.0}
+    except ImportError:
+        out["cases"]["morphology_vs_cv2"] = {"skipped": "no cv2"}
+
     out["ok"] = all(
         case.get("ok", True) for case in out["cases"].values()
     )
