@@ -376,6 +376,7 @@ def cmd_train_denoiser(args) -> int:
         evaluate=args.eval,
         self_supervised=args.self_supervised,
         augment=_default_augment() if args.augment else None,
+        loss=args.loss,
     )
     print(
         json.dumps(
@@ -497,6 +498,13 @@ def main(argv=None) -> int:
                    help="Noise2Void blind-spot training: no clean "
                         "targets — learns from the (noisy) data alone; "
                         "with --data, the slices' own noise is the noise")
+    p.add_argument("--loss", choices=("l2", "l1", "ssim", "mix"),
+                   default="l2",
+                   help="training objective on the denoised estimate: "
+                        "l2 (default), l1 (outlier-robust), ssim "
+                        "(structural), mix (0.16 L1 + 0.84 SSIM — the "
+                        "Zhao et al. restoration recipe); Noise2Void "
+                        "supports l1/l2")
     p.add_argument("--augment", action="store_true",
                    help="device-side stochastic augmentation (flips + "
                         "90-degree rotations on input AND target, "

@@ -29,6 +29,24 @@ class TrainState:
     step: int = 0
 
 
+TRAIN_LOSSES = ("l2", "l1", "ssim", "mix")
+
+
+def _ssim_loss(denoised, clean, ws: int = 7):
+    """1 - mean SSIM over the batch (differentiable; sewar's uniform
+    window via eval.metrics._ssim_maps, max_val=1 for [0,1] floats).
+    ws=7 keeps a meaningful valid region on small training patches."""
+    from mies_tpu.eval.metrics import _ssim_maps
+
+    def one(d, c):
+        m, _ = _ssim_maps(c, d, ws, 0.01, 0.03, 1.0)
+        return jnp.mean(m)
+
+    d2 = denoised[..., 0] if denoised.ndim == 4 else denoised
+    c2 = clean[..., 0] if clean.ndim == 4 else clean
+    return 1.0 - jnp.mean(jax.vmap(one)(d2, c2))
+
+
 def make_train_step(
     features: int = 32,
     depth: int = 6,
@@ -36,6 +54,7 @@ def make_train_step(
     mesh: Mesh | None = None,
     self_supervised: bool = False,
     arch: str = "dncnn",
+    loss: str = "l2",
 ) -> tuple[Callable, Callable, optax.GradientTransformation]:
     """Returns (init_fn, train_step).
 
@@ -51,18 +70,36 @@ def make_train_step(
     With a mesh, the batch is sharded over 'data' and params are
     replicated; XLA inserts the gradient all-reduce.
     """
+    if loss not in TRAIN_LOSSES:
+        raise ValueError(f"loss must be one of {TRAIN_LOSSES}, got {loss!r}")
+    if self_supervised and loss in ("ssim", "mix"):
+        raise ValueError(
+            "ssim/mix losses need dense targets; Noise2Void's blind-spot "
+            "objective is defined only on the masked pixels — use l1/l2"
+        )
     model = build_model(arch, features, depth)
     tx = optax.adamw(learning_rate)
 
     def loss_fn(params, noisy, clean):
         pred_noise = model.apply(params, noisy)
         true_noise = noisy - clean
-        return jnp.mean((pred_noise - true_noise) ** 2)
+        if loss == "l2":
+            return jnp.mean((pred_noise - true_noise) ** 2)
+        if loss == "l1":
+            return jnp.mean(jnp.abs(pred_noise - true_noise))
+        denoised = noisy - pred_noise
+        if loss == "ssim":
+            return _ssim_loss(denoised, clean)
+        # 'mix': the Zhao et al. 2017 restoration recipe — L1 keeps
+        # intensities honest, SSIM keeps structure (alpha = 0.84 SSIM)
+        return (0.16 * jnp.mean(jnp.abs(pred_noise - true_noise))
+                + 0.84 * _ssim_loss(denoised, clean))
 
     def n2v_loss_fn(params, masked, target, mask):
         denoised = masked - model.apply(params, masked)
-        se = (denoised - target) ** 2 * mask
-        return jnp.sum(se) / jnp.maximum(jnp.sum(mask), 1.0)
+        err = denoised - target
+        e = jnp.abs(err) if loss == "l1" else err * err
+        return jnp.sum(e * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
     if self_supervised:
 
@@ -284,6 +321,7 @@ def train_denoiser(
     self_supervised: bool = False,
     arch: str = "dncnn",
     augment: "AugmentConfig | None" = None,
+    loss: str = "l2",
 ) -> tuple[TrainState, list[float], dict]:
     """Train the denoiser; returns (state, losses, report).
 
@@ -306,7 +344,7 @@ def train_denoiser(
     """
     init_fn, step_fn, _ = make_train_step(
         features, depth, mesh=mesh, self_supervised=self_supervised,
-        arch=arch,
+        arch=arch, loss=loss,
     )
     state = init_fn(jax.random.PRNGKey(seed))
     rng = np.random.default_rng(seed)
@@ -328,7 +366,7 @@ def train_denoiser(
                 aug_key, k_ = jax.random.split(aug_key)
                 noisy = np.asarray(aug_one(k_, jnp.asarray(noisy)))
             masked, target, mask = n2v_mask_batch(rng, noisy)
-            state, loss = step_fn(
+            state, loss_val = step_fn(
                 state, jnp.asarray(masked), jnp.asarray(target),
                 jnp.asarray(mask),
             )
@@ -341,14 +379,15 @@ def train_denoiser(
             if augment is not None:
                 aug_key, k_ = jax.random.split(aug_key)
                 noisy, clean = aug_two(k_, noisy, clean)
-            state, loss = step_fn(state, noisy, clean)
+            state, loss_val = step_fn(state, noisy, clean)
         if i % log_every == 0 or i == steps - 1:
-            losses.append(float(loss))
+            losses.append(float(loss_val))
     report = {
         "steps": steps,
         "arch": arch,
         "data": data_dir or "synthetic-phantoms",
         "objective": "noise2void" if self_supervised else "noise2clean",
+        "loss": loss,
         "augment": None if augment is None else dataclasses.asdict(augment),
         "final_loss": losses[-1] if losses else None,
     }

