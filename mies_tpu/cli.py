@@ -153,6 +153,11 @@ def cmd_enhance_volume(args) -> int:
                 "--stream is slice-mode only and incompatible with "
                 "--metrics (both need the whole volume in memory)"
             )
+        if getattr(args, "isotropic", None) is not None:
+            raise SystemExit(
+                "--isotropic needs --mode 3d (whole-volume resample); "
+                "it cannot run under --stream's slab-at-a-time model"
+            )
         meta = runner.enhance_volume_stream(
             args.input, cfg, args.output,
             slab_size=args.slab, var_name=args.var,
@@ -172,6 +177,12 @@ def cmd_enhance_volume(args) -> int:
             raise SystemExit("--isotropic changes the grid shape; "
                              "full-reference --metrics need matching "
                              "shapes")
+        if getattr(args, "data_parallel", False):
+            raise SystemExit(
+                "--isotropic cannot combine with --data-parallel: the "
+                "resample changes the z extent, so it is not "
+                "z-shardable; resample first, then shard the result"
+            )
         if meta.spacing is None:
             raise SystemExit(
                 "--isotropic needs voxel spacing, which only DICOM "

@@ -122,6 +122,41 @@ class _Reader:
                 self.pos += length
 
 
+def _parse_geometry_tag(t, v: bytes, meta: dict) -> bool:
+    """Parse the ordering/geometry tags shared by read_dicom and
+    read_dicom_header into ``meta``; returns True when ``t`` was one of
+    them (one decoder — the two parsers must never drift)."""
+    if t == _TAG_INSTANCE:
+        try:
+            meta["instance"] = int(v.decode("ascii").strip(" \x00"))
+        except ValueError:
+            pass
+    elif t == _TAG_SLICE_LOC:
+        try:
+            meta["slice_loc"] = float(v.decode("ascii").strip(" \x00"))
+        except ValueError:
+            pass
+    elif t == _TAG_IPP:
+        parts = v.decode("ascii").strip(" \x00").split("\\")
+        if len(parts) == 3:
+            meta["ipp_z"] = float(parts[2])
+    elif t == _TAG_PIXEL_SPACING:
+        parts = v.decode("ascii").strip(" \x00").split("\\")
+        if len(parts) == 2:
+            try:
+                meta["pixel_spacing"] = (float(parts[0]), float(parts[1]))
+            except ValueError:
+                pass
+    elif t == _TAG_SLICE_THICK:
+        try:
+            meta["slice_thickness"] = float(v.decode("ascii").strip(" \x00"))
+        except ValueError:
+            pass
+    else:
+        return False
+    return True
+
+
 def _parse_meta(data: bytes) -> tuple[str, int]:
     """Parse the file-meta group (always explicit VR LE); return
     (transfer_syntax_uid, offset_of_dataset)."""
@@ -194,33 +229,8 @@ def read_dicom(path: str | Path) -> DicomSlice:
             meta["intercept"] = float(v.decode("ascii").strip(" \x00") or 0)
         elif t == _TAG_SLOPE:
             meta["slope"] = float(v.decode("ascii").strip(" \x00") or 1)
-        elif t == _TAG_INSTANCE:
-            try:
-                meta["instance"] = int(v.decode("ascii").strip(" \x00"))
-            except ValueError:
-                pass
-        elif t == _TAG_SLICE_LOC:
-            try:
-                meta["slice_loc"] = float(v.decode("ascii").strip(" \x00"))
-            except ValueError:
-                pass
-        elif t == _TAG_IPP:
-            parts = v.decode("ascii").strip(" \x00").split("\\")
-            if len(parts) == 3:
-                meta["ipp_z"] = float(parts[2])
-        elif t == _TAG_PIXEL_SPACING:
-            parts = v.decode("ascii").strip(" \x00").split("\\")
-            if len(parts) == 2:
-                try:
-                    meta["pixel_spacing"] = (float(parts[0]), float(parts[1]))
-                except ValueError:
-                    pass
-        elif t == _TAG_SLICE_THICK:
-            try:
-                meta["slice_thickness"] = float(
-                    v.decode("ascii").strip(" \x00"))
-            except ValueError:
-                pass
+        elif _parse_geometry_tag(t, v, meta):
+            pass
 
     if pixel_bytes is None or "rows" not in meta or "cols" not in meta:
         raise ValueError(f"{path}: missing PixelData / Rows / Columns")
@@ -292,33 +302,8 @@ def read_dicom_header(path: str | Path) -> dict:
             meta["rows"] = struct.unpack("<H", v[:2])[0]
         elif t == _TAG_COLS:
             meta["cols"] = struct.unpack("<H", v[:2])[0]
-        elif t == _TAG_INSTANCE:
-            try:
-                meta["instance"] = int(v.decode("ascii").strip(" \x00"))
-            except ValueError:
-                pass
-        elif t == _TAG_SLICE_LOC:
-            try:
-                meta["slice_loc"] = float(v.decode("ascii").strip(" \x00"))
-            except ValueError:
-                pass
-        elif t == _TAG_IPP:
-            parts = v.decode("ascii").strip(" \x00").split("\\")
-            if len(parts) == 3:
-                meta["ipp_z"] = float(parts[2])
-        elif t == _TAG_PIXEL_SPACING:
-            parts = v.decode("ascii").strip(" \x00").split("\\")
-            if len(parts) == 2:
-                try:
-                    meta["pixel_spacing"] = (float(parts[0]), float(parts[1]))
-                except ValueError:
-                    pass
-        elif t == _TAG_SLICE_THICK:
-            try:
-                meta["slice_thickness"] = float(
-                    v.decode("ascii").strip(" \x00"))
-            except ValueError:
-                pass
+        elif _parse_geometry_tag(t, v, meta):
+            pass
     return meta
 
 
@@ -355,17 +340,20 @@ def read_dicom_series(directory: str | Path, pattern: str = "*.dcm") -> np.ndarr
 
 
 def series_spacing(
-    directory: str | Path, pattern: str = "*.dcm"
+    directory: str | Path, pattern: str = "*.dcm",
+    max_headers: int = 16,
 ) -> tuple[float, float, float] | None:
     """(dz, dy, dx) voxel spacing in mm for a DICOM series, or None.
 
-    dz prefers the |ImagePositionPatient z| delta between the first two
-    position-sorted slices (the actual reconstruction interval) and
-    falls back to SliceThickness; (dy, dx) from PixelSpacing (row, col).
-    Reads at most two headers — cheap enough for the CLI to call
-    unconditionally (`enhance-volume --isotropic`).
+    dz is the MEDIAN z interval between position-sorted slices (the
+    actual reconstruction interval — robust to one missing slice),
+    falling back to SliceThickness; (dy, dx) from PixelSpacing
+    (row, col). Header-only parses of at most ``max_headers`` files
+    (filename-ordered — exported series name slices in scan order), so
+    load_volume can call it unconditionally without a second
+    full-series I/O pass.
     """
-    paths = sorted(Path(directory).glob(pattern))
+    paths = sorted(Path(directory).glob(pattern))[:max_headers]
     if not paths:
         return None
     heads = [read_dicom_header(p) for p in paths]
@@ -449,25 +437,28 @@ def write_dicom(
     meta_body = _el_short(_TAG_TS_UID, b"UI", EXPLICIT_VR_LE.encode())
     meta = _el_short((0x0002, 0x0000), b"UL", struct.pack("<I", len(meta_body))) + meta_body
 
+    # PS3.5 7.1: data-set elements must appear in ascending tag order
+    # (strict readers binary-search or bail on regressions; our linear
+    # scanner doesn't care, but written files must conform)
     ds = b""
+    if slice_thickness is not None:  # (0018,0050)
+        ds += _el_short(
+            _TAG_SLICE_THICK, b"DS", f"{slice_thickness:.4f}".encode())
     ds += _el_short(_TAG_INSTANCE, b"IS", str(instance_number).encode())
-    if slice_location is not None:
-        ds += _el_short(_TAG_SLICE_LOC, b"DS", f"{slice_location:.3f}".encode())
-    if image_position is not None:
+    if image_position is not None:  # (0020,0032)
         ds += _el_short(
             _TAG_IPP, b"DS",
             "\\".join(f"{v:.3f}" for v in image_position).encode(),
         )
-    if slice_thickness is not None:
-        ds += _el_short(
-            _TAG_SLICE_THICK, b"DS", f"{slice_thickness:.4f}".encode())
-    if pixel_spacing is not None:
+    if slice_location is not None:  # (0020,1041)
+        ds += _el_short(_TAG_SLICE_LOC, b"DS", f"{slice_location:.3f}".encode())
+    ds += _el_short(_TAG_ROWS, b"US", struct.pack("<H", rows))
+    ds += _el_short(_TAG_COLS, b"US", struct.pack("<H", cols))
+    if pixel_spacing is not None:  # (0028,0030)
         ds += _el_short(
             _TAG_PIXEL_SPACING, b"DS",
             "\\".join(f"{v:.4f}" for v in pixel_spacing).encode(),
         )
-    ds += _el_short(_TAG_ROWS, b"US", struct.pack("<H", rows))
-    ds += _el_short(_TAG_COLS, b"US", struct.pack("<H", cols))
     ds += _el_short(_TAG_BITS_ALLOC, b"US", struct.pack("<H", bits))
     ds += _el_short(_TAG_PIXEL_REP, b"US", struct.pack("<H", signed))
     if rescale_intercept != 0.0 or rescale_slope != 1.0:

@@ -253,8 +253,8 @@ def _apply33_kernel(
     finalize: str | None = None,
     P: int = 2,
 ):
-    """Tile-aligned apply, per-ROW: each program owns two ORIGINAL tiles
-    of one tile-row and works slab-row by slab-row — mask [256, 2tw],
+    """Tile-aligned apply, per-ROW: each program owns P ORIGINAL tiles
+    of one tile-row and works slab-row by slab-row — mask [256, P*tw],
     ONE [18, 256] x [256, 2tw] dot (both tiles' 3x3 LUT stacks stacked
     on sublanes), per-LANE corner selection (half/left/right as lane
     masks). vs the flatten-into-scratch form this removes ALL 128
@@ -375,12 +375,14 @@ def _apply33z_kernel(
     the dominant cost of the apply family (docs/KERNELS.md round 4) —
     and reads the image once instead of twice.
 
-    ``P`` is the tiles-per-program count: 2 for tw % 64 == 0 (the 2-D
-    kernel's pairing), 4 for tw == 32 — the block's lane extent is
-    P * tw, which must be a multiple of 128 for Mosaic's lane-offset
-    alignment, so NARROW tiles ride in wider groups instead of falling
-    off the fast path. The dot is [P*18, 256] x [256, P*tw] — still one
-    MXU pass for P*18 <= 128 (P <= 7).
+    ``P`` is the tiles-per-program count (the smallest of {2, 4} with
+    gx % P == 0 and P*tw a multiple of 128 — _tile33_group with its 3-D
+    cap of max_p=4): the block's lane extent is P * tw, which must be
+    128-aligned for Mosaic's lane-offset rule, so NARROW tiles (tw =
+    32, 96, ...) ride in wider groups instead of falling off the fast
+    path. The dot is [P*18, 256] x [256, P*tw] — still one MXU pass for
+    P*18 <= 128, which is why the 3-D kernel stops at P=4 while the 2-D
+    kernel ([P*9, 256]) goes to P=8.
     """
     wp = P * tw
     a = pl.program_id(0)  # z * gy + i
@@ -749,10 +751,12 @@ def _clahe_apply_lut_jit(
     ``finalize`` folds a convention epilogue in: 'u8norm' =
     clip(rint(res),0,255)/255, 'clip01' = clip(res,0,1).
 
-    Three layouts, identical results: the tile33 path (even grid cols,
-    tiles >= 64 wide) reads original tiles with zero padding/cropping;
-    the slab path covers odd grid columns; the cell-list path handles
-    the rest.
+    Three layouts, identical results: the tile33 path (grid cols
+    divisible by a P in {2,4,8} with P*tw 128-lane-aligned — covers
+    tw = 16/32/48/64/80/96/112/128..., see _tile33_group) reads
+    original tiles with zero padding/cropping; the slab path covers
+    wide tiles with odd grid columns; the cell-list path handles the
+    rest.
     """
     gy_, gx_ = grid_size
     tw_ = u8.shape[2] // gx_

@@ -25,12 +25,12 @@ from jax import shard_map
 
 from mies_tpu.ops.filters import _PAD_MODE
 from mies_tpu.pipeline.compiler import _quantize_u8
+from mies_tpu.pipeline.config import PipelineConfig
 
 _MORPH_OPS = frozenset((
     "erode", "dilate", "morph_open", "morph_close", "morph_gradient",
     "top_hat", "black_hat",
 ))
-from mies_tpu.pipeline.config import PipelineConfig
 
 
 def halo_extend_rows(
@@ -86,6 +86,54 @@ def halo_extend_rows(
     top = jnp.where(idx == 0, pad_top, from_above)
     bot = jnp.where(idx == n - 1, pad_bot, from_below)
     return jnp.concatenate([top, x, bot], axis=0)
+
+
+def halo_extend_rows_multi(
+    x: jax.Array, halo: int, axis_name: str, modes: tuple
+) -> tuple:
+    """One neighbor exchange, several border modes: returns one extended
+    band per entry of ``modes`` (each as halo_extend_rows would build
+    it). The ppermutes — the ICI cost — run ONCE; only the global-edge
+    pad rows differ per mode. Used by the morphology gradient band,
+    whose erode and dilate levels read the same neighbor rows but pad
+    opposite constants (the fbox2 pattern, one function up)."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    if halo <= 0:
+        return tuple(x for _ in modes)
+    if n > 1 and halo > x.shape[0]:
+        raise ValueError(
+            f"halo {halo} exceeds the local band size {x.shape[0]} "
+            f"(single-hop neighbor exchange); use fewer devices along "
+            f"the axis or larger bands"
+        )
+
+    def pads(mode):
+        if isinstance(mode, float):
+            p = jnp.full((halo,) + x.shape[1:], mode, dtype=x.dtype)
+            return p, p
+        pad_w = ((halo, halo),) + ((0, 0),) * (x.ndim - 1)
+        padded = jnp.pad(x, pad_w, mode=_PAD_MODE[mode])
+        return padded[:halo], padded[-halo:]
+
+    if n == 1:
+        return tuple(
+            jnp.concatenate([t, x, b], axis=0)
+            for t, b in (pads(m) for m in modes)
+        )
+    from_above = lax.ppermute(
+        x[-halo:], axis_name, perm=[(i, i + 1) for i in range(n - 1)]
+    )
+    from_below = lax.ppermute(
+        x[:halo], axis_name, perm=[(i + 1, i) for i in range(n - 1)]
+    )
+    out = []
+    for m in modes:
+        pad_top, pad_bot = pads(m)
+        top = jnp.where(idx == 0, pad_top, from_above)
+        bot = jnp.where(idx == n - 1, pad_bot, from_below)
+        out.append(jnp.concatenate([top, x, bot], axis=0))
+    return tuple(out)
 
 
 def stage_receptive_field(op: str, params: dict) -> int:
@@ -272,7 +320,21 @@ def _build_band_fn(
                 elif op == "morph_close":
                     x = prim(prim(x, True), False)
                 elif op == "morph_gradient":
-                    x = prim(x, True) - prim(x, False)
+                    # one exchange, both borders (halo_extend_rows_multi)
+                    if rm == 0:
+                        x = jnp.zeros_like(x)
+                    else:
+                        if mmode == "ignore":
+                            gmodes = (float(np.float32("-inf")),
+                                      float(np.float32("inf")))
+                        else:
+                            gmodes = (mmode, mmode)
+                        ed, ee = halo_extend_rows_multi(
+                            x, rm, axis_name, gmodes)
+                        x = (
+                            M._extremum(ed, k, shp, mmode, True)[rm:-rm]
+                            - M._extremum(ee, k, shp, mmode, False)[rm:-rm]
+                        )
                 elif op == "top_hat":
                     x = x - prim(prim(x, False), True)
                 else:  # black_hat

@@ -341,7 +341,25 @@ def _build_zslab_fn(
                 elif op == "morph_close3d":
                     x = prim(prim(x, True), False)
                 elif op == "morph_gradient3d":
-                    x = prim(x, True) - prim(x, False)
+                    # one slab exchange, both borders
+                    from mies_tpu.parallel.halo import (
+                        halo_extend_rows_multi,
+                    )
+
+                    if rm == 0:
+                        x = jnp.zeros_like(x)
+                    else:
+                        if mmode == "ignore":
+                            gmodes = (float(np.float32("-inf")),
+                                      float(np.float32("inf")))
+                        else:
+                            gmodes = (mmode, mmode)
+                        ed, ee = halo_extend_rows_multi(
+                            x, rm, axis_name, gmodes)
+                        x = (
+                            V._extremum3d(ed, k, mmode, True)[rm:-rm]
+                            - V._extremum3d(ee, k, mmode, False)[rm:-rm]
+                        )
                 elif op == "top_hat3d":
                     x = x.astype(jnp.float32) - prim(prim(x, False), True)
                 else:  # black_hat3d

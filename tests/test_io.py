@@ -407,3 +407,26 @@ def test_dicom_spacing_roundtrip(tmp_path):
 
     _, meta = load_volume(tmp_path)
     assert meta.spacing == (2.5, 0.7, 0.8)
+
+
+def test_write_dicom_tags_ascending(tmp_path):
+    """PS3.5 7.1: data-set elements must be in ascending tag order —
+    strict readers/PACS rely on it (our linear scanner doesn't, which
+    hid a violation once)."""
+    from mies_tpu.io.dicom import _Reader, _parse_meta, write_dicom
+
+    p = tmp_path / "x.dcm"
+    write_dicom(p, np.zeros((4, 4), np.int16), instance_number=3,
+                slice_location=1.5, image_position=(0.0, 0.0, 7.5),
+                pixel_spacing=(0.7, 0.8), slice_thickness=2.0,
+                rescale_slope=1.0, rescale_intercept=-1024.0)
+    data = p.read_bytes()
+    _, offset = _parse_meta(data)
+    r = _Reader(data, explicit=True)
+    r.pos = offset
+    tags = []
+    while not r.eof():
+        t, vr, length = r.element()
+        r.pos += length
+        tags.append(t)
+    assert tags == sorted(tags), tags

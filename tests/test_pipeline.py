@@ -647,3 +647,30 @@ def test_cli_enhance_volume_isotropic(tmp_path):
     with np.load(out) as z:
         vol = z[z.files[0]]
     assert vol.shape == (16, 26, 26)  # round(8*5/2.5), round(64*1/2.5)
+
+
+def test_cli_isotropic_rejected_combinations(tmp_path):
+    """--isotropic must be rejected loudly with --stream (it would be
+    silently ignored) and with --data-parallel (resample3d is not
+    z-shardable)."""
+    from mies_tpu import cli
+    from mies_tpu.io.dicom import write_dicom
+
+    series = tmp_path / "s"
+    series.mkdir()
+    for i in range(4):
+        write_dicom(series / f"{i}.dcm", np.zeros((8, 8), np.int16),
+                    instance_number=i + 1,
+                    image_position=(0.0, 0.0, 2.0 * i),
+                    pixel_spacing=(1.0, 1.0))
+    cfgp = tmp_path / "c.yaml"
+    cfgp.write_text(
+        "name: x\npipeline:\n  - {op: gaussian_blur3d, sigma: 1.0}\n")
+    with pytest.raises(SystemExit, match="stream"):
+        cli.main(["enhance-volume", str(series), "-c", str(cfgp),
+                  "-o", str(tmp_path / "o.nc"), "--stream",
+                  "--isotropic", "1.0"])
+    with pytest.raises(SystemExit, match="data-parallel"):
+        cli.main(["enhance-volume", str(series), "-c", str(cfgp),
+                  "-o", str(tmp_path / "o.npz"), "--mode", "3d",
+                  "--data-parallel", "--isotropic", "1.0"])
