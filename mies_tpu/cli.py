@@ -352,14 +352,15 @@ def cmd_ops(args) -> int:
     return 0
 
 
-def _default_augment():
+def _default_augment(elastic: float = 0.0):
     """The standard medical-training recipe: full D4 geometry, mild
     intensity jitter on the input, no extra noise (the objective's own
-    noise model stays in charge)."""
+    noise model stays in charge); elastic warp opt-in by amplitude."""
     from mies_tpu.models.augment import AugmentConfig
 
     return AugmentConfig(hflip=0.5, vflip=0.5, rot90=True,
-                         brightness=0.05, contrast=0.1, gamma=0.1)
+                         brightness=0.05, contrast=0.1, gamma=0.1,
+                         elastic=elastic)
 
 
 def cmd_train_denoiser(args) -> int:
@@ -386,7 +387,10 @@ def cmd_train_denoiser(args) -> int:
         data_dir=args.data,
         evaluate=args.eval,
         self_supervised=args.self_supervised,
-        augment=_default_augment() if args.augment else None,
+        augment=(
+            _default_augment(args.elastic)
+            if (args.augment or args.elastic > 0) else None
+        ),
         loss=args.loss,
     )
     print(
@@ -521,6 +525,10 @@ def main(argv=None) -> int:
                         "90-degree rotations on input AND target, "
                         "brightness/contrast/gamma jitter on the input "
                         "only)")
+    p.add_argument("--elastic", type=float, default=0.0, metavar="PX",
+                   help="add elastic deformation (implies --augment): "
+                        "smooth random warp with peak displacement PX "
+                        "pixels — the classic biomedical augmentation")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard the batch over all devices")
     p.set_defaults(fn=cmd_train_denoiser)

@@ -15,6 +15,10 @@ TPU, not the host loader:
   * photometric: brightness shift, contrast scale about the mean, gamma
     jitter (log-uniform, the kornia RandomGamma convention), additive
     Gaussian noise
+  * elastic deformation (Ronneberger et al. 2015 — THE biomedical
+    augmentation): a smooth random displacement field warps the patch
+    with bilinear sampling; geometric, so it moves input and target
+    together
 
 Paired semantics: ``augment_pair`` applies the SAME geometric transform
 to (noisy, clean) — targets must move with their inputs — while
@@ -49,6 +53,8 @@ class AugmentConfig:
     contrast: float = 0.0       # scale ~ U(1-c, 1+c) about the image mean
     gamma: float = 0.0          # exponent ~ exp(U(-g, +g)) (log-uniform)
     noise_sigma: float = 0.0    # additive N(0, sigma^2)
+    elastic: float = 0.0        # peak displacement in pixels (0 = off)
+    elastic_sigma: float = 8.0  # smoothness of the displacement field
     clip: bool = True           # clip photometric output back to [0, 1]
 
 
@@ -124,14 +130,71 @@ def _photometric(key: Array, x: Array, cfg: AugmentConfig) -> Array:
     return x
 
 
+def _elastic_fields(key: Array, n: int, hw: tuple,
+                    cfg: AugmentConfig) -> Array:
+    """Per-image smooth random displacement fields [n, 2, H, W].
+
+    The U-Net paper's biomedical augmentation (Ronneberger et al.
+    2015): coarse Gaussian noise smoothed into a continuous warp.
+    Smoothing runs as a separable conv at a DOWNSAMPLED grid (the field
+    varies on the elastic_sigma scale, so an 8x-coarser grid loses
+    nothing) and upsamples bilinearly — cheap even inside the jitted
+    train step."""
+    h, w = hw
+    s = max(2, int(cfg.elastic_sigma) // 2)
+    ch, cw = max(2, h // s), max(2, w // s)
+    raw = jax.random.normal(key, (n, 2, ch, cw))
+    # smooth on the coarse grid (3-tap binomial, twice) then upsample
+    k3 = jnp.asarray([0.25, 0.5, 0.25])
+
+    def smooth1(v, axis):
+        vp = jnp.pad(v, [(0, 0)] * axis + [(1, 1)] +
+                     [(0, 0)] * (v.ndim - axis - 1), mode="edge")
+        sl = [slice(None)] * v.ndim
+        out = 0.0
+        for i in range(3):
+            sl[axis] = slice(i, i + v.shape[axis])
+            out = out + k3[i] * vp[tuple(sl)]
+        return out
+
+    f = raw
+    for _ in range(2):
+        f = smooth1(smooth1(f, 2), 3)
+    f = jax.image.resize(f, (n, 2, h, w), method="linear")
+    # normalize each field's peak to the configured amplitude
+    peak = jnp.max(jnp.abs(f), axis=(1, 2, 3), keepdims=True)
+    return f * (cfg.elastic / jnp.maximum(peak, 1e-6))
+
+
+def _elastic_warp(img: Array, field: Array) -> Array:
+    """Bilinear-sample img ([H, W] or [H, W, C]) at the displaced grid
+    (edge-clamped — scipy map_coordinates(order=1, mode='nearest'))."""
+    from jax.scipy.ndimage import map_coordinates
+
+    h, w = img.shape[0], img.shape[1]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + field[0]
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + field[1]
+
+    def one(ch):
+        return map_coordinates(ch, [yy, xx], order=1, mode="nearest")
+
+    if img.ndim == 2:
+        return one(img)
+    return jnp.stack([one(img[..., c]) for c in range(img.shape[-1])],
+                     axis=-1)
+
+
 def augment_batch(key: Array, batch: Array,
                   cfg: AugmentConfig = AugmentConfig()) -> Array:
     """Augment a [B, H, W] or [B, H, W, C] batch (geometric +
     photometric), jit-safe; spatial axes are 1 and 2."""
-    kgeo, kpho = jax.random.split(key)
+    kgeo, kpho, kel = jax.random.split(key, 3)
     n = batch.shape[0]
     codes = _geometric_codes(kgeo, n, cfg, batch.shape[1] == batch.shape[2])
     out = jax.vmap(_dihedral)(batch, codes)
+    if cfg.elastic > 0.0:
+        fields = _elastic_fields(kel, n, batch.shape[1:3], cfg)
+        out = jax.vmap(_elastic_warp)(out, fields)
     return _photometric(kpho, out, cfg)
 
 
@@ -141,9 +204,14 @@ def augment_pair(
 ) -> tuple[Array, Array]:
     """Same GEOMETRIC transform on both members of a (noisy, clean)
     pair; photometric jitter + noise on the noisy input only."""
-    kgeo, kpho = jax.random.split(key)
+    kgeo, kpho, kel = jax.random.split(key, 3)
     n = noisy.shape[0]
     codes = _geometric_codes(kgeo, n, cfg, noisy.shape[1] == noisy.shape[2])
     gn = jax.vmap(_dihedral)(noisy, codes)
     gc = jax.vmap(_dihedral)(clean, codes)
+    if cfg.elastic > 0.0:
+        # the SAME warp on both members — targets move with inputs
+        fields = _elastic_fields(kel, n, noisy.shape[1:3], cfg)
+        gn = jax.vmap(_elastic_warp)(gn, fields)
+        gc = jax.vmap(_elastic_warp)(gc, fields)
     return _photometric(kpho, gn, cfg), gc

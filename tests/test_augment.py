@@ -106,3 +106,26 @@ def test_nhwc_batches(rng):
     assert out.shape == x.shape and np.isfinite(out).all()
     n, c = augment_pair(jax.random.PRNGKey(1), x, x, AugmentConfig())
     np.testing.assert_array_equal(np.asarray(n), np.asarray(c))
+
+
+def test_elastic_deformation(rng):
+    x = jnp.asarray(rng.random((4, 32, 32)).astype(np.float32))
+    cfg = AugmentConfig(hflip=0.0, vflip=0.0, rot90=False, elastic=3.0)
+    k = jax.random.PRNGKey(9)
+    out = np.asarray(augment_batch(k, x, cfg))
+    assert out.shape == x.shape and np.isfinite(out).all()
+    assert not np.array_equal(out, np.asarray(x))      # it warped
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    np.testing.assert_array_equal(
+        out, np.asarray(augment_batch(k, x, cfg)))     # deterministic
+    # pair: identical inputs stay identical under the SAME warp
+    n, c = augment_pair(k, x, x, cfg)
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(c))
+    # a smooth small warp perturbs a SMOOTH image only slightly (iid
+    # noise shows large diffs by construction — uncorrelated pixels)
+    yy, xx = np.mgrid[0:32, 0:32] / 32.0
+    sm = jnp.asarray(np.tile(
+        (0.5 + 0.4 * np.sin(6 * yy) * np.cos(5 * xx)).astype(np.float32),
+        (4, 1, 1)))
+    outs = np.asarray(augment_batch(k, sm, cfg))
+    assert float(np.abs(outs - np.asarray(sm)).mean()) < 0.08
