@@ -90,3 +90,56 @@ def test_every_registered_2d_op_has_defaults_or_coverage():
     covered = {op for op, _ in _CHAINABLE}
     missing = set(OP_REGISTRY) - covered - special
     assert not missing, f"registry ops with no fuzz coverage: {missing}"
+
+
+_CHAINABLE_3D = [
+    ("adjust_gamma", {"gamma": 1.1}),
+    ("adjust_log", {}),
+    ("adjust_sigmoid", {}),
+    ("invert", {}),
+    ("normalize", {}),
+    ("rescale_intensity", {}),
+    ("equalize_hist", {}),
+    ("clahe3d", {"clip_limit": 2.0, "grid_size": (4, 4, 4)}),
+    ("gaussian_blur3d", {"sigma": 1.0}),
+    ("guided_blur3d", {"kernel_size": 3, "eps": 0.01}),
+    ("median_blur3d", {"kernel_size": 3}),
+    ("unsharp_mask3d", {"radius": 1.0}),
+    ("erode3d", {}),
+    ("dilate3d", {"kernel_size": 5}),
+    ("morph_open3d", {}),
+    ("morph_close3d", {"mode": "nearest"}),
+    ("morph_gradient3d", {}),
+    ("top_hat3d", {}),
+    ("black_hat3d", {}),
+    ("resample3d", {"depth": 16, "height": 32, "width": 32}),
+]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_volume_chain_compiles_and_runs(rng, seed):
+    """Every volume op composes with every other in any order through
+    compile_volume_pipeline (resample3d changes the grid mid-chain —
+    downstream stages must accept the new shape)."""
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+    r = np.random.default_rng(100 + seed)
+    n = int(r.integers(1, 4))
+    picks = [_CHAINABLE_3D[i] for i in r.choice(len(_CHAINABLE_3D), n)]
+    cfg = PipelineConfig.make(picks, name=f"volfuzz{seed}")
+    validate(cfg)
+    vol = jnp.asarray(rng.random((16, 32, 32)).astype(np.float32))
+    out = np.asarray(compile_volume_pipeline(cfg, quantize=False)(vol))
+    assert np.isfinite(out).all()
+
+
+def test_every_volume_op_has_fuzz_coverage():
+    from mies_tpu.pipeline.compiler import _volume_registry
+
+    covered = {op for op, _ in _CHAINABLE_3D}
+    special = {
+        "window_hu",  # int16 path, needs center/width
+        "equalize", "normalize_meanstd", "denormalize_meanstd",
+    }
+    missing = set(_volume_registry()) - covered - special
+    assert not missing, f"volume ops with no fuzz coverage: {missing}"
