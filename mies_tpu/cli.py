@@ -264,6 +264,23 @@ def cmd_enhance_volume(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """AOT-export the compiled chain as a portable .mies artifact."""
+    from mies_tpu.pipeline.export import export_pipeline, read_export_header
+
+    cfg = _load_cfg(args.config)
+    out = export_pipeline(
+        cfg, args.output, shape=(args.size, args.size),
+        batch_size=None if args.batch <= 1 else args.batch,
+    )
+    hdr = read_export_header(out)
+    print(json.dumps({
+        "artifact": str(out), "bytes": out.stat().st_size,
+        "platforms": hdr["platforms"], "input_shape": hdr["input_shape"],
+    }))
+    return 0
+
+
 def cmd_warmup(args) -> int:
     """Pre-compile a config's programs into the persistent jit cache.
 
@@ -549,6 +566,19 @@ def main(argv=None) -> int:
     p = sub.add_parser("ops", help="list every pipeline op with its "
                                    "params, defaults, and constraints")
     p.set_defaults(fn=cmd_ops)
+
+    p = sub.add_parser(
+        "export",
+        help="AOT-export the compiled chain (StableHLO via jax.export) "
+             "as one portable artifact deployment hosts can call "
+             "without the config system or a retrace",
+    )
+    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-o", "--output", required=True, help=".mies artifact path")
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--batch", type=int, default=32,
+                   help="leading batch axis (1 = single-slice program)")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser(
         "warmup",

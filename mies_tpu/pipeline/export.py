@@ -1,0 +1,107 @@
+"""AOT pipeline export: a compiled chain as a portable artifact.
+
+The reference's torch stack ships models to production via
+TorchScript/ONNX export (SURVEY.md section 2b D3 — no reference code
+exists, section 0); the TPU-native equivalent is ``jax.export``:
+the jitted chain serializes to StableHLO, loadable WITHOUT the config
+system, the op registry, or retracing — deployment hosts call one
+artifact with one function in it.
+
+Format (``.mies``): 8-byte magic ``MIESEXP1`` + u32 little-endian JSON
+header length + JSON header (config dict, input spec, creation
+platform) + the jax.export blob. The header is readable without jax.
+
+Platform note: the chain specializes at TRACE time (Pallas kernels on
+TPU, jnp fallbacks on CPU), so an artifact exported on a TPU host
+contains Mosaic custom calls and runs on TPU runtimes; one exported on
+CPU is CPU-portable. ``load_exported`` checks and reports this instead
+of failing inside XLA.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+
+_MAGIC = b"MIESEXP1"
+
+
+def export_pipeline(
+    cfg,
+    path: str | Path,
+    shape: tuple[int, int] = (512, 512),
+    batch_size: int | None = None,
+    quantize: bool = True,
+) -> Path:
+    """Serialize the compiled chain for ``shape`` (and optional leading
+    batch axis) into a ``.mies`` artifact; returns the path."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from mies_tpu.pipeline.compiler import build_batched_chain, build_chain, _quantize_u8
+
+    if batch_size is not None:
+        fn = build_batched_chain(cfg, quantize=quantize)
+        in_shape = (batch_size, *shape)
+    else:
+        chain = build_chain(cfg)
+        if quantize:
+            def fn(img):
+                return _quantize_u8(chain(img))
+        else:
+            fn = chain
+        in_shape = shape
+    spec = jax.ShapeDtypeStruct(in_shape, jnp.float32)
+    exp = jexport.export(jax.jit(fn))(spec)
+    header = {
+        "config": cfg.to_dict(),
+        "input_shape": list(in_shape),
+        "input_dtype": "float32",
+        "quantize": quantize,
+        "platforms": list(exp.platforms),
+    }
+    hj = json.dumps(header).encode()
+    blob = exp.serialize()
+    out = Path(path)
+    out.write_bytes(_MAGIC + struct.pack("<I", len(hj)) + hj + blob)
+    return out
+
+
+def read_export_header(path: str | Path) -> dict:
+    """The artifact's JSON header (config, shapes, platform) — readable
+    without jax."""
+    data = Path(path).read_bytes()
+    if data[:8] != _MAGIC:
+        raise ValueError(f"{path}: not a mies export (bad magic)")
+    n = struct.unpack("<I", data[8:12])[0]
+    return json.loads(data[12:12 + n])
+
+
+def load_exported(path: str | Path):
+    """Deserialize a ``.mies`` artifact -> (callable, header).
+
+    The callable takes one float32 array of the exported shape and
+    returns the chain's output; no config system or retrace involved.
+    """
+    import jax
+    from jax import export as jexport
+
+    data = Path(path).read_bytes()
+    if data[:8] != _MAGIC:
+        raise ValueError(f"{path}: not a mies export (bad magic)")
+    n = struct.unpack("<I", data[8:12])[0]
+    header = json.loads(data[12:12 + n])
+    exp = jexport.deserialize(data[12 + n:])
+    backend = jax.default_backend()
+    plats = [p.lower() for p in header.get("platforms", [])]
+    if plats and backend.lower() not in plats and not (
+        backend.lower() == "axon" and "tpu" in plats
+    ):
+        raise ValueError(
+            f"{path}: exported for platform(s) {plats}, but the current "
+            f"backend is {backend!r} — re-export on this platform "
+            f"(the chain specializes its kernels at trace time)"
+        )
+    return exp.call, header

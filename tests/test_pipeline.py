@@ -674,3 +674,62 @@ def test_cli_isotropic_rejected_combinations(tmp_path):
         cli.main(["enhance-volume", str(series), "-c", str(cfgp),
                   "-o", str(tmp_path / "o.npz"), "--mode", "3d",
                   "--data-parallel", "--isotropic", "1.0"])
+
+
+class TestExport:
+    def test_export_roundtrip_bit_equal(self, tmp_path, rng):
+        """A deserialized .mies artifact reproduces the live compile
+        bit-for-bit (same traced program, AOT-serialized)."""
+        from mies_tpu.pipeline.export import export_pipeline, load_exported
+
+        cfg = PipelineConfig.make(
+            [("clahe", {"clip_limit": 2.0, "grid_size": (4, 4),
+                        "convention": "opencv"}),
+             ("unsharp_mask", {"radius": 1.0, "amount": 0.5})],
+            name="exp",
+        )
+        p = export_pipeline(cfg, tmp_path / "c.mies", shape=(64, 64),
+                            batch_size=2)
+        fn, hdr = load_exported(p)
+        assert hdr["input_shape"] == [2, 64, 64]
+        assert hdr["config"]["name"] == "exp"
+        x = jnp.asarray(rng.random((2, 64, 64)).astype(np.float32))
+        got = np.asarray(fn(x))
+        ref = np.asarray(
+            compile_pipeline(cfg, batched=True, donate=False)(x))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_export_single_slice_and_header(self, tmp_path, rng):
+        from mies_tpu.pipeline.export import (
+            export_pipeline, load_exported, read_export_header,
+        )
+
+        cfg = PipelineConfig.make(
+            [("adjust_gamma", {"gamma": 0.8})], name="g")
+        p = export_pipeline(cfg, tmp_path / "g.mies", shape=(32, 32))
+        hdr = read_export_header(p)
+        assert hdr["input_shape"] == [32, 32] and "cpu" in [
+            s.lower() for s in hdr["platforms"]]
+        fn, _ = load_exported(p)
+        out = np.asarray(fn(jnp.asarray(
+            rng.random((32, 32)).astype(np.float32))))
+        assert out.dtype == np.uint8
+
+    def test_export_bad_magic(self, tmp_path):
+        from mies_tpu.pipeline.export import load_exported
+
+        bad = tmp_path / "x.mies"
+        bad.write_bytes(b"NOTMIES!" + b"\x00" * 16)
+        with pytest.raises(ValueError, match="bad magic"):
+            load_exported(bad)
+
+    def test_cli_export(self, tmp_path):
+        from mies_tpu import cli
+
+        cfgp = tmp_path / "c.yaml"
+        cfgp.write_text(
+            "name: e\npipeline:\n  - {op: adjust_gamma, gamma: 0.9}\n")
+        out = tmp_path / "e.mies"
+        rc = cli.main(["export", "-c", str(cfgp), "-o", str(out),
+                       "--size", "32", "--batch", "2"])
+        assert rc == 0 and out.exists()
