@@ -269,10 +269,14 @@ def cmd_export(args) -> int:
     from mies_tpu.pipeline.export import export_pipeline, read_export_header
 
     cfg = _load_cfg(args.config)
-    out = export_pipeline(
-        cfg, args.output, shape=(args.size, args.size),
-        batch_size=None if args.batch <= 1 else args.batch,
-    )
+    if args.volume:
+        shape = tuple(args.volume)
+        out = export_pipeline(cfg, args.output, shape=shape, volume=True)
+    else:
+        out = export_pipeline(
+            cfg, args.output, shape=(args.size, args.size),
+            batch_size=None if args.batch <= 1 else args.batch,
+        )
     hdr = read_export_header(out)
     print(json.dumps({
         "artifact": str(out), "bytes": out.stat().st_size,
@@ -578,6 +582,9 @@ def main(argv=None) -> int:
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--batch", type=int, default=32,
                    help="leading batch axis (1 = single-slice program)")
+    p.add_argument("--volume", type=int, nargs=3, metavar=("Z", "H", "W"),
+                   help="export the [Z, H, W] volumetric program instead "
+                        "(clahe3d / 3-D morphology / resample3d chains)")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser(

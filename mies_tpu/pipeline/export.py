@@ -30,19 +30,37 @@ _MAGIC = b"MIESEXP1"
 def export_pipeline(
     cfg,
     path: str | Path,
-    shape: tuple[int, int] = (512, 512),
+    shape: tuple[int, ...] = (512, 512),
     batch_size: int | None = None,
     quantize: bool = True,
+    volume: bool = False,
 ) -> Path:
     """Serialize the compiled chain for ``shape`` (and optional leading
-    batch axis) into a ``.mies`` artifact; returns the path."""
+    batch axis) into a ``.mies`` artifact; returns the path.
+
+    volume=True exports the [Z, H, W] volumetric program
+    (compile_volume_pipeline — clahe3d/morphology3d/resample3d chains);
+    ``shape`` is then the full 3-D grid and batch_size must be None.
+    """
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
-    from mies_tpu.pipeline.compiler import build_batched_chain, build_chain, _quantize_u8
+    from mies_tpu.pipeline.compiler import (
+        build_batched_chain,
+        build_chain,
+        compile_volume_pipeline,
+        _quantize_u8,
+    )
 
-    if batch_size is not None:
+    if volume:
+        if batch_size is not None:
+            raise ValueError("volume exports take no batch axis")
+        if len(shape) != 3:
+            raise ValueError("volume exports need a (Z, H, W) shape")
+        fn = compile_volume_pipeline(cfg, quantize=quantize)
+        in_shape = shape
+    elif batch_size is not None:
         fn = build_batched_chain(cfg, quantize=quantize)
         in_shape = (batch_size, *shape)
     else:
@@ -60,6 +78,7 @@ def export_pipeline(
         "input_shape": list(in_shape),
         "input_dtype": "float32",
         "quantize": quantize,
+        "volume": volume,
         "platforms": list(exp.platforms),
     }
     hj = json.dumps(header).encode()

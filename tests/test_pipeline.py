@@ -733,3 +733,30 @@ class TestExport:
         rc = cli.main(["export", "-c", str(cfgp), "-o", str(out),
                        "--size", "32", "--batch", "2"])
         assert rc == 0 and out.exists()
+
+    def test_export_volume(self, tmp_path, rng):
+        from mies_tpu.pipeline.compiler import compile_volume_pipeline
+        from mies_tpu.pipeline.export import export_pipeline, load_exported
+
+        cfg = PipelineConfig.make(
+            [("resample3d", {"depth": 8, "height": 32, "width": 32}),
+             ("gaussian_blur3d", {"sigma": 1.0})],
+            name="vexp",
+        )
+        p = export_pipeline(cfg, tmp_path / "v.mies", shape=(16, 32, 32),
+                            volume=True, quantize=False)
+        fn, hdr = load_exported(p)
+        assert hdr["volume"] is True
+        vol = jnp.asarray(rng.random((16, 32, 32)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(fn(vol)),
+            np.asarray(compile_volume_pipeline(cfg, quantize=False)(vol)))
+
+    def test_export_volume_rejects_batch(self, tmp_path):
+        from mies_tpu.pipeline.export import export_pipeline
+
+        cfg = PipelineConfig.make(
+            [("gaussian_blur3d", {"sigma": 1.0})], name="v")
+        with pytest.raises(ValueError, match="batch"):
+            export_pipeline(cfg, tmp_path / "x.mies", shape=(8, 16, 16),
+                            volume=True, batch_size=4)
