@@ -347,8 +347,9 @@ def cmd_serve(args) -> int:
     return 0
 
 
-def cmd_ops(args) -> int:
-    """Print the op registry as JSON: params, defaults, constraints."""
+def _ops_listing() -> dict:
+    """Op registry -> {op: {param: {default, expects}}} (the `ops`
+    command's JSON; tools/gen_ops_doc.py renders it to docs/OPS.md)."""
     import inspect
 
     from mies_tpu.pipeline.compiler import OP_REGISTRY, STAGE_BUILDERS
@@ -369,7 +370,12 @@ def cmd_ops(args) -> int:
                 info["expects"] = rule[1]
             params[p.name] = info
         out[name] = params
-    print(json.dumps(out, indent=2, default=str))
+    return out
+
+
+def cmd_ops(args) -> int:
+    """Print the op registry as JSON: params, defaults, constraints."""
+    print(json.dumps(_ops_listing(), indent=2, default=str))
     return 0
 
 

@@ -306,3 +306,18 @@ def test_cli_run_report_stage_costs(tmp_path, xray, capsys):
     rec = _json.loads(rep.read_text())
     assert rec["stage_costs"][0]["op"] == "gaussian_blur"
     assert "flops" in rec["stage_costs"][0]
+
+
+def test_ops_doc_in_sync():
+    """docs/OPS.md is generated from the registry; adding an op without
+    regenerating (python tools/gen_ops_doc.py) fails here."""
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "tools"))
+    try:
+        import gen_ops_doc
+    finally:
+        sys.path.pop(0)
+    assert (root / "docs" / "OPS.md").read_text() == gen_ops_doc.render()
