@@ -1,0 +1,46 @@
+#!/bin/bash
+# Chip validation queue: wait for the TPU tunnel, then run every
+# on-chip gate and benchmark in order, logging to $1 (default
+# /tmp/chip_validation.log). Designed to be fired in the background
+# during a tunnel outage: it probes every POLL seconds (bounded probes
+# — a downed axon backend hangs ~30 min per attempt otherwise) and
+# starts the queue on the first success.
+set -u
+cd "$(dirname "$0")/.."
+LOG="${1:-/tmp/chip_validation.log}"
+POLL="${POLL:-600}"
+MAX_WAIT="${MAX_WAIT:-28800}"  # give up after 8 h
+
+log() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+probe() {
+  timeout 240 python -c "import jax; assert jax.default_backend() != 'cpu'" \
+    >/dev/null 2>&1
+}
+
+log "waiting for the TPU tunnel (poll ${POLL}s, max ${MAX_WAIT}s)"
+waited=0
+until probe; do
+  sleep "$POLL"
+  waited=$((waited + POLL + 240))
+  if [ "$waited" -ge "$MAX_WAIT" ]; then
+    log "GAVE UP: tunnel still down after ${waited}s"
+    exit 1
+  fi
+  log "still down (${waited}s)"
+done
+log "TUNNEL UP — running the validation queue"
+
+run() {
+  local name="$1"; shift
+  log "=== $name: $*"
+  timeout 5400 "$@" >> "$LOG" 2>&1
+  log "=== $name exit=$?"
+}
+
+run consistency python tests/tpu_consistency_driver.py
+run perf_floors python -m pytest tests/test_perf.py tests/test_tpu_numerics.py -q
+run apply_shapes python benchmarks/apply_shapes.py
+run workloads python benchmarks/workloads.py --volume --quick
+run bench python bench.py
+log "QUEUE DONE"
