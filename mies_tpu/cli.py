@@ -334,6 +334,11 @@ def cmd_evaluate(args) -> int:
 def cmd_serve(args) -> int:
     from mies_tpu.serve import serve
 
+    if args.artifact is None and args.config is None:
+        raise SystemExit("serve needs -c CONFIG or --artifact FILE.mies")
+    if args.artifact is not None and args.warmup:
+        raise SystemExit("--warmup is meaningless with --artifact "
+                         "(the program is AOT-compiled)")
     warmup = None
     if args.warmup:
         try:
@@ -343,7 +348,8 @@ def cmd_serve(args) -> int:
             raise SystemExit(
                 f"--warmup expects HxW (e.g. 512x512), got {args.warmup!r}"
             )
-    serve(args.config, host=args.host, port=args.port, warmup=warmup)
+    serve(args.config, host=args.host, port=args.port, warmup=warmup,
+          artifact=args.artifact)
     return 0
 
 
@@ -565,7 +571,10 @@ def main(argv=None) -> int:
         help="HTTP inference server: warm-compiled POST /enhance "
              "endpoint (see mies_tpu/serve.py)",
     )
-    p.add_argument("-c", "--config", required=True)
+    p.add_argument("-c", "--config")
+    p.add_argument("--artifact", help="serve a .mies AOT export instead "
+                   "of a config: zero startup compile, one fixed-shape "
+                   "program")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--warmup", default=None, metavar="HxW",

@@ -50,10 +50,52 @@ _SUFFIX_BY_TYPE = {
 
 
 class _State:
-    def __init__(self, cfg: PipelineConfig):
+    def __init__(self, cfg: PipelineConfig,
+                 artifact_fn=None, artifact_header: dict | None = None):
         self.cfg = cfg
+        self.artifact_fn = artifact_fn
+        self.artifact_header = artifact_header
         self.shapes: set = set()
         self.lock = threading.Lock()
+
+
+def _enhance_bytes_artifact(state: _State, body: bytes,
+                            suffix: str) -> bytes:
+    """Decode -> AOT artifact program -> PNG bytes.
+
+    Artifact mode serves ONE exported program: the input must decode to
+    the artifact's exact [H, W] float32 spec (fixed-modality PACS
+    deployments) — mismatches are a 400 with the expected shape, never
+    a silent resize."""
+    import numpy as np
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from mies_tpu.io.image import load_image
+
+    want = tuple(state.artifact_header["input_shape"])
+    if len(want) != 2:
+        raise ValueError(
+            f"this server's artifact takes {want} input; only "
+            f"single-slice [H, W] artifacts are servable"
+        )
+    with tempfile.NamedTemporaryFile(suffix=suffix or ".png") as f:
+        f.write(body)
+        f.flush()
+        img = np.asarray(load_image(f.name), np.float32)
+    if img.shape != want:
+        raise ValueError(
+            f"artifact expects shape {list(want)}, got {list(img.shape)} "
+            f"(artifact mode serves one fixed program; re-export for "
+            f"this modality's shape)"
+        )
+    out = np.asarray(state.artifact_fn(jnp.asarray(img)))
+    with state.lock:
+        state.shapes.add(out.shape[-2:])
+    buf = io.BytesIO()
+    Image.fromarray(out).save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def _enhance_bytes(state: _State, body: bytes, suffix: str,
@@ -99,10 +141,11 @@ def _enhance_bytes(state: _State, body: bytes, suffix: str,
 
 
 def make_server(
-    cfg: PipelineConfig, host: str = "127.0.0.1", port: int = 8080
+    cfg: PipelineConfig, host: str = "127.0.0.1", port: int = 8080,
+    artifact_fn=None, artifact_header: dict | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the serving HTTPServer for ``cfg``."""
-    state = _State(cfg)
+    state = _State(cfg, artifact_fn, artifact_header)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -125,6 +168,10 @@ def make_server(
                     "status": "ok",
                     "backend": jax.default_backend(),
                     "pipeline": state.cfg.name,
+                    "mode": (
+                        "artifact" if state.artifact_fn is not None
+                        else "jit"
+                    ),
                     "compiled_shapes": sorted(map(list, state.shapes)),
                 })
             elif path == "/config":
@@ -153,9 +200,19 @@ def make_server(
                 m for ms in q.get("metrics", []) for m in ms.split(",") if m
             ]
             try:
-                png, metrics = _enhance_bytes(
-                    state, body, suffix, metric_names
-                )
+                if state.artifact_fn is not None:
+                    if metric_names:
+                        raise ValueError(
+                            "metrics are unavailable in artifact mode "
+                            "(the artifact carries no reference path)"
+                        )
+                    png, metrics = _enhance_bytes_artifact(
+                        state, body, suffix
+                    ), None
+                else:
+                    png, metrics = _enhance_bytes(
+                        state, body, suffix, metric_names
+                    )
             except Exception as e:  # noqa: BLE001 — per-request isolation
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
@@ -171,17 +228,42 @@ def make_server(
 
 
 def serve(
-    config_path: str | Path,
+    config_path: str | Path | None = None,
     host: str = "127.0.0.1",
     port: int = 8080,
     warmup: tuple[int, int] | None = None,
+    artifact: str | Path | None = None,
 ) -> None:
-    """Blocking entry: load config, optional warm compile, serve."""
+    """Blocking entry: load config (or a .mies artifact), optional warm
+    compile, serve. Artifact mode needs NO warm-up: the program is AOT."""
     from mies_tpu.pipeline.config import load_config
     from mies_tpu.pipeline.compiler import compile_pipeline
     from mies_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
+    if artifact is not None:
+        from mies_tpu.pipeline.config import from_dict
+        from mies_tpu.pipeline.export import load_exported
+
+        fn, header = load_exported(artifact)
+        cfg = from_dict(header["config"])
+        srv = make_server(cfg, host, port,
+                          artifact_fn=fn, artifact_header=header)
+        print(json.dumps({
+            "serving": f"http://{host}:{srv.server_address[1]}",
+            "pipeline": cfg.name,
+            "mode": "artifact",
+            "input_shape": header["input_shape"],
+        }), flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.server_close()
+        return
+    if config_path is None:
+        raise ValueError("serve needs a config path or an artifact")
     cfg = load_config(config_path)
     if warmup is not None:
         import jax.numpy as jnp

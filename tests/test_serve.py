@@ -133,3 +133,52 @@ def test_bad_requests_isolated(server, rng):
     # and a good request still works after the failures
     with _post(server + "/enhance", _png_bytes(rng)) as r:
         assert r.status == 200
+
+
+class TestArtifactMode:
+    @pytest.fixture(scope="class")
+    def artifact_server(self, tmp_path_factory):
+        from mies_tpu.pipeline.export import export_pipeline, load_exported
+        from mies_tpu.serve import make_server
+
+        cfg = PipelineConfig.make(
+            [("adjust_gamma", {"gamma": 0.9}),
+             ("unsharp_mask", {"radius": 1.0, "amount": 0.5})],
+            name="artifact-test",
+        )
+        p = export_pipeline(
+            cfg, tmp_path_factory.mktemp("a") / "c.mies", shape=(64, 64))
+        fn, hdr = load_exported(p)
+        srv = make_server(cfg, host="127.0.0.1", port=0,
+                          artifact_fn=fn, artifact_header=hdr)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+        srv.server_close()
+
+    def test_enhance_via_artifact(self, artifact_server, rng):
+        from PIL import Image
+
+        r = _post(artifact_server + "/enhance", _png_bytes(rng))
+        assert r.status == 200
+        out = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert out.shape == (64, 64) and out.dtype == np.uint8
+
+    def test_healthz_reports_artifact_mode(self, artifact_server):
+        with urllib.request.urlopen(
+                artifact_server + "/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["mode"] == "artifact"
+
+    def test_shape_mismatch_is_400_with_guidance(self, artifact_server, rng):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(artifact_server + "/enhance", _png_bytes(rng, (32, 32)))
+        assert ei.value.code == 400
+        assert b"re-export" in ei.value.read()
+
+    def test_metrics_rejected_in_artifact_mode(self, artifact_server, rng):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(artifact_server + "/enhance?metrics=psnr",
+                  _png_bytes(rng))
+        assert ei.value.code == 400
