@@ -270,12 +270,18 @@ def cmd_export(args) -> int:
 
     cfg = _load_cfg(args.config)
     if args.volume:
+        if args.batch is not None:
+            raise SystemExit("--batch does not apply to --volume exports "
+                             "(whole-volume programs have no batch axis)")
         shape = tuple(args.volume)
-        out = export_pipeline(cfg, args.output, shape=shape, volume=True)
+        out = export_pipeline(cfg, args.output, shape=shape, volume=True,
+                              input_dtype=args.dtype)
     else:
+        batch = 32 if args.batch is None else args.batch
         out = export_pipeline(
             cfg, args.output, shape=(args.size, args.size),
-            batch_size=None if args.batch <= 1 else args.batch,
+            batch_size=None if batch <= 1 else batch,
+            input_dtype=args.dtype,
         )
     hdr = read_export_header(out)
     print(json.dumps({
@@ -336,6 +342,11 @@ def cmd_serve(args) -> int:
 
     if args.artifact is None and args.config is None:
         raise SystemExit("serve needs -c CONFIG or --artifact FILE.mies")
+    if args.artifact is not None and args.config is not None:
+        raise SystemExit(
+            "-c and --artifact conflict: the artifact embeds its own "
+            "config — pass exactly one"
+        )
     if args.artifact is not None and args.warmup:
         raise SystemExit("--warmup is meaningless with --artifact "
                          "(the program is AOT-compiled)")
@@ -595,8 +606,15 @@ def main(argv=None) -> int:
     p.add_argument("-c", "--config", required=True)
     p.add_argument("-o", "--output", required=True, help=".mies artifact path")
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--batch", type=int, default=32,
-                   help="leading batch axis (1 = single-slice program)")
+    p.add_argument("--batch", type=int, default=None,
+                   help="leading batch axis (default 32; 1 = the "
+                        "single-slice program `serve --artifact` needs)")
+    p.add_argument("--dtype", default="float32",
+                   choices=("float32", "uint8", "uint16", "int16"),
+                   help="traced input spec: uint8 for PNG/X-ray serving, "
+                        "int16 for CT window_hu chains (raw ints "
+                        "normalize in-program), float32 for "
+                        "pre-normalized callers")
     p.add_argument("--volume", type=int, nargs=3, metavar=("Z", "H", "W"),
                    help="export the [Z, H, W] volumetric program instead "
                         "(clahe3d / 3-D morphology / resample3d chains)")

@@ -34,6 +34,7 @@ def export_pipeline(
     batch_size: int | None = None,
     quantize: bool = True,
     volume: bool = False,
+    input_dtype: str = "float32",
 ) -> Path:
     """Serialize the compiled chain for ``shape`` (and optional leading
     batch axis) into a ``.mies`` artifact; returns the path.
@@ -41,6 +42,12 @@ def export_pipeline(
     volume=True exports the [Z, H, W] volumetric program
     (compile_volume_pipeline — clahe3d/morphology3d/resample3d chains);
     ``shape`` is then the full 3-D grid and batch_size must be None.
+
+    input_dtype picks the traced input spec: the chain's on-device
+    ingest handles raw integers (uint8/uint16 normalize on chip; int16
+    HU passes through to window_hu), so 'uint8' is the right spec for
+    PNG/X-ray serving and 'int16' for CT chains — 'float32' callers
+    must pre-normalize on the host.
     """
     import jax
     import jax.numpy as jnp
@@ -50,6 +57,7 @@ def export_pipeline(
         build_batched_chain,
         build_chain,
         compile_volume_pipeline,
+        _ingest,
         _quantize_u8,
     )
 
@@ -64,19 +72,28 @@ def export_pipeline(
         fn = build_batched_chain(cfg, quantize=quantize)
         in_shape = (batch_size, *shape)
     else:
+        # mirror compile_pipeline: on-device ingest of raw integers,
+        # then the chain, then quantization (build_chain alone has
+        # neither — a uint8-spec export without _ingest would feed the
+        # chain 0..255 floats)
         chain = build_chain(cfg)
-        if quantize:
-            def fn(img):
-                return _quantize_u8(chain(img))
-        else:
-            fn = chain
+
+        def fn(img):
+            x = chain(_ingest(img))
+            return _quantize_u8(x) if quantize else x
         in_shape = shape
-    spec = jax.ShapeDtypeStruct(in_shape, jnp.float32)
+    dtypes = {"float32": jnp.float32, "uint8": jnp.uint8,
+              "uint16": jnp.uint16, "int16": jnp.int16}
+    if input_dtype not in dtypes:
+        raise ValueError(
+            f"input_dtype must be one of {sorted(dtypes)}, got "
+            f"{input_dtype!r}")
+    spec = jax.ShapeDtypeStruct(in_shape, dtypes[input_dtype])
     exp = jexport.export(jax.jit(fn))(spec)
     header = {
         "config": cfg.to_dict(),
         "input_shape": list(in_shape),
-        "input_dtype": "float32",
+        "input_dtype": input_dtype,
         "quantize": quantize,
         "volume": volume,
         "platforms": list(exp.platforms),
@@ -88,31 +105,41 @@ def export_pipeline(
     return out
 
 
+def _read_header(path: str | Path) -> tuple[dict, int]:
+    """Parse the magic + JSON header with bounded reads; returns
+    (header, blob_offset). One parser — the format lives here."""
+    p = Path(path)
+    with open(p, "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[:8] != _MAGIC:
+            raise ValueError(f"{p}: not a mies export (bad magic)")
+        n = struct.unpack("<I", head[8:12])[0]
+        hj = f.read(n)
+    if len(hj) < n:
+        raise ValueError(f"{p}: corrupt artifact (truncated header)")
+    try:
+        return json.loads(hj), 12 + n
+    except ValueError as e:
+        raise ValueError(f"{p}: corrupt artifact (bad header JSON)") from e
+
+
 def read_export_header(path: str | Path) -> dict:
     """The artifact's JSON header (config, shapes, platform) — readable
-    without jax."""
-    data = Path(path).read_bytes()
-    if data[:8] != _MAGIC:
-        raise ValueError(f"{path}: not a mies export (bad magic)")
-    n = struct.unpack("<I", data[8:12])[0]
-    return json.loads(data[12:12 + n])
+    without jax (12 bytes + the header; the blob is never touched)."""
+    return _read_header(path)[0]
 
 
 def load_exported(path: str | Path):
     """Deserialize a ``.mies`` artifact -> (callable, header).
 
-    The callable takes one float32 array of the exported shape and
+    The callable takes one array of the exported shape/dtype and
     returns the chain's output; no config system or retrace involved.
     """
     import jax
     from jax import export as jexport
 
-    data = Path(path).read_bytes()
-    if data[:8] != _MAGIC:
-        raise ValueError(f"{path}: not a mies export (bad magic)")
-    n = struct.unpack("<I", data[8:12])[0]
-    header = json.loads(data[12:12 + n])
-    exp = jexport.deserialize(data[12 + n:])
+    header, off = _read_header(path)
+    exp = jexport.deserialize(Path(path).read_bytes()[off:])
     backend = jax.default_backend()
     plats = [p.lower() for p in header.get("platforms", [])]
     if plats and backend.lower() not in plats and not (

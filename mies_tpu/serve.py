@@ -59,14 +59,40 @@ class _State:
         self.lock = threading.Lock()
 
 
+def validate_servable_artifact(header: dict) -> None:
+    """Startup gate: only single-slice [H, W] quantizing artifacts are
+    servable — a batched/volume/float-output export would otherwise
+    start a healthy-looking server that 400s every request."""
+    shape = header.get("input_shape", [])
+    if header.get("volume") or len(shape) != 2:
+        raise ValueError(
+            f"artifact takes input shape {shape}; serving needs a "
+            f"single-slice [H, W] program — re-export with --batch 1 "
+            f"(and without --volume)"
+        )
+    if not header.get("quantize", True):
+        raise ValueError(
+            "artifact was exported with quantize=False (float output — "
+            "not PNG-encodable); re-export with quantization"
+        )
+    if header.get("input_dtype", "float32") not in (
+            "float32", "uint8", "uint16", "int16"):
+        raise ValueError(
+            f"unsupported artifact input_dtype "
+            f"{header.get('input_dtype')!r}")
+
+
 def _enhance_bytes_artifact(state: _State, body: bytes,
                             suffix: str) -> bytes:
     """Decode -> AOT artifact program -> PNG bytes.
 
     Artifact mode serves ONE exported program: the input must decode to
-    the artifact's exact [H, W] float32 spec (fixed-modality PACS
-    deployments) — mismatches are a 400 with the expected shape, never
-    a silent resize."""
+    the artifact's exact [H, W] spec (fixed-modality PACS deployments)
+    — mismatches are a 400 with the expected shape, never a silent
+    resize. Ingest follows the SAME contract as the jit server: raw
+    integer pixels ship to the device and normalize in-program (uint8/
+    uint16 artifacts; int16 HU feeds window_hu chains), honoring the
+    config's io.channels policy."""
     import numpy as np
     from PIL import Image
 
@@ -74,16 +100,32 @@ def _enhance_bytes_artifact(state: _State, body: bytes,
 
     from mies_tpu.io.image import load_image
 
-    want = tuple(state.artifact_header["input_shape"])
-    if len(want) != 2:
-        raise ValueError(
-            f"this server's artifact takes {want} input; only "
-            f"single-slice [H, W] artifacts are servable"
-        )
+    hdr = state.artifact_header
+    want = tuple(hdr["input_shape"])
+    want_dtype = hdr.get("input_dtype", "float32")
+    channels = state.cfg.io_dict().get("channels")
     with tempfile.NamedTemporaryFile(suffix=suffix or ".png") as f:
         f.write(body)
         f.flush()
-        img = np.asarray(load_image(f.name), np.float32)
+        raw = load_image(f.name, dtype="raw", channels=channels)
+    if want_dtype == str(raw.dtype):
+        img = raw  # in-program ingest (the exported chain normalizes)
+    elif want_dtype == "float32":
+        if raw.dtype == np.uint8:
+            img = raw.astype(np.float32) / 255.0
+        elif raw.dtype == np.uint16:
+            img = raw.astype(np.float32) / 65535.0
+        else:
+            raise ValueError(
+                f"int16 HU input needs an int16-spec artifact "
+                f"(re-export with input_dtype='int16'); this artifact "
+                f"takes float32"
+            )
+    else:
+        raise ValueError(
+            f"artifact expects {want_dtype} input, this file decodes "
+            f"to {raw.dtype} — re-export for this modality"
+        )
     if img.shape != want:
         raise ValueError(
             f"artifact expects shape {list(want)}, got {list(img.shape)} "
@@ -246,22 +288,18 @@ def serve(
         from mies_tpu.pipeline.export import load_exported
 
         fn, header = load_exported(artifact)
+        validate_servable_artifact(header)
         cfg = from_dict(header["config"])
         srv = make_server(cfg, host, port,
                           artifact_fn=fn, artifact_header=header)
-        print(json.dumps({
+        announce = {
             "serving": f"http://{host}:{srv.server_address[1]}",
             "pipeline": cfg.name,
             "mode": "artifact",
             "input_shape": header["input_shape"],
-        }), flush=True)
-        try:
-            srv.serve_forever()
-        except KeyboardInterrupt:
-            pass
-        finally:
-            srv.server_close()
-        return
+            "input_dtype": header.get("input_dtype", "float32"),
+        }
+        return _run_server(srv, announce)
     if config_path is None:
         raise ValueError("serve needs a config path or an artifact")
     cfg = load_config(config_path)
@@ -276,10 +314,14 @@ def serve(
             jnp.asarray(np.zeros((h, w), np.uint8))
         ))
     srv = make_server(cfg, host, port)
-    print(json.dumps({
+    return _run_server(srv, {
         "serving": f"http://{host}:{srv.server_address[1]}",
         "pipeline": cfg.name,
-    }), flush=True)
+    })
+
+
+def _run_server(srv: ThreadingHTTPServer, announce: dict) -> None:
+    print(json.dumps(announce), flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

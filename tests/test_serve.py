@@ -182,3 +182,60 @@ class TestArtifactMode:
             _post(artifact_server + "/enhance?metrics=psnr",
                   _png_bytes(rng))
         assert ei.value.code == 400
+
+    def test_unservable_artifacts_rejected_at_startup(self, tmp_path, rng):
+        """A batched / volume / unquantized artifact must fail at serve
+        startup, not per request (a healthy-looking server that 400s
+        everything — review finding)."""
+        from mies_tpu.pipeline.export import export_pipeline, load_exported
+        from mies_tpu.serve import validate_servable_artifact
+
+        cfg = PipelineConfig.make(
+            [("adjust_gamma", {"gamma": 0.9})], name="bad")
+        batched = export_pipeline(
+            cfg, tmp_path / "b.mies", shape=(32, 32), batch_size=4)
+        with pytest.raises(ValueError, match="--batch 1"):
+            validate_servable_artifact(load_exported(batched)[1])
+        unq = export_pipeline(
+            cfg, tmp_path / "u.mies", shape=(32, 32), quantize=False)
+        with pytest.raises(ValueError, match="quantize"):
+            validate_servable_artifact(load_exported(unq)[1])
+
+    def test_uint8_artifact_serves_raw_ingest(self, tmp_path, rng):
+        """An artifact exported with input_dtype='uint8' receives RAW
+        pixels (the jit server's ingest contract) and matches the
+        float32-spec artifact bit-for-bit."""
+        import jax.numpy as jnp
+
+        from mies_tpu.pipeline.export import export_pipeline, load_exported
+        from mies_tpu.serve import make_server
+
+        cfg = PipelineConfig.make(
+            [("clahe", {"clip_limit": 2.0, "grid_size": (4, 4)})],
+            name="u8art")
+        p8 = export_pipeline(cfg, tmp_path / "u8.mies", shape=(64, 64),
+                             input_dtype="uint8")
+        fn, hdr = load_exported(p8)
+        assert hdr["input_dtype"] == "uint8"
+        srv = make_server(cfg, host="127.0.0.1", port=0,
+                          artifact_fn=fn, artifact_header=hdr)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            png = _png_bytes(rng)
+            r = _post(url + "/enhance", png)
+            assert r.status == 200
+            from PIL import Image
+
+            out = np.asarray(Image.open(io.BytesIO(r.read())))
+            # reference: the float artifact on the same normalized input
+            pf = export_pipeline(cfg, tmp_path / "f.mies", shape=(64, 64))
+            ffn, _ = load_exported(pf)
+            src = np.asarray(Image.open(io.BytesIO(png)))
+            ref = np.asarray(ffn(jnp.asarray(
+                src.astype(np.float32) / 255.0)))
+            np.testing.assert_array_equal(out, ref)
+        finally:
+            srv.shutdown()
+            srv.server_close()

@@ -19,15 +19,14 @@ probe() {
 }
 
 log "waiting for the TPU tunnel (poll ${POLL}s, max ${MAX_WAIT}s)"
-waited=0
+SECONDS=0
 until probe; do
   sleep "$POLL"
-  waited=$((waited + POLL + 240))
-  if [ "$waited" -ge "$MAX_WAIT" ]; then
-    log "GAVE UP: tunnel still down after ${waited}s"
+  if [ "$SECONDS" -ge "$MAX_WAIT" ]; then
+    log "GAVE UP: tunnel still down after ${SECONDS}s"
     exit 1
   fi
-  log "still down (${waited}s)"
+  log "still down (${SECONDS}s elapsed)"
 done
 log "TUNNEL UP — running the validation queue"
 
