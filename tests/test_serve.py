@@ -239,3 +239,39 @@ class TestArtifactMode:
         finally:
             srv.shutdown()
             srv.server_close()
+
+    def test_int16_ct_artifact_serves_dicom(self, tmp_path, rng):
+        """A CT chain exported with input_dtype='int16' serves a raw
+        .dcm slice: HU pixels ship unconverted and window_hu ingests
+        them in-program (the fixed-modality CT deployment)."""
+        from mies_tpu.io.dicom import write_dicom
+        from mies_tpu.pipeline.export import export_pipeline, load_exported
+        from mies_tpu.serve import make_server
+
+        cfg = PipelineConfig.make(
+            [("window_hu", {"center": 40.0, "width": 400.0}),
+             ("adjust_gamma", {"gamma": 0.9})],
+            name="ct-art")
+        p = export_pipeline(cfg, tmp_path / "ct.mies", shape=(64, 64),
+                            input_dtype="int16")
+        fn, hdr = load_exported(p)
+        srv = make_server(cfg, host="127.0.0.1", port=0,
+                          artifact_fn=fn, artifact_header=hdr)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            dcm = tmp_path / "s.dcm"
+            write_dicom(dcm, rng.integers(
+                -500, 1500, (64, 64)).astype(np.int16))
+            r = _post(url + "/enhance", dcm.read_bytes(),
+                      ctype="application/dicom")
+            assert r.status == 200
+            from PIL import Image
+
+            out = np.asarray(Image.open(io.BytesIO(r.read())))
+            assert out.shape == (64, 64) and out.dtype == np.uint8
+            assert out.std() > 0  # windowing produced real contrast
+        finally:
+            srv.shutdown()
+            srv.server_close()
