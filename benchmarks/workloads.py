@@ -68,6 +68,18 @@ def workload_configs():
             cfg=flagship_config(name="w5"),
             shape=(512, 512), batch=32, dtype="float32",
         ),
+        # 7. morphology: the mammo top-hat chain (ops/morphology.py —
+        # XLA min/max trees; recorded so the family has a chip number
+        # and a floor once measured)
+        "w7_morphology_tophat": dict(
+            cfg=PipelineConfig.make(
+                [("median_blur", {"kernel_size": 3}),
+                 ("top_hat", {"kernel_size": 7, "shape": "ellipse"}),
+                 ("rescale_intensity", {"out_range": (0.0, 1.0)})],
+                name="w7",
+            ),
+            shape=(512, 512), batch=32, dtype="float32",
+        ),
     }
 
 
