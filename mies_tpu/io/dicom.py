@@ -72,7 +72,17 @@ class _Reader:
     def eof(self) -> bool:
         return self.pos >= len(self.d)
 
+    def _need(self, n: int) -> None:
+        # truncated files must surface as ValueError (the per-item
+        # failure contract), never struct.error/IndexError crashes
+        if self.pos + n > len(self.d):
+            raise ValueError(
+                f"truncated DICOM: element header runs past byte "
+                f"{len(self.d)}"
+            )
+
     def tag(self) -> tuple[int, int]:
+        self._need(4)
         g, e = struct.unpack_from("<HH", self.d, self.pos)
         self.pos += 4
         return g, e
@@ -81,21 +91,26 @@ class _Reader:
         """Read one data element header; returns (tag, vr, length)."""
         t = self.tag()
         if t in (_ITEM, _ITEM_DELIM, _SEQ_DELIM):
+            self._need(4)
             (length,) = struct.unpack_from("<I", self.d, self.pos)
             self.pos += 4
             return t, b"", length
         if self.explicit:
+            self._need(2)
             vr = self.d[self.pos : self.pos + 2]
             self.pos += 2
             if vr in _LONG_VRS:
+                self._need(6)
                 self.pos += 2  # reserved
                 (length,) = struct.unpack_from("<I", self.d, self.pos)
                 self.pos += 4
             else:
+                self._need(2)
                 (length,) = struct.unpack_from("<H", self.d, self.pos)
                 self.pos += 2
         else:
             vr = b""
+            self._need(4)
             (length,) = struct.unpack_from("<I", self.d, self.pos)
             self.pos += 4
         return t, vr, length
@@ -183,7 +198,9 @@ def _parse_meta(data: bytes) -> tuple[str, int]:
             break
         v = r.value(length)
         if t == (0x0002, 0x0000):
-            meta_end = r.pos + struct.unpack("<I", v)[0]
+            if len(v) < 4:
+                raise ValueError("truncated DICOM: bad meta group length")
+            meta_end = r.pos + struct.unpack("<I", v[:4])[0]
         elif t == _TAG_TS_UID:
             ts = v.rstrip(b"\x00 ").decode("ascii")
         if meta_end is not None and r.pos >= meta_end:

@@ -430,3 +430,36 @@ def test_write_dicom_tags_ascending(tmp_path):
         r.pos += length
         tags.append(t)
     assert tags == sorted(tags), tags
+
+
+def test_dicom_reader_rejects_garbage_cleanly(tmp_path, rng):
+    """Truncated/corrupt/garbage DICOM bytes raise ValueError-family
+    errors (batch jobs bucket those as per-item failures) — never
+    struct.error/IndexError crashes."""
+    from mies_tpu.io.dicom import read_dicom, read_dicom_header, write_dicom
+
+    good = tmp_path / "good.dcm"
+    write_dicom(good, rng.integers(0, 1000, (16, 16)).astype(np.int16))
+    blob = good.read_bytes()
+
+    cases = {
+        "empty": b"",
+        "no_magic": b"\x00" * 200,
+        "magic_only": b"\x00" * 128 + b"DICM",
+        "trunc_meta": blob[:140],
+        "trunc_mid": blob[: len(blob) // 2],
+        "trunc_pixels": blob[:-7],
+        "random": bytes(rng.integers(0, 256, 512, dtype=np.uint8)),
+    }
+    for name, data in cases.items():
+        p = tmp_path / f"{name}.dcm"
+        p.write_bytes(data)
+        for reader in (read_dicom, read_dicom_header):
+            try:
+                reader(p)
+            except (ValueError, NotImplementedError):
+                pass  # the contract
+            except Exception as e:  # noqa: BLE001
+                raise AssertionError(
+                    f"{reader.__name__}({name}): leaked "
+                    f"{type(e).__name__}: {e}") from e
