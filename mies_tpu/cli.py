@@ -291,6 +291,103 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Deployment health report: backend reachability (bounded probe —
+    a downed TPU tunnel hangs ~30 min on a naive init), compile cache,
+    native parser, virtual-mesh sanity. One JSON object; exit 0 iff a
+    usable accelerator OR the CPU fallback path is healthy."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    report: dict = {}
+    try:
+        import jax
+
+        report["jax"] = jax.__version__
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"fatal": f"jax import failed: {e}"}))
+        return 1
+
+    # 1. accelerator probe, bounded, in a SUBPROCESS (init state is
+    # process-global; probing in-process would pin this process's
+    # backend before the user's real command runs)
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; print(jax.default_backend()); "
+             "print(len(jax.devices()))"],
+            timeout=args.probe_timeout, capture_output=True, text=True,
+            env={k: v for k, v in os.environ.items()
+                 if k != "MIES_TPU_BACKEND"},
+        )
+        if r.returncode == 0:
+            backend, ndev = r.stdout.split()
+            report["accelerator"] = {"backend": backend,
+                                     "devices": int(ndev)}
+        else:
+            report["accelerator"] = {
+                "error": r.stderr.strip().splitlines()[-1][:200]
+                if r.stderr.strip() else f"exit {r.returncode}",
+            }
+    except subprocess.TimeoutExpired:
+        report["accelerator"] = {
+            "error": f"backend init exceeded {args.probe_timeout}s — "
+                     f"TPU tunnel down? (MIES_TPU_BACKEND=cpu forces "
+                     f"the CPU backend)",
+        }
+
+    # 2. persistent compile cache
+    from mies_tpu.utils.profiling import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    try:
+        n = sum(1 for _ in Path(cache_dir).iterdir())
+    except OSError:
+        n = 0
+    report["compile_cache"] = {"dir": str(cache_dir), "entries": n}
+
+    # 3. native host runtime
+    from mies_tpu import native
+
+    report["native_dicom"] = {"available": native.available()}
+
+    # 4. sharding sanity on virtual CPU devices (subprocess keeps this
+    # process's backend untouched)
+    _shard_probe = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import jax.numpy as jnp; "
+        "from mies_tpu.parallel import make_mesh; "
+        "from jax.sharding import NamedSharding, PartitionSpec as P; "
+        "m = make_mesh(); "
+        "x = jax.device_put(jnp.ones((len(jax.devices()), 4)), "
+        "NamedSharding(m, P('data'))); "
+        "print(float(x.sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", _shard_probe],
+            timeout=180, capture_output=True, text=True,
+            env={**os.environ,
+                 "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+        )
+        report["sharding"] = (
+            {"ok": True, "virtual_devices": 8} if r.returncode == 0
+            else {"ok": False,
+                  "error": r.stderr.strip().splitlines()[-1][:200]}
+        )
+    except subprocess.TimeoutExpired:
+        report["sharding"] = {"ok": False, "error": "probe timed out"}
+
+    ok = (
+        "error" not in report["accelerator"]
+        or report["sharding"].get("ok", False)
+    )
+    report["status"] = "ok" if ok else "degraded"
+    print(json.dumps(report, indent=2))
+    return 0 if ok else 1
+
+
 def cmd_warmup(args) -> int:
     """Pre-compile a config's programs into the persistent jit cache.
 
@@ -619,6 +716,17 @@ def main(argv=None) -> int:
                    help="export the [Z, H, W] volumetric program instead "
                         "(clahe3d / 3-D morphology / resample3d chains)")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "doctor",
+        help="deployment health report: accelerator reachability "
+             "(bounded probe), compile cache, native parser, sharding "
+             "sanity — one JSON object",
+    )
+    p.add_argument("--probe-timeout", type=int, default=240,
+                   help="seconds to wait for backend init before "
+                        "declaring the tunnel down")
+    p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser(
         "warmup",

@@ -25,8 +25,9 @@ import jax
 import jax.numpy as jnp
 
 
-def enable_compilation_cache(path: str = "/root/.cache/jax_mies") -> None:
-    """Persist compiled XLA programs across processes (safe to re-call)."""
+def enable_compilation_cache(path: str = "/root/.cache/jax_mies") -> str:
+    """Persist compiled XLA programs across processes (safe to re-call);
+    returns the cache directory."""
     import os
 
     os.makedirs(path, exist_ok=True)
@@ -35,6 +36,7 @@ def enable_compilation_cache(path: str = "/root/.cache/jax_mies") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass  # older jax or already-finalized config
+    return path
 
 
 def device_sync(y) -> None:

@@ -321,3 +321,18 @@ def test_ops_doc_in_sync():
     finally:
         sys.path.pop(0)
     assert (root / "docs" / "OPS.md").read_text() == gen_ops_doc.render()
+
+
+def test_cli_doctor(capsys):
+    """doctor prints one JSON health object and exits by status."""
+    import json as _json
+
+    from mies_tpu import cli
+
+    rc = cli.main(["doctor", "--probe-timeout", "5"])
+    out = capsys.readouterr().out
+    rep = _json.loads(out)
+    assert {"jax", "accelerator", "compile_cache", "native_dicom",
+            "sharding", "status"} <= set(rep)
+    assert rep["sharding"]["ok"] is True
+    assert rc in (0, 1)
