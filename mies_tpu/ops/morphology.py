@@ -81,6 +81,33 @@ def structuring_element(kernel_size: int, shape: str = "rect") -> tuple:
     return tuple(map(tuple, se.tolist()))
 
 
+def _sliding_red(p: Array, k: int, red, axis: int) -> Array:
+    """red over every length-k window along ``axis`` of the padded
+    array (output length = p.shape[axis] - k + 1, 'valid'). Flat chain
+    for small k; doubling chain (idempotent reductions only) otherwise.
+    """
+    n_out = p.shape[axis] - k + 1
+
+    def sl(a, start, length):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(start, start + length)
+        return a[tuple(idx)]
+
+    if k <= 9:
+        out = sl(p, 0, n_out)
+        for d in range(1, k):
+            out = red(out, sl(p, d, n_out))
+        return out
+    m = 1
+    f = p
+    while m * 2 <= k:
+        f = red(sl(f, 0, f.shape[axis] - m), sl(f, m, f.shape[axis] - m))
+        m *= 2
+    if m == k:
+        return sl(f, 0, n_out)
+    return red(sl(f, 0, n_out), sl(f, k - m, n_out))
+
+
 def _extremum(
     img: Array, kernel_size: int, shape: str, mode: str, maximum: bool
 ) -> Array:
@@ -99,16 +126,15 @@ def _extremum(
     else:
         p = _pad2d(img, r, r, mode)
     if shape == "rect":
-        # separable: rows pass then columns pass (2k window reads)
-        rows = p[:, r: r + w]
-        for dx in range(k):
-            if dx != r:
-                rows = red(rows, p[:, dx: dx + w])
-        out = rows[r: r + h]
-        for dy in range(k):
-            if dy != r:
-                out = red(out, rows[dy: dy + h])
-        return out
+        # separable: rows pass then columns pass. Small k uses the flat
+        # 2k-read chain; large k (background top-hats, k = 15..31) uses
+        # the van Herk-style DOUBLING chain — min/max are idempotent, so
+        # f_m[i] = red(p[i..i+m-1]) builds in log2(k) steps and the
+        # window of width k is red(f_M[i], f_M[i + k - M]) for the
+        # largest power of two M <= k: ~2*log2(k) reads per axis,
+        # bit-identical (same values, reassociation-insensitive).
+        rows = _sliding_red(p, k, red, axis=1)[:, :w]
+        return _sliding_red(rows, k, red, axis=0)[:h, :]
     out = None
     for dy in range(k):
         for dx in range(k):

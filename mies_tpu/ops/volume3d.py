@@ -641,6 +641,8 @@ def _extremum3d(vol: Array, kernel_size: int, mode: str, maximum: bool) -> Array
     if r == 0:
         return x
     red = jnp.maximum if maximum else jnp.minimum
+    from mies_tpu.ops.morphology import _sliding_red
+
     for axis in range(3):
         pads = [(0, 0)] * 3
         pads[axis] = (r, r)
@@ -649,11 +651,9 @@ def _extremum3d(vol: Array, kernel_size: int, mode: str, maximum: bool) -> Array
             xp = jnp.pad(x, pads, mode="constant", constant_values=fill)
         else:
             xp = jnp.pad(x, pads, mode=_PAD_MODE[mode])
-        acc = jax.lax.slice_in_dim(xp, 0, x.shape[axis], axis=axis)
-        for t in range(1, k):
-            acc = red(acc, jax.lax.slice_in_dim(
-                xp, t, t + x.shape[axis], axis=axis))
-        x = acc
+        # flat chain for small k; van Herk doubling (~log2 k reads) for
+        # the large footprints volumetric background estimation uses
+        x = _sliding_red(xp, k, red, axis=axis)
     return x
 
 

@@ -265,3 +265,20 @@ def test_morphology_in_pipeline(xray):
         [("dilate", {"shape": "diamond"})], name="bad-shape")
     with pytest.raises(ValueError, match="dilate"):
         validate(bad2)
+
+
+@pytest.mark.parametrize("k", [11, 15, 21, 31])
+def test_large_kernel_morphology_doubling_exact(xray, k):
+    """The van Herk doubling chain (k > 9) is bit-equal vs cv2 — large
+    background-estimation footprints are where the log2(k) form pays."""
+    cv2 = pytest.importorskip("cv2")
+    from mies_tpu.ops import morphology as M
+
+    se = cv2.getStructuringElement(cv2.MORPH_RECT, (k, k))
+    np.testing.assert_array_equal(
+        np.asarray(M.erode(jnp.asarray(xray), k, "rect")),
+        cv2.erode(xray, se))
+    np.testing.assert_array_equal(
+        np.asarray(M.top_hat(jnp.asarray(xray), k, "rect",
+                             mode="nearest")),
+        cv2.morphologyEx(xray, 5, se, borderType=cv2.BORDER_REPLICATE))
