@@ -135,6 +135,23 @@ def _extremum(
         # bit-identical (same values, reassociation-insensitive).
         rows = _sliding_red(p, k, red, axis=1)[:, :w]
         return _sliding_red(rows, k, red, axis=0)[:h, :]
+    if k > 9:
+        # ellipse/cross rows are contiguous CENTERED spans, so the SE
+        # decomposes into per-row 1-D sliding extrema: one doubling
+        # chain per DISTINCT row width (<= k/2 + 1 of them), then k
+        # vertical combines — k*log2(k)-ish reads instead of the ~k^2/2
+        # masked-window loop. Bit-identical (same values reduced).
+        widths = [int(se[dy].sum()) for dy in range(k)]
+        by_width = {}
+        for wd in set(widths):
+            by_width[wd] = _sliding_red(p, wd, red, axis=1)
+        out = None
+        for dy in range(k):
+            wd = widths[dy]
+            d = wd // 2
+            v = by_width[wd][dy: dy + h, r - d: r - d + w]
+            out = v if out is None else red(out, v)
+        return out
     out = None
     for dy in range(k):
         for dx in range(k):

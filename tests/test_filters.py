@@ -282,3 +282,21 @@ def test_large_kernel_morphology_doubling_exact(xray, k):
         np.asarray(M.top_hat(jnp.asarray(xray), k, "rect",
                              mode="nearest")),
         cv2.morphologyEx(xray, 5, se, borderType=cv2.BORDER_REPLICATE))
+
+
+@pytest.mark.parametrize("shape", ["ellipse", "cross"])
+@pytest.mark.parametrize("k", [11, 21])
+def test_large_kernel_rowspan_morphology_exact(xray, shape, k):
+    """Large ellipse/cross elements decompose into per-row sliding
+    extrema (centered contiguous spans) — bit-equal vs cv2."""
+    cv2 = pytest.importorskip("cv2")
+    from mies_tpu.ops import morphology as M
+
+    flag = {"ellipse": cv2.MORPH_ELLIPSE, "cross": cv2.MORPH_CROSS}[shape]
+    se = cv2.getStructuringElement(flag, (k, k))
+    np.testing.assert_array_equal(
+        np.asarray(M.erode(jnp.asarray(xray), k, shape)),
+        cv2.erode(xray, se))
+    np.testing.assert_array_equal(
+        np.asarray(M.black_hat(jnp.asarray(xray), k, shape)),
+        cv2.morphologyEx(xray, 6, se))
