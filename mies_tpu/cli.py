@@ -322,9 +322,17 @@ def cmd_doctor(args) -> int:
                  if k != "MIES_TPU_BACKEND"},
         )
         if r.returncode == 0:
-            backend, ndev = r.stdout.split()
-            report["accelerator"] = {"backend": backend,
-                                     "devices": int(ndev)}
+            try:
+                # take the LAST two tokens: plugin banners/runtime
+                # messages may precede the probe's own prints
+                backend, ndev = r.stdout.split()[-2:]
+                report["accelerator"] = {"backend": backend,
+                                         "devices": int(ndev)}
+            except (ValueError, IndexError):
+                report["accelerator"] = {
+                    "error": f"unparseable probe output: "
+                             f"{r.stdout.strip()[:200]!r}",
+                }
         else:
             report["accelerator"] = {
                 "error": r.stderr.strip().splitlines()[-1][:200]
@@ -337,15 +345,16 @@ def cmd_doctor(args) -> int:
                      f"the CPU backend)",
         }
 
-    # 2. persistent compile cache
-    from mies_tpu.utils.profiling import enable_compilation_cache
-
-    cache_dir = enable_compilation_cache()
+    # 2. persistent compile cache (report, never crash: an unwritable
+    # cache dir is a FINDING for the health tool, not a traceback)
     try:
+        from mies_tpu.utils.profiling import enable_compilation_cache
+
+        cache_dir = enable_compilation_cache()
         n = sum(1 for _ in Path(cache_dir).iterdir())
-    except OSError:
-        n = 0
-    report["compile_cache"] = {"dir": str(cache_dir), "entries": n}
+        report["compile_cache"] = {"dir": str(cache_dir), "entries": n}
+    except OSError as e:
+        report["compile_cache"] = {"error": str(e)}
 
     # 3. native host runtime
     from mies_tpu import native

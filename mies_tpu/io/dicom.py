@@ -77,8 +77,7 @@ class _Reader:
         # failure contract), never struct.error/IndexError crashes
         if self.pos + n > len(self.d):
             raise ValueError(
-                f"truncated DICOM: element header runs past byte "
-                f"{len(self.d)}"
+                f"truncated DICOM: element runs past byte {len(self.d)}"
             )
 
     def tag(self) -> tuple[int, int]:
@@ -116,6 +115,7 @@ class _Reader:
         return t, vr, length
 
     def value(self, length: int) -> bytes:
+        self._need(length)
         v = self.d[self.pos : self.pos + length]
         self.pos += length
         return v

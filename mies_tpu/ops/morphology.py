@@ -133,8 +133,9 @@ def _extremum(
         # window of width k is red(f_M[i], f_M[i + k - M]) for the
         # largest power of two M <= k: ~2*log2(k) reads per axis,
         # bit-identical (same values, reassociation-insensitive).
-        rows = _sliding_red(p, k, red, axis=1)[:, :w]
-        return _sliding_red(rows, k, red, axis=0)[:h, :]
+        # 'valid' over the (h+2r, w+2r) pad is exactly (h, w) for odd k
+        rows = _sliding_red(p, k, red, axis=1)
+        return _sliding_red(rows, k, red, axis=0)
     if k > 9:
         # ellipse/cross rows are contiguous CENTERED spans, so the SE
         # decomposes into per-row 1-D sliding extrema: one doubling

@@ -450,6 +450,10 @@ def test_dicom_reader_rejects_garbage_cleanly(tmp_path, rng):
         "trunc_mid": blob[: len(blob) // 2],
         "trunc_pixels": blob[:-7],
         "random": bytes(rng.integers(0, 256, 512, dtype=np.uint8)),
+        # every prefix length in a window around the ROWS element —
+        # lands mid-header AND mid-value of short (US) elements, the
+        # class a fixed offset list missed (review finding)
+        **{f"sweep_{n}": blob[:n] for n in range(150, 240, 3)},
     }
     for name, data in cases.items():
         p = tmp_path / f"{name}.dcm"
