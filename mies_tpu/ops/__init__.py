@@ -49,6 +49,13 @@ from mies_tpu.ops.filters import (
     laplacian_sharpen,
     sobel_edges,
 )
+from mies_tpu.ops.restoration import (
+    denoise_nl_means,
+    denoise_nl_means3d,
+    denoise_tv,
+    denoise_tv3d,
+    richardson_lucy,
+)
 from mies_tpu.ops.morphology import (
     black_hat,
     dilate,
@@ -95,6 +102,11 @@ __all__ = [
     "box_blur",
     "laplacian_sharpen",
     "sobel_edges",
+    "denoise_nl_means",
+    "denoise_nl_means3d",
+    "denoise_tv",
+    "denoise_tv3d",
+    "richardson_lucy",
     "erode",
     "dilate",
     "morph_open",

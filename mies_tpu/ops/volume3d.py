@@ -24,6 +24,13 @@ from jax import Array
 
 from mies_tpu.ops import histogram as H
 
+# volumetric restoration siblings live with their 2-D cores; re-exported
+# here so the volume registry's one-getattr convention covers them
+from mies_tpu.ops.restoration import (  # noqa: F401
+    denoise_nl_means3d,
+    denoise_tv3d,
+)
+
 NBINS = 256
 
 

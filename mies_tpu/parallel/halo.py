@@ -154,6 +154,11 @@ def stage_receptive_field(op: str, params: dict) -> int:
         return max(5, 2 * int(np.ceil(3.0 * float(ss))) + 1) // 2
     if op in ("sobel_edges", "laplacian_sharpen", "sharpness"):
         return 1
+    if op == "denoise_nl_means":
+        # single-pass patch stencil: search radius + patch radius
+        s = params.get("patch_size", 7)
+        s = s if s % 2 == 1 else s + 1
+        return params.get("patch_distance", 11) + s // 2
     if op in ("erode", "dilate", "morph_gradient"):
         return params.get("kernel_size", 3) // 2
     if op in ("morph_open", "morph_close", "top_hat", "black_hat"):
@@ -165,6 +170,9 @@ def stage_receptive_field(op: str, params: dict) -> int:
         "rotate", "affine_warp",  # global extent: a rotated pixel can
         # read from anywhere in the image — no fixed halo exists
         "histogram_match",  # per-image CDF = global extent
+        "denoise_tv",  # convergence test sums energy over the image
+        "richardson_lucy",  # zero-pad border applied to INTERMEDIATES
+        # each iteration — extend-run-crop cannot reproduce it
     ):
         raise ValueError(
             f"op {op!r} has global/tile extent and cannot be spatially "
@@ -198,6 +206,8 @@ _DEFAULT_MODE = {
     "denoise_bilateral": "edge",
     "sobel_edges": "reflect",
     "laplacian_sharpen": "reflect",
+    # nl-means has no mode param: skimage pads np 'reflect' == our 'mirror'
+    "denoise_nl_means": "mirror",
 }
 
 

@@ -261,6 +261,16 @@ def volume_stage_z_field(op: str, params: dict) -> int:
         return params.get("kernel_size", 3) // 2
     if op == "guided_blur3d":
         return 2 * (params.get("kernel_size", 3) // 2)
+    if op == "denoise_nl_means3d":
+        # single-pass patch stencil: search radius + patch radius
+        s = params.get("patch_size", 5)
+        s = s if s % 2 == 1 else s + 1
+        return params.get("patch_distance", 5) + s // 2
+    if op == "denoise_tv3d":
+        raise ValueError(
+            "denoise_tv3d is not z-shardable: its convergence test sums "
+            "energy over the WHOLE volume (global extent)"
+        )
     if op in ("erode3d", "dilate3d", "morph_gradient3d"):
         return params.get("kernel_size", 3) // 2
     if op in ("morph_open3d", "morph_close3d", "top_hat3d", "black_hat3d"):
@@ -302,9 +312,14 @@ def _build_zslab_fn(
                 p.pop("kernel_size", None)
                 x = clahe3d_band(x, axis_name=axis_name, **p)
             elif op in ("gaussian_blur3d", "median_blur3d",
-                        "unsharp_mask3d"):
+                        "unsharp_mask3d", "denoise_nl_means3d"):
                 r = volume_stage_z_field(op, params)
-                mode = params.get("mode", "nearest")
+                # nl-means has no mode param: skimage's np.pad 'reflect'
+                # is our 'mirror'
+                mode = (
+                    "mirror" if op == "denoise_nl_means3d"
+                    else params.get("mode", "nearest")
+                )
                 fn = functools.partial(reg[op], **params)
                 if r == 0:
                     x = fn(x)

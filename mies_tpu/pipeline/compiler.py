@@ -24,6 +24,7 @@ from mies_tpu.ops import geometry as GEO
 from mies_tpu.ops import histogram as H
 from mies_tpu.ops import intensity as I
 from mies_tpu.ops import morphology as M
+from mies_tpu.ops import restoration as REST
 from mies_tpu.pipeline.config import PipelineConfig
 
 # Every op the config schema can name. Signature: fn(img, **params) -> img.
@@ -56,6 +57,10 @@ OP_REGISTRY: dict[str, Callable] = {
     "guided_blur": F.guided_blur,
     "sobel_edges": F.sobel_edges,
     "laplacian_sharpen": F.laplacian_sharpen,
+    # restoration (skimage.restoration surface)
+    "denoise_nl_means": REST.denoise_nl_means,
+    "denoise_tv": REST.denoise_tv,
+    "richardson_lucy": REST.richardson_lucy,
     # morphology (cv2-compatible flat structuring elements)
     "erode": M.erode,
     "dilate": M.dilate,
@@ -146,7 +151,7 @@ VOLUME_ONLY_OPS = frozenset(
     {"clahe3d", "gaussian_blur3d", "guided_blur3d", "median_blur3d",
      "unsharp_mask3d", "erode3d", "dilate3d", "morph_open3d",
      "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
-     "resample3d"}
+     "resample3d", "denoise_nl_means3d", "denoise_tv3d"}
 )
 
 
@@ -154,6 +159,7 @@ _VOLUME_FILTER_OPS = (
     "gaussian_blur3d", "guided_blur3d", "median_blur3d", "unsharp_mask3d",
     "erode3d", "dilate3d", "morph_open3d", "morph_close3d",
     "morph_gradient3d", "top_hat3d", "black_hat3d", "resample3d",
+    "denoise_nl_means3d", "denoise_tv3d",
 )
 
 

@@ -344,6 +344,37 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "amount": (_nonneg, "a number >= 0"),
         "mode": (_mode_ok, f"one of {_PAD_MODES}"),
     },
+    "denoise_nl_means": {
+        "patch_size": (_pos_int, "an int >= 1"),
+        "patch_distance": (_pos_int, "an int >= 1"),
+        "h": (_pos, "a number > 0"),
+        "sigma": (_nonneg, "a number >= 0"),
+    },
+    "denoise_nl_means3d": {
+        "patch_size": (_pos_int, "an int >= 1"),
+        "patch_distance": (_pos_int, "an int >= 1"),
+        "h": (_pos, "a number > 0"),
+        "sigma": (_nonneg, "a number >= 0"),
+    },
+    "denoise_tv": {
+        "weight": (_pos, "a number > 0"),
+        "eps": (_nonneg, "a number >= 0"),
+        "max_num_iter": (_pos_int, "an int >= 1"),
+    },
+    "denoise_tv3d": {
+        "weight": (_pos, "a number > 0"),
+        "eps": (_nonneg, "a number >= 0"),
+        "max_num_iter": (_pos_int, "an int >= 1"),
+    },
+    "richardson_lucy": {
+        "psf_sigma": (_pos, "a number > 0"),
+        "psf_size": (_odd_kernel, "an odd int >= 1"),
+        "num_iter": (_pos_int, "an int >= 1"),
+        "clip": (lambda v: isinstance(v, bool), "a bool"),
+        "filter_epsilon": (
+            lambda v: v is None or _pos(v), "a number > 0 (or omitted)"
+        ),
+    },
     "sobel_edges": {"mode": (_mode_ok, f"one of {_PAD_MODES}")},
     "laplacian_sharpen": {
         "alpha": (_nonneg, "a number >= 0"),

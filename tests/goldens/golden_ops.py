@@ -682,3 +682,138 @@ def clahe3d_fraction(vol, clip_limit=0.01, grid_size=(2, 4, 4)):
     c1 = c10 * (1 - ya) + c11 * ya
     res = c0 * (1 - za) + c1 * za
     return np.clip(res, 0.0, 1.0).astype(np.float32)
+
+
+# -- restoration (skimage.restoration transcriptions) ------------------------
+
+
+def _nlm_patch_sum(v, s, nd):
+    """Un-normalized s-wide 'valid' box sum per axis (float64)."""
+    for ax in range(nd):
+        n = v.shape[ax] - (s - 1)
+        acc = np.take(v, np.arange(0, n), axis=ax).copy()
+        for j in range(1, s):
+            acc += np.take(v, np.arange(j, n + j), axis=ax)
+        v = acc
+    return v
+
+
+def denoise_nl_means(img, patch_size=7, patch_distance=11, h=0.1, sigma=0.0):
+    """skimage.restoration.denoise_nl_means, fast_mode=True (N-D).
+
+    Transcribed from the Cython kernels (_nl_means_denoising.pyx,
+    ``_fast_nl_means_denoising_2d/3d``) in their per-pixel form: the
+    symmetric-pair loop over shifts (t_col >= 0, alpha=0.5 bookkeeping)
+    nets out to one unit weight per unordered pair, i.e. a plain sum
+    over ALL shifts t in [-d, d]^N plus a doubled self pair. Patch
+    distances use the np.pad(mode='reflect') extension; the expected
+    noise 2*sigma^2 per patch pixel is subtracted before the exp, and
+    distances above DISTANCE_CUTOFF=5.0 get weight zero.
+    """
+    import itertools
+
+    u = np.asarray(img, np.float64)
+    nd = u.ndim
+    s = patch_size if patch_size % 2 == 1 else patch_size + 1
+    offset = s // 2
+    d = int(patch_distance)
+    pad = offset + d
+    up = np.pad(u, pad, mode="reflect")
+    sn = float(s) ** nd
+    inv_h2sn = 1.0 / (float(h) * float(h) * sn)
+    bias = 2.0 * float(sigma) * float(sigma) * sn
+    ext = tuple(n + 2 * offset for n in u.shape)
+    base = up[tuple(slice(d, d + e) for e in ext)]
+    num = np.zeros(u.shape)
+    den = np.zeros(u.shape)
+    for t in itertools.product(range(-d, d + 1), repeat=nd):
+        shifted = up[
+            tuple(slice(d + ti, d + ti + e) for ti, e in zip(t, ext))
+        ]
+        ssd = _nlm_patch_sum((base - shifted) ** 2, s, nd)
+        dist = np.maximum(ssd - bias, 0.0) * inv_h2sn
+        w = np.where(dist <= 5.0, np.exp(-dist), 0.0)
+        val = up[
+            tuple(slice(pad + ti, pad + ti + n) for ti, n in zip(t, u.shape))
+        ]
+        num += w * val
+        den += w
+    # skimage's t=0 iteration writes both endpoints of the (p, p) pair,
+    # so the self weight is 2: one unit is in the loop above, one here.
+    return (num + u) / (den + 1.0)
+
+
+def denoise_tv_chambolle(image, weight=0.1, eps=2e-4, max_num_iter=200):
+    """skimage.restoration.denoise_tv_chambolle (_denoise_tv_chambolle_nd),
+    literal N-D transcription of the dual-projection loop."""
+    image = np.asarray(image, np.float64)
+    ndim = image.ndim
+    p = np.zeros((ndim,) + image.shape)
+    g = np.zeros_like(p)
+    d = np.zeros_like(image)
+    i = 0
+    out = image
+    e_init = e_previous = 0.0
+    while i < max_num_iter:
+        if i > 0:
+            d = -p.sum(0)
+            slices_d = [slice(None)] * ndim
+            slices_p = [slice(None)] * (ndim + 1)
+            for ax in range(ndim):
+                slices_d[ax] = slice(1, None)
+                slices_p[ax + 1] = slice(0, -1)
+                slices_p[0] = ax
+                d[tuple(slices_d)] += p[tuple(slices_p)]
+                slices_d[ax] = slice(None)
+                slices_p[ax + 1] = slice(None)
+            out = image + d
+        else:
+            out = image
+        e = (d**2).sum()
+        slices_g = [slice(None)] * (ndim + 1)
+        for ax in range(ndim):
+            slices_g[ax + 1] = slice(0, -1)
+            slices_g[0] = ax
+            g[tuple(slices_g)] = np.diff(out, axis=ax)
+            slices_g[ax + 1] = slice(None)
+        norm = np.sqrt((g**2).sum(axis=0))[np.newaxis, ...]
+        e += weight * norm.sum()
+        tau = 1.0 / (2.0 * ndim)
+        norm *= tau / weight
+        norm += 1.0
+        p -= tau * g
+        p /= norm
+        e /= float(image.size)
+        if i == 0:
+            e_init = e
+            e_previous = e
+        else:
+            if np.abs(e_previous - e) < eps * e_init:
+                break
+            e_previous = e
+        i += 1
+    return out
+
+
+def richardson_lucy(image, psf, num_iter=50, clip=True, filter_epsilon=None):
+    """skimage.restoration.richardson_lucy, transcribed with the real
+    scipy.signal.convolve (mode='same') doing the convolutions — only
+    the loop structure is transcription, the conv semantics are live."""
+    from scipy.signal import convolve
+
+    image = np.asarray(image, np.float64)
+    psf = np.asarray(psf, np.float64)
+    im_deconv = np.full(image.shape, 0.5)
+    psf_mirror = np.flip(psf)
+    eps = 1e-12
+    for _ in range(num_iter):
+        conv = convolve(im_deconv, psf, mode="same") + eps
+        if filter_epsilon:
+            relative_blur = np.where(conv < filter_epsilon, 0, image / conv)
+        else:
+            relative_blur = image / conv
+        im_deconv *= convolve(relative_blur, psf_mirror, mode="same")
+    if clip:
+        im_deconv[im_deconv > 1] = 1
+        im_deconv[im_deconv < -1] = -1
+    return im_deconv

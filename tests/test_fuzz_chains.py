@@ -34,6 +34,9 @@ _CHAINABLE = [
     ("guided_blur", {"kernel_size": 3, "eps": 0.01}),
     ("sobel_edges", {}),
     ("laplacian_sharpen", {}),
+    ("denoise_nl_means", {"patch_size": 5, "patch_distance": 3}),
+    ("denoise_tv", {"weight": 0.1, "max_num_iter": 25}),
+    ("richardson_lucy", {"psf_sigma": 1.0, "psf_size": 5, "num_iter": 4}),
     ("erode", {}),
     ("dilate", {"kernel_size": 5, "shape": "ellipse"}),
     ("morph_open", {"shape": "cross"}),
@@ -105,6 +108,8 @@ _CHAINABLE_3D = [
     ("guided_blur3d", {"kernel_size": 3, "eps": 0.01}),
     ("median_blur3d", {"kernel_size": 3}),
     ("unsharp_mask3d", {"radius": 1.0}),
+    ("denoise_nl_means3d", {"patch_size": 3, "patch_distance": 2}),
+    ("denoise_tv3d", {"weight": 0.1, "max_num_iter": 15}),
     ("erode3d", {}),
     ("dilate3d", {"kernel_size": 5}),
     ("morph_open3d", {}),

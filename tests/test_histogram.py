@@ -209,7 +209,7 @@ def test_skimage_pin_replay():
             continue  # pin predates an appended case
         ours = transcription(case)
         np.testing.assert_allclose(
-            ours, pin[case["name"]], atol=ATOL,
+            ours, pin[case["name"]], atol=case.get("atol", ATOL),
             err_msg=f"transcription diverges from pinned skimage on "
                     f"{case['name']}",
         )

@@ -1,0 +1,323 @@
+"""Restoration ops (skimage.restoration surface) vs the NumPy goldens.
+
+Tolerance note for NL-means: the weight cutoff (distance <= 5.0) is a
+knife edge — a distance that lands within float32 noise of 5.0 can flip
+a single weight of exp(-5) ~= 0.0067 between the f32 device op and the
+f64 golden, bounding any flipped pixel's error by ~3e-3. Assertions
+therefore pair a tight MEAN bound (the whole image must agree) with a
+cutoff-aware max bound. The fixed per-test rng makes actual flips
+deterministic; observed max deviations are ~2e-7.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mies_tpu.ops import restoration as R
+from mies_tpu.pipeline.config import PipelineConfig, validate
+from mies_tpu.pipeline.compiler import (
+    compile_pipeline,
+    compile_volume_pipeline,
+)
+import tests.goldens.golden_ops as G
+
+
+def _noisy(rng, shape):
+    base = np.linspace(0.2, 0.8, shape[-1], dtype=np.float32)
+    img = np.broadcast_to(base, shape).copy()
+    img += rng.normal(0.0, 0.08, shape).astype(np.float32)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def _assert_close_nlm(out, gold):
+    diff = np.abs(out - np.asarray(gold, np.float32))
+    assert diff.mean() < 1e-6, f"mean {diff.mean()}"
+    assert diff.max() < 5e-3, f"max {diff.max()} (beyond a cutoff flip)"
+
+
+class TestNlMeans:
+    def test_matches_golden_2d(self, rng):
+        img = _noisy(rng, (48, 52))
+        out = np.asarray(
+            jax.jit(
+                lambda x: R.denoise_nl_means(
+                    x, patch_size=5, patch_distance=4, h=0.08, sigma=0.02
+                )
+            )(jnp.asarray(img))
+        )
+        gold = G.denoise_nl_means(
+            img, patch_size=5, patch_distance=4, h=0.08, sigma=0.02
+        )
+        _assert_close_nlm(out, gold)
+
+    def test_matches_golden_defaults_small(self, rng):
+        # default h, sigma=0 (no bias subtraction) on a small slice
+        img = _noisy(rng, (40, 40))
+        out = np.asarray(
+            jax.jit(
+                lambda x: R.denoise_nl_means(x, patch_size=5, patch_distance=3)
+            )(jnp.asarray(img))
+        )
+        gold = G.denoise_nl_means(img, patch_size=5, patch_distance=3)
+        _assert_close_nlm(out, gold)
+
+    def test_even_patch_size_promoted(self, rng):
+        # skimage promotes even s to s+1; both forms must agree exactly
+        img = _noisy(rng, (32, 32))
+        f_even = jax.jit(
+            lambda x: R.denoise_nl_means(x, patch_size=4, patch_distance=2)
+        )
+        f_odd = jax.jit(
+            lambda x: R.denoise_nl_means(x, patch_size=5, patch_distance=2)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f_even(jnp.asarray(img))),
+            np.asarray(f_odd(jnp.asarray(img))),
+        )
+
+    def test_matches_golden_3d(self, rng):
+        vol = _noisy(rng, (10, 24, 26))
+        out = np.asarray(
+            jax.jit(
+                lambda x: R.denoise_nl_means3d(
+                    x, patch_size=3, patch_distance=2, h=0.1
+                )
+            )(jnp.asarray(vol))
+        )
+        gold = G.denoise_nl_means(vol, patch_size=3, patch_distance=2, h=0.1)
+        _assert_close_nlm(out, gold)
+
+    def test_denoises(self, rng):
+        clean = np.broadcast_to(
+            np.linspace(0.2, 0.8, 64, dtype=np.float32), (64, 64)
+        ).copy()
+        noisy = np.clip(
+            clean + rng.normal(0, 0.06, clean.shape).astype(np.float32), 0, 1
+        )
+        out = np.asarray(
+            jax.jit(
+                lambda x: R.denoise_nl_means(
+                    x, patch_size=5, patch_distance=5, h=0.08, sigma=0.06
+                )
+            )(jnp.asarray(noisy))
+        )
+        assert np.square(out - clean).mean() < 0.3 * np.square(
+            noisy - clean
+        ).mean()
+
+    def test_rejects_oversized_window(self, rng):
+        with pytest.raises(ValueError, match="patch_distance"):
+            R.denoise_nl_means(
+                jnp.zeros((16, 16)), patch_size=7, patch_distance=13
+            )
+
+    def test_band_sharded_bit_exact(self, rng):
+        from mies_tpu.parallel import make_mesh, spatial_shard_apply
+
+        cfg = PipelineConfig.make(
+            [("denoise_nl_means",
+              {"patch_size": 5, "patch_distance": 4, "h": 0.08})]
+        )
+        img = _noisy(rng, (128, 64))
+        mesh = make_mesh(data=1, space=4)
+        out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+        ref = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_zband_sharded_bit_exact(self, rng):
+        from mies_tpu.parallel import make_mesh, volume_shard_apply
+
+        cfg = PipelineConfig.make(
+            [("denoise_nl_means3d",
+              {"patch_size": 3, "patch_distance": 2, "h": 0.1})]
+        )
+        vol = _noisy(rng, (24, 24, 24))
+        mesh = make_mesh(space=4)
+        out = np.asarray(
+            volume_shard_apply(cfg, mesh, quantize=False)(jnp.asarray(vol))
+        )
+        ref = np.asarray(
+            compile_volume_pipeline(cfg, quantize=False)(jnp.asarray(vol))
+        )
+        np.testing.assert_array_equal(out, ref)
+
+
+class TestTvChambolle:
+    def test_matches_golden_fixed_iters(self, rng):
+        # eps=0 disables early stopping -> deterministic iteration count
+        img = _noisy(rng, (48, 40))
+        out = np.asarray(
+            jax.jit(
+                lambda x: R.denoise_tv(x, weight=0.12, eps=0.0, max_num_iter=40)
+            )(jnp.asarray(img))
+        )
+        gold = G.denoise_tv_chambolle(img, weight=0.12, eps=0.0, max_num_iter=40)
+        np.testing.assert_allclose(out, gold, atol=5e-6)
+
+    def test_matches_golden_with_convergence(self, rng):
+        # default eps: both implementations stop on |dE| < eps * E_init;
+        # f32-vs-f64 energies can differ by one stopping iteration, but
+        # near convergence one extra step moves pixels by < 1e-4
+        img = _noisy(rng, (48, 48))
+        out = np.asarray(
+            jax.jit(lambda x: R.denoise_tv(x, weight=0.1))(jnp.asarray(img))
+        )
+        gold = G.denoise_tv_chambolle(img, weight=0.1)
+        np.testing.assert_allclose(out, gold, atol=2e-4)
+
+    def test_matches_golden_3d(self, rng):
+        vol = _noisy(rng, (8, 20, 20))
+        out = np.asarray(
+            jax.jit(
+                lambda x: R.denoise_tv3d(x, weight=0.1, eps=0.0, max_num_iter=25)
+            )(jnp.asarray(vol))
+        )
+        gold = G.denoise_tv_chambolle(vol, weight=0.1, eps=0.0, max_num_iter=25)
+        np.testing.assert_allclose(out, gold, atol=5e-6)
+
+    def test_reduces_total_variation(self, rng):
+        img = _noisy(rng, (64, 64))
+        out = np.asarray(
+            jax.jit(lambda x: R.denoise_tv(x, weight=0.15))(jnp.asarray(img))
+        )
+
+        def tv(a):
+            return np.abs(np.diff(a, axis=0)).sum() + np.abs(
+                np.diff(a, axis=1)
+            ).sum()
+
+        assert tv(out) < 0.5 * tv(img)
+
+    def test_spatial_sharding_rejected(self):
+        from mies_tpu.parallel.halo import stage_receptive_field
+
+        with pytest.raises(ValueError, match="global"):
+            stage_receptive_field("denoise_tv", {})
+
+    def test_z_sharding_rejected(self):
+        from mies_tpu.parallel.volume_shard import volume_stage_z_field
+
+        with pytest.raises(ValueError, match="z-shardable"):
+            volume_stage_z_field("denoise_tv3d", {})
+
+
+class TestRichardsonLucy:
+    def _blurred(self, rng, shape=(48, 48), sigma=1.5, size=7):
+        img = np.zeros(shape, np.float32)
+        img[12:36, 10:20] = 0.9
+        img[20:28, 30:44] = 0.6
+        img += rng.normal(0, 0.01, shape).astype(np.float32)
+        img = np.clip(img, 0, 1)
+        taps = R.gaussian_kernel1d(sigma, size // 2)
+        blurred = np.asarray(
+            jax.jit(lambda x: R._gauss_same(x, taps))(jnp.asarray(img))
+        )
+        return img, blurred
+
+    def test_matches_golden(self, rng):
+        _, blurred = self._blurred(rng)
+        out = np.asarray(
+            jax.jit(
+                lambda x: R.richardson_lucy(
+                    x, psf_sigma=1.5, psf_size=7, num_iter=15
+                )
+            )(jnp.asarray(blurred))
+        )
+        gold = G.richardson_lucy(blurred, R._rl_psf(1.5, 7), num_iter=15)
+        np.testing.assert_allclose(out, gold, atol=2e-5)
+
+    def test_matches_golden_filter_epsilon(self, rng):
+        _, blurred = self._blurred(rng)
+        out = np.asarray(
+            jax.jit(
+                lambda x: R.richardson_lucy(
+                    x, psf_sigma=1.5, psf_size=7, num_iter=10,
+                    filter_epsilon=1e-3,
+                )
+            )(jnp.asarray(blurred))
+        )
+        gold = G.richardson_lucy(
+            blurred, R._rl_psf(1.5, 7), num_iter=10, filter_epsilon=1e-3
+        )
+        np.testing.assert_allclose(out, gold, atol=2e-5)
+
+    def test_deblurs(self, rng):
+        sharp, blurred = self._blurred(rng)
+        out = np.asarray(
+            jax.jit(
+                lambda x: R.richardson_lucy(
+                    x, psf_sigma=1.5, psf_size=7, num_iter=25
+                )
+            )(jnp.asarray(blurred))
+        )
+        assert np.square(out - sharp).mean() < 0.5 * np.square(
+            blurred - sharp
+        ).mean()
+
+    def test_rejects_even_psf(self):
+        with pytest.raises(ValueError, match="odd"):
+            R.richardson_lucy(jnp.zeros((8, 8)), psf_size=4)
+
+    def test_spatial_sharding_rejected(self):
+        from mies_tpu.parallel.halo import stage_receptive_field
+
+        with pytest.raises(ValueError, match="global"):
+            stage_receptive_field("richardson_lucy", {})
+
+
+class TestPipelineIntegration:
+    def test_chain_with_restoration_ops(self, rng):
+        cfg = PipelineConfig.make(
+            [
+                ("denoise_nl_means", {"patch_size": 5, "patch_distance": 3}),
+                ("denoise_tv", {"weight": 0.05, "max_num_iter": 20}),
+                ("adjust_gamma", {"gamma": 0.9}),
+            ],
+            name="restoration-chain",
+        )
+        validate(cfg)
+        img = _noisy(rng, (64, 64))
+        out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+        assert out.dtype == np.uint8
+        # batched (vmapped) path agrees with the single-image path
+        outb = np.asarray(
+            compile_pipeline(cfg, batched=True, donate=False)(
+                jnp.asarray(np.stack([img, img]))
+            )
+        )
+        np.testing.assert_array_equal(outb[0], out)
+        np.testing.assert_array_equal(outb[1], out)
+
+    def test_volume_chain(self, rng):
+        cfg = PipelineConfig.make(
+            [
+                ("denoise_nl_means3d", {"patch_size": 3, "patch_distance": 2}),
+                ("denoise_tv3d", {"weight": 0.08, "max_num_iter": 10}),
+            ],
+            name="restoration-3d",
+        )
+        validate(cfg)
+        vol = _noisy(rng, (8, 24, 24))
+        out = np.asarray(
+            compile_volume_pipeline(cfg, quantize=False)(jnp.asarray(vol))
+        )
+        assert np.isfinite(out).all()
+
+    def test_validation_rejects_bad_params(self):
+        for stage, bad in [
+            (("denoise_nl_means", {"h": 0.0}), "h"),
+            (("denoise_nl_means", {"patch_size": 0}), "patch_size"),
+            (("denoise_tv", {"max_num_iter": 0}), "max_num_iter"),
+            (("richardson_lucy", {"psf_size": 4}), "psf_size"),
+            (("richardson_lucy", {"filter_epsilon": -1.0}), "filter_epsilon"),
+        ]:
+            cfg = PipelineConfig.make([stage])
+            with pytest.raises(ValueError, match=bad):
+                validate(cfg)
+
+    def test_2d_tv_rejected_in_volume_only_guard(self):
+        # denoise_tv3d is volume-only: the 2-D builder must name it
+        cfg = PipelineConfig.make([("denoise_tv3d", {})])
+        with pytest.raises(ValueError, match="volume-only"):
+            compile_pipeline(cfg, donate=False)

@@ -28,6 +28,9 @@ _CATEGORIES = (
         "bilateral_blur", "denoise_bilateral", "guided_blur",
         "sobel_edges", "laplacian_sharpen",
     )),
+    ("Restoration", (
+        "denoise_nl_means", "denoise_tv", "richardson_lucy",
+    )),
     ("Morphology", (
         "erode", "dilate", "morph_open", "morph_close", "morph_gradient",
         "top_hat", "black_hat",
@@ -40,7 +43,7 @@ _CATEGORIES = (
         "clahe3d", "gaussian_blur3d", "guided_blur3d", "median_blur3d",
         "unsharp_mask3d", "erode3d", "dilate3d", "morph_open3d",
         "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
-        "resample3d",
+        "resample3d", "denoise_nl_means3d", "denoise_tv3d",
     )),
 )
 

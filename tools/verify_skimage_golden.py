@@ -36,8 +36,11 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 from tests.goldens.golden_ops import (  # noqa: E402
+    denoise_nl_means,
+    denoise_tv_chambolle,
     equalize_adapthist3d_skimage,
     equalize_adapthist_skimage,
+    richardson_lucy,
 )
 
 # Deterministic across environments: PCG64 streams are versioned and
@@ -82,10 +85,114 @@ def make_cases() -> list[dict]:
         dict(name="3d_cubic_k16", img=rng.random((48, 48, 48)),
              kernel_size=(16, 16, 16), clip_limit=0.02)
     )
+
+    # --- restoration transcriptions (appended round 5) ------------------
+    # NL-means weight cutoff (distance <= 5.0) is a knife edge: f64
+    # summation-order differences between the transcription's direct
+    # patch sums and skimage's integral images are ~1e-12, so a distance
+    # within ~1e-9 of 5.0 could flip one exp(-5) weight. The authoring
+    # run measured min |distance - 5.0| >= 1.5e-6 across these exact
+    # cases (see _nlm_cutoff_margin) — decision-stable by ~6 orders of
+    # magnitude.
+    noisy = np.clip(
+        img2d((56, 64)) * 0.6 + rng.normal(0, 0.05, (56, 64)) + 0.2, 0, 1
+    )
+    cases.append(
+        dict(name="nlm_2d_s5_d4", op="nl_means", img=noisy,
+             patch_size=5, patch_distance=4, h=0.08, sigma=0.02,
+             atol=1e-9)
+    )
+    cases.append(
+        dict(name="nlm_2d_even_s4", op="nl_means", img=noisy,
+             patch_size=4, patch_distance=3, h=0.1, sigma=0.0,
+             atol=1e-9)
+    )
+    noisy3 = np.clip(
+        rng.random((12, 24, 26)) * 0.5 + 0.25
+        + rng.normal(0, 0.04, (12, 24, 26)), 0, 1
+    )
+    cases.append(
+        dict(name="nlm_3d_s3_d2", op="nl_means", img=noisy3,
+             patch_size=3, patch_distance=2, h=0.1, sigma=0.0,
+             atol=1e-9)
+    )
+    # TV: eps=0 pins the iteration count (the convergence test is a
+    # global-energy knife edge); one converged case with a loose atol.
+    cases.append(
+        dict(name="tv_2d_fixed40", op="tv", img=noisy, weight=0.12,
+             eps=0.0, max_num_iter=40, atol=1e-10)
+    )
+    cases.append(
+        dict(name="tv_2d_converged", op="tv", img=noisy, weight=0.1,
+             eps=2e-4, max_num_iter=200, atol=1e-6)
+    )
+    cases.append(
+        dict(name="tv_3d_fixed25", op="tv", img=noisy3, weight=0.1,
+             eps=0.0, max_num_iter=25, atol=1e-10)
+    )
+    # Richardson-Lucy: Gaussian PSF, no filter_epsilon (its conv < eps
+    # compare is another knife edge; the branch is a one-line np.where).
+    g = np.exp(-0.5 * (np.arange(-3, 4) / 1.5) ** 2)
+    g /= g.sum()
+    psf = np.outer(g, g)
+    cases.append(
+        dict(name="rl_2d_iter15", op="rl", img=noisy, psf=psf,
+             num_iter=15, atol=1e-9)
+    )
     return cases
 
 
+def _nlm_cutoff_margin(case: dict) -> float:
+    """Smallest |distance - 5.0| over every pixel and shift of an
+    nl_means case — decision stability proof for the pin comparison."""
+    import itertools
+
+    u = np.asarray(case["img"], np.float64)
+    nd = u.ndim
+    s = case["patch_size"] + (1 - case["patch_size"] % 2)
+    offset, d = s // 2, case["patch_distance"]
+    up = np.pad(u, offset + d, mode="reflect")
+    sn = float(s) ** nd
+    ext = tuple(n + 2 * offset for n in u.shape)
+    base = up[tuple(slice(d, d + e) for e in ext)]
+    from tests.goldens.golden_ops import _nlm_patch_sum
+
+    margin = np.inf
+    for t in itertools.product(range(-d, d + 1), repeat=nd):
+        shifted = up[
+            tuple(slice(d + ti, d + ti + e) for ti, e in zip(t, ext))
+        ]
+        ssd = _nlm_patch_sum((base - shifted) ** 2, s, nd)
+        dist = np.maximum(
+            ssd - 2.0 * case["sigma"] ** 2 * sn, 0.0
+        ) / (case["h"] ** 2 * sn)
+        margin = min(margin, float(np.abs(dist - 5.0).min()))
+    return margin
+
+
 def transcription(case: dict) -> np.ndarray:
+    op = case.get("op", "adapthist")
+    if op == "nl_means":
+        return np.asarray(
+            denoise_nl_means(
+                case["img"], patch_size=case["patch_size"],
+                patch_distance=case["patch_distance"], h=case["h"],
+                sigma=case["sigma"],
+            )
+        )
+    if op == "tv":
+        return np.asarray(
+            denoise_tv_chambolle(
+                case["img"], weight=case["weight"], eps=case["eps"],
+                max_num_iter=case["max_num_iter"],
+            )
+        )
+    if op == "rl":
+        return np.asarray(
+            richardson_lucy(
+                case["img"], case["psf"], num_iter=case["num_iter"]
+            )
+        )
     fn = (
         equalize_adapthist3d_skimage
         if case["img"].ndim == 3
@@ -94,6 +201,32 @@ def transcription(case: dict) -> np.ndarray:
     return np.asarray(
         fn(case["img"], kernel_size=case["kernel_size"],
            clip_limit=case["clip_limit"])
+    )
+
+
+def _library_output(case: dict):
+    """The real scikit-image call for a case (import deferred)."""
+    from skimage import exposure, restoration
+
+    op = case.get("op", "adapthist")
+    if op == "nl_means":
+        return restoration.denoise_nl_means(
+            case["img"], patch_size=case["patch_size"],
+            patch_distance=case["patch_distance"], h=case["h"],
+            sigma=case["sigma"], fast_mode=True,
+        )
+    if op == "tv":
+        return restoration.denoise_tv_chambolle(
+            case["img"], weight=case["weight"], eps=case["eps"],
+            max_num_iter=case["max_num_iter"],
+        )
+    if op == "rl":
+        return restoration.richardson_lucy(
+            case["img"], case["psf"], num_iter=case["num_iter"]
+        )
+    return exposure.equalize_adapthist(
+        case["img"], kernel_size=case["kernel_size"],
+        clip_limit=case["clip_limit"],
     )
 
 
@@ -107,7 +240,7 @@ def main() -> int:
 
     try:
         import skimage
-        from skimage import exposure
+        from skimage import exposure, restoration  # noqa: F401
     except ImportError:
         print(
             "scikit-image is not importable in this environment.\n"
@@ -123,16 +256,10 @@ def main() -> int:
     failures = []
     for case in cases:
         ours = transcription(case)
-        theirs = np.asarray(
-            exposure.equalize_adapthist(
-                case["img"],
-                kernel_size=case["kernel_size"],
-                clip_limit=case["clip_limit"],
-            )
-        )
+        theirs = np.asarray(_library_output(case))
         pin[case["name"]] = theirs
         d = float(np.abs(ours - theirs).max())
-        ok = d <= ATOL
+        ok = d <= case.get("atol", ATOL)
         print(f"  {case['name']:28s} max|diff| = {d:.3e}  "
               f"{'OK' if ok else 'MISMATCH'}")
         if not ok:
