@@ -49,6 +49,10 @@ from mies_tpu.ops.filters import (
     laplacian_sharpen,
     sobel_edges,
 )
+from mies_tpu.ops.ridges import (
+    frangi,
+    vessel_enhance,
+)
 from mies_tpu.ops.restoration import (
     denoise_nl_means,
     denoise_nl_means3d,
@@ -102,6 +106,8 @@ __all__ = [
     "box_blur",
     "laplacian_sharpen",
     "sobel_edges",
+    "frangi",
+    "vessel_enhance",
     "denoise_nl_means",
     "denoise_nl_means3d",
     "denoise_tv",

@@ -1,0 +1,154 @@
+"""Multiscale Hessian vesselness (Frangi 1998) — ridge enhancement.
+
+The reference declares scikit-image (`/root/reference/pyproject.toml:12`),
+whose ``skimage.filters`` ridge family (frangi / sato / ...) is the
+classical vessel-enhancement surface for angiography and fundus work.
+This module implements the PAPER's definition (Frangi et al., "Multiscale
+vessel enhancement filtering", MICCAI 1998) with a skimage-like API.
+Cross-library bit parity is deliberately NOT claimed: skimage's ridge
+filters changed semantics across releases (derivative normalization,
+background masking), and the library is not installable here to pin one.
+What IS pinned exactly:
+
+  * the Gaussian-derivative Hessian matches ``scipy.ndimage.
+    gaussian_filter(order=...)`` — golden-tested against the real scipy;
+  * the vesselness formula matches the float64 NumPy golden
+    (tests/goldens/golden_ops.py::frangi_vesselness).
+
+TPU design: each scale is three separable Gaussian-derivative
+convolutions (shifted-add chains — the same size-independent dataflow as
+``gaussian_blur``, so spatial band sharding stays bit-exact), one
+analytic 2x2 symmetric eigendecomposition, and a handful of fused
+elementwise exps; the scale loop is a static Python loop XLA unrolls and
+fuses. No gathers, no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from mies_tpu.ops.filters import _conv1d_shifted
+
+
+def gaussian_derivative_kernel1d(
+    sigma: float, order: int, radius: int
+) -> np.ndarray:
+    """scipy.ndimage's exact Gaussian-derivative taps (``_gaussian_kernel1d``
+    transcription): the normalized Gaussian times the Hermite-recurrence
+    polynomial q(x) with q'(x) accumulated ``order`` times. Returned in
+    scipy's correlate orientation (already reversed), so feeding it to
+    ``_conv1d_shifted`` reproduces ``scipy.ndimage.gaussian_filter1d``.
+    """
+    order = int(order)
+    sigma = float(sigma)
+    exponent_range = np.arange(order + 1)
+    sigma2 = sigma * sigma
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    phi_x = np.exp(-0.5 / sigma2 * x**2)
+    phi_x = phi_x / phi_x.sum()
+    if order == 0:
+        return phi_x[::-1].astype(np.float32)
+    q = np.zeros(order + 1)
+    q[0] = 1
+    D = np.diag(exponent_range[1:], 1)  # D @ q(x) = q'(x)
+    P = np.diag(np.ones(order) / -sigma2, -1)  # P @ q(x) = q(x) * p'(x)
+    Q_deriv = D + P
+    for _ in range(order):
+        q = Q_deriv.dot(q)
+    q = (x[:, None] ** exponent_range).dot(q)
+    return (q * phi_x)[::-1].astype(np.float32)
+
+
+def gaussian_derivative(
+    img: Array,
+    sigma: float,
+    order: tuple[int, int],
+    mode: str = "reflect",
+    truncate: float = 4.0,
+) -> Array:
+    """``scipy.ndimage.gaussian_filter(img, sigma, order=order)`` on
+    device: per-axis correlation with the derivative taps (golden-tested
+    against the real scipy in tests/test_ridges.py)."""
+    radius = int(truncate * float(sigma) + 0.5)
+    x = img.astype(jnp.float32)
+    ky = gaussian_derivative_kernel1d(sigma, order[0], radius)
+    kx = gaussian_derivative_kernel1d(sigma, order[1], radius)
+    x = _conv1d_shifted(x, ky, 0, mode)
+    x = _conv1d_shifted(x, kx, 1, mode)
+    return x
+
+
+def frangi(
+    img: Array,
+    sigmas: tuple = (1.0, 2.0, 4.0),
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float | None = None,
+    black_ridges: bool = True,
+    mode: str = "reflect",
+) -> Array:
+    """Frangi-1998 multiscale vesselness on a 2-D slice.
+
+    Per scale sigma: the gamma=2-normalized Hessian ``sigma^2 * H`` from
+    Gaussian derivatives; eigenvalues sorted by magnitude (|l1| <= |l2|);
+    blobness Rb = |l1|/|l2|; second-order structureness S = |H|_F; then
+
+        V = exp(-Rb^2 / (2 beta^2)) * (1 - exp(-S^2 / (2 gamma^2)))
+
+    zeroed where l2 > 0 (the bright-ridge condition — ``black_ridges``
+    flips the sign of the image first, the paper's dark-vessel X-ray /
+    DSA case). The response is the max over scales. ``gamma=None`` uses
+    the paper's default, half the maximum Frobenius norm AT EACH SCALE —
+    a global statistic, so spatial sharding requires an explicit gamma
+    (enforced in parallel/halo.py). ``alpha`` is accepted for API
+    parity; the plate term it weights only exists in 3-D.
+    """
+    x = img.astype(jnp.float32)
+    if black_ridges:
+        x = -x
+    result = None
+    for sigma in sigmas:
+        s2 = np.float32(float(sigma) ** 2)
+        hrr = s2 * gaussian_derivative(x, sigma, (2, 0), mode)
+        hrc = s2 * gaussian_derivative(x, sigma, (1, 1), mode)
+        hcc = s2 * gaussian_derivative(x, sigma, (0, 2), mode)
+        # analytic symmetric 2x2 eigenvalues
+        mu = 0.5 * (hrr + hcc)
+        root = jnp.sqrt(jnp.square(0.5 * (hrr - hcc)) + jnp.square(hrc))
+        la, lb = mu + root, mu - root
+        big = jnp.abs(la) >= jnp.abs(lb)
+        l2 = jnp.where(big, la, lb)  # |l2| >= |l1|
+        l1 = jnp.where(big, lb, la)
+        s_sq = jnp.square(l1) + jnp.square(l2)
+        rb_sq = jnp.square(l1) / jnp.maximum(jnp.square(l2), 1e-30)
+        if gamma is None:
+            smax = jnp.sqrt(jnp.max(s_sq))
+            g = jnp.where(smax > 0, 0.5 * smax, 1.0)
+        else:
+            g = jnp.float32(gamma)
+        v = jnp.exp(-rb_sq / (2.0 * float(beta) ** 2)) * (
+            1.0 - jnp.exp(-s_sq / (2.0 * g * g))
+        )
+        v = jnp.where(l2 > 0, 0.0, v)
+        result = v if result is None else jnp.maximum(result, v)
+    return result
+
+
+def vessel_enhance(
+    img: Array,
+    sigmas: tuple = (1.0, 2.0, 4.0),
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float | None = None,
+    black_ridges: bool = True,
+    amount: float = 1.0,
+    mode: str = "reflect",
+) -> Array:
+    """Pipeline-friendly vessel enhancement: blend the Frangi response
+    back into the slice (``img + amount * V``, clipped) so vessels
+    brighten in place instead of replacing the image with a response
+    map. The pure response is available as the ``frangi`` op."""
+    v = frangi(img, sigmas, alpha, beta, gamma, black_ridges, mode)
+    return jnp.clip(img + float(amount) * v, 0.0, 1.0)

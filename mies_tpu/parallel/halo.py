@@ -159,6 +159,18 @@ def stage_receptive_field(op: str, params: dict) -> int:
         s = params.get("patch_size", 7)
         s = s if s % 2 == 1 else s + 1
         return params.get("patch_distance", 11) + s // 2
+    if op in ("frangi", "vessel_enhance"):
+        if params.get("gamma") is None:
+            raise ValueError(
+                f"op {op!r} with gamma=None normalizes by the per-scale "
+                "GLOBAL max Frobenius norm and cannot be spatially "
+                "sharded; pass an explicit gamma"
+            )
+        # per-scale Gaussian-derivative convs read int(4*sigma + 0.5)
+        return max(
+            int(4.0 * float(s) + 0.5)
+            for s in params.get("sigmas", (1.0, 2.0, 4.0))
+        )
     if op in ("erode", "dilate", "morph_gradient"):
         return params.get("kernel_size", 3) // 2
     if op in ("morph_open", "morph_close", "top_hat", "black_hat"):
@@ -208,6 +220,8 @@ _DEFAULT_MODE = {
     "laplacian_sharpen": "reflect",
     # nl-means has no mode param: skimage pads np 'reflect' == our 'mirror'
     "denoise_nl_means": "mirror",
+    "frangi": "reflect",
+    "vessel_enhance": "reflect",
 }
 
 

@@ -25,6 +25,7 @@ from mies_tpu.ops import histogram as H
 from mies_tpu.ops import intensity as I
 from mies_tpu.ops import morphology as M
 from mies_tpu.ops import restoration as REST
+from mies_tpu.ops import ridges as RG
 from mies_tpu.pipeline.config import PipelineConfig
 
 # Every op the config schema can name. Signature: fn(img, **params) -> img.
@@ -61,6 +62,9 @@ OP_REGISTRY: dict[str, Callable] = {
     "denoise_nl_means": REST.denoise_nl_means,
     "denoise_tv": REST.denoise_tv,
     "richardson_lucy": REST.richardson_lucy,
+    # ridge / vesselness (Frangi 1998)
+    "frangi": RG.frangi,
+    "vessel_enhance": RG.vessel_enhance,
     # morphology (cv2-compatible flat structuring elements)
     "erode": M.erode,
     "dilate": M.dilate,

@@ -817,3 +817,45 @@ def richardson_lucy(image, psf, num_iter=50, clip=True, filter_epsilon=None):
         im_deconv[im_deconv > 1] = 1
         im_deconv[im_deconv < -1] = -1
     return im_deconv
+
+
+# -- ridge / vesselness (Frangi 1998, paper-faithful) -------------------------
+
+
+def frangi_vesselness(img, sigmas=(1.0, 2.0, 4.0), alpha=0.5, beta=0.5,
+                      gamma=None, black_ridges=True, mode="reflect"):
+    """Frangi et al. 1998 multiscale vesselness, float64, with the
+    Hessian from the REAL scipy.ndimage Gaussian derivatives (the device
+    op transcribes scipy's kernel; this golden calls the library). The
+    1e-30 divide guard matches the device op so Rb^2 is comparable where
+    l2 == 0. NOTE: paper-faithful, NOT a skimage transcription — see
+    mies_tpu/ops/ridges.py for why."""
+    x = np.asarray(img, np.float64)
+    if black_ridges:
+        x = -x
+    scipy_mode = {"reflect": "reflect", "nearest": "nearest",
+                  "mirror": "mirror", "constant": "constant",
+                  "wrap": "wrap", "edge": "nearest"}[mode]
+    result = None
+    for sigma in sigmas:
+        s2 = float(sigma) ** 2
+        hrr = s2 * ndimage.gaussian_filter(x, sigma, order=(2, 0), mode=scipy_mode)
+        hrc = s2 * ndimage.gaussian_filter(x, sigma, order=(1, 1), mode=scipy_mode)
+        hcc = s2 * ndimage.gaussian_filter(x, sigma, order=(0, 2), mode=scipy_mode)
+        mu = 0.5 * (hrr + hcc)
+        root = np.sqrt((0.5 * (hrr - hcc)) ** 2 + hrc**2)
+        la, lb = mu + root, mu - root
+        big = np.abs(la) >= np.abs(lb)
+        l2 = np.where(big, la, lb)
+        l1 = np.where(big, lb, la)
+        s_sq = l1**2 + l2**2
+        rb_sq = l1**2 / np.maximum(l2**2, 1e-30)
+        if gamma is None:
+            smax = np.sqrt(s_sq.max())
+            g = 0.5 * smax if smax > 0 else 1.0
+        else:
+            g = float(gamma)
+        v = np.exp(-rb_sq / (2 * beta**2)) * (1 - np.exp(-s_sq / (2 * g * g)))
+        v = np.where(l2 > 0, 0.0, v)
+        result = v if result is None else np.maximum(result, v)
+    return result

@@ -37,6 +37,8 @@ _CHAINABLE = [
     ("denoise_nl_means", {"patch_size": 5, "patch_distance": 3}),
     ("denoise_tv", {"weight": 0.1, "max_num_iter": 25}),
     ("richardson_lucy", {"psf_sigma": 1.0, "psf_size": 5, "num_iter": 4}),
+    ("frangi", {"sigmas": (1.0, 2.0)}),
+    ("vessel_enhance", {"sigmas": (1.0, 2.0), "amount": 0.5}),
     ("erode", {}),
     ("dilate", {"kernel_size": 5, "shape": "ellipse"}),
     ("morph_open", {"shape": "cross"}),

@@ -1,0 +1,122 @@
+"""Frangi vesselness: scipy-exact derivatives + paper-faithful formula."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy import ndimage
+
+from mies_tpu.ops import ridges as RG
+from mies_tpu.pipeline.config import PipelineConfig, validate
+from mies_tpu.pipeline.compiler import compile_pipeline
+import tests.goldens.golden_ops as G
+
+
+class TestGaussianDerivative:
+    @pytest.mark.parametrize(
+        "order", [(0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2)]
+    )
+    def test_matches_scipy(self, rng, order):
+        img = rng.random((48, 56)).astype(np.float32)
+        ours = np.asarray(
+            jax.jit(lambda x: RG.gaussian_derivative(x, 1.7, order))(
+                jnp.asarray(img)
+            )
+        )
+        ref = ndimage.gaussian_filter(
+            img.astype(np.float64), 1.7, order=order, mode="reflect"
+        )
+        np.testing.assert_allclose(ours, ref, atol=5e-7)
+
+    @pytest.mark.parametrize("mode", ["reflect", "nearest", "mirror",
+                                      "constant", "wrap"])
+    def test_border_modes(self, rng, mode):
+        img = rng.random((40, 40)).astype(np.float32)
+        ours = np.asarray(
+            jax.jit(
+                lambda x: RG.gaussian_derivative(x, 1.2, (1, 0), mode=mode)
+            )(jnp.asarray(img))
+        )
+        ref = ndimage.gaussian_filter(
+            img.astype(np.float64), 1.2, order=(1, 0), mode=mode
+        )
+        np.testing.assert_allclose(ours, ref, atol=5e-7)
+
+
+class TestFrangi:
+    def test_matches_golden(self, rng):
+        img = rng.random((64, 72)).astype(np.float32)
+        out = np.asarray(
+            jax.jit(lambda x: RG.frangi(x, sigmas=(1.0, 2.0, 3.0)))(
+                jnp.asarray(img)
+            )
+        )
+        gold = G.frangi_vesselness(img, sigmas=(1.0, 2.0, 3.0))
+        np.testing.assert_allclose(out, gold, atol=2e-6)
+
+    def test_matches_golden_explicit_gamma_white_ridges(self, rng):
+        img = rng.random((48, 48)).astype(np.float32)
+        kw = dict(sigmas=(1.5,), beta=0.4, gamma=0.08, black_ridges=False)
+        out = np.asarray(
+            jax.jit(lambda x: RG.frangi(x, **kw))(jnp.asarray(img))
+        )
+        gold = G.frangi_vesselness(img, **kw)
+        np.testing.assert_allclose(out, gold, atol=2e-6)
+
+    def test_selects_vessels(self):
+        # dark 3px line on a bright background (black_ridges default)
+        img = np.full((64, 64), 0.8, np.float32)
+        img[:, 30:33] = 0.2
+        v = np.asarray(
+            jax.jit(lambda x: RG.frangi(x, sigmas=(1.0, 2.0)))(
+                jnp.asarray(img)
+            )
+        )
+        assert v[10:54, 31].mean() > 0.5
+        assert v[10:54, 10].mean() < 0.05
+
+    def test_vessel_enhance_brightens_in_place(self):
+        img = np.full((64, 64), 0.5, np.float32)
+        img[:, 20:22] = 0.1
+        out = np.asarray(
+            jax.jit(
+                lambda x: RG.vessel_enhance(x, sigmas=(1.0,), amount=0.5)
+            )(jnp.asarray(img))
+        )
+        assert out[32, 21] > img[32, 21]  # vessel lifted
+        assert abs(out[32, 50] - img[32, 50]) < 1e-4  # background untouched
+
+    def test_pipeline_and_validation(self, rng):
+        cfg = PipelineConfig.make(
+            [("vessel_enhance", {"sigmas": (1.0, 2.0), "gamma": 0.1})],
+            name="vessels",
+        )
+        validate(cfg)
+        img = rng.random((64, 64)).astype(np.float32)
+        out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+        assert out.dtype == np.uint8
+        bad = PipelineConfig.make([("frangi", {"sigmas": ()})])
+        with pytest.raises(ValueError, match="sigmas"):
+            validate(bad)
+
+    def test_band_sharded_bit_exact_explicit_gamma(self, rng):
+        from mies_tpu.parallel import make_mesh, spatial_shard_apply
+
+        cfg = PipelineConfig.make(
+            [("vessel_enhance",
+              {"sigmas": (1.0, 2.0), "gamma": 0.1, "amount": 1.0})]
+        )
+        img = rng.random((128, 64)).astype(np.float32)
+        mesh = make_mesh(data=1, space=4)
+        out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+        ref = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_sharding_rejects_global_gamma(self):
+        from mies_tpu.parallel.halo import stage_receptive_field
+
+        with pytest.raises(ValueError, match="gamma"):
+            stage_receptive_field("frangi", {"sigmas": (1.0,)})
+        assert stage_receptive_field(
+            "frangi", {"sigmas": (1.0, 2.5), "gamma": 0.1}
+        ) == 10

@@ -31,6 +31,9 @@ _CATEGORIES = (
     ("Restoration", (
         "denoise_nl_means", "denoise_tv", "richardson_lucy",
     )),
+    ("Ridge / vesselness", (
+        "frangi", "vessel_enhance",
+    )),
     ("Morphology", (
         "erode", "dilate", "morph_open", "morph_close", "morph_gradient",
         "top_hat", "black_hat",
