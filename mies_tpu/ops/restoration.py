@@ -49,6 +49,23 @@ from mies_tpu.ops.filters import _conv1d_shifted, gaussian_kernel1d
 _DISTANCE_CUTOFF = 5.0  # skimage _nl_means_denoising.pyx: DISTANCE_CUTOFF
 
 
+def _half_shift_table(d: int, nd: int) -> np.ndarray:
+    """Lexicographically-positive half of [-d, d]^nd (first nonzero
+    component > 0), encoded as offsets in [0, 2d] (dec = t + d).
+    Each entry stands for the unordered pair {t, -t}."""
+    import itertools
+
+    out = []
+    for t in itertools.product(range(-d, d + 1), repeat=nd):
+        for c in t:
+            if c > 0:
+                out.append([ti + d for ti in t])
+                break
+            if c < 0:
+                break
+    return np.asarray(out, np.int32)
+
+
 def _nl_means_core(
     u: Array, patch_size: int, patch_distance: int, h: float, sigma: float
 ) -> Array:
@@ -71,6 +88,15 @@ def _nl_means_core(
     unordered pair, which is what the plain sum over ALL t computes.
     Patches are compared on the np.pad(mode='reflect') extension, as in
     skimage (our pad-mode name: 'mirror').
+
+    Symmetric-pair evaluation (the bilateral kernel's trick): D is
+    symmetric — D_{-t}(p) == D_t(p - t) — so the loop runs over HALF the
+    shifts, computes each pair's distance field ONCE on a domain
+    extended by d (covering both p and p - t), and accumulates both
+    endpoints. The patch sum (the dominant cost, 2*s passes) is shared
+    between t and -t; the consumed distance values read only within
+    skimage's own offset+d pad of the image, so semantics are unchanged
+    (the wider allocation pad exists only to keep slice shapes static).
     """
     nd = u.ndim
     s = patch_size if patch_size % 2 == 1 else patch_size + 1  # skimage: s += 1
@@ -83,20 +109,21 @@ def _nl_means_core(
             f"patch_size//2 + patch_distance = {pad} must be < every image "
             f"dim - 1 (got shape {shape}); shrink patch_distance"
         )
-    up = jnp.pad(u.astype(jnp.float32), pad, mode="reflect")
+    # allocation pad: offset + 2d so every in-loop slice is static-shaped;
+    # consumed values stay within the semantic offset + d extension
+    up = jnp.pad(u.astype(jnp.float32), offset + 2 * d, mode="reflect")
     sn = float(s) ** nd
     inv_h2sn = np.float32(1.0 / (float(h) * float(h) * sn))
     bias = np.float32(2.0 * float(sigma) * float(sigma) * sn)
-    span = 2 * d + 1
-    nshift = span**nd
-    ext = tuple(n + 2 * offset for n in shape)
-    # the unshifted patch window is the same for every shift — hoist it
-    base = lax.dynamic_slice(up, (d,) * nd, ext)
+    # distance-field domain Q = [-d, shape + d) (indexed q + d)
+    ext_q = tuple(n + 2 * d + 2 * offset for n in shape)
+    base = lax.dynamic_slice(up, (d,) * nd, ext_q)
+    table = jnp.asarray(_half_shift_table(d, nd))  # [n_half, nd] in [0, 2d]
 
     def patch_sum(v: Array) -> Array:
-        # un-normalized s-wide 'valid' box sum per axis: [ext] -> [shape].
-        # Explicit shifted adds in a fixed order — size-independent, so
-        # band-sharded and unsharded runs are bit-identical.
+        # un-normalized s-wide 'valid' box sum per axis. Explicit shifted
+        # adds in a fixed order — size-independent, so band-sharded and
+        # unsharded runs are bit-identical.
         for ax in range(nd):
             acc = lax.slice_in_dim(v, 0, v.shape[ax] - (s - 1), axis=ax)
             for j in range(1, s):
@@ -108,30 +135,38 @@ def _nl_means_core(
 
     def body(i, carry):
         num, den = carry
-        # decode the flat shift index into per-axis offsets in [0, 2d]
-        starts = []
-        rem = i
-        for _ in range(nd):
-            starts.insert(0, rem % span)
-            rem = rem // span
-        shifted = lax.dynamic_slice(up, tuple(starts), ext)
+        dec = table[i]  # per-axis offsets, dec = t + d in [0, 2d]
+        shifted = lax.dynamic_slice(
+            up, tuple(dec[ax] for ax in range(nd)), ext_q
+        )
         diff = base - shifted
-        ssd = patch_sum(diff * diff)
+        ssd = patch_sum(diff * diff)  # D field over Q
         dist = jnp.maximum(ssd - bias, 0.0) * inv_h2sn
         w = jnp.where(dist <= _DISTANCE_CUTOFF, jnp.exp(-dist), 0.0)
-        val = lax.dynamic_slice(
-            up, tuple(offset + t for t in starts), shape
+        # forward endpoint: w_t(p) = W[p + d], value u(p + t)
+        w_f = lax.dynamic_slice(w, (d,) * nd, shape)
+        v_f = lax.dynamic_slice(
+            up, tuple(offset + d + dec[ax] for ax in range(nd)), shape
         )
-        return num + w * val, den + w
+        # reverse endpoint: w_{-t}(p) = W[p - t + d], value u(p - t)
+        w_r = lax.dynamic_slice(
+            w, tuple(2 * d - dec[ax] for ax in range(nd)), shape
+        )
+        v_r = lax.dynamic_slice(
+            up, tuple(offset + 3 * d - dec[ax] for ax in range(nd)), shape
+        )
+        return num + (w_f * v_f + w_r * v_r), den + (w_f + w_r)
 
+    n_half = ((2 * d + 1) ** nd - 1) // 2
     num, den = lax.fori_loop(
         0,
-        nshift,
+        n_half,
         body,
         (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)),
     )
-    # skimage's doubled self pair (see docstring)
-    return (num + u) / (den + 1.0)
+    # the self pair: skimage's t=0 iteration writes both endpoints of
+    # (p, p), so the center weight is exactly 2
+    return (num + 2.0 * u) / (den + 2.0)
 
 
 def denoise_nl_means(
