@@ -51,7 +51,9 @@ from mies_tpu.ops.filters import (
 )
 from mies_tpu.ops.ridges import (
     frangi,
+    frangi3d,
     vessel_enhance,
+    vessel_enhance3d,
 )
 from mies_tpu.ops.restoration import (
     denoise_nl_means,
@@ -107,7 +109,9 @@ __all__ = [
     "laplacian_sharpen",
     "sobel_edges",
     "frangi",
+    "frangi3d",
     "vessel_enhance",
+    "vessel_enhance3d",
     "denoise_nl_means",
     "denoise_nl_means3d",
     "denoise_tv",

@@ -64,20 +64,79 @@ def gaussian_derivative_kernel1d(
 def gaussian_derivative(
     img: Array,
     sigma: float,
-    order: tuple[int, int],
+    order: tuple,
     mode: str = "reflect",
     truncate: float = 4.0,
 ) -> Array:
     """``scipy.ndimage.gaussian_filter(img, sigma, order=order)`` on
-    device: per-axis correlation with the derivative taps (golden-tested
-    against the real scipy in tests/test_ridges.py)."""
+    device, N-D (len(order) == img.ndim): per-axis correlation with the
+    derivative taps (golden-tested against the real scipy in
+    tests/test_ridges.py). Axes with 2-D inputs use the 2-D
+    ``_conv1d_shifted``; higher ranks fold the leading axes."""
     radius = int(truncate * float(sigma) + 0.5)
     x = img.astype(jnp.float32)
-    ky = gaussian_derivative_kernel1d(sigma, order[0], radius)
-    kx = gaussian_derivative_kernel1d(sigma, order[1], radius)
-    x = _conv1d_shifted(x, ky, 0, mode)
-    x = _conv1d_shifted(x, kx, 1, mode)
+    for ax, o in enumerate(order):
+        taps = gaussian_derivative_kernel1d(sigma, o, radius)
+        x = _correlate1d_nd(x, taps, ax, mode)
     return x
+
+
+def _correlate1d_nd(x: Array, taps: np.ndarray, axis: int, mode: str) -> Array:
+    """Rank-agnostic 1-D correlation along ``axis`` with the same
+    size-independent shifted-add order as ``filters._conv1d_shifted``
+    (sharding bit-exactness depends on it): move the axis last, fold the
+    rest, run the 2-D kernel, restore."""
+    from jax import numpy as _jnp
+
+    if x.ndim == 2:
+        return _conv1d_shifted(x, taps, axis, mode)
+    moved = _jnp.moveaxis(x, axis, -1)
+    lead = moved.shape[:-1]
+    flat = moved.reshape(int(np.prod(lead)), moved.shape[-1])
+    out = _conv1d_shifted(flat, taps, 1, mode)
+    return _jnp.moveaxis(out.reshape(*lead, out.shape[-1]), -1, axis)
+
+
+def _eigvalsh3_by_magnitude(
+    azz: Array, azy: Array, azx: Array, ayy: Array, ayx: Array, axx: Array
+) -> tuple[Array, Array, Array]:
+    """Analytic eigenvalues of a symmetric 3x3 field (Smith's
+    trigonometric method, the standard closed form), returned sorted by
+    |lambda| ascending. Pure elementwise VPU work — no per-voxel LAPACK.
+    Near-isotropic points (p ~ 0) fall back to the triple eigenvalue q.
+    """
+    q = (azz + ayy + axx) / 3.0
+    p1 = azy * azy + azx * azx + ayx * ayx
+    dz, dy, dx = azz - q, ayy - q, axx - q
+    p2 = dz * dz + dy * dy + dx * dx + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30) / 6.0)
+    inv_p = 1.0 / p
+    bzz, byy, bxx = dz * inv_p, dy * inv_p, dx * inv_p
+    bzy, bzx, byx = azy * inv_p, azx * inv_p, ayx * inv_p
+    detb = (
+        bzz * (byy * bxx - byx * byx)
+        - bzy * (bzy * bxx - byx * bzx)
+        + bzx * (bzy * byx - byy * bzx)
+    )
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    two_p = 2.0 * p
+    e1 = q + two_p * jnp.cos(phi)
+    e3 = q + two_p * jnp.cos(phi + np.float32(2.0 * np.pi / 3.0))
+    e2 = 3.0 * q - e1 - e3
+    iso = p2 < 1e-24  # numerically isotropic: triple eigenvalue q
+    e1 = jnp.where(iso, q, e1)
+    e2 = jnp.where(iso, q, e2)
+    e3 = jnp.where(iso, q, e3)
+    # sort the three by |e| with a 3-comparator network
+    def _swap(a, b):
+        sw = jnp.abs(a) > jnp.abs(b)
+        return jnp.where(sw, b, a), jnp.where(sw, a, b)
+
+    l1, l2 = _swap(e1, e2)
+    l2, l3 = _swap(l2, e3)
+    l1, l2 = _swap(l1, l2)
+    return l1, l2, l3
 
 
 def frangi(
@@ -134,6 +193,79 @@ def frangi(
         v = jnp.where(l2 > 0, 0.0, v)
         result = v if result is None else jnp.maximum(result, v)
     return result
+
+
+def frangi3d(
+    vol: Array,
+    sigmas: tuple = (1.0, 2.0, 4.0),
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float | None = None,
+    black_ridges: bool = True,
+    mode: str = "reflect",
+) -> Array:
+    """Frangi-1998 vesselness on a [Z, H, W] volume — the paper's
+    primary case (3-D CTA/MRA vessels). Per scale: the sigma^2-normalized
+    3-D Hessian (six Gaussian-derivative convs), analytic eigenvalues
+    |l1| <= |l2| <= |l3|, then
+
+        Ra^2 = l2^2 / l3^2                (plate vs line)
+        Rb^2 = l1^2 / |l2 l3|             (blobness)
+        S^2  = l1^2 + l2^2 + l3^2         (structureness)
+        V = (1 - exp(-Ra^2/2a^2)) exp(-Rb^2/2b^2) (1 - exp(-S^2/2g^2))
+
+    zeroed where l2 > 0 or l3 > 0 (bright tubes need both negative;
+    ``black_ridges`` flips the volume first). Max over scales.
+    ``gamma=None`` = per-scale half-max Frobenius norm (global — z-band
+    sharding requires an explicit gamma). Golden:
+    tests/goldens/golden_ops.py::frangi3d_vesselness (np.linalg.eigvalsh
+    cross-checks the trigonometric eigensolver).
+    """
+    x = vol.astype(jnp.float32)
+    if black_ridges:
+        x = -x
+    result = None
+    for sigma in sigmas:
+        s2 = np.float32(float(sigma) ** 2)
+        hzz = s2 * gaussian_derivative(x, sigma, (2, 0, 0), mode)
+        hzy = s2 * gaussian_derivative(x, sigma, (1, 1, 0), mode)
+        hzx = s2 * gaussian_derivative(x, sigma, (1, 0, 1), mode)
+        hyy = s2 * gaussian_derivative(x, sigma, (0, 2, 0), mode)
+        hyx = s2 * gaussian_derivative(x, sigma, (0, 1, 1), mode)
+        hxx = s2 * gaussian_derivative(x, sigma, (0, 0, 2), mode)
+        l1, l2, l3 = _eigvalsh3_by_magnitude(hzz, hzy, hzx, hyy, hyx, hxx)
+        ra_sq = jnp.square(l2) / jnp.maximum(jnp.square(l3), 1e-30)
+        rb_sq = jnp.square(l1) / jnp.maximum(jnp.abs(l2 * l3), 1e-30)
+        s_sq = jnp.square(l1) + jnp.square(l2) + jnp.square(l3)
+        if gamma is None:
+            smax = jnp.sqrt(jnp.max(s_sq))
+            g = jnp.where(smax > 0, 0.5 * smax, 1.0)
+        else:
+            g = jnp.float32(gamma)
+        v = (
+            (1.0 - jnp.exp(-ra_sq / (2.0 * float(alpha) ** 2)))
+            * jnp.exp(-rb_sq / (2.0 * float(beta) ** 2))
+            * (1.0 - jnp.exp(-s_sq / (2.0 * g * g)))
+        )
+        v = jnp.where((l2 > 0) | (l3 > 0), 0.0, v)
+        result = v if result is None else jnp.maximum(result, v)
+    return result
+
+
+def vessel_enhance3d(
+    vol: Array,
+    sigmas: tuple = (1.0, 2.0, 4.0),
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float | None = None,
+    black_ridges: bool = True,
+    amount: float = 1.0,
+    mode: str = "reflect",
+) -> Array:
+    """Volumetric in-place vessel enhancement: ``vol + amount * V``
+    clipped — the 3-D sibling of ``vessel_enhance``."""
+    v = frangi3d(vol, sigmas, alpha, beta, gamma, black_ridges, mode)
+    return jnp.clip(vol + float(amount) * v, 0.0, 1.0)
 
 
 def vessel_enhance(

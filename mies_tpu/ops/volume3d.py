@@ -30,6 +30,10 @@ from mies_tpu.ops.restoration import (  # noqa: F401
     denoise_nl_means3d,
     denoise_tv3d,
 )
+from mies_tpu.ops.ridges import (  # noqa: F401
+    frangi3d,
+    vessel_enhance3d,
+)
 
 NBINS = 256
 

@@ -271,6 +271,17 @@ def volume_stage_z_field(op: str, params: dict) -> int:
             "denoise_tv3d is not z-shardable: its convergence test sums "
             "energy over the WHOLE volume (global extent)"
         )
+    if op in ("frangi3d", "vessel_enhance3d"):
+        if params.get("gamma") is None:
+            raise ValueError(
+                f"op {op!r} with gamma=None normalizes by the per-scale "
+                "GLOBAL max Frobenius norm and is not z-shardable; pass "
+                "an explicit gamma"
+            )
+        return max(
+            int(4.0 * float(s) + 0.5)
+            for s in params.get("sigmas", (1.0, 2.0, 4.0))
+        )
     if op in ("erode3d", "dilate3d", "morph_gradient3d"):
         return params.get("kernel_size", 3) // 2
     if op in ("morph_open3d", "morph_close3d", "top_hat3d", "black_hat3d"):
@@ -312,14 +323,18 @@ def _build_zslab_fn(
                 p.pop("kernel_size", None)
                 x = clahe3d_band(x, axis_name=axis_name, **p)
             elif op in ("gaussian_blur3d", "median_blur3d",
-                        "unsharp_mask3d", "denoise_nl_means3d"):
+                        "unsharp_mask3d", "denoise_nl_means3d",
+                        "frangi3d", "vessel_enhance3d"):
                 r = volume_stage_z_field(op, params)
-                # nl-means has no mode param: skimage's np.pad 'reflect'
-                # is our 'mirror'
-                mode = (
-                    "mirror" if op == "denoise_nl_means3d"
-                    else params.get("mode", "nearest")
-                )
+                # per-op border defaults: nl-means has no mode param and
+                # pads np 'reflect' (our 'mirror'); the ridge ops default
+                # to 'reflect'
+                if op == "denoise_nl_means3d":
+                    mode = "mirror"
+                elif op in ("frangi3d", "vessel_enhance3d"):
+                    mode = params.get("mode", "reflect")
+                else:
+                    mode = params.get("mode", "nearest")
                 fn = functools.partial(reg[op], **params)
                 if r == 0:
                     x = fn(x)

@@ -155,7 +155,8 @@ VOLUME_ONLY_OPS = frozenset(
     {"clahe3d", "gaussian_blur3d", "guided_blur3d", "median_blur3d",
      "unsharp_mask3d", "erode3d", "dilate3d", "morph_open3d",
      "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
-     "resample3d", "denoise_nl_means3d", "denoise_tv3d"}
+     "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
+     "vessel_enhance3d"}
 )
 
 
@@ -163,7 +164,7 @@ _VOLUME_FILTER_OPS = (
     "gaussian_blur3d", "guided_blur3d", "median_blur3d", "unsharp_mask3d",
     "erode3d", "dilate3d", "morph_open3d", "morph_close3d",
     "morph_gradient3d", "top_hat3d", "black_hat3d", "resample3d",
-    "denoise_nl_means3d", "denoise_tv3d",
+    "denoise_nl_means3d", "denoise_tv3d", "frangi3d", "vessel_enhance3d",
 )
 
 

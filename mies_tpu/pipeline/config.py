@@ -371,6 +371,33 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "amount": (_nonneg, "a number >= 0"),
         "mode": (_mode_ok, f"one of {_PAD_MODES}"),
     },
+    "frangi3d": {
+        "sigmas": (
+            lambda v: isinstance(v, (tuple, list)) and len(v) >= 1
+            and all(_pos(x) for x in v),
+            "a non-empty list of numbers > 0",
+        ),
+        "alpha": (_pos, "a number > 0"),
+        "beta": (_pos, "a number > 0"),
+        "gamma": (lambda v: v is None or _pos(v),
+                  "a number > 0 (or omitted: per-scale half-max norm)"),
+        "black_ridges": (lambda v: isinstance(v, bool), "a bool"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
+    "vessel_enhance3d": {
+        "sigmas": (
+            lambda v: isinstance(v, (tuple, list)) and len(v) >= 1
+            and all(_pos(x) for x in v),
+            "a non-empty list of numbers > 0",
+        ),
+        "alpha": (_pos, "a number > 0"),
+        "beta": (_pos, "a number > 0"),
+        "gamma": (lambda v: v is None or _pos(v),
+                  "a number > 0 (or omitted: per-scale half-max norm)"),
+        "black_ridges": (lambda v: isinstance(v, bool), "a bool"),
+        "amount": (_nonneg, "a number >= 0"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
     "denoise_nl_means": {
         "patch_size": (_pos_int, "an int >= 1"),
         "patch_distance": (_pos_int, "an int >= 1"),

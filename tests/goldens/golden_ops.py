@@ -859,3 +859,50 @@ def frangi_vesselness(img, sigmas=(1.0, 2.0, 4.0), alpha=0.5, beta=0.5,
         v = np.where(l2 > 0, 0.0, v)
         result = v if result is None else np.maximum(result, v)
     return result
+
+
+def frangi3d_vesselness(vol, sigmas=(1.0, 2.0, 4.0), alpha=0.5, beta=0.5,
+                        gamma=None, black_ridges=True, mode="reflect"):
+    """Frangi 1998 on a [Z, H, W] volume, float64: real scipy Gaussian
+    derivatives, np.linalg.eigvalsh eigenvalues sorted by |lambda| (the
+    LAPACK cross-check for the device's trigonometric eigensolver),
+    identical guards (1e-30 divide floors)."""
+    x = np.asarray(vol, np.float64)
+    if black_ridges:
+        x = -x
+    scipy_mode = {"reflect": "reflect", "nearest": "nearest",
+                  "mirror": "mirror", "constant": "constant",
+                  "wrap": "wrap", "edge": "nearest"}[mode]
+    result = None
+    for sigma in sigmas:
+        s2 = float(sigma) ** 2
+        orders = {
+            "zz": (2, 0, 0), "zy": (1, 1, 0), "zx": (1, 0, 1),
+            "yy": (0, 2, 0), "yx": (0, 1, 1), "xx": (0, 0, 2),
+        }
+        h = {k: s2 * ndimage.gaussian_filter(x, sigma, order=o, mode=scipy_mode)
+             for k, o in orders.items()}
+        H = np.zeros(x.shape + (3, 3))
+        H[..., 0, 0] = h["zz"]; H[..., 0, 1] = h["zy"]; H[..., 0, 2] = h["zx"]
+        H[..., 1, 0] = h["zy"]; H[..., 1, 1] = h["yy"]; H[..., 1, 2] = h["yx"]
+        H[..., 2, 0] = h["zx"]; H[..., 2, 1] = h["yx"]; H[..., 2, 2] = h["xx"]
+        eig = np.linalg.eigvalsh(H)  # ascending by value
+        order = np.argsort(np.abs(eig), axis=-1)
+        eig = np.take_along_axis(eig, order, axis=-1)
+        l1, l2, l3 = eig[..., 0], eig[..., 1], eig[..., 2]
+        ra_sq = l2**2 / np.maximum(l3**2, 1e-30)
+        rb_sq = l1**2 / np.maximum(np.abs(l2 * l3), 1e-30)
+        s_sq = l1**2 + l2**2 + l3**2
+        if gamma is None:
+            smax = np.sqrt(s_sq.max())
+            g = 0.5 * smax if smax > 0 else 1.0
+        else:
+            g = float(gamma)
+        v = (
+            (1.0 - np.exp(-ra_sq / (2 * alpha**2)))
+            * np.exp(-rb_sq / (2 * beta**2))
+            * (1.0 - np.exp(-s_sq / (2 * g * g)))
+        )
+        v = np.where((l2 > 0) | (l3 > 0), 0.0, v)
+        result = v if result is None else np.maximum(result, v)
+    return result

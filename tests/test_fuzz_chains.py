@@ -111,6 +111,8 @@ _CHAINABLE_3D = [
     ("median_blur3d", {"kernel_size": 3}),
     ("unsharp_mask3d", {"radius": 1.0}),
     ("denoise_nl_means3d", {"patch_size": 3, "patch_distance": 2}),
+    ("frangi3d", {"sigmas": (1.0,)}),
+    ("vessel_enhance3d", {"sigmas": (1.0,), "amount": 0.5}),
     ("denoise_tv3d", {"weight": 0.1, "max_num_iter": 15}),
     ("erode3d", {}),
     ("dilate3d", {"kernel_size": 5}),

@@ -120,3 +120,81 @@ class TestFrangi:
         assert stage_receptive_field(
             "frangi", {"sigmas": (1.0, 2.5), "gamma": 0.1}
         ) == 10
+
+
+class TestFrangi3d:
+    def test_eigensolver_matches_lapack(self, rng):
+        a = rng.normal(size=(6, 24, 24)).astype(np.float32)
+        l1, l2, l3 = jax.jit(RG._eigvalsh3_by_magnitude)(
+            *[jnp.asarray(c) for c in a]
+        )
+        H = np.zeros((24, 24, 3, 3))
+        H[..., 0, 0], H[..., 0, 1], H[..., 0, 2] = a[0], a[1], a[2]
+        H[..., 1, 0], H[..., 1, 1], H[..., 1, 2] = a[1], a[3], a[4]
+        H[..., 2, 0], H[..., 2, 1], H[..., 2, 2] = a[2], a[4], a[5]
+        eig = np.linalg.eigvalsh(H.astype(np.float64))
+        eig = np.take_along_axis(
+            eig, np.argsort(np.abs(eig), axis=-1), -1
+        )
+        for i, l in enumerate([l1, l2, l3]):
+            np.testing.assert_allclose(
+                np.asarray(l), eig[..., i], atol=5e-6
+            )
+
+    def test_eigensolver_isotropic_point(self):
+        # p ~ 0 fallback: a scaled identity has a triple eigenvalue
+        z = jnp.full((4, 4), 0.7)
+        o = jnp.zeros((4, 4))
+        l1, l2, l3 = RG._eigvalsh3_by_magnitude(z, o, o, z, o, z)
+        for l in (l1, l2, l3):
+            np.testing.assert_allclose(np.asarray(l), 0.7, atol=1e-6)
+
+    def test_matches_golden(self, rng):
+        vol = rng.random((12, 28, 30)).astype(np.float32)
+        out = np.asarray(
+            jax.jit(lambda x: RG.frangi3d(x, sigmas=(1.0, 2.0)))(
+                jnp.asarray(vol)
+            )
+        )
+        gold = G.frangi3d_vesselness(vol, sigmas=(1.0, 2.0))
+        d = np.abs(out - gold)
+        assert d.max() < 5e-5 and d.mean() < 1e-6
+
+    def test_selects_tubes(self):
+        tube = np.full((24, 32, 32), 0.8, np.float32)
+        zz, yy, xx = np.mgrid[0:24, 0:32, 0:32]
+        tube[(yy - 16) ** 2 + (xx - 16) ** 2 <= 4] = 0.2
+        v = np.asarray(
+            jax.jit(lambda x: RG.frangi3d(x, sigmas=(1.0, 2.0)))(
+                jnp.asarray(tube)
+            )
+        )
+        assert v[12, 16, 16] > 0.5
+        assert v[12, 4, 4] < 0.05
+
+    def test_zband_sharded_bit_exact_explicit_gamma(self, rng):
+        from mies_tpu.parallel import make_mesh, volume_shard_apply
+        from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+        cfg = PipelineConfig.make(
+            [("vessel_enhance3d",
+              {"sigmas": (1.0,), "gamma": 0.1, "amount": 1.0})]
+        )
+        vol = rng.random((32, 24, 24)).astype(np.float32)
+        mesh = make_mesh(space=4)
+        out = np.asarray(
+            volume_shard_apply(cfg, mesh, quantize=False)(jnp.asarray(vol))
+        )
+        ref = np.asarray(
+            compile_volume_pipeline(cfg, quantize=False)(jnp.asarray(vol))
+        )
+        np.testing.assert_array_equal(out, ref)
+
+    def test_z_sharding_rejects_global_gamma(self):
+        from mies_tpu.parallel.volume_shard import volume_stage_z_field
+
+        with pytest.raises(ValueError, match="gamma"):
+            volume_stage_z_field("frangi3d", {"sigmas": (1.0,)})
+        assert volume_stage_z_field(
+            "frangi3d", {"sigmas": (2.0,), "gamma": 0.1}
+        ) == 8

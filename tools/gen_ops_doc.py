@@ -46,7 +46,8 @@ _CATEGORIES = (
         "clahe3d", "gaussian_blur3d", "guided_blur3d", "median_blur3d",
         "unsharp_mask3d", "erode3d", "dilate3d", "morph_open3d",
         "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
-        "resample3d", "denoise_nl_means3d", "denoise_tv3d",
+        "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
+        "vessel_enhance3d",
     )),
 )
 
