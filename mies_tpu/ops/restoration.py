@@ -109,9 +109,15 @@ def _nl_means_core(
             f"patch_size//2 + patch_distance = {pad} must be < every image "
             f"dim - 1 (got shape {shape}); shrink patch_distance"
         )
-    # allocation pad: offset + 2d so every in-loop slice is static-shaped;
-    # consumed values stay within the semantic offset + d extension
-    up = jnp.pad(u.astype(jnp.float32), offset + 2 * d, mode="reflect")
+    # Two-step pad. Semantic extension first: offset + d of np 'reflect',
+    # exactly what skimage compares patches on (and the jnp reflect limit
+    # pad <= dim-1 is checked against THIS width, the true requirement).
+    # Then d more 'edge' rows purely for static slice shapes — consumed
+    # distances/values never read beyond the semantic extension (the
+    # outer rows feed only D entries outside the [-d, shape+d) window
+    # that the pair accumulation slices out).
+    up = jnp.pad(u.astype(jnp.float32), pad, mode="reflect")
+    up = jnp.pad(up, d, mode="edge")
     sn = float(s) ** nd
     inv_h2sn = np.float32(1.0 / (float(h) * float(h) * sn))
     bias = np.float32(2.0 * float(sigma) * float(sigma) * sn)

@@ -106,6 +106,19 @@ class TestNlMeans:
             noisy - clean
         ).mean()
 
+    def test_small_image_allocation_pad(self, rng):
+        # regression: the paired core's allocation pad (offset + 2d) used
+        # to exceed jnp.pad's reflect limit on images where the SEMANTIC
+        # pad (offset + d) still fit — 12x12 with s=7, d=5
+        img = rng.random((12, 12)).astype(np.float32)
+        out = np.asarray(
+            jax.jit(
+                lambda x: R.denoise_nl_means(x, patch_size=7, patch_distance=5)
+            )(jnp.asarray(img))
+        )
+        gold = G.denoise_nl_means(img, patch_size=7, patch_distance=5)
+        _assert_close_nlm(out, gold)
+
     def test_rejects_oversized_window(self, rng):
         with pytest.raises(ValueError, match="patch_distance"):
             R.denoise_nl_means(
