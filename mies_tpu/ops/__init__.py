@@ -62,6 +62,11 @@ from mies_tpu.ops.restoration import (
     denoise_tv3d,
     richardson_lucy,
 )
+from mies_tpu.ops.wavelet import (
+    denoise_wavelet,
+    denoise_wavelet3d,
+    estimate_sigma,
+)
 from mies_tpu.ops.morphology import (
     black_hat,
     dilate,
@@ -117,6 +122,9 @@ __all__ = [
     "denoise_tv",
     "denoise_tv3d",
     "richardson_lucy",
+    "denoise_wavelet",
+    "denoise_wavelet3d",
+    "estimate_sigma",
     "erode",
     "dilate",
     "morph_open",

@@ -30,6 +30,7 @@ from mies_tpu.ops.restoration import (  # noqa: F401
     denoise_nl_means3d,
     denoise_tv3d,
 )
+from mies_tpu.ops.wavelet import denoise_wavelet3d  # noqa: F401
 from mies_tpu.ops.ridges import (  # noqa: F401
     frangi3d,
     vessel_enhance3d,

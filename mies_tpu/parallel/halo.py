@@ -185,6 +185,9 @@ def stage_receptive_field(op: str, params: dict) -> int:
         "denoise_tv",  # convergence test sums energy over the image
         "richardson_lucy",  # zero-pad border applied to INTERMEDIATES
         # each iteration — extend-run-crop cannot reproduce it
+        "denoise_wavelet",  # multilevel global transform: thresholds
+        # are whole-subband statistics and the decimated grids don't
+        # tile along rows — use batch sharding
     ):
         raise ValueError(
             f"op {op!r} has global/tile extent and cannot be spatially "

@@ -271,6 +271,12 @@ def volume_stage_z_field(op: str, params: dict) -> int:
             "denoise_tv3d is not z-shardable: its convergence test sums "
             "energy over the WHOLE volume (global extent)"
         )
+    if op == "denoise_wavelet3d":
+        raise ValueError(
+            "denoise_wavelet3d is not z-shardable: the multilevel DWT's "
+            "subband thresholds are WHOLE-volume statistics and the "
+            "decimated grids don't tile along z (global extent)"
+        )
     if op in ("frangi3d", "vessel_enhance3d"):
         if params.get("gamma") is None:
             raise ValueError(

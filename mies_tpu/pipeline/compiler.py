@@ -26,6 +26,7 @@ from mies_tpu.ops import intensity as I
 from mies_tpu.ops import morphology as M
 from mies_tpu.ops import restoration as REST
 from mies_tpu.ops import ridges as RG
+from mies_tpu.ops import wavelet as WV
 from mies_tpu.pipeline.config import PipelineConfig
 
 # Every op the config schema can name. Signature: fn(img, **params) -> img.
@@ -62,6 +63,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "denoise_nl_means": REST.denoise_nl_means,
     "denoise_tv": REST.denoise_tv,
     "richardson_lucy": REST.richardson_lucy,
+    "denoise_wavelet": WV.denoise_wavelet,
     # ridge / vesselness (Frangi 1998)
     "frangi": RG.frangi,
     "vessel_enhance": RG.vessel_enhance,
@@ -156,7 +158,7 @@ VOLUME_ONLY_OPS = frozenset(
      "unsharp_mask3d", "erode3d", "dilate3d", "morph_open3d",
      "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
      "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
-     "vessel_enhance3d"}
+     "vessel_enhance3d", "denoise_wavelet3d"}
 )
 
 
@@ -165,6 +167,7 @@ _VOLUME_FILTER_OPS = (
     "erode3d", "dilate3d", "morph_open3d", "morph_close3d",
     "morph_gradient3d", "top_hat3d", "black_hat3d", "resample3d",
     "denoise_nl_means3d", "denoise_tv3d", "frangi3d", "vessel_enhance3d",
+    "denoise_wavelet3d",
 )
 
 

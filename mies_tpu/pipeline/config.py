@@ -420,6 +420,40 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "eps": (_nonneg, "a number >= 0"),
         "max_num_iter": (_pos_int, "an int >= 1"),
     },
+    "denoise_wavelet": {
+        "sigma": (lambda v: v is None or _pos(v),
+                  "a number > 0 (or omitted: MAD estimate in-graph)"),
+        "wavelet": (
+            lambda v: isinstance(v, str),
+            "a wavelet name (haar/db1..db4/sym4)",
+        ),
+        "mode": (lambda v: v in ("soft", "hard"), "'soft' or 'hard'"),
+        "wavelet_levels": (
+            lambda v: v is None or _pos_int(v),
+            "an int >= 1 (or omitted: skimage default max-3)",
+        ),
+        "method": (
+            lambda v: v in ("BayesShrink", "VisuShrink"),
+            "'BayesShrink' or 'VisuShrink'",
+        ),
+    },
+    "denoise_wavelet3d": {
+        "sigma": (lambda v: v is None or _pos(v),
+                  "a number > 0 (or omitted: MAD estimate in-graph)"),
+        "wavelet": (
+            lambda v: isinstance(v, str),
+            "a wavelet name (haar/db1..db4/sym4)",
+        ),
+        "mode": (lambda v: v in ("soft", "hard"), "'soft' or 'hard'"),
+        "wavelet_levels": (
+            lambda v: v is None or _pos_int(v),
+            "an int >= 1 (or omitted: skimage default max-3)",
+        ),
+        "method": (
+            lambda v: v in ("BayesShrink", "VisuShrink"),
+            "'BayesShrink' or 'VisuShrink'",
+        ),
+    },
     "richardson_lucy": {
         "psf_sigma": (_pos, "a number > 0"),
         "psf_size": (_odd_kernel, "an odd int >= 1"),

@@ -906,3 +906,167 @@ def frangi3d_vesselness(vol, sigmas=(1.0, 2.0, 4.0), alpha=0.5, beta=0.5,
         v = np.where((l2 > 0) | (l3 > 0), 0.0, v)
         result = v if result is None else np.maximum(result, v)
     return result
+
+
+# --- wavelet shrinkage (skimage.restoration.denoise_wavelet / PyWavelets) ---
+# Independent np.convolve-based transcription of PyWavelets'
+# mode='symmetric' DWT/IDWT and skimage 0.26's _wavelet_threshold: the
+# device op (mies_tpu/ops/wavelet.py) re-derives the same semantics with
+# shifted-add FIR passes, so agreement is two independent
+# implementations, not a shared code path. Filter tables come from
+# mies_tpu.ops.wavelet (published PyWavelets coefficient values).
+
+
+def _wavelet_filters_np(name):
+    from mies_tpu.ops.wavelet import wavelet_filters
+
+    return [np.asarray(f, np.float64) for f in wavelet_filters(name)]
+
+
+def _dwt1d_np(x, lo, hi, axis):
+    """PyWavelets single-level DWT along one axis (mode='symmetric'):
+    pad flen-1 symmetric, full np.convolve, valid window, phase [1::2]."""
+    flen = len(lo)
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (flen - 1, flen - 1)
+    xe = np.pad(x, pads, mode="symmetric")
+
+    def along(v, f):
+        return np.convolve(v, f, mode="valid")[1::2]
+
+    return (
+        np.apply_along_axis(along, axis, xe, lo),
+        np.apply_along_axis(along, axis, xe, hi),
+    )
+
+
+def _idwt1d_np(a, d, rec_lo, rec_hi, axis, out_len):
+    """PyWavelets single-level IDWT: zero-upsample, full convolve with
+    the synthesis pair, crop [flen-2 : flen-2 + out_len]."""
+    flen = len(rec_lo)
+
+    def up_conv(c, f):
+        def along(v):
+            u = np.zeros(2 * len(v))
+            u[::2] = v
+            return np.convolve(u, f, mode="full")[flen - 2:][:out_len]
+
+        return np.apply_along_axis(along, axis, c)
+
+    return up_conv(a, rec_lo) + up_conv(d, rec_hi)
+
+
+def _wavedecn_np(x, name, level):
+    dec_lo, dec_hi, _, _ = _wavelet_filters_np(name)
+    nd = x.ndim
+    a = x
+    details = []
+    for _ in range(level):
+        bands = {"": a}
+        for ax in range(nd):
+            nxt = {}
+            for key, arr in bands.items():
+                lo, hi = _dwt1d_np(arr, dec_lo, dec_hi, ax)
+                nxt[key + "a"] = lo
+                nxt[key + "d"] = hi
+            bands = nxt
+        a = bands.pop("a" * nd)
+        details.append(bands)
+    details.reverse()
+    return a, details
+
+
+def _waverecn_np(a, details, name, out_shape):
+    _, _, rec_lo, rec_hi = _wavelet_filters_np(name)
+    nd = a.ndim
+    for li, bands in enumerate(details):
+        ref = bands["d" * nd]
+        if a.shape != ref.shape:
+            a = a[tuple(slice(0, s) for s in ref.shape)]
+        target = (
+            out_shape
+            if li == len(details) - 1
+            else details[li + 1]["d" * nd].shape
+        )
+        merged = dict(bands)
+        merged["a" * nd] = a
+        for ax in range(nd - 1, -1, -1):
+            nxt = {}
+            for key in list(merged):
+                stem = key[:ax]
+                if stem in nxt:
+                    continue
+                lo = merged[stem + "a" + key[ax + 1:]]
+                hi = merged[stem + "d" + key[ax + 1:]]
+                want = min(2 * lo.shape[ax] - len(rec_lo) + 2, target[ax])
+                nxt[stem] = _idwt1d_np(lo, hi, rec_lo, rec_hi, ax, want)
+            merged = nxt
+        a = merged[""]
+    return a
+
+
+def _sigma_est_dwt_np(detail):
+    nz = detail[np.nonzero(detail)]
+    if nz.size == 0:
+        return 0.0
+    return np.median(np.abs(nz)) / 0.6744897501960817
+
+
+def estimate_sigma(img, wavelet="db2"):
+    """skimage.restoration.estimate_sigma: MAD of the finest diagonal
+    detail / norm.ppf(0.75), zeros masked out (skimage decomposes with
+    db2 in its standalone estimator)."""
+    x = np.asarray(img, np.float64)
+    _, details = _wavedecn_np(x, wavelet, 1)
+    return _sigma_est_dwt_np(details[-1]["d" * x.ndim])
+
+
+def denoise_wavelet(
+    img,
+    sigma=None,
+    wavelet="db1",
+    mode="soft",
+    wavelet_levels=None,
+    method="BayesShrink",
+):
+    """skimage.restoration.denoise_wavelet (_wavelet_threshold), float
+    image path: default levels max(min-axis max_level - 3, 1),
+    BayesShrink per-subband var/sqrt(dvar-var) or VisuShrink's universal
+    threshold, pywt.threshold soft/hard."""
+    from mies_tpu.ops.wavelet import default_levels, dwt_max_level
+
+    x = np.asarray(img, np.float64)
+    dec_lo, _, _, _ = _wavelet_filters_np(wavelet)
+    flen = len(dec_lo)
+    level = (
+        int(wavelet_levels)
+        if wavelet_levels is not None
+        else default_levels(x.shape, flen)
+    )
+    a, details = _wavedecn_np(x, wavelet, level)
+    nd = x.ndim
+    if sigma is None:
+        sigma = _sigma_est_dwt_np(details[-1]["d" * nd])
+
+    def soft(v, t):
+        return np.sign(v) * np.maximum(np.abs(v) - t, 0.0)
+
+    def hard(v, t):
+        return np.where(np.abs(v) > t, v, 0.0)
+
+    shrink = soft if mode == "soft" else hard
+    if method == "VisuShrink":
+        t = sigma * np.sqrt(2.0 * np.log(x.size))
+        details = [
+            {k: shrink(v, t) for k, v in lv.items()} for lv in details
+        ]
+    else:
+        var = sigma * sigma
+        eps = np.finfo(x.dtype).eps
+
+        def bayes(v):
+            dvar = np.mean(v * v)
+            return shrink(v, var / np.sqrt(max(dvar - var, eps)))
+
+        details = [{k: bayes(v) for k, v in lv.items()} for lv in details]
+    return _waverecn_np(a, details, wavelet, x.shape)

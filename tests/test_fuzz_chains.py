@@ -38,6 +38,7 @@ _CHAINABLE = [
     ("denoise_tv", {"weight": 0.1, "max_num_iter": 25}),
     ("richardson_lucy", {"psf_sigma": 1.0, "psf_size": 5, "num_iter": 4}),
     ("frangi", {"sigmas": (1.0, 2.0)}),
+    ("denoise_wavelet", {"wavelet_levels": 2}),
     ("vessel_enhance", {"sigmas": (1.0, 2.0), "amount": 0.5}),
     ("erode", {}),
     ("dilate", {"kernel_size": 5, "shape": "ellipse"}),
@@ -112,6 +113,7 @@ _CHAINABLE_3D = [
     ("unsharp_mask3d", {"radius": 1.0}),
     ("denoise_nl_means3d", {"patch_size": 3, "patch_distance": 2}),
     ("frangi3d", {"sigmas": (1.0,)}),
+    ("denoise_wavelet3d", {"wavelet_levels": 1}),
     ("vessel_enhance3d", {"sigmas": (1.0,), "amount": 0.5}),
     ("denoise_tv3d", {"weight": 0.1, "max_num_iter": 15}),
     ("erode3d", {}),

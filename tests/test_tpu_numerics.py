@@ -118,3 +118,26 @@ def test_clahe3d_tile33z_fast_path(consistency):
 
 def test_morphology_bit_exact_vs_cv2(consistency):
     _case(consistency, "morphology_vs_cv2")
+
+
+def test_nl_means_backend_consistency(consistency):
+    """First hardware check for the outage-written NL-means core."""
+    _case(consistency, "nl_means_vs_cpu")
+
+
+def test_denoise_tv_backend_consistency(consistency):
+    _case(consistency, "denoise_tv_vs_cpu")
+
+
+def test_richardson_lucy_backend_consistency(consistency):
+    _case(consistency, "richardson_lucy_vs_cpu")
+
+
+def test_frangi_backend_consistency(consistency):
+    _case(consistency, "frangi_vs_cpu")
+
+
+def test_morphology_vanherk_bit_exact_vs_cv2(consistency):
+    """Van Herk doubling (rect k=21) and row-span (ellipse k=15) large-
+    kernel paths must stay bit-exact vs cv2 on the chip."""
+    _case(consistency, "morphology_vanherk_vs_cv2")

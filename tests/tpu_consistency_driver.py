@@ -378,6 +378,75 @@ def main() -> int:
     except ImportError:
         out["cases"]["morphology_vs_cv2"] = {"skipped": "no cv2"}
 
+    # 11. restoration ops TPU vs CPU — all pure-jnp (fori/while loops of
+    # shifted adds, exp, divisions); written during the tunnel outage,
+    # so this is their FIRST hardware check. Iteration counts are pinned
+    # (tv: eps=0 forces max_num_iter on both backends) so a convergence-
+    # test ULP flip can't desynchronize the comparison.
+    from mies_tpu.ops.restoration import (
+        denoise_nl_means,
+        denoise_tv,
+        richardson_lucy,
+    )
+
+    img128 = jnp.asarray(rng.random((128, 128), dtype=np.float64).astype(np.float32))
+    f_nlm = lambda x: denoise_nl_means(
+        x, patch_size=5, patch_distance=3, h=0.08, sigma=0.04
+    )
+    t, c = both(f_nlm, img128)
+    d = float(np.abs(t - c).max())
+    out["cases"]["nl_means_vs_cpu"] = {"max_abs": d, "ok": d <= 2e-5}
+
+    f_tv = lambda x: denoise_tv(x, weight=0.1, eps=0.0, max_num_iter=50)
+    t, c = both(f_tv, img128)
+    d = float(np.abs(t - c).max())
+    out["cases"]["denoise_tv_vs_cpu"] = {"max_abs": d, "ok": d <= 5e-5}
+
+    f_rl = lambda x: richardson_lucy(x, psf_sigma=1.5, psf_size=7, num_iter=30)
+    t, c = both(f_rl, img128)
+    d = float(np.abs(t - c).max())
+    out["cases"]["richardson_lucy_vs_cpu"] = {"max_abs": d, "ok": d <= 1e-4}
+
+    # 12. Frangi vesselness TPU vs CPU — Hessian eigen arithmetic
+    # (sqrt/exp/div chains) with the global gamma statistic; the rb_sq
+    # division is guarded by 1e-30, a bf16-demotion-sensitive shape.
+    from mies_tpu.ops.ridges import frangi
+
+    img256 = jnp.asarray(rng.random((256, 256), dtype=np.float64).astype(np.float32))
+    f_fr = lambda x: frangi(x, sigmas=(1.0, 2.0, 4.0))
+    t, c = both(f_fr, img256)
+    d = float(np.abs(t - c).max())
+    out["cases"]["frangi_vs_cpu"] = {"max_abs": d, "ok": d <= 5e-5}
+
+    # 13. large-kernel morphology ON CHIP — the van Herk doubling chain
+    # (rect k=21) and the row-span decomposition (ellipse k=15) are
+    # reassociation-insensitive min/max trees: BIT-exact vs cv2.
+    from mies_tpu.ops.morphology import morph_open
+
+    try:
+        import cv2
+
+        img = np.asarray(imgs[0], np.float32)
+        got21 = np.asarray(jax.jit(
+            lambda x: morph_open(x, 21, "rect"))(jnp.asarray(img)))
+        ref21 = cv2.morphologyEx(
+            img, cv2.MORPH_OPEN,
+            cv2.getStructuringElement(cv2.MORPH_RECT, (21, 21)),
+        )
+        got15 = np.asarray(jax.jit(
+            lambda x: morph_open(x, 15, "ellipse"))(jnp.asarray(img)))
+        ref15 = cv2.morphologyEx(
+            img, cv2.MORPH_OPEN,
+            cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (15, 15)),
+        )
+        dm = max(float(np.abs(got21 - ref21).max()),
+                 float(np.abs(got15 - ref15).max()))
+        out["cases"]["morphology_vanherk_vs_cv2"] = {
+            "max_abs": dm, "ok": dm == 0.0,
+        }
+    except ImportError:
+        out["cases"]["morphology_vanherk_vs_cv2"] = {"skipped": "no cv2"}
+
     out["ok"] = all(
         case.get("ok", True) for case in out["cases"].values()
     )

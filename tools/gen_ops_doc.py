@@ -30,6 +30,7 @@ _CATEGORIES = (
     )),
     ("Restoration", (
         "denoise_nl_means", "denoise_tv", "richardson_lucy",
+        "denoise_wavelet",
     )),
     ("Ridge / vesselness", (
         "frangi", "vessel_enhance",
@@ -47,6 +48,7 @@ _CATEGORIES = (
         "unsharp_mask3d", "erode3d", "dilate3d", "morph_open3d",
         "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
         "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
+        "denoise_wavelet3d",
         "vessel_enhance3d",
     )),
 )

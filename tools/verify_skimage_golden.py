@@ -38,8 +38,10 @@ sys.path.insert(0, str(ROOT))
 from tests.goldens.golden_ops import (  # noqa: E402
     denoise_nl_means,
     denoise_tv_chambolle,
+    denoise_wavelet,
     equalize_adapthist3d_skimage,
     equalize_adapthist_skimage,
+    estimate_sigma,
     richardson_lucy,
 )
 
@@ -139,6 +141,34 @@ def make_cases() -> list[dict]:
         dict(name="rl_2d_iter15", op="rl", img=noisy, psf=psf,
              num_iter=15, atol=1e-9)
     )
+    # --- wavelet shrinkage transcriptions (appended round 5) ------------
+    # denoise_wavelet has no knife edges for soft/Bayes (thresholds are
+    # smooth in the coefficients); 'hard' thresholding compares |c| > t,
+    # so one pinned-sigma hard case keeps the decision deterministic.
+    cases.append(
+        dict(name="wavelet_2d_bayes_default", op="wavelet", img=noisy,
+             sigma=None, wavelet="db1", mode="soft",
+             wavelet_levels=None, method="BayesShrink", atol=1e-10)
+    )
+    cases.append(
+        dict(name="wavelet_2d_visu_db2", op="wavelet", img=noisy,
+             sigma=None, wavelet="db2", mode="soft",
+             wavelet_levels=3, method="VisuShrink", atol=1e-10)
+    )
+    cases.append(
+        dict(name="wavelet_2d_hard_sigma", op="wavelet", img=noisy,
+             sigma=0.05, wavelet="sym4", mode="hard",
+             wavelet_levels=2, method="VisuShrink", atol=1e-10)
+    )
+    cases.append(
+        dict(name="wavelet_3d_bayes", op="wavelet", img=noisy3,
+             sigma=None, wavelet="db1", mode="soft",
+             wavelet_levels=1, method="BayesShrink", atol=1e-10)
+    )
+    cases.append(
+        dict(name="estimate_sigma_2d", op="sigma", img=noisy,
+             wavelet="db2", atol=1e-12)
+    )
     return cases
 
 
@@ -193,6 +223,18 @@ def transcription(case: dict) -> np.ndarray:
                 case["img"], case["psf"], num_iter=case["num_iter"]
             )
         )
+    if op == "wavelet":
+        return np.asarray(
+            denoise_wavelet(
+                case["img"], sigma=case["sigma"], wavelet=case["wavelet"],
+                mode=case["mode"], wavelet_levels=case["wavelet_levels"],
+                method=case["method"],
+            )
+        )
+    if op == "sigma":
+        return np.asarray(
+            estimate_sigma(case["img"], wavelet=case["wavelet"])
+        )
     fn = (
         equalize_adapthist3d_skimage
         if case["img"].ndim == 3
@@ -223,6 +265,16 @@ def _library_output(case: dict):
     if op == "rl":
         return restoration.richardson_lucy(
             case["img"], case["psf"], num_iter=case["num_iter"]
+        )
+    if op == "wavelet":
+        return restoration.denoise_wavelet(
+            case["img"], sigma=case["sigma"], wavelet=case["wavelet"],
+            mode=case["mode"], wavelet_levels=case["wavelet_levels"],
+            method=case["method"], rescale_sigma=True,
+        )
+    if op == "sigma":
+        return np.asarray(
+            restoration.estimate_sigma(case["img"])
         )
     return exposure.equalize_adapthist(
         case["img"], kernel_size=case["kernel_size"],
