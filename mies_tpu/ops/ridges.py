@@ -97,14 +97,15 @@ def _correlate1d_nd(x: Array, taps: np.ndarray, axis: int, mode: str) -> Array:
     return _jnp.moveaxis(out.reshape(*lead, out.shape[-1]), -1, axis)
 
 
-def _eigvalsh3_by_magnitude(
+def _eigvalsh3_descending(
     azz: Array, azy: Array, azx: Array, ayy: Array, ayx: Array, axx: Array
 ) -> tuple[Array, Array, Array]:
     """Analytic eigenvalues of a symmetric 3x3 field (Smith's
     trigonometric method, the standard closed form), returned sorted by
-    |lambda| ascending. Pure elementwise VPU work — no per-voxel LAPACK.
-    Near-isotropic points (p ~ 0) fall back to the triple eigenvalue q.
-    """
+    SIGNED value descending (e1 >= e2 >= e3 — the order Smith's phi in
+    [0, pi/3] produces directly). Pure elementwise VPU work — no
+    per-voxel LAPACK. Near-isotropic points (p ~ 0) fall back to the
+    triple eigenvalue q."""
     q = (azz + ayy + axx) / 3.0
     p1 = azy * azy + azx * azx + ayx * ayx
     dz, dy, dx = azz - q, ayy - q, axx - q
@@ -128,6 +129,17 @@ def _eigvalsh3_by_magnitude(
     e1 = jnp.where(iso, q, e1)
     e2 = jnp.where(iso, q, e2)
     e3 = jnp.where(iso, q, e3)
+    return e1, e2, e3
+
+
+def _eigvalsh3_by_magnitude(
+    azz: Array, azy: Array, azx: Array, ayy: Array, ayx: Array, axx: Array
+) -> tuple[Array, Array, Array]:
+    """Eigenvalues of a symmetric 3x3 field sorted by |lambda|
+    ascending (the Frangi order), via ``_eigvalsh3_descending`` plus a
+    3-comparator magnitude sort."""
+    e1, e2, e3 = _eigvalsh3_descending(azz, azy, azx, ayy, ayx, axx)
+
     # sort the three by |e| with a 3-comparator network
     def _swap(a, b):
         sw = jnp.abs(a) > jnp.abs(b)
@@ -284,3 +296,166 @@ def vessel_enhance(
     map. The pure response is available as the ``frangi`` op."""
     v = frangi(img, sigmas, alpha, beta, gamma, black_ridges, mode)
     return jnp.clip(img + float(amount) * v, 0.0, 1.0)
+
+
+def _hessian2d(
+    x: Array, sigma: float, mode: str
+) -> tuple[Array, Array, Array]:
+    """The sigma^2-normalized Gaussian-derivative Hessian of a 2-D
+    slice: (h_rr, h_rc, h_cc)."""
+    s2 = np.float32(float(sigma) ** 2)
+    return (
+        s2 * gaussian_derivative(x, sigma, (2, 0), mode),
+        s2 * gaussian_derivative(x, sigma, (1, 1), mode),
+        s2 * gaussian_derivative(x, sigma, (0, 2), mode),
+    )
+
+
+def _hessian3d(x: Array, sigma: float, mode: str) -> tuple[Array, ...]:
+    """The sigma^2-normalized Hessian of a [Z, H, W] volume:
+    (h_zz, h_zy, h_zx, h_yy, h_yx, h_xx)."""
+    s2 = np.float32(float(sigma) ** 2)
+    orders = ((2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1),
+              (0, 0, 2))
+    return tuple(s2 * gaussian_derivative(x, sigma, o, mode) for o in orders)
+
+
+def sato(
+    img: Array,
+    sigmas: tuple = (1.0, 2.0, 4.0),
+    black_ridges: bool = True,
+    mode: str = "reflect",
+) -> Array:
+    """Sato-1998 multiscale tubeness on a 2-D slice ("Three-dimensional
+    multi-scale line filter...", MedIA 1998, eq. 9 with gamma23 = 1).
+
+    Per scale sigma: eigenvalues of the sigma^2-normalized Hessian
+    sorted by SIGNED value descending; drop the largest; the response is
+    the geometric mean of the negated remainder where ALL of them are
+    negative (in 2-D: ``-l_min`` where ``l_min < 0``), zero elsewhere;
+    max over scales. ``black_ridges=True`` flips the slice first (the
+    dark-vessel X-ray/DSA case). Unlike Frangi there is NO global
+    statistic, so sato spatially shards with a plain stencil halo.
+    Same caveat as ``frangi``: paper-faithful, skimage parity not
+    claimed (see the module docstring); golden:
+    tests/goldens/golden_ops.py::sato_tubeness.
+    """
+    x = img.astype(jnp.float32)
+    if black_ridges:
+        x = -x
+    result = None
+    for sigma in sigmas:
+        hrr, hrc, hcc = _hessian2d(x, sigma, mode)
+        mu = 0.5 * (hrr + hcc)
+        root = jnp.sqrt(jnp.square(0.5 * (hrr - hcc)) + jnp.square(hrc))
+        lmin = mu - root  # value-ascending: lmin <= lmax
+        v = jnp.where(lmin < 0, -lmin, 0.0)
+        result = v if result is None else jnp.maximum(result, v)
+    return result
+
+
+def sato3d(
+    vol: Array,
+    sigmas: tuple = (1.0, 2.0, 4.0),
+    black_ridges: bool = True,
+    mode: str = "reflect",
+) -> Array:
+    """Sato-1998 tubeness on a [Z, H, W] volume — the paper's primary
+    3-D case. Per scale: value-descending eigenvalues e1 >= e2 >= e3 of
+    the sigma^2-normalized Hessian; response = sqrt(e2 * e3) where both
+    e2 < 0 and e3 < 0 (the geometric mean of the two cross-sectional
+    curvatures), else 0; max over scales. No global statistic — z-band
+    shardable with a stencil halo. Golden:
+    tests/goldens/golden_ops.py::sato3d_tubeness.
+    """
+    x = vol.astype(jnp.float32)
+    if black_ridges:
+        x = -x
+    result = None
+    for sigma in sigmas:
+        hzz, hzy, hzx, hyy, hyx, hxx = _hessian3d(x, sigma, mode)
+        _, e2, e3 = _eigvalsh3_descending(hzz, hzy, hzx, hyy, hyx, hxx)
+        tube = (e2 < 0) & (e3 < 0)
+        v = jnp.where(tube, jnp.sqrt(jnp.maximum(e2 * e3, 0.0)), 0.0)
+        result = v if result is None else jnp.maximum(result, v)
+    return result
+
+
+def _meijering_core(x: Array, sigmas: tuple, alpha: float, mode: str) -> Array:
+    """Shared 2-D/3-D Meijering body on a pre-flipped image: per scale,
+    modified eigenvalues l'_i = l_i + alpha * sum_{j != i} l_j of the
+    sigma^2-normalized Hessian, the largest-|.| one selected per pixel;
+    a ridge makes it strongly negative, so the raw response is
+    max(-l', 0), normalized per scale by its image-wide max (the
+    paper's lambda_min normalization — a GLOBAL statistic); max over
+    scales."""
+    result = None
+    for sigma in sigmas:
+        if x.ndim == 2:
+            hrr, hrc, hcc = _hessian2d(x, sigma, mode)
+            mu = 0.5 * (hrr + hcc)
+            root = jnp.sqrt(jnp.square(0.5 * (hrr - hcc)) + jnp.square(hrc))
+            eigs = (mu + root, mu - root)
+        else:
+            eigs = _eigvalsh3_descending(*_hessian3d(x, sigma, mode))
+        total = sum(eigs)
+        a = np.float32(alpha)
+        mods = [e + a * (total - e) for e in eigs]
+        sel = mods[0]
+        for m in mods[1:]:
+            sel = jnp.where(jnp.abs(m) > jnp.abs(sel), m, sel)
+        v = jnp.maximum(-sel, 0.0)
+        vmax = jnp.max(v)
+        v = jnp.where(vmax > 0, v / jnp.maximum(vmax, 1e-30), v)
+        result = v if result is None else jnp.maximum(result, v)
+    return result
+
+
+def meijering(
+    img: Array,
+    sigmas: tuple = (1.0, 2.0, 4.0),
+    alpha: float | None = None,
+    black_ridges: bool = True,
+    mode: str = "reflect",
+) -> Array:
+    """Meijering-2004 multiscale neuriteness on a 2-D slice ("Design
+    and validation of a tool for neurite tracing and analysis in
+    fluorescence microscopy images", Cytometry 2004).
+
+    Modified Hessian eigenvalues l'_i = l_i + alpha * sum_{j != i} l_j
+    (default alpha = 1/(ndim + 1) = the paper's |alpha| = 1/3 in 2-D,
+    with the sign folded into the ``black_ridges`` pre-flip); the
+    largest-magnitude l' is strongly negative on a ridge, so the
+    response is max(-l', 0) normalized to [0, 1] by its image-wide max
+    per scale (the paper's lambda_min normalization), then max over
+    scales. The normalization is a GLOBAL statistic, so meijering
+    cannot be spatially sharded (rejected in parallel/halo.py — use
+    batch sharding). Paper-faithful, skimage parity not claimed (see
+    the module docstring); golden:
+    tests/goldens/golden_ops.py::meijering_neuriteness.
+    """
+    x = img.astype(jnp.float32)
+    if black_ridges:
+        x = -x
+    if alpha is None:
+        alpha = 1.0 / (img.ndim + 1)
+    return _meijering_core(x, sigmas, float(alpha), mode)
+
+
+def meijering3d(
+    vol: Array,
+    sigmas: tuple = (1.0, 2.0, 4.0),
+    alpha: float | None = None,
+    black_ridges: bool = True,
+    mode: str = "reflect",
+) -> Array:
+    """Meijering-2004 neuriteness on a [Z, H, W] volume (default
+    alpha = 1/4): the 3-D sibling of ``meijering`` — same modified-
+    eigenvalue selection and per-scale global normalization. Golden:
+    tests/goldens/golden_ops.py::meijering3d_neuriteness."""
+    x = vol.astype(jnp.float32)
+    if black_ridges:
+        x = -x
+    if alpha is None:
+        alpha = 1.0 / (vol.ndim + 1)
+    return _meijering_core(x, sigmas, float(alpha), mode)

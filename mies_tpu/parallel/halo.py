@@ -159,14 +159,15 @@ def stage_receptive_field(op: str, params: dict) -> int:
         s = params.get("patch_size", 7)
         s = s if s % 2 == 1 else s + 1
         return params.get("patch_distance", 11) + s // 2
-    if op in ("frangi", "vessel_enhance"):
-        if params.get("gamma") is None:
+    if op in ("frangi", "vessel_enhance", "sato"):
+        if op != "sato" and params.get("gamma") is None:
             raise ValueError(
                 f"op {op!r} with gamma=None normalizes by the per-scale "
                 "GLOBAL max Frobenius norm and cannot be spatially "
                 "sharded; pass an explicit gamma"
             )
-        # per-scale Gaussian-derivative convs read int(4*sigma + 0.5)
+        # per-scale Gaussian-derivative convs read int(4*sigma + 0.5);
+        # sato has NO global statistic — always a plain stencil
         return max(
             int(4.0 * float(s) + 0.5)
             for s in params.get("sigmas", (1.0, 2.0, 4.0))
@@ -188,6 +189,8 @@ def stage_receptive_field(op: str, params: dict) -> int:
         "denoise_wavelet",  # multilevel global transform: thresholds
         # are whole-subband statistics and the decimated grids don't
         # tile along rows — use batch sharding
+        "meijering",  # per-scale response normalized by its IMAGE-WIDE
+        # max (the paper's lambda_min normalization) = global extent
     ):
         raise ValueError(
             f"op {op!r} has global/tile extent and cannot be spatially "
@@ -225,6 +228,7 @@ _DEFAULT_MODE = {
     "denoise_nl_means": "mirror",
     "frangi": "reflect",
     "vessel_enhance": "reflect",
+    "sato": "reflect",
 }
 
 

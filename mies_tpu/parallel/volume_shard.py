@@ -277,8 +277,13 @@ def volume_stage_z_field(op: str, params: dict) -> int:
             "subband thresholds are WHOLE-volume statistics and the "
             "decimated grids don't tile along z (global extent)"
         )
-    if op in ("frangi3d", "vessel_enhance3d"):
-        if params.get("gamma") is None:
+    if op == "meijering3d":
+        raise ValueError(
+            "meijering3d is not z-shardable: each scale's response is "
+            "normalized by its VOLUME-WIDE max (global extent)"
+        )
+    if op in ("frangi3d", "vessel_enhance3d", "sato3d"):
+        if op != "sato3d" and params.get("gamma") is None:
             raise ValueError(
                 f"op {op!r} with gamma=None normalizes by the per-scale "
                 "GLOBAL max Frobenius norm and is not z-shardable; pass "
@@ -330,14 +335,14 @@ def _build_zslab_fn(
                 x = clahe3d_band(x, axis_name=axis_name, **p)
             elif op in ("gaussian_blur3d", "median_blur3d",
                         "unsharp_mask3d", "denoise_nl_means3d",
-                        "frangi3d", "vessel_enhance3d"):
+                        "frangi3d", "vessel_enhance3d", "sato3d"):
                 r = volume_stage_z_field(op, params)
                 # per-op border defaults: nl-means has no mode param and
                 # pads np 'reflect' (our 'mirror'); the ridge ops default
                 # to 'reflect'
                 if op == "denoise_nl_means3d":
                     mode = "mirror"
-                elif op in ("frangi3d", "vessel_enhance3d"):
+                elif op in ("frangi3d", "vessel_enhance3d", "sato3d"):
                     mode = params.get("mode", "reflect")
                 else:
                     mode = params.get("mode", "nearest")

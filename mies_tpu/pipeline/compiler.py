@@ -64,9 +64,11 @@ OP_REGISTRY: dict[str, Callable] = {
     "denoise_tv": REST.denoise_tv,
     "richardson_lucy": REST.richardson_lucy,
     "denoise_wavelet": WV.denoise_wavelet,
-    # ridge / vesselness (Frangi 1998)
+    # ridge / vesselness (Frangi 1998 / Sato 1998 / Meijering 2004)
     "frangi": RG.frangi,
     "vessel_enhance": RG.vessel_enhance,
+    "sato": RG.sato,
+    "meijering": RG.meijering,
     # morphology (cv2-compatible flat structuring elements)
     "erode": M.erode,
     "dilate": M.dilate,
@@ -158,7 +160,7 @@ VOLUME_ONLY_OPS = frozenset(
      "unsharp_mask3d", "erode3d", "dilate3d", "morph_open3d",
      "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
      "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
-     "vessel_enhance3d", "denoise_wavelet3d"}
+     "vessel_enhance3d", "denoise_wavelet3d", "sato3d", "meijering3d"}
 )
 
 
@@ -167,7 +169,7 @@ _VOLUME_FILTER_OPS = (
     "erode3d", "dilate3d", "morph_open3d", "morph_close3d",
     "morph_gradient3d", "top_hat3d", "black_hat3d", "resample3d",
     "denoise_nl_means3d", "denoise_tv3d", "frangi3d", "vessel_enhance3d",
-    "denoise_wavelet3d",
+    "denoise_wavelet3d", "sato3d", "meijering3d",
 )
 
 

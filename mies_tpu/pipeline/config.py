@@ -398,6 +398,46 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "amount": (_nonneg, "a number >= 0"),
         "mode": (_mode_ok, f"one of {_PAD_MODES}"),
     },
+    "sato": {
+        "sigmas": (
+            lambda v: isinstance(v, (tuple, list)) and len(v) >= 1
+            and all(_pos(x) for x in v),
+            "a non-empty list of numbers > 0",
+        ),
+        "black_ridges": (lambda v: isinstance(v, bool), "a bool"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
+    "sato3d": {
+        "sigmas": (
+            lambda v: isinstance(v, (tuple, list)) and len(v) >= 1
+            and all(_pos(x) for x in v),
+            "a non-empty list of numbers > 0",
+        ),
+        "black_ridges": (lambda v: isinstance(v, bool), "a bool"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
+    "meijering": {
+        "sigmas": (
+            lambda v: isinstance(v, (tuple, list)) and len(v) >= 1
+            and all(_pos(x) for x in v),
+            "a non-empty list of numbers > 0",
+        ),
+        "alpha": (lambda v: v is None or _pos(v),
+                  "a number > 0 (or omitted: 1/(ndim + 1))"),
+        "black_ridges": (lambda v: isinstance(v, bool), "a bool"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
+    "meijering3d": {
+        "sigmas": (
+            lambda v: isinstance(v, (tuple, list)) and len(v) >= 1
+            and all(_pos(x) for x in v),
+            "a non-empty list of numbers > 0",
+        ),
+        "alpha": (lambda v: v is None or _pos(v),
+                  "a number > 0 (or omitted: 1/(ndim + 1))"),
+        "black_ridges": (lambda v: isinstance(v, bool), "a bool"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
     "denoise_nl_means": {
         "patch_size": (_pos_int, "an int >= 1"),
         "patch_distance": (_pos_int, "an int >= 1"),

@@ -908,6 +908,98 @@ def frangi3d_vesselness(vol, sigmas=(1.0, 2.0, 4.0), alpha=0.5, beta=0.5,
     return result
 
 
+_SCIPY_MODE = {"reflect": "reflect", "nearest": "nearest",
+               "mirror": "mirror", "constant": "constant",
+               "wrap": "wrap", "edge": "nearest"}
+
+
+def _hessian_eigs_np(x, sigma, mode):
+    """Value-ASCENDING eigenvalues of the sigma^2-normalized Hessian of
+    a 2-D or 3-D float64 field, from the REAL scipy Gaussian
+    derivatives + np.linalg.eigvalsh (the LAPACK cross-check for the
+    device's analytic eigensolvers)."""
+    s2 = float(sigma) ** 2
+    d = x.ndim
+    H = np.zeros(x.shape + (d, d))
+    for i in range(d):
+        for j in range(i, d):
+            o = [0] * d
+            o[i] += 1
+            o[j] += 1
+            hij = s2 * ndimage.gaussian_filter(
+                x, sigma, order=tuple(o), mode=_SCIPY_MODE[mode])
+            H[..., i, j] = hij
+            H[..., j, i] = hij
+    return np.linalg.eigvalsh(H)  # [..., d], ascending by value
+
+
+def sato_tubeness(img, sigmas=(1.0, 2.0, 4.0), black_ridges=True,
+                  mode="reflect"):
+    """Sato 1998 eq. 9 (gamma23 = 1) on a 2-D slice, float64: drop the
+    value-LARGEST eigenvalue, respond with -l_min where l_min < 0, max
+    over scales."""
+    x = np.asarray(img, np.float64)
+    if black_ridges:
+        x = -x
+    result = None
+    for sigma in sigmas:
+        lmin = _hessian_eigs_np(x, sigma, mode)[..., 0]
+        v = np.where(lmin < 0, -lmin, 0.0)
+        result = v if result is None else np.maximum(result, v)
+    return result
+
+
+def sato3d_tubeness(vol, sigmas=(1.0, 2.0, 4.0), black_ridges=True,
+                    mode="reflect"):
+    """Sato 1998 eq. 9 on a [Z, H, W] volume, float64: with e1 >= e2 >=
+    e3 by value, respond sqrt(e2 * e3) where both are negative."""
+    x = np.asarray(vol, np.float64)
+    if black_ridges:
+        x = -x
+    result = None
+    for sigma in sigmas:
+        eig = _hessian_eigs_np(x, sigma, mode)  # ascending: e3, e2, e1
+        e3, e2 = eig[..., 0], eig[..., 1]
+        v = np.where((e2 < 0) & (e3 < 0),
+                     np.sqrt(np.maximum(e2 * e3, 0.0)), 0.0)
+        result = v if result is None else np.maximum(result, v)
+    return result
+
+
+def meijering_neuriteness(img, sigmas=(1.0, 2.0, 4.0), alpha=None,
+                          black_ridges=True, mode="reflect"):
+    """Meijering 2004 neuriteness, float64, 2-D or 3-D: modified
+    eigenvalues l'_i = l_i + alpha * sum_{j != i} l_j, largest-|.|
+    selected per pixel, response max(-l', 0) normalized per scale by
+    its image-wide max, max over scales. Mirrors the device op's
+    documented semantics (mies_tpu/ops/ridges.py::meijering)."""
+    x = np.asarray(img, np.float64)
+    if black_ridges:
+        x = -x
+    if alpha is None:
+        alpha = 1.0 / (x.ndim + 1)
+    result = None
+    for sigma in sigmas:
+        eig = _hessian_eigs_np(x, sigma, mode)  # [..., d]
+        total = eig.sum(axis=-1, keepdims=True)
+        mods = eig + alpha * (total - eig)
+        idx = np.abs(mods).argmax(axis=-1)
+        sel = np.take_along_axis(mods, idx[..., None], axis=-1)[..., 0]
+        v = np.maximum(-sel, 0.0)
+        vmax = v.max()
+        if vmax > 0:
+            v = v / vmax
+        result = v if result is None else np.maximum(result, v)
+    return result
+
+
+def meijering3d_neuriteness(vol, sigmas=(1.0, 2.0, 4.0), alpha=None,
+                            black_ridges=True, mode="reflect"):
+    """3-D Meijering neuriteness (default alpha = 1/4) — same body as
+    the 2-D golden, rank-generic."""
+    return meijering_neuriteness(vol, sigmas, alpha, black_ridges, mode)
+
+
 # --- wavelet shrinkage (skimage.restoration.denoise_wavelet / PyWavelets) ---
 # Independent np.convolve-based transcription of PyWavelets'
 # mode='symmetric' DWT/IDWT and skimage 0.26's _wavelet_threshold: the

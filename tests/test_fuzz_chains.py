@@ -40,6 +40,8 @@ _CHAINABLE = [
     ("frangi", {"sigmas": (1.0, 2.0)}),
     ("denoise_wavelet", {"wavelet_levels": 2}),
     ("vessel_enhance", {"sigmas": (1.0, 2.0), "amount": 0.5}),
+    ("sato", {"sigmas": (1.0, 2.0)}),
+    ("meijering", {"sigmas": (1.0, 2.0)}),
     ("erode", {}),
     ("dilate", {"kernel_size": 5, "shape": "ellipse"}),
     ("morph_open", {"shape": "cross"}),
@@ -115,6 +117,8 @@ _CHAINABLE_3D = [
     ("frangi3d", {"sigmas": (1.0,)}),
     ("denoise_wavelet3d", {"wavelet_levels": 1}),
     ("vessel_enhance3d", {"sigmas": (1.0,), "amount": 0.5}),
+    ("sato3d", {"sigmas": (1.0,)}),
+    ("meijering3d", {"sigmas": (1.0,)}),
     ("denoise_tv3d", {"weight": 0.1, "max_num_iter": 15}),
     ("erode3d", {}),
     ("dilate3d", {"kernel_size": 5}),

@@ -198,3 +198,135 @@ class TestFrangi3d:
         assert volume_stage_z_field(
             "frangi3d", {"sigmas": (2.0,), "gamma": 0.1}
         ) == 8
+
+
+class TestSato:
+    def test_matches_golden_2d(self, rng):
+        img = rng.random((64, 72)).astype(np.float32)
+        out = np.asarray(
+            jax.jit(lambda x: RG.sato(x, sigmas=(1.0, 2.0, 3.0)))(
+                jnp.asarray(img)
+            )
+        )
+        gold = G.sato_tubeness(img, sigmas=(1.0, 2.0, 3.0))
+        np.testing.assert_allclose(out, gold, atol=2e-6)
+
+    def test_matches_golden_2d_white_ridges(self, rng):
+        img = rng.random((48, 48)).astype(np.float32)
+        kw = dict(sigmas=(1.5, 2.5), black_ridges=False, mode="nearest")
+        out = np.asarray(jax.jit(lambda x: RG.sato(x, **kw))(jnp.asarray(img)))
+        gold = G.sato_tubeness(img, **kw)
+        np.testing.assert_allclose(out, gold, atol=2e-6)
+
+    def test_matches_golden_3d(self, rng):
+        vol = rng.random((12, 28, 30)).astype(np.float32)
+        out = np.asarray(
+            jax.jit(lambda x: RG.sato3d(x, sigmas=(1.0, 2.0)))(
+                jnp.asarray(vol)
+            )
+        )
+        gold = G.sato3d_tubeness(vol, sigmas=(1.0, 2.0))
+        d = np.abs(out - gold)
+        assert d.max() < 5e-5 and d.mean() < 1e-6
+
+    def test_selects_vessels(self):
+        img = np.full((64, 64), 0.8, np.float32)
+        img[:, 30:33] = 0.2
+        v = np.asarray(
+            jax.jit(lambda x: RG.sato(x, sigmas=(1.0, 2.0)))(jnp.asarray(img))
+        )
+        assert v[10:54, 31].mean() > 5 * v[10:54, 10].mean()
+
+    def test_band_sharded_bit_exact_no_gamma_needed(self, rng):
+        # sato has NO global statistic: shards with a plain stencil halo
+        from mies_tpu.parallel import make_mesh, spatial_shard_apply
+
+        cfg = PipelineConfig.make([("sato", {"sigmas": (1.0, 2.0)})])
+        validate(cfg)
+        img = rng.random((128, 64)).astype(np.float32)
+        mesh = make_mesh(data=1, space=4)
+        out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+        ref = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_zband_sharded_bit_exact(self, rng):
+        from mies_tpu.parallel import make_mesh, volume_shard_apply
+        from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+        cfg = PipelineConfig.make([("sato3d", {"sigmas": (1.0,)})])
+        vol = rng.random((32, 24, 24)).astype(np.float32)
+        mesh = make_mesh(space=4)
+        out = np.asarray(
+            volume_shard_apply(cfg, mesh, quantize=False)(jnp.asarray(vol))
+        )
+        ref = np.asarray(
+            compile_volume_pipeline(cfg, quantize=False)(jnp.asarray(vol))
+        )
+        np.testing.assert_array_equal(out, ref)
+
+
+class TestMeijering:
+    def test_matches_golden_2d(self, rng):
+        img = rng.random((64, 72)).astype(np.float32)
+        out = np.asarray(
+            jax.jit(lambda x: RG.meijering(x, sigmas=(1.0, 2.0, 3.0)))(
+                jnp.asarray(img)
+            )
+        )
+        gold = G.meijering_neuriteness(img, sigmas=(1.0, 2.0, 3.0))
+        np.testing.assert_allclose(out, gold, atol=5e-6)
+
+    def test_matches_golden_2d_explicit_alpha_white(self, rng):
+        img = rng.random((48, 48)).astype(np.float32)
+        kw = dict(sigmas=(1.5,), alpha=0.25, black_ridges=False)
+        out = np.asarray(
+            jax.jit(lambda x: RG.meijering(x, **kw))(jnp.asarray(img))
+        )
+        gold = G.meijering_neuriteness(img, **kw)
+        np.testing.assert_allclose(out, gold, atol=5e-6)
+
+    def test_matches_golden_3d(self, rng):
+        vol = rng.random((12, 28, 30)).astype(np.float32)
+        out = np.asarray(
+            jax.jit(lambda x: RG.meijering3d(x, sigmas=(1.0, 2.0)))(
+                jnp.asarray(vol)
+            )
+        )
+        gold = G.meijering3d_neuriteness(vol, sigmas=(1.0, 2.0))
+        d = np.abs(out - gold)
+        assert d.max() < 5e-5 and d.mean() < 1e-6
+
+    def test_selects_neurites(self):
+        img = np.full((64, 64), 0.8, np.float32)
+        img[:, 30:32] = 0.2
+        v = np.asarray(
+            jax.jit(lambda x: RG.meijering(x, sigmas=(1.0, 2.0)))(
+                jnp.asarray(img)
+            )
+        )
+        assert v[10:54, 30].mean() > 5 * v[10:54, 10].mean()
+        assert float(v.max()) <= 1.0 + 1e-6  # per-scale max-normalized
+
+    def test_pipeline_and_validation(self, rng):
+        cfg = PipelineConfig.make(
+            [("sato", {"sigmas": (1.0,)}), ("meijering", {"sigmas": (1.0,)})]
+        )
+        validate(cfg)
+        img = rng.random((64, 64)).astype(np.float32)
+        out = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+        assert out.dtype == np.uint8
+        bad = PipelineConfig.make([("meijering", {"alpha": -1.0})])
+        with pytest.raises(ValueError, match="alpha"):
+            validate(bad)
+
+    def test_sharding_rejected_global_normalization(self):
+        from mies_tpu.parallel.halo import stage_receptive_field
+        from mies_tpu.parallel.volume_shard import volume_stage_z_field
+
+        with pytest.raises(ValueError, match="global"):
+            stage_receptive_field("meijering", {"sigmas": (1.0,)})
+        with pytest.raises(ValueError, match="VOLUME-WIDE"):
+            volume_stage_z_field("meijering3d", {"sigmas": (1.0,)})
+        # sato needs no gamma — plain stencil radii
+        assert stage_receptive_field("sato", {"sigmas": (1.0, 2.5)}) == 10
+        assert volume_stage_z_field("sato3d", {"sigmas": (2.0,)}) == 8

@@ -33,7 +33,7 @@ _CATEGORIES = (
         "denoise_wavelet",
     )),
     ("Ridge / vesselness", (
-        "frangi", "vessel_enhance",
+        "frangi", "vessel_enhance", "sato", "meijering",
     )),
     ("Morphology", (
         "erode", "dilate", "morph_open", "morph_close", "morph_gradient",
@@ -49,7 +49,7 @@ _CATEGORIES = (
         "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
         "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
         "denoise_wavelet3d",
-        "vessel_enhance3d",
+        "vessel_enhance3d", "sato3d", "meijering3d",
     )),
 )
 
