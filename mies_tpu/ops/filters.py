@@ -354,3 +354,151 @@ def laplacian_sharpen(img: Array, alpha: float = 0.2, mode: str = "reflect") -> 
         - 4.0 * img
     )
     return jnp.clip(img - alpha * lap, 0.0, 1.0)
+
+
+def difference_of_gaussians(
+    img: Array,
+    low_sigma: float = 1.0,
+    high_sigma: float | None = None,
+    truncate: float = 4.0,
+    mode: str = "nearest",
+) -> Array:
+    """Band-pass via Gaussian difference
+    (skimage.filters.difference_of_gaussians semantics, SURVEY.md
+    section 2b D6): ``gaussian(img, low_sigma) - gaussian(img,
+    high_sigma)``, with skimage's default ``high_sigma = 1.6 *
+    low_sigma`` (the Marr-Hildreth LoG approximation ratio). Output is
+    a signed detail band — the chain's final uint8 quantize clamps.
+    Golden: tests/goldens/golden_ops.py::difference_of_gaussians
+    (two real scipy gaussian_filter calls — an exact cross-check).
+    """
+    if high_sigma is None:
+        high_sigma = float(low_sigma) * 1.6
+    if high_sigma < low_sigma:
+        raise ValueError(
+            f"high_sigma ({high_sigma}) must be >= low_sigma ({low_sigma})"
+        )
+    x = img.astype(jnp.float32)
+    return gaussian_blur(x, float(low_sigma), truncate, mode) - gaussian_blur(
+        x, float(high_sigma), truncate, mode
+    )
+
+
+def _gabor_sigma_prefactor(bandwidth: float) -> float:
+    b = float(bandwidth)
+    return (
+        1.0 / np.pi * np.sqrt(np.log(2.0) / 2.0)
+        * (2.0**b + 1.0) / (2.0**b - 1.0)
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def gabor_kernel(
+    frequency: float,
+    theta: float = 0.0,
+    bandwidth: float = 1.0,
+    sigma_x: float | None = None,
+    sigma_y: float | None = None,
+    n_stds: int = 3,
+    offset: float = 0.0,
+) -> np.ndarray:
+    """Complex 2-D Gabor kernel (skimage.filters.gabor_kernel
+    transcription — same sigma-from-bandwidth prefactor, rotated
+    support ceil(max(n_stds*sigma_x*|cos|, n_stds*sigma_y*|sin|, 1)),
+    same 1/(2*pi*sx*sy) normalization). Host-side, float64 complex;
+    static under jit."""
+    if sigma_x is None:
+        sigma_x = _gabor_sigma_prefactor(bandwidth) / float(frequency)
+    if sigma_y is None:
+        sigma_y = _gabor_sigma_prefactor(bandwidth) / float(frequency)
+    ct, st = np.cos(float(theta)), np.sin(float(theta))
+    x0 = int(np.ceil(max(abs(n_stds * sigma_x * ct),
+                         abs(n_stds * sigma_y * st), 1.0)))
+    y0 = int(np.ceil(max(abs(n_stds * sigma_y * ct),
+                         abs(n_stds * sigma_x * st), 1.0)))
+    y, x = np.meshgrid(
+        np.arange(-y0, y0 + 1, dtype=np.float64),
+        np.arange(-x0, x0 + 1, dtype=np.float64),
+        indexing="ij",
+    )
+    rotx = x * ct + y * st
+    roty = -x * st + y * ct
+    g = np.exp(-0.5 * (rotx**2 / sigma_x**2 + roty**2 / sigma_y**2))
+    g /= 2.0 * np.pi * sigma_x * sigma_y
+    return g * np.exp(1j * (2.0 * np.pi * float(frequency) * rotx
+                            + float(offset)))
+
+
+def gabor_response(
+    img: Array,
+    frequency: float,
+    theta: float = 0.0,
+    bandwidth: float = 1.0,
+    sigma_x: float | None = None,
+    sigma_y: float | None = None,
+    n_stds: int = 3,
+    offset: float = 0.0,
+    mode: str = "reflect",
+) -> tuple[Array, Array]:
+    """(real, imag) Gabor responses — skimage.filters.gabor semantics:
+    scipy.ndimage.convolve of the image with the kernel's real and
+    imaginary parts (convolution, so the taps are flipped before the
+    correlation below).
+
+    TPU note: both parts run as ONE ``lax.conv_general_dilated`` with
+    two output channels over the border-padded image — a single MXU
+    pass; HIGHEST precision because the goldens compare against
+    float64 scipy. Golden: tests/goldens/golden_ops.py::gabor_response.
+    """
+    g = gabor_kernel(
+        float(frequency), float(theta), float(bandwidth),
+        None if sigma_x is None else float(sigma_x),
+        None if sigma_y is None else float(sigma_y),
+        int(n_stds), float(offset),
+    )
+    # scipy convolve == correlate with the kernel flipped on both axes
+    kre = np.ascontiguousarray(g.real[::-1, ::-1], dtype=np.float32)
+    kim = np.ascontiguousarray(g.imag[::-1, ::-1], dtype=np.float32)
+    ry, rx = g.shape[0] // 2, g.shape[1] // 2
+    xp = _pad2d(img.astype(jnp.float32), ry, rx, mode)
+    taps = jnp.asarray(np.stack([kre, kim])[:, None])  # [O=2, I=1, kh, kw]
+    out = lax.conv_general_dilated(
+        xp[None, None],
+        taps,
+        window_strides=(1, 1),
+        padding="VALID",
+        precision=lax.Precision.HIGHEST,
+    )[0]
+    return out[0], out[1]
+
+
+def gabor(
+    img: Array,
+    frequency: float = 0.1,
+    theta: float = 0.0,
+    bandwidth: float = 1.0,
+    sigma_x: float | None = None,
+    sigma_y: float | None = None,
+    n_stds: int = 3,
+    offset: float = 0.0,
+    mode: str = "reflect",
+    output: str = "magnitude",
+) -> Array:
+    """Gabor texture filter as a chain stage. skimage's ``gabor``
+    returns the (real, imag) pair (available as ``gabor_response``);
+    a pipeline stage needs one image, so ``output`` selects
+    ``magnitude`` (sqrt(re^2 + im^2) — the standard Gabor texture
+    energy, phase-invariant), ``real``, or ``imag``."""
+    re, im = gabor_response(
+        img, frequency, theta, bandwidth, sigma_x, sigma_y,
+        n_stds, offset, mode,
+    )
+    if output == "magnitude":
+        return jnp.sqrt(re * re + im * im)
+    if output == "real":
+        return re
+    if output == "imag":
+        return im
+    raise ValueError(
+        f"output must be 'magnitude', 'real' or 'imag', got {output!r}"
+    )

@@ -37,6 +37,10 @@ from mies_tpu.ops.ridges import (  # noqa: F401
     sato3d,
     vessel_enhance3d,
 )
+from mies_tpu.ops.frequency import (  # noqa: F401
+    butterworth3d,
+    homomorphic3d,
+)
 
 NBINS = 256
 
@@ -774,3 +778,27 @@ def resample3d(
         x = jnp.einsum("ow,zhw->zho", jnp.asarray(
             _linear_resize_matrix(w, width)), x, precision=prec)
     return x
+
+
+def difference_of_gaussians3d(
+    vol: Array,
+    low_sigma: float = 1.0,
+    high_sigma: float | None = None,
+    truncate: float = 4.0,
+    mode: str = "nearest",
+) -> Array:
+    """Volumetric band-pass: the [Z, H, W] sibling of
+    ``difference_of_gaussians`` (skimage's filter is n-dimensional).
+    One isotropic 3-D Gaussian per band keeps the response
+    z-consistent. Golden: tests/goldens/golden_ops.py::
+    difference_of_gaussians (n-d scipy)."""
+    if high_sigma is None:
+        high_sigma = float(low_sigma) * 1.6
+    if high_sigma < low_sigma:
+        raise ValueError(
+            f"high_sigma ({high_sigma}) must be >= low_sigma ({low_sigma})"
+        )
+    x = vol.astype(jnp.float32)
+    return gaussian_blur3d(x, float(low_sigma), truncate, mode) - (
+        gaussian_blur3d(x, float(high_sigma), truncate, mode)
+    )

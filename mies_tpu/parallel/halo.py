@@ -172,6 +172,27 @@ def stage_receptive_field(op: str, params: dict) -> int:
             int(4.0 * float(s) + 0.5)
             for s in params.get("sigmas", (1.0, 2.0, 4.0))
         )
+    if op == "difference_of_gaussians":
+        low = params.get("low_sigma", 1.0)
+        high = params.get("high_sigma")
+        if high is None:
+            high = 1.6 * float(low)
+        return int(params.get("truncate", 4.0) * float(high) + 0.5)
+    if op == "gabor":
+        from mies_tpu.ops.filters import gabor_kernel
+
+        g = gabor_kernel(
+            float(params.get("frequency", 0.1)),
+            float(params.get("theta", 0.0)),
+            float(params.get("bandwidth", 1.0)),
+            None if params.get("sigma_x") is None
+            else float(params["sigma_x"]),
+            None if params.get("sigma_y") is None
+            else float(params["sigma_y"]),
+            int(params.get("n_stds", 3)),
+            float(params.get("offset", 0.0)),
+        )
+        return g.shape[0] // 2  # row radius of the rotated support
     if op in ("erode", "dilate", "morph_gradient"):
         return params.get("kernel_size", 3) // 2
     if op in ("morph_open", "morph_close", "top_hat", "black_hat"):
@@ -191,6 +212,8 @@ def stage_receptive_field(op: str, params: dict) -> int:
         # tile along rows — use batch sharding
         "meijering",  # per-scale response normalized by its IMAGE-WIDE
         # max (the paper's lambda_min normalization) = global extent
+        "butterworth", "homomorphic",  # FFT: every output pixel reads
+        # every input pixel — no fixed halo exists
     ):
         raise ValueError(
             f"op {op!r} has global/tile extent and cannot be spatially "
@@ -229,6 +252,8 @@ _DEFAULT_MODE = {
     "frangi": "reflect",
     "vessel_enhance": "reflect",
     "sato": "reflect",
+    "difference_of_gaussians": "nearest",
+    "gabor": "reflect",
 }
 
 

@@ -282,6 +282,17 @@ def volume_stage_z_field(op: str, params: dict) -> int:
             "meijering3d is not z-shardable: each scale's response is "
             "normalized by its VOLUME-WIDE max (global extent)"
         )
+    if op in ("butterworth3d", "homomorphic3d"):
+        raise ValueError(
+            f"op {op!r} is not z-shardable: the 3-D FFT reads every "
+            "voxel for every output (global extent)"
+        )
+    if op == "difference_of_gaussians3d":
+        low = params.get("low_sigma", 1.0)
+        high = params.get("high_sigma")
+        if high is None:
+            high = 1.6 * float(low)
+        return int(params.get("truncate", 4.0) * float(high) + 0.5)
     if op in ("frangi3d", "vessel_enhance3d", "sato3d"):
         if op != "sato3d" and params.get("gamma") is None:
             raise ValueError(
@@ -335,7 +346,8 @@ def _build_zslab_fn(
                 x = clahe3d_band(x, axis_name=axis_name, **p)
             elif op in ("gaussian_blur3d", "median_blur3d",
                         "unsharp_mask3d", "denoise_nl_means3d",
-                        "frangi3d", "vessel_enhance3d", "sato3d"):
+                        "frangi3d", "vessel_enhance3d", "sato3d",
+                        "difference_of_gaussians3d"):
                 r = volume_stage_z_field(op, params)
                 # per-op border defaults: nl-means has no mode param and
                 # pads np 'reflect' (our 'mirror'); the ridge ops default

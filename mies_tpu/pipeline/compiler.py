@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from mies_tpu.ops import filters as F
+from mies_tpu.ops import frequency as FQ
 from mies_tpu.ops import geometry as GEO
 from mies_tpu.ops import histogram as H
 from mies_tpu.ops import intensity as I
@@ -59,6 +60,11 @@ OP_REGISTRY: dict[str, Callable] = {
     "guided_blur": F.guided_blur,
     "sobel_edges": F.sobel_edges,
     "laplacian_sharpen": F.laplacian_sharpen,
+    "difference_of_gaussians": F.difference_of_gaussians,
+    "gabor": F.gabor,
+    # frequency domain (FFT)
+    "butterworth": FQ.butterworth,
+    "homomorphic": FQ.homomorphic,
     # restoration (skimage.restoration surface)
     "denoise_nl_means": REST.denoise_nl_means,
     "denoise_tv": REST.denoise_tv,
@@ -160,7 +166,8 @@ VOLUME_ONLY_OPS = frozenset(
      "unsharp_mask3d", "erode3d", "dilate3d", "morph_open3d",
      "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
      "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
-     "vessel_enhance3d", "denoise_wavelet3d", "sato3d", "meijering3d"}
+     "vessel_enhance3d", "denoise_wavelet3d", "sato3d", "meijering3d",
+     "difference_of_gaussians3d", "butterworth3d", "homomorphic3d"}
 )
 
 
@@ -170,6 +177,7 @@ _VOLUME_FILTER_OPS = (
     "morph_gradient3d", "top_hat3d", "black_hat3d", "resample3d",
     "denoise_nl_means3d", "denoise_tv3d", "frangi3d", "vessel_enhance3d",
     "denoise_wavelet3d", "sato3d", "meijering3d",
+    "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
 )
 
 

@@ -222,6 +222,36 @@ def _hu_preset_ok(v) -> bool:
     return isinstance(v, str) and v in HU_PRESETS
 
 
+# shared 2-D/3-D rule sets (the siblings take identical params)
+_DOG_RULES = {
+    "low_sigma": (_pos, "a number > 0"),
+    "high_sigma": (lambda v: v is None or _pos(v),
+                   "a number > 0 (or omitted: 1.6 * low_sigma)"),
+    "truncate": (_pos, "a number > 0"),
+    "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+}
+_BUTTERWORTH_RULES = {
+    "cutoff_frequency_ratio": (
+        lambda v: _is_num(v) and 0.0 < v <= 0.5,
+        "a number in (0, 0.5] (fraction of the sampling rate)",
+    ),
+    "high_pass": (lambda v: isinstance(v, bool), "a bool"),
+    "order": (_pos, "a number > 0"),
+    "squared_butterworth": (lambda v: isinstance(v, bool), "a bool"),
+    "npad": (lambda v: _is_int(v) and v >= 0, "an int >= 0"),
+}
+_HOMOMORPHIC_RULES = {
+    "cutoff_frequency_ratio": (
+        lambda v: _is_num(v) and 0.0 < v <= 0.5,
+        "a number in (0, 0.5] (fraction of the sampling rate)",
+    ),
+    "order": (_pos, "a number > 0"),
+    "low_gain": (_pos, "a number > 0"),
+    "high_gain": (_pos, "a number > 0"),
+    "eps": (_pos, "a number > 0"),
+    "npad": (lambda v: _is_int(v) and v >= 0, "an int >= 0"),
+}
+
 _VALUE_RULES: dict[str, dict[str, tuple]] = {
     "adjust_gamma": {
         "gamma": (_pos, "a number > 0"),
@@ -438,6 +468,28 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "black_ridges": (lambda v: isinstance(v, bool), "a bool"),
         "mode": (_mode_ok, f"one of {_PAD_MODES}"),
     },
+    "difference_of_gaussians": _DOG_RULES,
+    "difference_of_gaussians3d": _DOG_RULES,
+    "gabor": {
+        "frequency": (_pos, "a number > 0 (cycles/pixel)"),
+        "theta": (_is_num, "a number (radians)"),
+        "bandwidth": (_pos, "a number > 0"),
+        "sigma_x": (lambda v: v is None or _pos(v),
+                    "a number > 0 (or omitted: derived from bandwidth)"),
+        "sigma_y": (lambda v: v is None or _pos(v),
+                    "a number > 0 (or omitted: derived from bandwidth)"),
+        "n_stds": (_pos_int, "an int >= 1"),
+        "offset": (_is_num, "a number (radians)"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+        "output": (
+            lambda v: v in ("magnitude", "real", "imag"),
+            "one of ('magnitude', 'real', 'imag')",
+        ),
+    },
+    "butterworth": _BUTTERWORTH_RULES,
+    "butterworth3d": _BUTTERWORTH_RULES,
+    "homomorphic": _HOMOMORPHIC_RULES,
+    "homomorphic3d": _HOMOMORPHIC_RULES,
     "denoise_nl_means": {
         "patch_size": (_pos_int, "an int >= 1"),
         "patch_distance": (_pos_int, "an int >= 1"),

@@ -1162,3 +1162,118 @@ def denoise_wavelet(
 
         details = [{k: bayes(v) for k, v in lv.items()} for lv in details]
     return _waverecn_np(a, details, wavelet, x.shape)
+
+
+def difference_of_gaussians(img, low_sigma, high_sigma=None, truncate=4.0,
+                            mode="nearest"):
+    """skimage.filters.difference_of_gaussians: gaussian(low) -
+    gaussian(high), high defaulting to 1.6 * low. Exact cross-check —
+    both bands are real scipy gaussian_filter calls (n-dimensional)."""
+    x = np.asarray(img, np.float64)
+    if high_sigma is None:
+        high_sigma = float(low_sigma) * 1.6
+    lo = ndimage.gaussian_filter(x, float(low_sigma), mode=mode,
+                                 truncate=truncate)
+    hi = ndimage.gaussian_filter(x, float(high_sigma), mode=mode,
+                                 truncate=truncate)
+    return lo - hi
+
+
+def _butterworth_transfer_np(shape, cutoff, order, high_pass,
+                             squared=True):
+    """skimage _get_nd_butterworth_filter transcription (float64, real
+    FFT half-spectrum on the last axis)."""
+    import functools as _ft
+
+    ranges = []
+    for d in shape:
+        axis = (np.arange(-(d - 1) // 2, (d - 1) // 2 + 1, dtype=np.float64)
+                / (d * cutoff))
+        ranges.append(np.fft.ifftshift(axis**2))
+    ranges[-1] = ranges[-1][: shape[-1] // 2 + 1]
+    q2 = _ft.reduce(np.add, np.meshgrid(*ranges, indexing="ij", sparse=True))
+    q2 = np.power(q2, order)
+    wfilt = 1.0 / (1.0 + q2)
+    if high_pass:
+        wfilt = wfilt * q2
+    if not squared:
+        wfilt = np.sqrt(wfilt)
+    return wfilt
+
+
+def butterworth_filter(img, cutoff_frequency_ratio=0.005, high_pass=True,
+                       order=2.0, squared_butterworth=True, npad=0):
+    """skimage.filters.butterworth (n-d, float64 numpy FFT): edge-pad by
+    npad, rfftn, multiply by the Butterworth transfer, irfftn, crop.
+    An independent arithmetic route from the jnp implementation (numpy
+    pocketfft in float64 vs XLA FFT in float32)."""
+    x = np.asarray(img, np.float64)
+    if npad:
+        x = np.pad(x, npad, mode="edge")
+    wfilt = _butterworth_transfer_np(
+        x.shape, float(cutoff_frequency_ratio), float(order),
+        bool(high_pass), bool(squared_butterworth),
+    )
+    out = np.fft.irfftn(np.fft.rfftn(x) * wfilt, s=x.shape,
+                        axes=tuple(range(x.ndim)))
+    if npad:
+        out = out[tuple(slice(npad, s - npad) for s in out.shape)]
+    return out
+
+
+def homomorphic_filter(img, cutoff_frequency_ratio=0.02, order=2.0,
+                       low_gain=0.5, high_gain=1.5, eps=1.0 / 255.0,
+                       npad=16):
+    """mies_tpu.ops.frequency.homomorphic contract in float64 numpy:
+    log(x + eps) -> gain-interpolated Butterworth high-pass emphasis
+    -> exp - eps, clipped to [0, 1]."""
+    x = np.asarray(img, np.float64)
+    logx = np.log(x + eps)
+    if npad:
+        logx = np.pad(logx, npad, mode="edge")
+    hp = _butterworth_transfer_np(
+        logx.shape, float(cutoff_frequency_ratio), float(order),
+        high_pass=True, squared=True,
+    )
+    wfilt = low_gain + (high_gain - low_gain) * hp
+    out = np.fft.irfftn(np.fft.rfftn(logx) * wfilt, s=logx.shape,
+                        axes=tuple(range(logx.ndim)))
+    if npad:
+        out = out[tuple(slice(npad, s - npad) for s in out.shape)]
+    return np.clip(np.exp(out) - eps, 0.0, 1.0)
+
+
+def _gabor_kernel_np(frequency, theta=0.0, bandwidth=1.0, sigma_x=None,
+                     sigma_y=None, n_stds=3, offset=0.0):
+    """skimage.filters.gabor_kernel transcription (float64 complex)."""
+    pre = (1.0 / np.pi * np.sqrt(np.log(2.0) / 2.0)
+           * (2.0**bandwidth + 1.0) / (2.0**bandwidth - 1.0))
+    if sigma_x is None:
+        sigma_x = pre / frequency
+    if sigma_y is None:
+        sigma_y = pre / frequency
+    ct, st = np.cos(theta), np.sin(theta)
+    x0 = int(np.ceil(max(abs(n_stds * sigma_x * ct),
+                         abs(n_stds * sigma_y * st), 1.0)))
+    y0 = int(np.ceil(max(abs(n_stds * sigma_y * ct),
+                         abs(n_stds * sigma_x * st), 1.0)))
+    y, x = np.meshgrid(np.arange(-y0, y0 + 1, dtype=np.float64),
+                       np.arange(-x0, x0 + 1, dtype=np.float64),
+                       indexing="ij")
+    rotx = x * ct + y * st
+    roty = -x * st + y * ct
+    g = np.exp(-0.5 * (rotx**2 / sigma_x**2 + roty**2 / sigma_y**2))
+    g /= 2.0 * np.pi * sigma_x * sigma_y
+    return g * np.exp(1j * (2.0 * np.pi * frequency * rotx + offset))
+
+
+def gabor_response(img, frequency, theta=0.0, bandwidth=1.0, sigma_x=None,
+                   sigma_y=None, n_stds=3, offset=0.0, mode="reflect"):
+    """skimage.filters.gabor: (real, imag) = scipy.ndimage.convolve of
+    the image with the transcribed kernel's parts — the convolutions
+    themselves are real scipy, so only the kernel is transcription."""
+    x = np.asarray(img, np.float64)
+    g = _gabor_kernel_np(frequency, theta, bandwidth, sigma_x, sigma_y,
+                         n_stds, offset)
+    return (ndimage.convolve(x, g.real, mode=mode),
+            ndimage.convolve(x, g.imag, mode=mode))

@@ -42,6 +42,10 @@ _CHAINABLE = [
     ("vessel_enhance", {"sigmas": (1.0, 2.0), "amount": 0.5}),
     ("sato", {"sigmas": (1.0, 2.0)}),
     ("meijering", {"sigmas": (1.0, 2.0)}),
+    ("difference_of_gaussians", {"low_sigma": 1.0}),
+    ("gabor", {"frequency": 0.2}),
+    ("butterworth", {"cutoff_frequency_ratio": 0.05}),
+    ("homomorphic", {"npad": 4}),
     ("erode", {}),
     ("dilate", {"kernel_size": 5, "shape": "ellipse"}),
     ("morph_open", {"shape": "cross"}),
@@ -119,6 +123,9 @@ _CHAINABLE_3D = [
     ("vessel_enhance3d", {"sigmas": (1.0,), "amount": 0.5}),
     ("sato3d", {"sigmas": (1.0,)}),
     ("meijering3d", {"sigmas": (1.0,)}),
+    ("difference_of_gaussians3d", {"low_sigma": 1.0}),
+    ("butterworth3d", {"cutoff_frequency_ratio": 0.1}),
+    ("homomorphic3d", {"npad": 2}),
     ("denoise_tv3d", {"weight": 0.1, "max_num_iter": 15}),
     ("erode3d", {}),
     ("dilate3d", {"kernel_size": 5}),

@@ -27,10 +27,14 @@ _CATEGORIES = (
         "gaussian_blur", "box_blur", "unsharp_mask", "median_blur",
         "bilateral_blur", "denoise_bilateral", "guided_blur",
         "sobel_edges", "laplacian_sharpen",
+        "difference_of_gaussians", "gabor",
     )),
     ("Restoration", (
         "denoise_nl_means", "denoise_tv", "richardson_lucy",
         "denoise_wavelet",
+    )),
+    ("Frequency domain (FFT)", (
+        "butterworth", "homomorphic",
     )),
     ("Ridge / vesselness", (
         "frangi", "vessel_enhance", "sato", "meijering",
@@ -50,6 +54,7 @@ _CATEGORIES = (
         "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
         "denoise_wavelet3d",
         "vessel_enhance3d", "sato3d", "meijering3d",
+        "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
     )),
 )
 
