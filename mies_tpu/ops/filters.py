@@ -502,3 +502,58 @@ def gabor(
     raise ValueError(
         f"output must be 'magnitude', 'real' or 'imag', got {output!r}"
     )
+
+
+@functools.lru_cache(maxsize=64)
+def motion_blur_kernel(
+    kernel_size: int, angle: float, direction: float = 0.0
+) -> np.ndarray:
+    """Directional motion-blur PSF (the kornia.filters.motion_blur
+    kernel recipe): a horizontal line of linspace weights — uniform at
+    ``direction=0``, ramping toward the leading/trailing end at +/-1 —
+    rotated ``angle`` degrees counter-clockwise about the kernel center
+    (bilinear, shape preserved; scipy.ndimage.rotate order=1) and
+    normalized to sum 1. Host-side, float64; static under jit."""
+    from scipy import ndimage as _ndi
+
+    k = int(kernel_size)
+    if k % 2 != 1 or k < 3:
+        raise ValueError("kernel_size must be odd and >= 3")
+    d = (min(max(float(direction), -1.0), 1.0) + 1.0) / 2.0
+    kern = np.zeros((k, k), np.float64)
+    kern[k // 2, :] = np.linspace(d, 1.0 - d, k)
+    if float(angle) % 360.0 != 0.0:
+        kern = _ndi.rotate(kern, float(angle), reshape=False, order=1)
+        kern = np.clip(kern, 0.0, None)  # bilinear ringing guards
+    return kern / kern.sum()
+
+
+def motion_blur(
+    img: Array,
+    kernel_size: int = 9,
+    angle: float = 0.0,
+    direction: float = 0.0,
+    mode: str = "constant",
+) -> Array:
+    """Directional motion blur (kornia.filters.motion_blur role,
+    reference pyproject.toml:8): correlate the image with the rotated
+    line PSF from ``motion_blur_kernel``. ``direction`` biases the
+    energy toward one end of the streak (-1/+1) or keeps it uniform
+    (0). Used in training augmentation (simulated patient motion) and
+    deblur-evaluation pairs. Runs as one ``lax.conv_general_dilated``
+    over the border-padded image, HIGHEST precision; golden:
+    tests/goldens/golden_ops.py::motion_blur (real scipy correlate
+    against an independently-transcribed kernel)."""
+    kern = motion_blur_kernel(int(kernel_size), float(angle),
+                              float(direction))
+    r = kern.shape[0] // 2
+    xp = _pad2d(img.astype(jnp.float32), r, r, mode)
+    taps = jnp.asarray(kern.astype(np.float32)[None, None])
+    out = lax.conv_general_dilated(
+        xp[None, None],
+        taps,
+        window_strides=(1, 1),
+        padding="VALID",
+        precision=lax.Precision.HIGHEST,
+    )[0, 0]
+    return out

@@ -197,3 +197,51 @@ def denormalize_meanstd(
 ) -> Array:
     """Inverse of normalize_meanstd: x * std + mean."""
     return img * std + mean
+
+
+def perspective_warp(
+    img: Array,
+    matrix,
+    mode: str = "constant",
+    cval: float = 0.0,
+) -> Array:
+    """Projective (homography) warp on [H, W], bilinear, output shape
+    preserved — the torchvision transforms.v2 ``perspective`` / kornia
+    ``warp_perspective`` role (reference pyproject.toml:16,8) in
+    scipy (row, col) convention.
+
+    ``matrix`` is the 3x3 OUTPUT->INPUT homography in homogeneous
+    (row, col, 1) coordinates: ``[yi, xi, wi] = matrix @ [yo, xo, 1]``
+    and the sample point is ``(yi/wi, xi/wi)`` — exactly the mapping
+    ``scipy.ndimage.geometric_transform(order=1)`` computes with the
+    same callable, which is the golden
+    (tests/goldens/golden_ops.py::perspective_warp). An affine matrix
+    in the top two rows with [0, 0, 1] below reproduces ``affine_warp``.
+
+    TPU note: the numerator/denominator of each coordinate are rank-1
+    row+column sums, precomputed per-axis HOST-side in f64 (matrix is
+    static) like ``affine_warp``; device work is one add + one divide
+    per coordinate, then the shared bilinear sampler (geometry warps
+    are batch-sharded, not spatially sharded — a warped pixel can read
+    anywhere).
+    """
+    import numpy as np
+
+    m = np.asarray(matrix, dtype=np.float64)
+    if m.shape != (3, 3):
+        raise ValueError(f"matrix must be 3x3, got {m.shape}")
+    if m[2, 2] == 0.0:
+        raise ValueError("matrix[2, 2] must be nonzero")
+    h, w = img.shape
+    oy = np.arange(h, dtype=np.float64)
+    ox = np.arange(w, dtype=np.float64)
+
+    def terms(row):
+        a = jnp.asarray((m[row, 0] * oy + m[row, 2]).astype(np.float32))
+        b = jnp.asarray((m[row, 1] * ox).astype(np.float32))
+        return a[:, None] + b[None, :]
+
+    den = terms(2)
+    iy = terms(0) / den
+    ix = terms(1) / den
+    return _bilinear_sample(img, iy, ix, mode, cval)

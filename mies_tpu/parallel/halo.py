@@ -144,6 +144,8 @@ def stage_receptive_field(op: str, params: dict) -> int:
         return int(truncate * float(sigma) + 0.5)
     if op in ("median_blur", "box_blur", "bilateral_blur"):
         return params.get("kernel_size", 5 if op == "bilateral_blur" else 3) // 2
+    if op == "motion_blur":
+        return params.get("kernel_size", 9) // 2
     if op == "guided_blur":
         # two box-filter levels: image statistics, then the a/b means
         return 2 * (params.get("kernel_size", 3) // 2)
@@ -201,8 +203,8 @@ def stage_receptive_field(op: str, params: dict) -> int:
     if op in (
         "equalize_hist", "equalize", "clahe", "normalize",
         "rescale_intensity", "resize", "center_crop", "flip", "rot90",
-        "rotate", "affine_warp",  # global extent: a rotated pixel can
-        # read from anywhere in the image — no fixed halo exists
+        "rotate", "affine_warp", "perspective_warp",  # global extent: a
+        # warped pixel can read from anywhere — no fixed halo exists
         "histogram_match",  # per-image CDF = global extent
         "denoise_tv",  # convergence test sums energy over the image
         "richardson_lucy",  # zero-pad border applied to INTERMEDIATES
@@ -214,6 +216,8 @@ def stage_receptive_field(op: str, params: dict) -> int:
         # max (the paper's lambda_min normalization) = global extent
         "butterworth", "homomorphic",  # FFT: every output pixel reads
         # every input pixel — no fixed halo exists
+        "canny",  # hysteresis is global connectivity (and quantile
+        # thresholds are whole-image statistics)
     ):
         raise ValueError(
             f"op {op!r} has global/tile extent and cannot be spatially "
@@ -254,6 +258,7 @@ _DEFAULT_MODE = {
     "sato": "reflect",
     "difference_of_gaussians": "nearest",
     "gabor": "reflect",
+    "motion_blur": "constant",
 }
 
 

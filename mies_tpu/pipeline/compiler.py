@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from mies_tpu.ops import feature as FT
 from mies_tpu.ops import filters as F
 from mies_tpu.ops import frequency as FQ
 from mies_tpu.ops import geometry as GEO
@@ -62,6 +63,8 @@ OP_REGISTRY: dict[str, Callable] = {
     "laplacian_sharpen": F.laplacian_sharpen,
     "difference_of_gaussians": F.difference_of_gaussians,
     "gabor": F.gabor,
+    "motion_blur": F.motion_blur,
+    "canny": FT.canny,
     # frequency domain (FFT)
     "butterworth": FQ.butterworth,
     "homomorphic": FQ.homomorphic,
@@ -93,6 +96,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "rot90": GEO.rot90,
     "rotate": GEO.rotate,
     "affine_warp": GEO.affine_warp,
+    "perspective_warp": GEO.perspective_warp,
     "normalize_meanstd": GEO.normalize_meanstd,
     "denormalize_meanstd": GEO.denormalize_meanstd,
 }

@@ -634,6 +634,50 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         ),
         "cval": (_is_num, "a number"),
     },
+    "perspective_warp": {
+        "matrix": (
+            lambda v: (
+                isinstance(v, (tuple, list))
+                and len(v) == 3
+                and all(
+                    isinstance(r, (tuple, list)) and len(r) == 3
+                    and all(_is_num(x) for x in r)
+                    for r in v
+                )
+            ),
+            "a 3x3 homography (output->input, homogeneous (row, col, 1))",
+        ),
+        "mode": (
+            lambda v: v in ("constant", "nearest"),
+            "one of 'constant', 'nearest'",
+        ),
+        "cval": (_is_num, "a number"),
+    },
+    "motion_blur": {
+        "kernel_size": (
+            lambda v: _is_int(v) and v >= 3 and v % 2 == 1,
+            "an odd int >= 3",
+        ),
+        "angle": (_is_num, "a number (degrees)"),
+        "direction": (
+            lambda v: _is_num(v) and -1.0 <= v <= 1.0,
+            "a number in [-1, 1]",
+        ),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
+    "canny": {
+        "sigma": (_pos, "a number > 0"),
+        "low_threshold": (
+            lambda v: v is None or (_is_num(v) and v >= 0),
+            "a number >= 0 (or omitted: 0.1)",
+        ),
+        "high_threshold": (
+            lambda v: v is None or (_is_num(v) and v >= 0),
+            "a number >= 0 (or omitted: 0.2)",
+        ),
+        "use_quantiles": (lambda v: isinstance(v, bool), "a bool"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
     "learned_denoise": {
         "checkpoint": (lambda v: isinstance(v, str) and v, "a checkpoint path")
     },

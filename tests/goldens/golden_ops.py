@@ -1277,3 +1277,152 @@ def gabor_response(img, frequency, theta=0.0, bandwidth=1.0, sigma_x=None,
                          n_stds, offset)
     return (ndimage.convolve(x, g.real, mode=mode),
             ndimage.convolve(x, g.imag, mode=mode))
+
+
+def perspective_warp(img, matrix, mode="constant", cval=0.0):
+    """scipy.ndimage.geometric_transform(order=1) with the homography
+    mapping — REAL scipy end to end (the mapping callable is the
+    documented coordinate formula itself)."""
+    x = np.asarray(img, np.float64)
+    m = np.asarray(matrix, np.float64)
+
+    def mapping(out_coord):
+        yo, xo = out_coord
+        v = m @ np.array([yo, xo, 1.0])
+        return (v[0] / v[2], v[1] / v[2])
+
+    return ndimage.geometric_transform(
+        x, mapping, order=1, mode=mode, cval=cval
+    )
+
+
+def motion_blur(img, kernel_size=9, angle=0.0, direction=0.0,
+                mode="constant"):
+    """mies_tpu.ops.filters.motion_blur contract: line PSF rotated by
+    an INDEPENDENT numpy bilinear rotation (not scipy.ndimage.rotate,
+    which the op itself uses), correlated by real scipy."""
+    k = int(kernel_size)
+    d = (min(max(float(direction), -1.0), 1.0) + 1.0) / 2.0
+    kern = np.zeros((k, k), np.float64)
+    kern[k // 2, :] = np.linspace(d, 1.0 - d, k)
+    a = float(angle) % 360.0
+    if a != 0.0:
+        # bilinear rotation about the center, shape preserved: sample
+        # the source at the inverse-rotated coordinate of each output
+        t = np.deg2rad(a)
+        c0 = (k - 1) / 2.0
+        yy, xx = np.meshgrid(np.arange(k, dtype=np.float64),
+                             np.arange(k, dtype=np.float64),
+                             indexing="ij")
+        # scipy.ndimage.rotate(angle) rotates the IMAGE counter-
+        # clockwise; the output->input map is the forward rotation
+        # matrix in (row, col) coords: [[cos, -sin], [sin, cos]]
+        iy = np.cos(t) * (yy - c0) + np.sin(t) * (xx - c0) + c0
+        ix = -np.sin(t) * (yy - c0) + np.cos(t) * (xx - c0) + c0
+        y0 = np.floor(iy).astype(int)
+        x0 = np.floor(ix).astype(int)
+        fy, fx = iy - y0, ix - x0
+
+        def fetch(yi, xi):
+            inside = (yi >= 0) & (yi < k) & (xi >= 0) & (xi < k)
+            return np.where(
+                inside, kern[np.clip(yi, 0, k - 1), np.clip(xi, 0, k - 1)],
+                0.0,
+            )
+
+        kern = (
+            fetch(y0, x0) * (1 - fy) * (1 - fx)
+            + fetch(y0, x0 + 1) * (1 - fy) * fx
+            + fetch(y0 + 1, x0) * fy * (1 - fx)
+            + fetch(y0 + 1, x0 + 1) * fy * fx
+        )
+        # scipy 'constant': a sample whose COORDINATE is outside the
+        # extent is cval (0) outright — no partial corner blending
+        inside = (iy >= 0) & (iy <= k - 1) & (ix >= 0) & (ix <= k - 1)
+        kern = np.where(inside, kern, 0.0)
+        kern = np.clip(kern, 0.0, None)
+    kern = kern / kern.sum()
+    x = np.asarray(img, np.float64)
+    return ndimage.correlate(x, kern, mode=mode, cval=0.0)
+
+
+def canny_edges(img, sigma=1.0, low_threshold=None, high_threshold=None,
+                use_quantiles=False, mode="constant"):
+    """skimage.feature.canny transcription in its ORIGINAL octant form
+    (sequential per-sector boolean-indexed assignments) — an
+    independent formulation of the same NMS math the op expresses as
+    one dense bilinear sample. Smoothing/gradients/labeling are REAL
+    scipy (gaussian_filter, sobel, ndi.label)."""
+    x = np.asarray(img, np.float64)
+    if low_threshold is None:
+        low_threshold = 0.1
+    if high_threshold is None:
+        high_threshold = 0.2
+    smoothed = ndimage.gaussian_filter(x, sigma, mode=mode, cval=0.0,
+                                       truncate=4.0)
+    isobel = ndimage.sobel(smoothed, axis=0)
+    jsobel = ndimage.sobel(smoothed, axis=1)
+    magnitude = np.hypot(isobel, jsobel)
+    abs_isobel = np.abs(isobel)
+    abs_jsobel = np.abs(jsobel)
+    eroded_mask = np.zeros(x.shape, bool)
+    eroded_mask[1:-1, 1:-1] = True
+    eroded_mask = eroded_mask & (magnitude > 0)
+    local_maxima = np.zeros(x.shape, bool)
+    isobel_ge_0 = isobel >= 0
+    jsobel_ge_0 = jsobel >= 0
+    isobel_le_0 = isobel <= 0
+    jsobel_le_0 = jsobel <= 0
+    abs_i_ge_j = abs_isobel >= abs_jsobel
+    abs_i_le_j = abs_isobel <= abs_jsobel
+
+    def sector(pts, w, plus, minus):
+        """plus/minus = ((dy1, dx1), (dy2, dx2)): straight then corner
+        neighbor offsets; the blend is c2*w + c1*(1-w) <= m."""
+        m = magnitude[pts]
+        ww = w[pts]
+
+        def neigh(offs):
+            (dy1, dx1), (dy2, dx2) = offs
+            p = np.pad(magnitude, 1)
+            yy, xx = np.nonzero(pts)
+            c1 = p[yy + 1 + dy1, xx + 1 + dx1]
+            c2 = p[yy + 1 + dy2, xx + 1 + dx2]
+            return c2 * ww + c1 * (1 - ww)
+
+        local_maxima[pts] = (neigh(plus) <= m) & (neigh(minus) <= m)
+
+    # 0-45: same signs, |i| >= |j|
+    pts = ((isobel_ge_0 & jsobel_ge_0) | (isobel_le_0 & jsobel_le_0))
+    pts = pts & eroded_mask & abs_i_ge_j
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w_ji = np.where(abs_isobel > 0, abs_jsobel / abs_isobel, 0.0)
+        w_ij = np.where(abs_jsobel > 0, abs_isobel / abs_jsobel, 0.0)
+    sector(pts, w_ji, ((1, 0), (1, 1)), ((-1, 0), (-1, -1)))
+    # 45-90: same signs, |j| >= |i|
+    pts = ((isobel_ge_0 & jsobel_ge_0) | (isobel_le_0 & jsobel_le_0))
+    pts = pts & eroded_mask & abs_i_le_j
+    sector(pts, w_ij, ((0, 1), (1, 1)), ((0, -1), (-1, -1)))
+    # 90-135: opposite signs, |j| >= |i|
+    pts = ((isobel_le_0 & jsobel_ge_0) | (isobel_ge_0 & jsobel_le_0))
+    pts = pts & eroded_mask & abs_i_le_j
+    sector(pts, w_ij, ((0, 1), (-1, 1)), ((0, -1), (1, -1)))
+    # 135-180: opposite signs, |i| >= |j|
+    pts = ((isobel_le_0 & jsobel_ge_0) | (isobel_ge_0 & jsobel_le_0))
+    pts = pts & eroded_mask & abs_i_ge_j
+    sector(pts, w_ji, ((1, 0), (1, -1)), ((-1, 0), (-1, 1)))
+
+    if use_quantiles:
+        low_threshold, high_threshold = np.percentile(
+            magnitude, [100.0 * low_threshold, 100.0 * high_threshold]
+        )
+    low_mask = local_maxima & (magnitude >= low_threshold)
+    strel = np.ones((3, 3), bool)
+    labels, count = ndimage.label(low_mask, strel)
+    if count == 0:
+        return low_mask.astype(np.float64)
+    high_mask = low_mask & (magnitude >= high_threshold)
+    good = np.zeros(count + 1, bool)
+    good[np.unique(labels[high_mask])] = True
+    good[0] = False
+    return good[labels].astype(np.float64)

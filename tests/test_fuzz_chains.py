@@ -58,6 +58,11 @@ _CHAINABLE = [
     ("rotate", {"angle": 12.5, "mode": "nearest"}),
     ("affine_warp", {"matrix": ((0.9, 0.1), (-0.1, 0.9)),
                      "offset": (1.0, -1.0), "mode": "nearest"}),
+    ("perspective_warp", {"matrix": ((0.95, 0.05, 1.0), (-0.05, 0.95, 0.5),
+                                     (0.0005, -0.0004, 1.0)),
+                          "mode": "nearest"}),
+    ("motion_blur", {"kernel_size": 5, "angle": 30.0}),
+    ("canny", {"sigma": 1.5}),
     ("center_crop", {"height": 64, "width": 64}),
     ("adjust_brightness", {"factor": 0.1}),
     ("adjust_contrast", {"factor": 1.2}),

@@ -331,3 +331,104 @@ def test_cli_ops_listing(capsys):
     assert listing["clahe"]["clip_limit"]["expects"] == "a number > 0"
     # builder ops take ONLY config params — none may be skipped
     assert "checkpoint" in listing["learned_denoise"]
+
+
+class TestPerspectiveMotion:
+    """perspective_warp vs REAL scipy geometric_transform; motion_blur
+    vs the independently-transcribed rotated-PSF + real scipy
+    correlate."""
+
+    def test_perspective_matches_scipy(self, rng):
+        import jax.numpy as jnp
+        from goldens import golden_ops as G
+        from mies_tpu.ops.geometry import perspective_warp
+
+        img = rng.random((64, 80)).astype(np.float32)
+        M = ((0.95, 0.08, 2.3), (-0.05, 1.02, -1.6),
+             (0.0004, -0.0003, 1.0))
+        for mode in ("constant", "nearest"):
+            ref = G.perspective_warp(img, M, mode=mode, cval=0.25)
+            got = np.asarray(
+                perspective_warp(jnp.asarray(img), M, mode=mode,
+                                 cval=0.25)
+            )
+            np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    def test_perspective_identity_and_affine_embed(self, rng):
+        """Identity homography is exact; an affine embedded in the top
+        rows (with NON-integer translation — integer translations
+        knife-edge the f32 'constant' inside-test exactly like exact-90
+        rotate) matches affine_warp."""
+        import jax.numpy as jnp
+        from mies_tpu.ops.geometry import affine_warp, perspective_warp
+
+        img = rng.random((48, 48)).astype(np.float32)
+        eye = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+        np.testing.assert_array_equal(
+            np.asarray(perspective_warp(jnp.asarray(img), eye)), img
+        )
+        M = ((0.9, 0.1, 2.7), (-0.1, 0.9, 1.3), (0.0, 0.0, 1.0))
+        a = np.asarray(
+            affine_warp(jnp.asarray(img), ((0.9, 0.1), (-0.1, 0.9)),
+                        (2.7, 1.3))
+        )
+        p = np.asarray(perspective_warp(jnp.asarray(img), M))
+        np.testing.assert_allclose(p, a, atol=1e-6)
+
+    def test_perspective_bad_matrix(self, rng):
+        import jax.numpy as jnp
+        from mies_tpu.ops.geometry import perspective_warp
+
+        img = jnp.zeros((8, 8), jnp.float32)
+        with pytest.raises(ValueError, match="3x3"):
+            perspective_warp(img, ((1.0, 0.0), (0.0, 1.0)))
+        with pytest.raises(ValueError, match="nonzero"):
+            perspective_warp(
+                img,
+                ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 0.0)),
+            )
+
+    @pytest.mark.parametrize("angle,direction", [
+        (30.0, 0.5), (-17.0, 0.0), (200.0, -0.8), (90.0, 0.3),
+        (0.0, 1.0),
+    ])
+    def test_motion_blur_matches_golden(self, rng, angle, direction):
+        import jax.numpy as jnp
+        from goldens import golden_ops as G
+        from mies_tpu.ops.filters import motion_blur
+
+        img = rng.random((64, 64)).astype(np.float32)
+        ref = G.motion_blur(img, 9, angle, direction)
+        got = np.asarray(
+            motion_blur(jnp.asarray(img), 9, angle, direction)
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_motion_blur_kernel_properties(self):
+        from mies_tpu.ops.filters import motion_blur_kernel
+
+        k = motion_blur_kernel(11, 37.0, 0.4)
+        assert k.shape == (11, 11)
+        assert abs(k.sum() - 1.0) < 1e-12
+        assert (k >= 0).all()
+        with pytest.raises(ValueError, match="odd"):
+            motion_blur_kernel(4, 0.0)
+
+    def test_motion_blur_band_exact(self, rng):
+        """motion_blur spatially shards under (extend, run, crop)."""
+        import jax.numpy as jnp
+        from mies_tpu.parallel.halo import spatial_shard_apply
+        from mies_tpu.parallel.mesh import make_mesh
+        from mies_tpu.pipeline.compiler import compile_pipeline
+        from mies_tpu.pipeline.config import PipelineConfig
+
+        cfg = PipelineConfig.make(
+            [("motion_blur", {"kernel_size": 7, "angle": 25.0})]
+        )
+        img = rng.random((128, 64)).astype(np.float32)
+        mesh = make_mesh(data=1, space=4)
+        out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+        ref = np.asarray(
+            compile_pipeline(cfg, donate=False)(jnp.asarray(img))
+        )
+        np.testing.assert_array_equal(out, ref)

@@ -141,3 +141,15 @@ def test_morphology_vanherk_bit_exact_vs_cv2(consistency):
     """Van Herk doubling (rect k=21) and row-span (ellipse k=15) large-
     kernel paths must stay bit-exact vs cv2 on the chip."""
     _case(consistency, "morphology_vanherk_vs_cv2")
+
+
+def test_butterworth_fft_backend_consistency(consistency):
+    """XLA:TPU's matmul-backed f32 FFT vs the CPU backend's — drift
+    gated at FFT-roundoff scale (5e-5)."""
+    _case(consistency, "butterworth_vs_cpu")
+
+
+def test_canny_backend_consistency(consistency):
+    """Canny's discrete NMS compares + hysteresis flood fill: numeric
+    drift flips whole pixels, so the gate is a mismatch-rate bound."""
+    _case(consistency, "canny_vs_cpu")

@@ -447,6 +447,24 @@ def main() -> int:
     except ImportError:
         out["cases"]["morphology_vanherk_vs_cv2"] = {"skipped": "no cv2"}
 
+    # 14. FFT path (butterworth) TPU vs CPU: XLA's TPU FFT is a
+    # matmul-backed f32 implementation — different roundoff family from
+    # the CPU backend (ducc). Gate the drift at FFT-roundoff scale.
+    from mies_tpu.ops.frequency import butterworth
+
+    t, c = both(lambda a: butterworth(a, 0.02, True, 2.0), imgs[0])
+    d = float(np.abs(t - c).max())
+    out["cases"]["butterworth_vs_cpu"] = {"max_abs": d, "ok": d <= 5e-5}
+
+    # 15. canny ON CHIP: NMS compares + the while_loop flood fill are
+    # discrete — any numeric drift flips whole pixels, so the gate is
+    # a tight mismatch-rate bound rather than an abs tolerance.
+    from mies_tpu.ops.feature import canny as _canny
+
+    t, c = both(lambda a: _canny(a, sigma=1.5), imgs[0])
+    mm = float((t != c).mean())
+    out["cases"]["canny_vs_cpu"] = {"mismatch_frac": mm, "ok": mm <= 1e-4}
+
     out["ok"] = all(
         case.get("ok", True) for case in out["cases"].values()
     )

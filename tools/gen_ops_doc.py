@@ -27,7 +27,10 @@ _CATEGORIES = (
         "gaussian_blur", "box_blur", "unsharp_mask", "median_blur",
         "bilateral_blur", "denoise_bilateral", "guided_blur",
         "sobel_edges", "laplacian_sharpen",
-        "difference_of_gaussians", "gabor",
+        "difference_of_gaussians", "gabor", "motion_blur",
+    )),
+    ("Feature / edges", (
+        "canny",
     )),
     ("Restoration", (
         "denoise_nl_means", "denoise_tv", "richardson_lucy",
@@ -45,6 +48,7 @@ _CATEGORIES = (
     )),
     ("Geometry", (
         "resize", "center_crop", "flip", "rot90", "rotate", "affine_warp",
+        "perspective_warp",
     )),
     ("Learned", ("learned_denoise",)),
     ("Volumetric (3-D, [Z,H,W] chains)", (
