@@ -218,6 +218,7 @@ def stage_receptive_field(op: str, params: dict) -> int:
         # every input pixel — no fixed halo exists
         "canny",  # hysteresis is global connectivity (and quantile
         # thresholds are whole-image statistics)
+        "wiener",  # circulant FFT deconvolution = global extent
     ):
         raise ValueError(
             f"op {op!r} has global/tile extent and cannot be spatially "

@@ -282,7 +282,7 @@ def volume_stage_z_field(op: str, params: dict) -> int:
             "meijering3d is not z-shardable: each scale's response is "
             "normalized by its VOLUME-WIDE max (global extent)"
         )
-    if op in ("butterworth3d", "homomorphic3d"):
+    if op in ("butterworth3d", "homomorphic3d", "wiener3d"):
         raise ValueError(
             f"op {op!r} is not z-shardable: the 3-D FFT reads every "
             "voxel for every output (global extent)"

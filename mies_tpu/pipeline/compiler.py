@@ -72,6 +72,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "denoise_nl_means": REST.denoise_nl_means,
     "denoise_tv": REST.denoise_tv,
     "richardson_lucy": REST.richardson_lucy,
+    "wiener": REST.wiener,
     "denoise_wavelet": WV.denoise_wavelet,
     # ridge / vesselness (Frangi 1998 / Sato 1998 / Meijering 2004)
     "frangi": RG.frangi,
@@ -171,7 +172,8 @@ VOLUME_ONLY_OPS = frozenset(
      "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
      "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
      "vessel_enhance3d", "denoise_wavelet3d", "sato3d", "meijering3d",
-     "difference_of_gaussians3d", "butterworth3d", "homomorphic3d"}
+     "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
+     "wiener3d"}
 )
 
 
@@ -182,6 +184,7 @@ _VOLUME_FILTER_OPS = (
     "denoise_nl_means3d", "denoise_tv3d", "frangi3d", "vessel_enhance3d",
     "denoise_wavelet3d", "sato3d", "meijering3d",
     "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
+    "wiener3d",
 )
 
 

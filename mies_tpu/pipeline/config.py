@@ -252,6 +252,13 @@ _HOMOMORPHIC_RULES = {
     "npad": (lambda v: _is_int(v) and v >= 0, "an int >= 0"),
 }
 
+_WIENER_RULES = {
+    "psf_sigma": (_pos, "a number > 0"),
+    "psf_size": (_odd_kernel, "an odd int >= 1"),
+    "balance": (_pos, "a number > 0"),
+    "clip": (lambda v: isinstance(v, bool), "a bool"),
+}
+
 _VALUE_RULES: dict[str, dict[str, tuple]] = {
     "adjust_gamma": {
         "gamma": (_pos, "a number > 0"),
@@ -665,6 +672,8 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         ),
         "mode": (_mode_ok, f"one of {_PAD_MODES}"),
     },
+    "wiener": _WIENER_RULES,
+    "wiener3d": _WIENER_RULES,
     "canny": {
         "sigma": (_pos, "a number > 0"),
         "low_threshold": (

@@ -1426,3 +1426,41 @@ def canny_edges(img, sigma=1.0, low_threshold=None, high_threshold=None,
     good[np.unique(labels[high_mask])] = True
     good[0] = False
     return good[labels].astype(np.float64)
+
+
+def wiener_deconv(img, psf_sigma=1.5, psf_size=7, balance=0.1, clip=True):
+    """skimage.restoration.wiener transcription (float64 numpy end to
+    end): Gaussian PSF -> ir2tf circulant transfer, Laplacian
+    regularizer, conj(H)/(|H|^2 + balance*|L|^2) filter, clip [-1, 1]."""
+    x = np.asarray(img, np.float64)
+    shape = x.shape
+    nd = x.ndim
+    r = psf_size // 2
+    t = np.arange(-r, r + 1, dtype=np.float64)
+    g = np.exp(-0.5 * (t / psf_sigma) ** 2)
+    g = (g / g.sum()).astype(np.float32).astype(np.float64)  # op's f32 taps
+    psf = g
+    for _ in range(nd - 1):
+        psf = np.multiply.outer(psf, g)
+
+    def ir2tf(ir):
+        pad = np.zeros(shape)
+        pad[tuple(slice(0, s) for s in ir.shape)] = ir
+        for ax, s in enumerate(ir.shape):
+            pad = np.roll(pad, -int(np.floor(s / 2)), axis=ax)
+        return np.fft.rfftn(pad, axes=tuple(range(nd)))
+
+    impr = np.zeros((3,) * nd)
+    for dim in range(nd):
+        idx = tuple([slice(1, 2)] * dim + [slice(None)]
+                    + [slice(1, 2)] * (nd - dim - 1))
+        impr[idx] = np.array([-1.0, 0.0, -1.0]).reshape(
+            [-1 if i == dim else 1 for i in range(nd)]
+        )
+    impr[(slice(1, 2),) * nd] = 2.0 * nd
+    tf = ir2tf(psf)
+    reg = ir2tf(impr)
+    filt = np.conj(tf) / (np.abs(tf) ** 2 + balance * np.abs(reg) ** 2)
+    out = np.fft.irfftn(np.fft.rfftn(x, axes=tuple(range(nd))) * filt,
+                        s=shape, axes=tuple(range(nd)))
+    return np.clip(out, -1.0, 1.0) if clip else out

@@ -37,6 +37,7 @@ _CHAINABLE = [
     ("denoise_nl_means", {"patch_size": 5, "patch_distance": 3}),
     ("denoise_tv", {"weight": 0.1, "max_num_iter": 25}),
     ("richardson_lucy", {"psf_sigma": 1.0, "psf_size": 5, "num_iter": 4}),
+    ("wiener", {"psf_sigma": 1.0, "psf_size": 5, "balance": 0.1}),
     ("frangi", {"sigmas": (1.0, 2.0)}),
     ("denoise_wavelet", {"wavelet_levels": 2}),
     ("vessel_enhance", {"sigmas": (1.0, 2.0), "amount": 0.5}),
@@ -131,6 +132,7 @@ _CHAINABLE_3D = [
     ("difference_of_gaussians3d", {"low_sigma": 1.0}),
     ("butterworth3d", {"cutoff_frequency_ratio": 0.1}),
     ("homomorphic3d", {"npad": 2}),
+    ("wiener3d", {"psf_sigma": 1.0, "psf_size": 3}),
     ("denoise_tv3d", {"weight": 0.1, "max_num_iter": 15}),
     ("erode3d", {}),
     ("dilate3d", {"kernel_size": 5}),

@@ -334,3 +334,72 @@ class TestPipelineIntegration:
         cfg = PipelineConfig.make([("denoise_tv3d", {})])
         with pytest.raises(ValueError, match="volume-only"):
             compile_pipeline(cfg, donate=False)
+
+
+class TestWiener:
+    def test_matches_golden_2d(self, rng):
+        import jax.numpy as jnp
+        from goldens import golden_ops as G
+        from mies_tpu.ops.restoration import wiener
+
+        img = rng.random((64, 96)).astype(np.float32)
+        for kw in ({}, {"psf_sigma": 2.0, "psf_size": 9},
+                   {"balance": 0.5}, {"clip": False}):
+            ref = G.wiener_deconv(img, **kw)
+            got = np.asarray(wiener(jnp.asarray(img), **kw))
+            np.testing.assert_allclose(got, ref, atol=3e-5)
+
+    def test_matches_golden_3d(self, rng):
+        import jax.numpy as jnp
+        from goldens import golden_ops as G
+        from mies_tpu.ops.restoration import wiener3d
+
+        vol = rng.random((8, 32, 48)).astype(np.float32)
+        ref = G.wiener_deconv(vol, psf_sigma=1.0, psf_size=5)
+        got = np.asarray(wiener3d(jnp.asarray(vol), psf_sigma=1.0,
+                                  psf_size=5))
+        np.testing.assert_allclose(got, ref, atol=3e-5)
+
+    def test_deblurs(self, rng):
+        """Wiener of a Gaussian-blurred image recovers detail: closer
+        to the original than the blurred input is."""
+        import jax.numpy as jnp
+        from mies_tpu.ops.filters import gaussian_blur
+        from mies_tpu.ops.restoration import wiener
+
+        clean = np.clip(
+            0.5 + 0.3 * rng.standard_normal((64, 64)), 0, 1
+        ).astype(np.float32)
+        from scipy import ndimage
+        clean = ndimage.gaussian_filter(clean, 1.5).astype(np.float32)
+        blurred = np.asarray(
+            gaussian_blur(jnp.asarray(clean), 1.5, mode="wrap")
+        )
+        restored = np.asarray(
+            wiener(jnp.asarray(blurred), psf_sigma=1.5, psf_size=13,
+                   balance=0.001)
+        )
+        err_blur = float(np.mean((blurred - clean) ** 2))
+        err_rest = float(np.mean((restored - clean) ** 2))
+        assert err_rest < 0.5 * err_blur, (err_rest, err_blur)
+
+    def test_bad_params(self, rng):
+        import jax.numpy as jnp
+        from mies_tpu.ops.restoration import wiener
+        from mies_tpu.pipeline.config import PipelineConfig, validate
+
+        with pytest.raises(ValueError, match="odd"):
+            wiener(jnp.zeros((8, 8), jnp.float32), psf_size=4)
+        with pytest.raises(ValueError, match="balance"):
+            wiener(jnp.zeros((8, 8), jnp.float32), balance=0.0)
+        with pytest.raises(ValueError, match="balance"):
+            validate(PipelineConfig.make([("wiener", {"balance": -1.0})]))
+
+    def test_sharding_rejected(self):
+        from mies_tpu.parallel.halo import stage_receptive_field
+        from mies_tpu.parallel.volume_shard import volume_stage_z_field
+
+        with pytest.raises(ValueError, match="spatially sharded"):
+            stage_receptive_field("wiener", {})
+        with pytest.raises(ValueError, match="z-shardable"):
+            volume_stage_z_field("wiener3d", {})

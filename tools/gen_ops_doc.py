@@ -33,7 +33,7 @@ _CATEGORIES = (
         "canny",
     )),
     ("Restoration", (
-        "denoise_nl_means", "denoise_tv", "richardson_lucy",
+        "denoise_nl_means", "denoise_tv", "richardson_lucy", "wiener",
         "denoise_wavelet",
     )),
     ("Frequency domain (FFT)", (
@@ -59,6 +59,7 @@ _CATEGORIES = (
         "denoise_wavelet3d",
         "vessel_enhance3d", "sato3d", "meijering3d",
         "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
+        "wiener3d",
     )),
 )
 
