@@ -557,3 +557,65 @@ def motion_blur(
         precision=lax.Precision.HIGHEST,
     )[0, 0]
     return out
+
+
+def gabor_bank(
+    img: Array,
+    frequency: float = 0.1,
+    n_orientations: int = 8,
+    bandwidth: float = 1.0,
+    sigma_x: float | None = None,
+    sigma_y: float | None = None,
+    n_stds: int = 3,
+    offset: float = 0.0,
+    mode: str = "reflect",
+    output: str = "max",
+) -> Array:
+    """Orientation-pooled Gabor texture energy: magnitudes at
+    ``theta_k = k * pi / n_orientations`` pooled by ``output`` ('max' —
+    the rotation-invariant texture energy standard in mammography CAD —
+    or 'mean'). Each orientation is exactly ``gabor(..., theta_k,
+    output='magnitude')``.
+
+    TPU note: every orientation's (real, imag) kernel pair is zero-
+    padded to the bank's largest support and stacked into ONE
+    ``lax.conv_general_dilated`` with 2*N output channels — a single
+    MXU pass for the whole bank (zero taps read extra border pixels
+    times zero, so each channel is bit-identical to its standalone
+    conv). Golden: tests/goldens/golden_ops.py::gabor_response looped
+    per orientation (real scipy convolutions).
+    """
+    if n_orientations < 1:
+        raise ValueError("n_orientations must be >= 1")
+    if output not in ("max", "mean"):
+        raise ValueError(f"output must be 'max' or 'mean', got {output!r}")
+    kernels = [
+        gabor_kernel(
+            float(frequency), k * np.pi / n_orientations, float(bandwidth),
+            None if sigma_x is None else float(sigma_x),
+            None if sigma_y is None else float(sigma_y),
+            int(n_stds), float(offset),
+        )
+        for k in range(int(n_orientations))
+    ]
+    ry = max(g.shape[0] // 2 for g in kernels)
+    rx = max(g.shape[1] // 2 for g in kernels)
+    taps = np.zeros((2 * len(kernels), 1, 2 * ry + 1, 2 * rx + 1),
+                    np.float32)
+    for i, g in enumerate(kernels):
+        gy, gx = g.shape[0] // 2, g.shape[1] // 2
+        sl = (slice(ry - gy, ry + gy + 1), slice(rx - gx, rx + gx + 1))
+        taps[2 * i, 0][sl] = g.real[::-1, ::-1]  # convolve == flipped corr
+        taps[2 * i + 1, 0][sl] = g.imag[::-1, ::-1]
+    xp = _pad2d(img.astype(jnp.float32), ry, rx, mode)
+    resp = lax.conv_general_dilated(
+        xp[None, None],
+        jnp.asarray(taps),
+        window_strides=(1, 1),
+        padding="VALID",
+        precision=lax.Precision.HIGHEST,
+    )[0]
+    mags = jnp.sqrt(resp[0::2] ** 2 + resp[1::2] ** 2)  # [N, H, W]
+    return jnp.max(mags, axis=0) if output == "max" else jnp.mean(
+        mags, axis=0
+    )

@@ -180,21 +180,30 @@ def stage_receptive_field(op: str, params: dict) -> int:
         if high is None:
             high = 1.6 * float(low)
         return int(params.get("truncate", 4.0) * float(high) + 0.5)
-    if op == "gabor":
+    if op in ("gabor", "gabor_bank"):
+        import numpy as _np
+
         from mies_tpu.ops.filters import gabor_kernel
 
-        g = gabor_kernel(
-            float(params.get("frequency", 0.1)),
-            float(params.get("theta", 0.0)),
-            float(params.get("bandwidth", 1.0)),
-            None if params.get("sigma_x") is None
-            else float(params["sigma_x"]),
-            None if params.get("sigma_y") is None
-            else float(params["sigma_y"]),
-            int(params.get("n_stds", 3)),
-            float(params.get("offset", 0.0)),
+        if op == "gabor":
+            thetas = [float(params.get("theta", 0.0))]
+        else:
+            n = int(params.get("n_orientations", 8))
+            thetas = [k * _np.pi / n for k in range(n)]
+        return max(
+            gabor_kernel(
+                float(params.get("frequency", 0.1)),
+                th,
+                float(params.get("bandwidth", 1.0)),
+                None if params.get("sigma_x") is None
+                else float(params["sigma_x"]),
+                None if params.get("sigma_y") is None
+                else float(params["sigma_y"]),
+                int(params.get("n_stds", 3)),
+                float(params.get("offset", 0.0)),
+            ).shape[0] // 2  # row radius of the rotated support
+            for th in thetas
         )
-        return g.shape[0] // 2  # row radius of the rotated support
     if op in ("erode", "dilate", "morph_gradient"):
         return params.get("kernel_size", 3) // 2
     if op in ("morph_open", "morph_close", "top_hat", "black_hat"):
@@ -259,6 +268,7 @@ _DEFAULT_MODE = {
     "sato": "reflect",
     "difference_of_gaussians": "nearest",
     "gabor": "reflect",
+    "gabor_bank": "reflect",
     "motion_blur": "constant",
 }
 

@@ -63,6 +63,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "laplacian_sharpen": F.laplacian_sharpen,
     "difference_of_gaussians": F.difference_of_gaussians,
     "gabor": F.gabor,
+    "gabor_bank": F.gabor_bank,
     "motion_blur": F.motion_blur,
     "canny": FT.canny,
     # frequency domain (FFT)

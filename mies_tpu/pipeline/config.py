@@ -493,6 +493,22 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
             "one of ('magnitude', 'real', 'imag')",
         ),
     },
+    "gabor_bank": {
+        "frequency": (_pos, "a number > 0 (cycles/pixel)"),
+        "n_orientations": (_pos_int, "an int >= 1"),
+        "bandwidth": (_pos, "a number > 0"),
+        "sigma_x": (lambda v: v is None or _pos(v),
+                    "a number > 0 (or omitted: derived from bandwidth)"),
+        "sigma_y": (lambda v: v is None or _pos(v),
+                    "a number > 0 (or omitted: derived from bandwidth)"),
+        "n_stds": (_pos_int, "an int >= 1"),
+        "offset": (_is_num, "a number (radians)"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+        "output": (
+            lambda v: v in ("max", "mean"),
+            "one of ('max', 'mean')",
+        ),
+    },
     "butterworth": _BUTTERWORTH_RULES,
     "butterworth3d": _BUTTERWORTH_RULES,
     "homomorphic": _HOMOMORPHIC_RULES,

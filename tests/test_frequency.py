@@ -16,6 +16,7 @@ from goldens import golden_ops as G
 from mies_tpu.ops.filters import (
     difference_of_gaussians,
     gabor,
+    gabor_bank,
     gabor_kernel,
     gabor_response,
 )
@@ -194,6 +195,44 @@ class TestGabor:
         with pytest.raises(ValueError, match="output"):
             gabor(jnp.zeros((16, 16), jnp.float32), 0.2, output="phase")
 
+    @pytest.mark.parametrize("output", ["max", "mean"])
+    def test_bank_matches_per_orientation_golden(self, rng, output):
+        img = rng.random((48, 48)).astype(np.float32)
+        out = np.asarray(
+            gabor_bank(jnp.asarray(img), 0.15, n_orientations=4,
+                       output=output)
+        )
+        mags = []
+        for k in range(4):
+            re, im = G.gabor_response(img, 0.15, theta=k * np.pi / 4)
+            mags.append(np.sqrt(re ** 2 + im ** 2))
+        ref = (np.max(mags, axis=0) if output == "max"
+               else np.mean(mags, axis=0))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_bank_mixed_supports_match_per_orientation(self, rng):
+        # rotated kernels have different supports; the bank zero-pads
+        # them to a common box — must still equal each standalone conv
+        img = rng.random((40, 56)).astype(np.float32)
+        kw = dict(frequency=0.2, sigma_x=2.5, sigma_y=4.0, n_stds=2)
+        out = np.asarray(
+            gabor_bank(jnp.asarray(img), n_orientations=3,
+                       output="mean", **kw)
+        )
+        mags = []
+        for k in range(3):
+            re, im = G.gabor_response(img, theta=k * np.pi / 3, **kw)
+            mags.append(np.sqrt(re ** 2 + im ** 2))
+        np.testing.assert_allclose(out, np.mean(mags, axis=0), atol=1e-5)
+
+    def test_bank_bad_args_raise(self):
+        with pytest.raises(ValueError, match="n_orientations"):
+            gabor_bank(jnp.zeros((16, 16), jnp.float32), 0.2,
+                       n_orientations=0)
+        with pytest.raises(ValueError, match="output"):
+            gabor_bank(jnp.zeros((16, 16), jnp.float32), 0.2,
+                       output="median")
+
 
 class TestPipelineIntegration:
     def test_2d_chain_compiles(self, rng):
@@ -275,6 +314,21 @@ class TestSharding:
 
         cfg = PipelineConfig.make(
             [("gabor", {"frequency": 0.2, "theta": 0.5})]
+        )
+        img = rng.random((128, 64)).astype(np.float32)
+        mesh = make_mesh(data=1, space=4)
+        out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+        ref = np.asarray(
+            compile_pipeline(cfg, donate=False)(jnp.asarray(img))
+        )
+        np.testing.assert_array_equal(out, ref)
+
+    def test_gabor_bank_band_exact(self, rng):
+        from mies_tpu.parallel.halo import spatial_shard_apply
+        from mies_tpu.parallel.mesh import make_mesh
+
+        cfg = PipelineConfig.make(
+            [("gabor_bank", {"frequency": 0.2, "n_orientations": 4})]
         )
         img = rng.random((128, 64)).astype(np.float32)
         mesh = make_mesh(data=1, space=4)

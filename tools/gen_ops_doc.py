@@ -27,7 +27,7 @@ _CATEGORIES = (
         "gaussian_blur", "box_blur", "unsharp_mask", "median_blur",
         "bilateral_blur", "denoise_bilateral", "guided_blur",
         "sobel_edges", "laplacian_sharpen",
-        "difference_of_gaussians", "gabor", "motion_blur",
+        "difference_of_gaussians", "gabor", "gabor_bank", "motion_blur",
     )),
     ("Feature / edges", (
         "canny",
