@@ -55,7 +55,15 @@ from mies_tpu.ops.ridges import (
     vessel_enhance,
     vessel_enhance3d,
 )
+from mies_tpu.ops.pyramid import (
+    laplacian_pyramid,
+    musica,
+    pyr_down,
+    pyr_up,
+)
 from mies_tpu.ops.restoration import (
+    anisotropic_diffusion,
+    anisotropic_diffusion3d,
     denoise_nl_means,
     denoise_nl_means3d,
     denoise_tv,
@@ -119,6 +127,12 @@ __all__ = [
     "vessel_enhance3d",
     "denoise_nl_means",
     "denoise_nl_means3d",
+    "anisotropic_diffusion",
+    "anisotropic_diffusion3d",
+    "laplacian_pyramid",
+    "musica",
+    "pyr_down",
+    "pyr_up",
     "denoise_tv",
     "denoise_tv3d",
     "richardson_lucy",

@@ -220,3 +220,97 @@ def black_hat(
 ) -> Array:
     """Black top-hat: close(img) - img — small dark structures."""
     return morph_close(img, kernel_size, shape, mode) - img
+
+
+# ---------------------------------------------------------------------------
+# Rolling-ball background (Sternberg 1983) — non-flat ball morphology
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _ball_table(radius: float) -> np.ndarray:
+    """[k, k] float32 ball heights ``sqrt(r^2 - dy^2 - dx^2)`` with
+    ``-inf`` OUTSIDE the support ``dy^2 + dx^2 <= r^2`` — the single
+    encoding that masks both passes: erosion reads ``img - s`` (-inf
+    becomes +inf, never wins the min), dilation reads ``e + s`` (-inf
+    never wins the max)."""
+    R = int(np.ceil(radius))
+    dy, dx = np.mgrid[-R:R + 1, -R:R + 1].astype(np.float64)
+    d2 = dy * dy + dx * dx
+    s = np.sqrt(np.maximum(radius * radius - d2, 0.0))
+    s[d2 > radius * radius] = -np.inf
+    return s.astype(np.float32)
+
+
+def _rb_pass(rows_padded: Array, table: np.ndarray, maximum: bool) -> Array:
+    """One non-flat erode/dilate pass. ``rows_padded`` is [h + 2R, W]
+    with the ROW border already applied (+inf rows for the min pass,
+    -inf for the max — morphology's 'ignore' convention: the outside
+    never wins); columns pad here. Returns [h, W].
+
+    fori_loop over the kernel's k rows; each body is k unrolled
+    shifted adds + mins over one [h, W + 2R] row slab, which XLA fuses
+    into a single VPU pass — O(k) HLO size for the k^2-tap non-flat
+    stencil (an unrolled k^2 loop at radius 24 would emit ~2400 ops).
+    min/max trees are reassociation-insensitive, so the band-sharded
+    form (same function on halo-extended rows) is bit-exact.
+    """
+    k = table.shape[0]
+    R = k // 2
+    h = rows_padded.shape[0] - 2 * R
+    w = rows_padded.shape[1]
+    fill = np.float32(-np.inf if maximum else np.inf)
+    p = jnp.pad(rows_padded, ((0, 0), (R, R)), mode="constant",
+                constant_values=fill)
+    tab = jnp.asarray(table)
+    red = jnp.maximum if maximum else jnp.minimum
+
+    def body(i, acc):
+        slab = lax.dynamic_slice(p, (i, 0), (h, w + 2 * R))
+        hrow = lax.dynamic_slice(tab, (i, 0), (1, k))[0]
+        m = None
+        for dx in range(k):
+            v = (slab[:, dx:dx + w] + hrow[dx] if maximum
+                 else slab[:, dx:dx + w] - hrow[dx])
+            m = v if m is None else red(m, v)
+        return red(acc, m)
+
+    return lax.fori_loop(0, k, body, jnp.full((h, w), fill, jnp.float32))
+
+
+def rolling_ball(img: Array, radius: float = 25.0) -> Array:
+    """Background estimate by the rolling-ball algorithm (Sternberg,
+    IEEE Computer 1983; skimage.restoration.rolling_ball's contract,
+    ImageJ's "Subtract Background"): grayscale OPENING by the non-flat
+    ball ``s(o) = sqrt(r^2 - |o|^2)`` — the surface a ball of radius
+    ``r`` rolled under the intensity landscape can reach. Structures
+    smaller than the ball (vessels, microcalcifications, bone edges)
+    are excluded from the background; subtracting it flattens detector
+    shading and anatomical background. Border: the outside never wins
+    either reduction (+inf/-inf pads — the module's 'ignore'
+    convention). Golden: tests/goldens/golden_ops.py::rolling_ball."""
+    if not (isinstance(radius, (int, float)) and radius > 0):
+        raise ValueError(f"radius must be a number > 0, got {radius!r}")
+    table = _ball_table(float(radius))
+    R = table.shape[0] // 2
+    x = img.astype(jnp.float32)
+    pe = jnp.pad(x, ((R, R), (0, 0)), mode="constant",
+                 constant_values=np.float32(np.inf))
+    e = _rb_pass(pe, table, maximum=False)
+    pd = jnp.pad(e, ((R, R), (0, 0)), mode="constant",
+                 constant_values=np.float32(-np.inf))
+    return _rb_pass(pd, table, maximum=True)
+
+
+def subtract_background(
+    img: Array, radius: float = 25.0, light_background: bool = False,
+) -> Array:
+    """ImageJ-style background subtraction: ``clip(img -
+    rolling_ball(img), 0, 1)`` for dark-background images; for
+    ``light_background`` the image is inverted, flattened, and
+    re-inverted (bright field / light-background radiographs)."""
+    x = img.astype(jnp.float32)
+    if light_background:
+        inv = 1.0 - x
+        return 1.0 - jnp.clip(inv - rolling_ball(inv, radius), 0.0, 1.0)
+    return jnp.clip(x - rolling_ball(x, radius), 0.0, 1.0)

@@ -464,3 +464,121 @@ def wiener3d(
     n-dimensional; one z-consistent restore). Golden:
     tests/goldens/golden_ops.py::wiener_deconv (n-d)."""
     return wiener(vol, psf_sigma, psf_size, balance, clip)
+
+
+# ---------------------------------------------------------------------------
+# Perona-Malik anisotropic diffusion
+# ---------------------------------------------------------------------------
+
+
+def _pm_step(
+    ext: Array, kappa: float, gamma: float, option: int,
+    spacing: tuple,
+) -> Array:
+    """One Perona-Malik update for an array already extended by ONE
+    edge-replicated position on AXIS 0 (the sharded axis); the other
+    axes are padded here. Returns the interior (original) shape.
+
+    The scheme is the classic explicit discretization (Perona & Malik
+    1990, eq. 8; the medpy/Kovesi ``anisodiff`` formulation): forward
+    differences per axis, conduction ``g`` evaluated on each difference,
+    divergence by backward difference, zero-flux boundaries. On an
+    edge-replicated pad the boundary fluxes vanish identically, so
+    interior arithmetic is position-independent — the band-sharded form
+    (halo_extend_rows per ITERATION) is bit-exact vs unsharded.
+
+    All ops are elementwise VPU dataflow with static shapes; XLA fuses
+    each iteration into a handful of passes. No gathers, no transposes.
+    """
+    nd = ext.ndim
+    z = jnp.pad(ext, ((0, 0),) + ((1, 1),) * (nd - 1), mode="edge")
+    out = ext[(slice(1, -1),) + (slice(None),) * (nd - 1)]
+    upd = jnp.zeros_like(out)
+    inv_k2 = np.float32(1.0 / (float(kappa) * float(kappa)))
+    g32 = np.float32(gamma)
+    for ax in range(nd):
+        s = np.float32(1.0 / float(spacing[ax]))
+        d = jnp.diff(z, axis=ax) * s
+        if option == 1:
+            g = jnp.exp(-(d * d) * inv_k2)
+        else:
+            g = 1.0 / (1.0 + (d * d) * inv_k2)
+        flux = (g32 * s) * g * d
+        div = jnp.diff(flux, axis=ax)
+        sl = tuple(
+            slice(None) if a == ax else slice(1, -1) for a in range(nd)
+        )
+        upd = upd + div[sl]
+    return out + upd
+
+
+def _pm_run(
+    x: Array, niter: int, kappa: float, gamma: float, option: int,
+    spacing: tuple,
+) -> Array:
+    if niter < 1:
+        raise ValueError("niter must be >= 1")
+    if option not in (1, 2):
+        raise ValueError("option must be 1 (exponential) or 2 (inverse)")
+    x = x.astype(jnp.float32)
+    pad0 = ((1, 1),) + ((0, 0),) * (x.ndim - 1)
+
+    def body(_, v):
+        return _pm_step(
+            jnp.pad(v, pad0, mode="edge"), kappa, gamma, option, spacing
+        )
+
+    return lax.fori_loop(0, niter, body, x)
+
+
+def anisotropic_diffusion(
+    img: Array,
+    niter: int = 10,
+    kappa: float = 50.0,
+    gamma: float = 0.1,
+    option: int = 1,
+) -> Array:
+    """Perona-Malik edge-preserving smoothing on a 2-D slice.
+
+    Diffuses WITHIN homogeneous regions while the conduction function
+    ``g`` shuts transport across strong gradients — the classical
+    speckle/quantum-noise reducer for ultrasound and low-dose X-ray
+    (option 1: ``g = exp(-(|grad|/kappa)^2)`` favors high-contrast
+    edges; option 2: ``g = 1/(1 + (|grad|/kappa)^2)`` favors wide
+    regions). ``kappa`` is the gradient magnitude (in INTENSITY units —
+    for [0, 1] inputs use ~0.02-0.2) below which diffusion proceeds;
+    ``gamma`` the step size (stability: <= 1/4 in 2-D, <= 1/6 in 3-D).
+
+    Semantics: the medpy/Kovesi ``anisodiff`` explicit scheme with
+    zero-flux boundaries, ``niter`` fixed iterations (no data-dependent
+    stopping — one static XLA program). Golden:
+    tests/goldens/golden_ops.py::anisotropic_diffusion.
+    """
+    return _pm_run(img, int(niter), kappa, gamma, int(option),
+                   (1.0,) * img.ndim)
+
+
+def anisotropic_diffusion3d(
+    vol: Array,
+    niter: int = 10,
+    kappa: float = 50.0,
+    gamma: float = 0.1,
+    option: int = 1,
+    voxelspacing: tuple | None = None,
+) -> Array:
+    """Volumetric Perona-Malik diffusion on [Z, H, W]: the conduction
+    couples all three axes, so z-streaks and in-plane noise smooth
+    together. ``voxelspacing`` (dz, dy, dx) scales each axis's
+    differences for anisotropic CT grids (the medpy convention:
+    gradient and divergence both divide by the spacing) — pair with
+    the DICOM reader's ``VolumeMeta.spacing``. Stability:
+    ``gamma * sum(1/s^2) <= 1/2``."""
+    if voxelspacing is None:
+        sp = (1.0,) * 3
+    else:
+        sp = tuple(float(v) for v in voxelspacing)
+        if len(sp) != 3 or any(v <= 0 for v in sp):
+            raise ValueError(
+                "voxelspacing must be 3 positive numbers (dz, dy, dx)"
+            )
+    return _pm_run(vol, int(niter), kappa, gamma, int(option), sp)

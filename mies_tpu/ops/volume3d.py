@@ -28,6 +28,7 @@ from mies_tpu.ops import histogram as H
 # here so the volume registry's one-getattr convention covers them
 from mies_tpu.ops.restoration import (  # noqa: F401
     denoise_nl_means3d,
+    anisotropic_diffusion3d,
     denoise_tv3d,
     wiener3d,
 )

@@ -204,6 +204,11 @@ def stage_receptive_field(op: str, params: dict) -> int:
             ).shape[0] // 2  # row radius of the rotated support
             for th in thetas
         )
+    if op == "anisotropic_diffusion":
+        # 1 px/iteration; the band form refreshes the halo each
+        # iteration (stale-halo contamination would otherwise reach the
+        # interior), so this is only the TOTAL extent diagnostic
+        return int(params.get("niter", 10))
     if op in ("erode", "dilate", "morph_gradient"):
         return params.get("kernel_size", 3) // 2
     if op in ("morph_open", "morph_close", "top_hat", "black_hat"):
@@ -228,6 +233,8 @@ def stage_receptive_field(op: str, params: dict) -> int:
         "canny",  # hysteresis is global connectivity (and quantile
         # thresholds are whole-image statistics)
         "wiener",  # circulant FFT deconvolution = global extent
+        "musica",  # decimated pyramid grids don't tile along rows
+        # (each level halves the grid; band rows mix across devices)
     ):
         raise ValueError(
             f"op {op!r} has global/tile extent and cannot be spatially "
@@ -290,7 +297,8 @@ def _build_band_fn(
     stages = []  # (op, fn, radius, mode); clahe -> (op, params, None, None)
     for s in cfg.stages:
         params = s.kwargs()
-        if s.op in ("clahe", "guided_blur") or s.op in _MORPH_OPS:
+        if (s.op in ("clahe", "guided_blur", "anisotropic_diffusion")
+                or s.op in _MORPH_OPS):
             # stages whose band form is NOT (extend, run, crop): clahe
             # needs the tile-aligned band algorithm; guided_blur nests
             # box filters, and reflect(a(x)) != a(reflect(x)) at the
@@ -358,6 +366,29 @@ def _build_band_fn(
                 # box is exact under (extend, run, crop) including the
                 # global edges, so the whole filter is
                 x = _guided_dataflow(fbox, x, eps, box2=fbox2)
+            elif op == "anisotropic_diffusion":
+                from mies_tpu.ops.restoration import _pm_step
+
+                p = dict(fn)
+                kappa = p.get("kappa", 50.0)
+                gamma = p.get("gamma", 0.1)
+                option = int(p.get("option", 1))
+
+                # iterative stencil: the halo must be REFRESHED every
+                # iteration (an up-front niter-row halo goes stale after
+                # one step — per-iteration zero-flux borders, like
+                # richardson_lucy's rejection note, except here one
+                # 1-row exchange per iteration reproduces it exactly:
+                # edge-replicate pads zero the boundary fluxes, matching
+                # the unsharded op's jnp.pad('edge') step bit for bit)
+                def pm_body(_, v):
+                    ext = halo_extend_rows(v, 1, axis_name, mode="edge")
+                    return _pm_step(ext, kappa, gamma, option, (1.0, 1.0))
+
+                x = lax.fori_loop(
+                    0, int(p.get("niter", 10)), pm_body,
+                    x.astype(jnp.float32),
+                )
             elif op in _MORPH_OPS:
                 from mies_tpu.ops import morphology as M
 

@@ -266,6 +266,10 @@ def volume_stage_z_field(op: str, params: dict) -> int:
         s = params.get("patch_size", 5)
         s = s if s % 2 == 1 else s + 1
         return params.get("patch_distance", 5) + s // 2
+    if op == "anisotropic_diffusion3d":
+        # 1 slab/iteration; the slab form refreshes the halo each
+        # iteration (see parallel/halo.py's 2-D branch)
+        return int(params.get("niter", 10))
     if op == "denoise_tv3d":
         raise ValueError(
             "denoise_tv3d is not z-shardable: its convergence test sums "
@@ -364,6 +368,28 @@ def _build_zslab_fn(
                 else:
                     ext = halo_extend_rows(x, r, axis_name, mode=mode)
                     x = fn(ext)[r:-r]
+            elif op == "anisotropic_diffusion3d":
+                from mies_tpu.ops.restoration import _pm_step
+
+                p = dict(params)
+                kappa = p.get("kappa", 50.0)
+                gamma = p.get("gamma", 0.1)
+                option = int(p.get("option", 1))
+                vs = p.get("voxelspacing") or (1.0, 1.0, 1.0)
+                sp = tuple(float(v) for v in vs)
+
+                # per-ITERATION slab exchange: edge-replicate pads zero
+                # the z boundary fluxes, so each step matches the
+                # unsharded op's jnp.pad('edge') bit for bit (the 2-D
+                # band builder's diffusion rule, parallel/halo.py)
+                def pm_body(_, v, _k=kappa, _g=gamma, _o=option, _s=sp):
+                    ext = halo_extend_rows(v, 1, axis_name, mode="edge")
+                    return _pm_step(ext, _k, _g, _o, _s)
+
+                x = lax.fori_loop(
+                    0, int(p.get("niter", 10)), pm_body,
+                    x.astype(jnp.float32),
+                )
             elif op in ("erode3d", "dilate3d", "morph_open3d",
                         "morph_close3d", "morph_gradient3d", "top_hat3d",
                         "black_hat3d"):

@@ -26,6 +26,7 @@ from mies_tpu.ops import geometry as GEO
 from mies_tpu.ops import histogram as H
 from mies_tpu.ops import intensity as I
 from mies_tpu.ops import morphology as M
+from mies_tpu.ops import pyramid as PYR
 from mies_tpu.ops import restoration as REST
 from mies_tpu.ops import ridges as RG
 from mies_tpu.ops import wavelet as WV
@@ -72,6 +73,9 @@ OP_REGISTRY: dict[str, Callable] = {
     # restoration (skimage.restoration surface)
     "denoise_nl_means": REST.denoise_nl_means,
     "denoise_tv": REST.denoise_tv,
+    "anisotropic_diffusion": REST.anisotropic_diffusion,
+    # multiscale (Laplacian pyramid)
+    "musica": PYR.musica,
     "richardson_lucy": REST.richardson_lucy,
     "wiener": REST.wiener,
     "denoise_wavelet": WV.denoise_wavelet,
@@ -174,7 +178,7 @@ VOLUME_ONLY_OPS = frozenset(
      "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
      "vessel_enhance3d", "denoise_wavelet3d", "sato3d", "meijering3d",
      "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
-     "wiener3d"}
+     "wiener3d", "anisotropic_diffusion3d"}
 )
 
 
@@ -185,7 +189,7 @@ _VOLUME_FILTER_OPS = (
     "denoise_nl_means3d", "denoise_tv3d", "frangi3d", "vessel_enhance3d",
     "denoise_wavelet3d", "sato3d", "meijering3d",
     "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
-    "wiener3d",
+    "wiener3d", "anisotropic_diffusion3d",
 )
 
 

@@ -525,6 +525,41 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "h": (_pos, "a number > 0"),
         "sigma": (_nonneg, "a number >= 0"),
     },
+    "musica": {
+        "levels": (_pos_int, "an int >= 1"),
+        "p": (lambda v: _is_num(v) and 0.0 < v <= 1.0,
+              "a number in (0, 1] (band compression exponent)"),
+        "gain": (
+            lambda v: _pos(v) or (
+                isinstance(v, (tuple, list)) and len(v) >= 1
+                and all(_pos(x) for x in v)
+            ),
+            "a number > 0 or a list of numbers > 0 (one per level)",
+        ),
+        "m": (_pos, "a number > 0 (amplitude bound; 1.0 for [0,1] input)"),
+        "clip": (lambda v: isinstance(v, bool), "a bool"),
+    },
+    "anisotropic_diffusion": {
+        "niter": (_pos_int, "an int >= 1"),
+        "kappa": (_pos, "a number > 0 (gradient scale, intensity units)"),
+        "gamma": (_pos, "a number > 0 (step size; stability <= 1/4)"),
+        "option": (lambda v: v in (1, 2),
+                   "1 (exponential conduction) or 2 (inverse quadratic)"),
+    },
+    "anisotropic_diffusion3d": {
+        "niter": (_pos_int, "an int >= 1"),
+        "kappa": (_pos, "a number > 0 (gradient scale, intensity units)"),
+        "gamma": (_pos, "a number > 0 (step size; stability <= 1/6)"),
+        "option": (lambda v: v in (1, 2),
+                   "1 (exponential conduction) or 2 (inverse quadratic)"),
+        "voxelspacing": (
+            lambda v: v is None or (
+                isinstance(v, (tuple, list)) and len(v) == 3
+                and all(_pos(x) for x in v)
+            ),
+            "3 positive numbers (dz, dy, dx) or omitted",
+        ),
+    },
     "denoise_tv": {
         "weight": (_pos, "a number > 0"),
         "eps": (_nonneg, "a number >= 0"),

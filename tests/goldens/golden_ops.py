@@ -1464,3 +1464,63 @@ def wiener_deconv(img, psf_sigma=1.5, psf_size=7, balance=0.1, clip=True):
     out = np.fft.irfftn(np.fft.rfftn(x, axes=tuple(range(nd))) * filt,
                         s=shape, axes=tuple(range(nd)))
     return np.clip(out, -1.0, 1.0) if clip else out
+
+
+def anisotropic_diffusion(img, niter=10, kappa=50.0, gamma=0.1, option=1,
+                          voxelspacing=None):
+    """Perona-Malik diffusion — transcription of
+    medpy.filter.smoothing.anisotropic_diffusion (itself the classic
+    Kovesi ``anisodiff``), float32, n-dimensional: per-axis forward
+    differences (zero at the far edge), conduction g on each
+    difference, divergence by backward difference (flux kept at index
+    0) == zero-flux boundaries. voxelspacing divides both the gradient
+    and the divergence (the medpy convention)."""
+    out = np.asarray(img, dtype=np.float32).copy()
+    nd = out.ndim
+    if voxelspacing is None:
+        voxelspacing = (1.0,) * nd
+    kappa = np.float32(kappa)
+    gamma = np.float32(gamma)
+    for _ in range(niter):
+        mats = []
+        for ax in range(nd):
+            d = np.zeros_like(out)
+            sl = [slice(None)] * nd
+            sl[ax] = slice(None, -1)
+            d[tuple(sl)] = (
+                np.diff(out, axis=ax) / np.float32(voxelspacing[ax])
+            )
+            if option == 1:
+                m = gamma * np.exp(-((d / kappa) ** 2)) * d
+            else:
+                m = gamma / (1.0 + (d / kappa) ** 2) * d
+            m = (m / np.float32(voxelspacing[ax])).astype(np.float32)
+            sl[ax] = slice(1, None)
+            m[tuple(sl)] = np.diff(m, axis=ax)
+            mats.append(m)
+        out = out + np.sum(mats, axis=0, dtype=np.float32)
+    return out
+
+
+def musica(img, levels=4, p=0.5, gain=1.0, m=1.0, clip=True):
+    """MUSICA multiscale contrast amplification golden — REAL cv2
+    pyramids (pyrDown/pyrUp, the library contract our pyr ops are
+    bit-close to) + the Vuylsteke-Schoeters power law in float32."""
+    import cv2
+
+    g = [np.asarray(img, np.float32)]
+    for _ in range(levels):
+        g.append(cv2.pyrDown(g[-1]))
+    gains = (list(gain) if isinstance(gain, (tuple, list))
+             else [float(gain)] * levels)
+    out = g[levels]
+    for k in reversed(range(levels)):
+        dst = (g[k].shape[1], g[k].shape[0])
+        lk = g[k] - cv2.pyrUp(g[k + 1], dstsize=dst)
+        if p == 1.0:
+            enh = np.float32(gains[k]) * lk
+        else:
+            enh = (np.float32(gains[k]) * np.float32(m) * np.sign(lk)
+                   * (np.abs(lk) / np.float32(m)) ** np.float32(p))
+        out = cv2.pyrUp(out, dstsize=dst) + enh
+    return np.clip(out, 0.0, 1.0) if clip else out

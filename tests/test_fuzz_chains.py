@@ -35,6 +35,8 @@ _CHAINABLE = [
     ("sobel_edges", {}),
     ("laplacian_sharpen", {}),
     ("denoise_nl_means", {"patch_size": 5, "patch_distance": 3}),
+    ("musica", {"levels": 3, "p": 0.7, "gain": 1.4}),
+    ("anisotropic_diffusion", {"niter": 4, "kappa": 0.1, "gamma": 0.2}),
     ("denoise_tv", {"weight": 0.1, "max_num_iter": 25}),
     ("richardson_lucy", {"psf_sigma": 1.0, "psf_size": 5, "num_iter": 4}),
     ("wiener", {"psf_sigma": 1.0, "psf_size": 5, "balance": 0.1}),
@@ -134,6 +136,7 @@ _CHAINABLE_3D = [
     ("butterworth3d", {"cutoff_frequency_ratio": 0.1}),
     ("homomorphic3d", {"npad": 2}),
     ("wiener3d", {"psf_sigma": 1.0, "psf_size": 3}),
+    ("anisotropic_diffusion3d", {"niter": 3, "kappa": 0.1}),
     ("denoise_tv3d", {"weight": 0.1, "max_num_iter": 15}),
     ("erode3d", {}),
     ("dilate3d", {"kernel_size": 5}),

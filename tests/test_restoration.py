@@ -403,3 +403,88 @@ class TestWiener:
             stage_receptive_field("wiener", {})
         with pytest.raises(ValueError, match="z-shardable"):
             volume_stage_z_field("wiener3d", {})
+
+
+class TestAnisotropicDiffusion:
+    @pytest.mark.parametrize("option", [1, 2])
+    def test_matches_golden_2d(self, rng, option):
+        img = _noisy(rng, (40, 56))
+        out = np.asarray(R.anisotropic_diffusion(
+            jnp.asarray(img), niter=12, kappa=0.1, gamma=0.2, option=option
+        ))
+        gold = G.anisotropic_diffusion(
+            img, niter=12, kappa=0.1, gamma=0.2, option=option
+        )
+        np.testing.assert_allclose(out, gold, atol=1e-5)
+
+    def test_matches_golden_3d_voxelspacing(self, rng):
+        vol = _noisy(rng, (10, 24, 24))
+        sp = (2.5, 0.7, 0.7)
+        out = np.asarray(R.anisotropic_diffusion3d(
+            jnp.asarray(vol), niter=6, kappa=0.15, gamma=0.1,
+            voxelspacing=sp,
+        ))
+        gold = G.anisotropic_diffusion(
+            vol, niter=6, kappa=0.15, gamma=0.1, voxelspacing=sp
+        )
+        np.testing.assert_allclose(out, gold, atol=1e-5)
+
+    def test_smooths_flat_keeps_edge(self, rng):
+        # the defining property: a step edge survives, noise dies
+        img = np.full((32, 64), 0.2, np.float32)
+        img[:, 32:] = 0.8
+        noisy = np.clip(
+            img + rng.normal(0, 0.02, img.shape).astype(np.float32), 0, 1
+        )
+        out = np.asarray(R.anisotropic_diffusion(
+            jnp.asarray(noisy), niter=20, kappa=0.05, gamma=0.2
+        ))
+        # flat-region noise reduced
+        assert out[:, 4:28].std() < 0.5 * noisy[:, 4:28].std()
+        # edge contrast preserved within 10%
+        jump = out[:, 36:60].mean() - out[:, 4:28].mean()
+        assert jump > 0.9 * 0.6
+
+    def test_band_sharded_bit_exact(self, rng):
+        from mies_tpu.parallel import make_mesh, spatial_shard_apply
+
+        cfg = PipelineConfig.make(
+            [("anisotropic_diffusion",
+              {"niter": 9, "kappa": 0.1, "gamma": 0.2})]
+        )
+        img = _noisy(rng, (128, 64))
+        mesh = make_mesh(data=1, space=4)
+        out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+        ref = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_zband_sharded_bit_exact(self, rng):
+        from mies_tpu.parallel import make_mesh, volume_shard_apply
+
+        cfg = PipelineConfig.make(
+            [("anisotropic_diffusion3d",
+              {"niter": 5, "kappa": 0.1, "voxelspacing": (2.0, 1.0, 1.0)})]
+        )
+        vol = _noisy(rng, (24, 24, 24))
+        mesh = make_mesh(space=4)
+        out = np.asarray(
+            volume_shard_apply(cfg, mesh, quantize=False)(jnp.asarray(vol))
+        )
+        ref = np.asarray(
+            compile_volume_pipeline(cfg, quantize=False)(jnp.asarray(vol))
+        )
+        np.testing.assert_array_equal(out, ref)
+
+    def test_bad_params_raise(self):
+        with pytest.raises(ValueError, match="niter"):
+            R.anisotropic_diffusion(jnp.zeros((8, 8)), niter=0)
+        with pytest.raises(ValueError, match="option"):
+            R.anisotropic_diffusion(jnp.zeros((8, 8)), option=3)
+        with pytest.raises(ValueError, match="voxelspacing"):
+            R.anisotropic_diffusion3d(
+                jnp.zeros((4, 8, 8)), voxelspacing=(1.0, 2.0)
+            )
+        with pytest.raises(ValueError, match="option"):
+            validate(PipelineConfig.make(
+                [("anisotropic_diffusion", {"option": 3})]
+            ))
