@@ -76,6 +76,8 @@ from mies_tpu.ops.wavelet import (
     estimate_sigma,
 )
 from mies_tpu.ops.morphology import (
+    rolling_ball,
+    subtract_background,
     black_hat,
     dilate,
     erode,
@@ -129,6 +131,8 @@ __all__ = [
     "denoise_nl_means3d",
     "anisotropic_diffusion",
     "anisotropic_diffusion3d",
+    "rolling_ball",
+    "subtract_background",
     "laplacian_pyramid",
     "musica",
     "pyr_down",

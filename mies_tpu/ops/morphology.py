@@ -228,17 +228,19 @@ def black_hat(
 
 
 @functools.lru_cache(maxsize=16)
-def _ball_table(radius: float) -> np.ndarray:
-    """[k, k] float32 ball heights ``sqrt(r^2 - dy^2 - dx^2)`` with
-    ``-inf`` OUTSIDE the support ``dy^2 + dx^2 <= r^2`` — the single
-    encoding that masks both passes: erosion reads ``img - s`` (-inf
-    becomes +inf, never wins the min), dilation reads ``e + s`` (-inf
-    never wins the max)."""
+def _ball_table(radius: float, intensity: float) -> np.ndarray:
+    """[k, k] float32 ellipsoid heights ``intensity * sqrt(1 -
+    d^2/r^2)`` (skimage.restoration.ellipsoid_kernel; ``intensity ==
+    radius`` is exactly the ball ``sqrt(r^2 - d^2)``) with ``-inf``
+    OUTSIDE the support ``d^2 <= r^2`` — the single encoding that masks
+    both passes: erosion reads ``img - s`` (-inf becomes +inf, never
+    wins the min), dilation reads ``e + s`` (-inf never wins the
+    max)."""
     R = int(np.ceil(radius))
     dy, dx = np.mgrid[-R:R + 1, -R:R + 1].astype(np.float64)
-    d2 = dy * dy + dx * dx
-    s = np.sqrt(np.maximum(radius * radius - d2, 0.0))
-    s[d2 > radius * radius] = -np.inf
+    d2 = (dy * dy + dx * dx) / (radius * radius)
+    s = intensity * np.sqrt(np.maximum(1.0 - d2, 0.0))
+    s[d2 > 1.0] = -np.inf
     return s.astype(np.float32)
 
 
@@ -278,7 +280,9 @@ def _rb_pass(rows_padded: Array, table: np.ndarray, maximum: bool) -> Array:
     return lax.fori_loop(0, k, body, jnp.full((h, w), fill, jnp.float32))
 
 
-def rolling_ball(img: Array, radius: float = 25.0) -> Array:
+def rolling_ball(
+    img: Array, radius: float = 25.0, intensity: float | None = None,
+) -> Array:
     """Background estimate by the rolling-ball algorithm (Sternberg,
     IEEE Computer 1983; skimage.restoration.rolling_ball's contract,
     ImageJ's "Subtract Background"): grayscale OPENING by the non-flat
@@ -288,10 +292,24 @@ def rolling_ball(img: Array, radius: float = 25.0) -> Array:
     are excluded from the background; subtracting it flattens detector
     shading and anatomical background. Border: the outside never wins
     either reduction (+inf/-inf pads — the module's 'ignore'
-    convention). Golden: tests/goldens/golden_ops.py::rolling_ball."""
+    convention).
+
+    The pure ball's HEIGHT scale equals its pixel radius — on [0, 1]
+    images a radius-25 ball towers 25 intensity units over a 1.0-range
+    landscape and pokes into every narrow structure. ``intensity``
+    (skimage's ellipsoid_kernel generalization) sets the height
+    independently; ``None`` keeps the exact skimage ball
+    (``intensity == radius``). Golden:
+    tests/goldens/golden_ops.py::rolling_ball."""
     if not (isinstance(radius, (int, float)) and radius > 0):
         raise ValueError(f"radius must be a number > 0, got {radius!r}")
-    table = _ball_table(float(radius))
+    if intensity is None:
+        intensity = float(radius)
+    if not (isinstance(intensity, (int, float)) and intensity > 0):
+        raise ValueError(
+            f"intensity must be a number > 0, got {intensity!r}"
+        )
+    table = _ball_table(float(radius), float(intensity))
     R = table.shape[0] // 2
     x = img.astype(jnp.float32)
     pe = jnp.pad(x, ((R, R), (0, 0)), mode="constant",
@@ -303,14 +321,30 @@ def rolling_ball(img: Array, radius: float = 25.0) -> Array:
 
 
 def subtract_background(
-    img: Array, radius: float = 25.0, light_background: bool = False,
+    img: Array,
+    radius: float = 25.0,
+    intensity: float | None = None,
+    light_background: bool = False,
 ) -> Array:
     """ImageJ-style background subtraction: ``clip(img -
     rolling_ball(img), 0, 1)`` for dark-background images; for
     ``light_background`` the image is inverted, flattened, and
-    re-inverted (bright field / light-background radiographs)."""
+    re-inverted (bright field / light-background radiographs).
+
+    Default ``intensity = radius / 255`` — ImageJ's 8-bit equivalence
+    (its legacy ball's heights are the radius in 0-255 COUNTS, i.e.
+    radius/255 of the dynamic range), which keeps the ball shallow
+    enough to roll under small bright structures on [0, 1] images."""
+    if intensity is None:
+        if not (isinstance(radius, (int, float)) and radius > 0):
+            raise ValueError(
+                f"radius must be a number > 0, got {radius!r}"
+            )
+        intensity = float(radius) / 255.0
     x = img.astype(jnp.float32)
     if light_background:
         inv = 1.0 - x
-        return 1.0 - jnp.clip(inv - rolling_ball(inv, radius), 0.0, 1.0)
-    return jnp.clip(x - rolling_ball(x, radius), 0.0, 1.0)
+        return 1.0 - jnp.clip(
+            inv - rolling_ball(inv, radius, intensity), 0.0, 1.0
+        )
+    return jnp.clip(x - rolling_ball(x, radius, intensity), 0.0, 1.0)

@@ -214,6 +214,11 @@ def stage_receptive_field(op: str, params: dict) -> int:
     if op in ("morph_open", "morph_close", "top_hat", "black_hat"):
         # two morphology levels (erode then dilate or vice versa)
         return 2 * (params.get("kernel_size", 3) // 2)
+    if op == "subtract_background":
+        # non-flat ball opening: two levels of ceil(radius) each
+        import numpy as np
+
+        return 2 * int(np.ceil(params.get("radius", 25.0)))
     if op in (
         "equalize_hist", "equalize", "clahe", "normalize",
         "rescale_intensity", "resize", "center_crop", "flip", "rot90",
@@ -297,7 +302,8 @@ def _build_band_fn(
     stages = []  # (op, fn, radius, mode); clahe -> (op, params, None, None)
     for s in cfg.stages:
         params = s.kwargs()
-        if (s.op in ("clahe", "guided_blur", "anisotropic_diffusion")
+        if (s.op in ("clahe", "guided_blur", "anisotropic_diffusion",
+                     "subtract_background")
                 or s.op in _MORPH_OPS):
             # stages whose band form is NOT (extend, run, crop): clahe
             # needs the tile-aligned band algorithm; guided_blur nests
@@ -366,6 +372,39 @@ def _build_band_fn(
                 # box is exact under (extend, run, crop) including the
                 # global edges, so the whole filter is
                 x = _guided_dataflow(fbox, x, eps, box2=fbox2)
+            elif op == "subtract_background":
+                from mies_tpu.ops.morphology import _ball_table, _rb_pass
+
+                p = dict(fn)
+                _rad = float(p.get("radius", 25.0))
+                _int = p.get("intensity")
+                table = _ball_table(
+                    _rad,
+                    _rad / 255.0 if _int is None else float(_int),
+                )
+                rr = table.shape[0] // 2
+
+                def rb_band(v, _t=table, _r=rr):
+                    """Non-flat ball opening with each level halo-wrapped
+                    under its own ignored constant (+inf for the min
+                    pass, -inf for the max — the flat-morphology rule
+                    above); min/max trees are reassociation-insensitive,
+                    so band == unsharded bit for bit."""
+                    ext = halo_extend_rows(
+                        v, _r, axis_name, mode=float(np.float32("inf"))
+                    )
+                    e = _rb_pass(ext, _t, maximum=False)
+                    ext2 = halo_extend_rows(
+                        e, _r, axis_name, mode=float(np.float32("-inf"))
+                    )
+                    return _rb_pass(ext2, _t, maximum=True)
+
+                x = x.astype(jnp.float32)
+                if p.get("light_background", False):
+                    inv = 1.0 - x
+                    x = 1.0 - jnp.clip(inv - rb_band(inv), 0.0, 1.0)
+                else:
+                    x = jnp.clip(x - rb_band(x), 0.0, 1.0)
             elif op == "anisotropic_diffusion":
                 from mies_tpu.ops.restoration import _pm_step
 

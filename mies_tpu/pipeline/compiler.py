@@ -92,6 +92,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "morph_gradient": M.morph_gradient,
     "top_hat": M.top_hat,
     "black_hat": M.black_hat,
+    "subtract_background": M.subtract_background,
     # volumetric (3-D) stages — validated here, executed by
     # compile_volume_pipeline (2-D chains reject them by ndim)
     # (values filled in lazily below to avoid import cycles)

@@ -525,6 +525,15 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "h": (_pos, "a number > 0"),
         "sigma": (_nonneg, "a number >= 0"),
     },
+    "subtract_background": {
+        "radius": (_pos, "a number > 0 (ball radius, pixels)"),
+        "intensity": (
+            lambda v: v is None or _pos(v),
+            "a number > 0 (ball height, intensity units; or omitted: "
+            "radius/255, the ImageJ 8-bit equivalence)",
+        ),
+        "light_background": (lambda v: isinstance(v, bool), "a bool"),
+    },
     "musica": {
         "levels": (_pos_int, "an int >= 1"),
         "p": (lambda v: _is_num(v) and 0.0 < v <= 1.0,

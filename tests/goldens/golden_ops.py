@@ -1524,3 +1524,48 @@ def musica(img, levels=4, p=0.5, gain=1.0, m=1.0, clip=True):
                    * (np.abs(lk) / np.float32(m)) ** np.float32(p))
         out = cv2.pyrUp(out, dstsize=dst) + enh
     return np.clip(out, 0.0, 1.0) if clip else out
+
+
+def rolling_ball(img, radius=25.0, intensity=None):
+    """Sternberg rolling-ball background (skimage.restoration
+    .rolling_ball / ellipsoid_kernel contract): grayscale opening by
+    the non-flat ellipsoid s(o) = intensity * sqrt(1 - |o|^2/r^2)
+    (intensity=None -> the exact ball sqrt(r^2 - |o|^2)), float32,
+    'ignore' border (the outside never wins either reduction).
+    O(k^2) loop."""
+    if intensity is None:
+        intensity = float(radius)
+    R = int(np.ceil(radius))
+    k = 2 * R + 1
+    dy, dx = np.mgrid[-R:R + 1, -R:R + 1].astype(np.float64)
+    d2 = (dy * dy + dx * dx) / (radius * radius)
+    s = (intensity * np.sqrt(np.maximum(1.0 - d2, 0.0))).astype(np.float32)
+    sup = d2 <= 1.0
+    x = np.asarray(img, np.float32)
+    h, w = x.shape
+    p = np.pad(x, R, constant_values=np.inf).astype(np.float32)
+    e = np.full((h, w), np.inf, np.float32)
+    for i in range(k):
+        for j in range(k):
+            if sup[i, j]:
+                e = np.minimum(e, p[i:i + h, j:j + w] - s[i, j])
+    p2 = np.pad(e, R, constant_values=-np.float32(np.inf))
+    b = np.full((h, w), -np.inf, np.float32)
+    for i in range(k):
+        for j in range(k):
+            if sup[i, j]:
+                b = np.maximum(b, p2[i:i + h, j:j + w] + s[i, j])
+    return b
+
+
+def subtract_background(img, radius=25.0, intensity=None,
+                        light_background=False):
+    if intensity is None:
+        intensity = float(radius) / 255.0
+    x = np.asarray(img, np.float32)
+    if light_background:
+        inv = 1.0 - x
+        return 1.0 - np.clip(
+            inv - rolling_ball(inv, radius, intensity), 0.0, 1.0
+        )
+    return np.clip(x - rolling_ball(x, radius, intensity), 0.0, 1.0)

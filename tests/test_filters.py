@@ -300,3 +300,84 @@ def test_large_kernel_rowspan_morphology_exact(xray, shape, k):
     np.testing.assert_array_equal(
         np.asarray(M.black_hat(jnp.asarray(xray), k, shape)),
         cv2.morphologyEx(xray, 6, se))
+
+
+class TestRollingBall:
+    def test_background_matches_golden(self, xray):
+        from mies_tpu.ops.morphology import rolling_ball
+
+        bg = np.asarray(rolling_ball(jnp.asarray(xray), 6.0))
+        gold = G.rolling_ball(xray, 6.0)
+        np.testing.assert_array_equal(bg, gold)  # min/max: bit-exact
+        assert (bg <= np.asarray(xray) + 1e-6).all()  # opening <= img
+
+    def test_fractional_radius(self, xray):
+        from mies_tpu.ops.morphology import rolling_ball
+
+        bg = np.asarray(rolling_ball(jnp.asarray(xray), 4.5))
+        np.testing.assert_array_equal(bg, G.rolling_ball(xray, 4.5))
+
+    def test_ellipsoid_intensity_matches_golden(self, xray):
+        # skimage ellipsoid_kernel generalization: independent height
+        from mies_tpu.ops.morphology import rolling_ball
+
+        bg = np.asarray(rolling_ball(jnp.asarray(xray), 8.0,
+                                     intensity=0.05))
+        np.testing.assert_array_equal(
+            bg, G.rolling_ball(xray, 8.0, intensity=0.05)
+        )
+
+    @pytest.mark.parametrize("light", [False, True])
+    def test_subtract_matches_golden(self, xray, light):
+        from mies_tpu.ops.morphology import subtract_background
+
+        out = np.asarray(subtract_background(
+            jnp.asarray(xray), 5.0, light_background=light
+        ))
+        np.testing.assert_array_equal(
+            out, G.subtract_background(xray, 5.0, light_background=light)
+        )
+
+    def test_flattens_gradient_keeps_detail(self):
+        # a bright small blob on a strong shading ramp: subtraction
+        # must kill the ramp and keep the blob
+        y, x = np.mgrid[0:96, 0:96].astype(np.float32)
+        ramp = 0.3 + 0.4 * (x / 95.0)
+        img = ramp.copy()
+        img[44:52, 44:52] += 0.3
+        from mies_tpu.ops.morphology import subtract_background
+
+        out = np.asarray(subtract_background(jnp.asarray(img), 12.0))
+        # ramp regions go to ~0
+        assert out[10:30, 10:30].max() < 0.02
+        assert out[70:90, 70:90].max() < 0.02
+        # blob survives near full contrast
+        assert out[46:50, 46:50].min() > 0.2
+
+    def test_band_sharded_bit_exact(self, rng):
+        from mies_tpu.parallel.halo import spatial_shard_apply
+        from mies_tpu.parallel.mesh import make_mesh
+        from mies_tpu.pipeline.compiler import compile_pipeline
+        from mies_tpu.pipeline.config import PipelineConfig
+
+        cfg = PipelineConfig.make(
+            [("subtract_background", {"radius": 5.0})]
+        )
+        img = rng.random((128, 64)).astype(np.float32)
+        mesh = make_mesh(data=1, space=4)
+        out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+        ref = np.asarray(
+            compile_pipeline(cfg, donate=False)(jnp.asarray(img))
+        )
+        np.testing.assert_array_equal(out, ref)
+
+    def test_bad_radius_raises(self):
+        from mies_tpu.ops.morphology import rolling_ball
+        from mies_tpu.pipeline.config import PipelineConfig, validate
+
+        with pytest.raises(ValueError, match="radius"):
+            rolling_ball(jnp.zeros((16, 16)), 0.0)
+        with pytest.raises(ValueError, match="radius"):
+            validate(PipelineConfig.make(
+                [("subtract_background", {"radius": -1})]
+            ))

@@ -35,6 +35,7 @@ _CHAINABLE = [
     ("sobel_edges", {}),
     ("laplacian_sharpen", {}),
     ("denoise_nl_means", {"patch_size": 5, "patch_distance": 3}),
+    ("subtract_background", {"radius": 4.0}),
     ("musica", {"levels": 3, "p": 0.7, "gain": 1.4}),
     ("anisotropic_diffusion", {"niter": 4, "kappa": 0.1, "gamma": 0.2}),
     ("denoise_tv", {"weight": 0.1, "max_num_iter": 25}),

@@ -48,6 +48,7 @@ _CATEGORIES = (
     ("Morphology", (
         "erode", "dilate", "morph_open", "morph_close", "morph_gradient",
         "top_hat", "black_hat",
+        "subtract_background",
     )),
     ("Geometry", (
         "resize", "center_crop", "flip", "rot90", "rotate", "affine_warp",
