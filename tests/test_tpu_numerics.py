@@ -153,3 +153,22 @@ def test_canny_backend_consistency(consistency):
     """Canny's discrete NMS compares + hysteresis flood fill: numeric
     drift flips whole pixels, so the gate is a mismatch-rate bound."""
     _case(consistency, "canny_vs_cpu")
+
+
+def test_anisotropic_diffusion_backend_consistency(consistency):
+    """Perona-Malik is pure fused elementwise f32 — TPU drift vs CPU
+    stays at accumulation-roundoff scale over 12 iterations."""
+    _case(consistency, "anisotropic_diffusion_vs_cpu")
+
+
+def test_musica_backend_consistency(consistency):
+    """The Laplacian pyramid (shifted-add Burt filters) + power law
+    match CPU within f32 roundoff on the chip — no bf16 demotion in
+    the pow/sign path."""
+    _case(consistency, "musica_vs_cpu")
+
+
+def test_rolling_ball_backend_consistency(consistency):
+    """Non-flat ball morphology is a min/max tree — bit-exact across
+    backends like the flat morphology contracts."""
+    _case(consistency, "rolling_ball_vs_cpu")

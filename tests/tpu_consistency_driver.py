@@ -465,6 +465,30 @@ def main() -> int:
     mm = float((t != c).mean())
     out["cases"]["canny_vs_cpu"] = {"mismatch_frac": mm, "ok": mm <= 1e-4}
 
+    # 16. round-5 additions ON CHIP: diffusion (pure elementwise
+    # fori_loop), musica (shifted-add pyramids + power law), rolling
+    # ball (min/max trees — reassociation-insensitive, so TPU vs CPU
+    # must be BIT-exact like the flat morphology cases).
+    from mies_tpu.ops.restoration import anisotropic_diffusion
+    from mies_tpu.ops.pyramid import musica
+    from mies_tpu.ops.morphology import subtract_background
+
+    t, c = both(
+        lambda a: anisotropic_diffusion(a, 12, 0.1, 0.2), imgs[0]
+    )
+    d = float(np.abs(t - c).max())
+    out["cases"]["anisotropic_diffusion_vs_cpu"] = {
+        "max_abs": d, "ok": d <= 2e-5,
+    }
+
+    t, c = both(lambda a: musica(a, levels=4, p=0.6, gain=1.5), imgs[0])
+    d = float(np.abs(t - c).max())
+    out["cases"]["musica_vs_cpu"] = {"max_abs": d, "ok": d <= 2e-5}
+
+    t, c = both(lambda a: subtract_background(a, 9.0), imgs[0])
+    d = float(np.abs(t - c).max())
+    out["cases"]["rolling_ball_vs_cpu"] = {"max_abs": d, "ok": d == 0.0}
+
     out["ok"] = all(
         case.get("ok", True) for case in out["cases"].values()
     )
