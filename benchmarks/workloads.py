@@ -68,6 +68,18 @@ def workload_configs():
             cfg=flagship_config(name="w5"),
             shape=(512, 512), batch=32, dtype="float32",
         ),
+        # 8. MUSICA multiscale DR chain (diffusion pre-pass + 5-level
+        # pyramid power law) — the classic digital-radiography
+        # processing pipeline, shifted-add VPU dataflow throughout
+        "w8_musica_xray": dict(
+            cfg=PipelineConfig.make(
+                [("anisotropic_diffusion",
+                  {"niter": 6, "kappa": 0.05, "gamma": 0.2}),
+                 ("musica", {"levels": 5, "p": 0.6, "gain": 1.5})],
+                name="w8",
+            ),
+            shape=(512, 512), batch=32, dtype="float32",
+        ),
         # 7. morphology: the mammo top-hat chain (ops/morphology.py —
         # XLA min/max trees; recorded so the family has a chip number
         # and a floor once measured)
