@@ -224,12 +224,17 @@ _register_volume_ops()
 def _batched_registry() -> dict[str, Callable]:
     from mies_tpu.kernels.bilateral import bilateral_batched
     from mies_tpu.kernels.clahe import clahe_batched
+    from mies_tpu.kernels.diffusion import anisotropic_diffusion_batched
 
     return {
         "clahe": clahe_batched,
         "bilateral_blur": bilateral_batched,
         "equalize_hist": H.equalize_hist_batched,
         "equalize": H.equalize_batched,
+        # VMEM-resident Perona-Malik: all iterations in-register, one
+        # HBM round trip per slice instead of one PER ITERATION
+        # (measured 4.26 -> 0.23 ms for niter=6 b32 512^2 on v5e)
+        "anisotropic_diffusion": anisotropic_diffusion_batched,
     }
 
 

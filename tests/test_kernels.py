@@ -783,3 +783,52 @@ def test_apply_tile33_groups_match_cells(rng):
             np.testing.assert_array_equal(got, ref)
         else:
             np.testing.assert_allclose(got, ref, atol=1e-4, rtol=0)
+
+
+class TestDiffusionKernel:
+    """VMEM-resident Perona-Malik (kernels/diffusion.py) vs the jnp
+    twin. NOT bit-exact off-chip: XLA FMA-contracts the twin's mul+add
+    chains (the documented CLAUDE.md class) — ~1 ULP/iteration; the
+    chip contract covers the dispatched path at 2e-5."""
+
+    @pytest.mark.parametrize("option", [1, 2])
+    def test_interpret_matches_twin(self, rng, option):
+        from mies_tpu.kernels.diffusion import anisotropic_diffusion_tpu
+        from mies_tpu.ops.restoration import anisotropic_diffusion
+
+        x = rng.random((3, 64, 128)).astype(np.float32)
+        k = np.asarray(anisotropic_diffusion_tpu(
+            jnp.asarray(x), 9, 0.1, 0.2, option, interpret=True
+        ))
+        t = np.asarray(jax.vmap(
+            lambda v: anisotropic_diffusion(v, 9, 0.1, 0.2, option)
+        )(jnp.asarray(x)))
+        np.testing.assert_allclose(k, t, atol=1e-6)
+
+    def test_batched_dispatch_fallback_shapes(self, rng):
+        # unsupported shape (w % 128 != 0) must take the jnp path and
+        # agree with the per-image op exactly
+        from mies_tpu.kernels.diffusion import (
+            anisotropic_diffusion_batched, pm_supported,
+        )
+        from mies_tpu.ops.restoration import anisotropic_diffusion
+
+        assert not pm_supported((64, 96))
+        assert pm_supported((512, 512))
+        assert not pm_supported((1024, 1024))  # over the VMEM budget
+        x = rng.random((2, 64, 96)).astype(np.float32)
+        got = np.asarray(anisotropic_diffusion_batched(
+            jnp.asarray(x), 5, 0.1, 0.2
+        ))
+        ref = np.asarray(jax.vmap(
+            lambda v: anisotropic_diffusion(v, 5, 0.1, 0.2)
+        )(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_bad_params_raise(self):
+        from mies_tpu.kernels.diffusion import anisotropic_diffusion_batched
+
+        with pytest.raises(ValueError, match="niter"):
+            anisotropic_diffusion_batched(jnp.zeros((1, 8, 128)), niter=0)
+        with pytest.raises(ValueError, match="option"):
+            anisotropic_diffusion_batched(jnp.zeros((1, 8, 128)), option=5)
