@@ -281,7 +281,10 @@ def _rb_pass(rows_padded: Array, table: np.ndarray, maximum: bool) -> Array:
 
 
 def rolling_ball(
-    img: Array, radius: float = 25.0, intensity: float | None = None,
+    img: Array,
+    radius: float = 25.0,
+    intensity: float | None = None,
+    downscale: int = 1,
 ) -> Array:
     """Background estimate by the rolling-ball algorithm (Sternberg,
     IEEE Computer 1983; skimage.restoration.rolling_ball's contract,
@@ -299,8 +302,17 @@ def rolling_ball(
     landscape and pokes into every narrow structure. ``intensity``
     (skimage's ellipsoid_kernel generalization) sets the height
     independently; ``None`` keeps the exact skimage ball
-    (``intensity == radius``). Golden:
-    tests/goldens/golden_ops.py::rolling_ball."""
+    (``intensity == radius``).
+
+    ``downscale`` (1, 2, 4, 8, ...) is ImageJ's large-radius strategy:
+    the background is smooth BY CONSTRUCTION (nothing narrower than
+    the ball survives), so it is computed on a ``pyr_down``-shrunken
+    image with ``radius / downscale`` and ``pyr_up``-expanded back —
+    O(k^2 / downscale^4) work. ImageJ "Subtract Background" shrinks
+    exactly this way for radius > ~30. The heights (``intensity``)
+    stay in the intensity domain, unscaled. Golden:
+    tests/goldens/golden_ops.py::rolling_ball (same composition over
+    cv2 pyramids)."""
     if not (isinstance(radius, (int, float)) and radius > 0):
         raise ValueError(f"radius must be a number > 0, got {radius!r}")
     if intensity is None:
@@ -309,9 +321,26 @@ def rolling_ball(
         raise ValueError(
             f"intensity must be a number > 0, got {intensity!r}"
         )
+    if not (isinstance(downscale, int) and downscale >= 1
+            and downscale & (downscale - 1) == 0):
+        raise ValueError(
+            f"downscale must be a power-of-two int >= 1, got {downscale!r}"
+        )
+    x = img.astype(jnp.float32)
+    if downscale > 1:
+        from mies_tpu.ops.pyramid import pyr_down, pyr_up
+
+        shapes = [x.shape]
+        small = x
+        for _ in range(downscale.bit_length() - 1):
+            small = pyr_down(small)
+            shapes.append(small.shape)
+        bg = rolling_ball(small, radius / downscale, float(intensity))
+        for target in reversed(shapes[:-1]):
+            bg = pyr_up(bg, target)
+        return bg
     table = _ball_table(float(radius), float(intensity))
     R = table.shape[0] // 2
-    x = img.astype(jnp.float32)
     pe = jnp.pad(x, ((R, R), (0, 0)), mode="constant",
                  constant_values=np.float32(np.inf))
     e = _rb_pass(pe, table, maximum=False)
@@ -325,6 +354,7 @@ def subtract_background(
     radius: float = 25.0,
     intensity: float | None = None,
     light_background: bool = False,
+    downscale: int = 1,
 ) -> Array:
     """ImageJ-style background subtraction: ``clip(img -
     rolling_ball(img), 0, 1)`` for dark-background images; for
@@ -345,6 +375,9 @@ def subtract_background(
     if light_background:
         inv = 1.0 - x
         return 1.0 - jnp.clip(
-            inv - rolling_ball(inv, radius, intensity), 0.0, 1.0
+            inv - rolling_ball(inv, radius, intensity, downscale),
+            0.0, 1.0,
         )
-    return jnp.clip(x - rolling_ball(x, radius, intensity), 0.0, 1.0)
+    return jnp.clip(
+        x - rolling_ball(x, radius, intensity, downscale), 0.0, 1.0
+    )

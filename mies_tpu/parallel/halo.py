@@ -215,6 +215,12 @@ def stage_receptive_field(op: str, params: dict) -> int:
         # two morphology levels (erode then dilate or vice versa)
         return 2 * (params.get("kernel_size", 3) // 2)
     if op == "subtract_background":
+        if params.get("downscale", 1) > 1:
+            raise ValueError(
+                "subtract_background with downscale > 1 runs on "
+                "decimated pyramid grids which don't tile along rows; "
+                "use downscale=1 or batch sharding"
+            )
         # non-flat ball opening: two levels of ceil(radius) each
         import numpy as np
 
@@ -376,6 +382,7 @@ def _build_band_fn(
                 from mies_tpu.ops.morphology import _ball_table, _rb_pass
 
                 p = dict(fn)
+                stage_receptive_field(op, p)  # rejects downscale > 1
                 _rad = float(p.get("radius", 25.0))
                 _int = p.get("intensity")
                 table = _ball_table(

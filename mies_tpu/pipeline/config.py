@@ -533,6 +533,11 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
             "radius/255, the ImageJ 8-bit equivalence)",
         ),
         "light_background": (lambda v: isinstance(v, bool), "a bool"),
+        "downscale": (
+            lambda v: isinstance(v, int) and not isinstance(v, bool)
+            and v >= 1 and v & (v - 1) == 0,
+            "a power-of-two int >= 1 (ImageJ shrink for large radii)",
+        ),
     },
     "musica": {
         "levels": (_pos_int, "an int >= 1"),

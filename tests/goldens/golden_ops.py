@@ -1526,7 +1526,7 @@ def musica(img, levels=4, p=0.5, gain=1.0, m=1.0, clip=True):
     return np.clip(out, 0.0, 1.0) if clip else out
 
 
-def rolling_ball(img, radius=25.0, intensity=None):
+def rolling_ball(img, radius=25.0, intensity=None, downscale=1):
     """Sternberg rolling-ball background (skimage.restoration
     .rolling_ball / ellipsoid_kernel contract): grayscale opening by
     the non-flat ellipsoid s(o) = intensity * sqrt(1 - |o|^2/r^2)
@@ -1535,6 +1535,21 @@ def rolling_ball(img, radius=25.0, intensity=None):
     O(k^2) loop."""
     if intensity is None:
         intensity = float(radius)
+    if downscale > 1:
+        import cv2
+
+        shapes = [np.asarray(img).shape]
+        small = np.asarray(img, np.float32)
+        m = downscale
+        while m > 1:
+            small = cv2.pyrDown(small)
+            shapes.append(small.shape)
+            m //= 2
+        bg = rolling_ball(small, radius / downscale, intensity)
+        for target in reversed(shapes[:-1]):
+            bg = cv2.pyrUp(bg.astype(np.float32),
+                           dstsize=(target[1], target[0]))
+        return bg
     R = int(np.ceil(radius))
     k = 2 * R + 1
     dy, dx = np.mgrid[-R:R + 1, -R:R + 1].astype(np.float64)
@@ -1559,13 +1574,16 @@ def rolling_ball(img, radius=25.0, intensity=None):
 
 
 def subtract_background(img, radius=25.0, intensity=None,
-                        light_background=False):
+                        light_background=False, downscale=1):
     if intensity is None:
         intensity = float(radius) / 255.0
     x = np.asarray(img, np.float32)
     if light_background:
         inv = 1.0 - x
         return 1.0 - np.clip(
-            inv - rolling_ball(inv, radius, intensity), 0.0, 1.0
+            inv - rolling_ball(inv, radius, intensity, downscale),
+            0.0, 1.0,
         )
-    return np.clip(x - rolling_ball(x, radius, intensity), 0.0, 1.0)
+    return np.clip(
+        x - rolling_ball(x, radius, intensity, downscale), 0.0, 1.0
+    )

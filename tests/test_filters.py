@@ -371,6 +371,45 @@ class TestRollingBall:
         )
         np.testing.assert_array_equal(out, ref)
 
+    def test_downscale_matches_golden(self, xray):
+        # ImageJ large-radius shrink: pyr_down -> ball -> pyr_up, all
+        # cv2-pinned pieces
+        from mies_tpu.ops.morphology import rolling_ball, subtract_background
+
+        bg = np.asarray(rolling_ball(jnp.asarray(xray), 16.0,
+                                     intensity=0.06, downscale=4))
+        gold = G.rolling_ball(xray, 16.0, intensity=0.06, downscale=4)
+        np.testing.assert_allclose(bg, gold, atol=1e-6)
+        out = np.asarray(subtract_background(jnp.asarray(xray), 16.0,
+                                             downscale=2))
+        np.testing.assert_allclose(
+            out, G.subtract_background(xray, 16.0, downscale=2), atol=1e-6
+        )
+
+    def test_downscale_approximates_full(self):
+        # the shrink is an approximation FOR SMOOTH BACKGROUNDS (its
+        # use case — on pure noise the minima wash out and it biases
+        # high, like ImageJ's own shrink): a shading ramp + small blob
+        from mies_tpu.ops.morphology import rolling_ball
+
+        y, x = np.mgrid[0:96, 0:96].astype(np.float32)
+        img = 0.3 + 0.4 * (x / 95.0) + 0.1 * np.sin(y / 30.0)
+        img[40:46, 40:46] += 0.3
+        img = img.astype(np.float32)
+        full = np.asarray(rolling_ball(jnp.asarray(img), 12.0,
+                                       intensity=0.05))
+        ds = np.asarray(rolling_ball(jnp.asarray(img), 12.0,
+                                     intensity=0.05, downscale=2))
+        assert np.abs(full - ds).mean() < 0.01
+
+    def test_downscale_band_sharding_rejected(self):
+        from mies_tpu.parallel.halo import stage_receptive_field
+
+        with pytest.raises(ValueError, match="downscale"):
+            stage_receptive_field(
+                "subtract_background", {"radius": 8.0, "downscale": 2}
+            )
+
     def test_bad_radius_raises(self):
         from mies_tpu.ops.morphology import rolling_ball
         from mies_tpu.pipeline.config import PipelineConfig, validate
@@ -381,3 +420,10 @@ class TestRollingBall:
             validate(PipelineConfig.make(
                 [("subtract_background", {"radius": -1})]
             ))
+        with pytest.raises(ValueError, match="downscale"):
+            validate(PipelineConfig.make(
+                [("subtract_background", {"downscale": 3})]
+            ))
+        from mies_tpu.ops.morphology import rolling_ball
+        with pytest.raises(ValueError, match="downscale"):
+            rolling_ball(jnp.zeros((16, 16)), 8.0, downscale=3)
