@@ -619,3 +619,138 @@ def gabor_bank(
     return jnp.max(mags, axis=0) if output == "max" else jnp.mean(
         mags, axis=0
     )
+
+
+def retinex(
+    img: Array,
+    sigmas: tuple = (2.0, 8.0, 30.0),
+    weights: tuple | None = None,
+    eps: float = 1.0 / 255.0,
+    gain: float = 1.0,
+    rescale: str = "clip",
+    mode: str = "nearest",
+    truncate: float = 4.0,
+) -> Array:
+    """Multiscale retinex (Jobson, Rahman & Woodell, IEEE TIP 1997):
+    ``sum_k w_k * (log(I + eps) - log(G_sigma_k(I) + eps))`` — the
+    log-ratio of each pixel to its neighborhood at several scales.
+    Illumination (the slow field) cancels in the ratio, reflectance
+    (tissue detail) survives: the spatial-domain sibling of
+    ``homomorphic`` (which does the same separation in the FFT
+    domain), standard for endoscopy / dermoscopy / non-uniformly
+    illuminated radiographs.
+
+    ``rescale='clip'`` maps the zero-centered log-ratio through
+    ``clip(0.5 + gain * msr)`` — LOCAL extent, so chains stay
+    band-shardable (halo = the largest Gaussian radius);
+    ``'minmax'`` stretches to the image's own range (global extent,
+    rejected for spatial sharding). Each scale's blur is exactly
+    ``gaussian_blur(sigma_k)`` (scipy semantics). Golden:
+    tests/goldens/golden_ops.py::retinex.
+    """
+    if not sigmas or any(s <= 0 for s in sigmas):
+        raise ValueError("sigmas must be a non-empty tuple of numbers > 0")
+    if weights is None:
+        weights = (1.0 / len(sigmas),) * len(sigmas)
+    if len(weights) != len(sigmas):
+        raise ValueError(
+            f"weights must match sigmas ({len(sigmas)}), got {len(weights)}"
+        )
+    if rescale not in ("clip", "minmax"):
+        raise ValueError(f"rescale must be 'clip' or 'minmax', got {rescale!r}")
+    if eps <= 0:
+        raise ValueError("eps must be > 0")
+    x = img.astype(jnp.float32)
+    e32 = np.float32(eps)
+    logx = jnp.log(x + e32)
+    msr = jnp.zeros_like(x)
+    for s, w in zip(sigmas, weights):
+        blur = gaussian_blur(x, float(s), truncate=truncate, mode=mode)
+        msr = msr + np.float32(w) * (logx - jnp.log(blur + e32))
+    if rescale == "minmax":
+        lo, hi = jnp.min(msr), jnp.max(msr)
+        return (msr - lo) / jnp.maximum(hi - lo, np.float32(1e-12))
+    return jnp.clip(np.float32(0.5) + np.float32(gain) * msr, 0.0, 1.0)
+
+
+def lee_filter(
+    img: Array,
+    kernel_size: int = 5,
+    sigma: float | None = None,
+    mode: str = "reflect",
+) -> Array:
+    """Lee despeckle filter (Lee, IEEE TPAMI 1980) — the classical
+    ultrasound/SAR local-statistics Wiener: ``out = m + k * (x - m)``
+    with ``m, v`` the window mean/variance and gain
+    ``k = v / (v + sigma^2)``. Homogeneous speckle (v ~ sigma²) is
+    averaged away; edges (v >> sigma²) pass through.
+
+    ``sigma`` is the noise STD in intensity units; ``None`` estimates
+    ``sigma² = mean local variance`` over the whole image (the flat-
+    region assumption) — an IMAGE-WIDE statistic, so chains with
+    ``sigma=None`` are rejected for spatial sharding (pass an explicit
+    sigma, the frangi-gamma rule). Pure box-filter dataflow: two
+    separable window means, zero gathers. Golden:
+    tests/goldens/golden_ops.py::lee_filter."""
+    if kernel_size % 2 != 1 or kernel_size < 3:
+        raise ValueError("kernel_size must be odd and >= 3")
+    if sigma is not None and sigma <= 0:
+        raise ValueError("sigma must be > 0 (or omitted to estimate)")
+    x = img.astype(jnp.float32)
+    m = box_blur(x, kernel_size, mode)
+    v = jnp.maximum(box_blur(x * x, kernel_size, mode) - m * m, 0.0)
+    noise_var = (
+        jnp.mean(v) if sigma is None
+        else np.float32(float(sigma) * float(sigma))
+    )
+    k = v / (v + noise_var + np.float32(1e-12))
+    return m + k * (x - m)
+
+
+def kuwahara(
+    img: Array, kernel_size: int = 5, mode: str = "reflect",
+) -> Array:
+    """Kuwahara edge-preserving smoother (Kuwahara et al. 1976): each
+    pixel takes the MEAN of whichever of its four overlapping
+    (r+1)x(r+1) corner quadrants has the LOWEST variance — smoothing
+    never crosses an edge, because the quadrant straddling it has high
+    variance and loses. Ties pick the first of (top-left, top-right,
+    bottom-left, bottom-right), deterministically.
+
+    All four quadrant means/variances come from ONE pair of
+    shifted-window sums over the padded image (x and x²) sampled at
+    four static offsets — pure VPU dataflow, band-shardable with
+    halo r. Golden: tests/goldens/golden_ops.py::kuwahara."""
+    if kernel_size % 2 != 1 or kernel_size < 3:
+        raise ValueError("kernel_size must be odd and >= 3")
+    r = kernel_size // 2
+    q = r + 1
+    h, w = img.shape
+    x = img.astype(jnp.float32)
+    xp = _pad2d(x, r, r, mode)
+
+    def win_sums(a):
+        rs = None
+        for t in range(q):
+            sl = a[t:t + h + r, :]
+            rs = sl if rs is None else rs + sl
+        out = None
+        for t in range(q):
+            sl = rs[:, t:t + w + r]
+            out = sl if out is None else out + sl
+        return out
+
+    inv_n = np.float32(1.0 / (q * q))
+    s1 = win_sums(xp) * inv_n
+    s2 = win_sums(xp * xp) * inv_n
+    vfull = jnp.maximum(s2 - s1 * s1, 0.0)
+    # quadrant (dy, dx) offsets into the [h+r, w+r] sum maps
+    offs = ((0, 0), (0, r), (r, 0), (r, r))
+    means = [s1[dy:dy + h, dx:dx + w] for dy, dx in offs]
+    varis = [vfull[dy:dy + h, dx:dx + w] for dy, dx in offs]
+    best_m, best_v = means[0], varis[0]
+    for mq, vq in zip(means[1:], varis[1:]):
+        take = vq < best_v  # strict: ties keep the earlier quadrant
+        best_m = jnp.where(take, mq, best_m)
+        best_v = jnp.where(take, vq, best_v)
+    return best_m

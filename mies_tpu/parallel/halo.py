@@ -204,6 +204,28 @@ def stage_receptive_field(op: str, params: dict) -> int:
             ).shape[0] // 2  # row radius of the rotated support
             for th in thetas
         )
+    if op == "lee_filter":
+        if params.get("sigma") is None:
+            raise ValueError(
+                "lee_filter with sigma=None estimates the noise from "
+                "the IMAGE-WIDE mean local variance and cannot be "
+                "spatially sharded; pass an explicit sigma"
+            )
+        return params.get("kernel_size", 5) // 2
+    if op == "kuwahara":
+        return params.get("kernel_size", 5) // 2
+    if op == "retinex":
+        if params.get("rescale", "clip") == "minmax":
+            raise ValueError(
+                "retinex with rescale='minmax' stretches by the "
+                "IMAGE-WIDE min/max (global extent); use "
+                "rescale='clip' or batch sharding"
+            )
+        truncate = params.get("truncate", 4.0)
+        return max(
+            int(truncate * float(s) + 0.5)
+            for s in params.get("sigmas", (2.0, 8.0, 30.0))
+        )
     if op == "anisotropic_diffusion":
         # 1 px/iteration; the band form refreshes the halo each
         # iteration (stale-halo contamination would otherwise reach the
@@ -287,6 +309,9 @@ _DEFAULT_MODE = {
     "difference_of_gaussians": "nearest",
     "gabor": "reflect",
     "gabor_bank": "reflect",
+    "retinex": "nearest",
+    "lee_filter": "reflect",
+    "kuwahara": "reflect",
     "motion_blur": "constant",
 }
 

@@ -65,6 +65,9 @@ OP_REGISTRY: dict[str, Callable] = {
     "difference_of_gaussians": F.difference_of_gaussians,
     "gabor": F.gabor,
     "gabor_bank": F.gabor_bank,
+    "retinex": F.retinex,
+    "lee_filter": F.lee_filter,
+    "kuwahara": F.kuwahara,
     "motion_blur": F.motion_blur,
     "canny": FT.canny,
     # frequency domain (FFT)

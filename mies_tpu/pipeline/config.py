@@ -525,6 +525,39 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "h": (_pos, "a number > 0"),
         "sigma": (_nonneg, "a number >= 0"),
     },
+    "lee_filter": {
+        "kernel_size": (lambda v: _odd_kernel(v) and v >= 3,
+                        "an odd int >= 3"),
+        "sigma": (lambda v: v is None or _pos(v),
+                  "a number > 0 (noise STD; or omitted: image-wide "
+                  "mean local variance estimate)"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
+    "kuwahara": {
+        "kernel_size": (lambda v: _odd_kernel(v) and v >= 3,
+                        "an odd int >= 3"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
+    "retinex": {
+        "sigmas": (
+            lambda v: isinstance(v, (tuple, list)) and len(v) >= 1
+            and all(_pos(x) for x in v),
+            "a non-empty list of numbers > 0",
+        ),
+        "weights": (
+            lambda v: v is None or (
+                isinstance(v, (tuple, list)) and len(v) >= 1
+                and all(_is_num(x) for x in v)
+            ),
+            "a list of numbers matching sigmas (or omitted: uniform)",
+        ),
+        "eps": (_pos, "a number > 0"),
+        "gain": (_pos, "a number > 0"),
+        "rescale": (lambda v: v in ("clip", "minmax"),
+                    "'clip' (local) or 'minmax' (global stretch)"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+        "truncate": (_pos, "a number > 0"),
+    },
     "subtract_background": {
         "radius": (_pos, "a number > 0 (ball radius, pixels)"),
         "intensity": (

@@ -1587,3 +1587,68 @@ def subtract_background(img, radius=25.0, intensity=None,
     return np.clip(
         x - rolling_ball(x, radius, intensity, downscale), 0.0, 1.0
     )
+
+
+def retinex(img, sigmas=(2.0, 8.0, 30.0), weights=None, eps=1.0 / 255.0,
+            gain=1.0, rescale="clip", mode="nearest", truncate=4.0):
+    """Multiscale retinex (Jobson et al. 1997) — composition of the
+    pinned gaussian_blur golden and float32 logs."""
+    if weights is None:
+        weights = (1.0 / len(sigmas),) * len(sigmas)
+    x = np.asarray(img, np.float32)
+    e = np.float32(eps)
+    logx = np.log(x + e)
+    msr = np.zeros_like(x)
+    for s, w in zip(sigmas, weights):
+        blur = gaussian_blur(x, sigma=float(s), truncate=truncate,
+                             mode=mode).astype(np.float32)
+        msr = msr + np.float32(w) * (logx - np.log(blur + e))
+    if rescale == "minmax":
+        lo, hi = msr.min(), msr.max()
+        return (msr - lo) / max(hi - lo, 1e-12)
+    return np.clip(np.float32(0.5) + np.float32(gain) * msr, 0.0, 1.0)
+
+
+def lee_filter(img, kernel_size=5, sigma=None, mode="reflect"):
+    """Lee 1980 local-statistics despeckle (float32, box means via the
+    pinned box_blur golden)."""
+    x = np.asarray(img, np.float32)
+    m = box_blur(x, kernel_size=kernel_size, mode=mode).astype(np.float32)
+    v = np.maximum(
+        box_blur(x * x, kernel_size=kernel_size, mode=mode).astype(np.float32)
+        - m * m, 0.0,
+    )
+    noise_var = (np.float32(v.mean()) if sigma is None
+                 else np.float32(float(sigma) ** 2))
+    k = v / (v + noise_var + np.float32(1e-12))
+    return m + k * (x - m)
+
+
+def kuwahara(img, kernel_size=5, mode="reflect"):
+    """Kuwahara 1976 quadrant-select smoother (float32; ties keep the
+    first quadrant in TL, TR, BL, BR order)."""
+    from mies_tpu.ops.filters import _PAD_MODE
+
+    r = kernel_size // 2
+    q = r + 1
+    x = np.asarray(img, np.float32)
+    h, w = x.shape
+    xp = np.pad(x, r, mode=_PAD_MODE[mode])
+
+    def win_sums(a):
+        rs = sum(a[t:t + h + r, :] for t in range(q))
+        return sum(rs[:, t:t + w + r] for t in range(q))
+
+    inv_n = np.float32(1.0 / (q * q))
+    s1 = (win_sums(xp) * inv_n).astype(np.float32)
+    s2 = (win_sums(xp * xp) * inv_n).astype(np.float32)
+    vfull = np.maximum(s2 - s1 * s1, 0.0)
+    offs = ((0, 0), (0, r), (r, 0), (r, r))
+    means = [s1[dy:dy + h, dx:dx + w] for dy, dx in offs]
+    varis = [vfull[dy:dy + h, dx:dx + w] for dy, dx in offs]
+    best_m, best_v = means[0].copy(), varis[0].copy()
+    for mq, vq in zip(means[1:], varis[1:]):
+        take = vq < best_v
+        best_m = np.where(take, mq, best_m)
+        best_v = np.where(take, vq, best_v)
+    return best_m

@@ -427,3 +427,156 @@ class TestRollingBall:
         from mies_tpu.ops.morphology import rolling_ball
         with pytest.raises(ValueError, match="downscale"):
             rolling_ball(jnp.zeros((16, 16)), 8.0, downscale=3)
+
+
+class TestRetinex:
+    # tolerance note: the log's slope at dark pixels is 1/eps (=255),
+    # so f32 gaussian ULPs (~2e-6) amplify to ~5e-4 in the log ratio
+    def test_matches_golden_default(self, xray):
+        from mies_tpu.ops.filters import retinex
+
+        out = np.asarray(retinex(jnp.asarray(xray)))
+        np.testing.assert_allclose(out, G.retinex(xray), atol=5e-4)
+
+    def test_matches_golden_weighted_minmax(self, xray):
+        from mies_tpu.ops.filters import retinex
+
+        kw = dict(sigmas=(1.5, 5.0), weights=(0.7, 0.3),
+                  rescale="minmax", mode="reflect")
+        out = np.asarray(retinex(jnp.asarray(xray), **kw))
+        np.testing.assert_allclose(out, G.retinex(xray, **kw), atol=5e-4)
+
+    def test_flattens_illumination(self):
+        # a shading ramp times a texture: retinex removes the ramp
+        rng = np.random.default_rng(0)
+        y, x = np.mgrid[0:96, 0:96].astype(np.float32)
+        illum = 0.25 + 0.6 * (x / 95.0)
+        texture = 0.8 + 0.2 * rng.random((96, 96)).astype(np.float32)
+        img = (illum * texture).astype(np.float32)
+        from mies_tpu.ops.filters import retinex
+
+        out = np.asarray(retinex(jnp.asarray(img), sigmas=(4.0, 16.0)))
+        c = slice(16, 80)
+        # column means flat after retinex, strongly sloped before
+        slope_in = img[c, 70:80].mean() - img[c, 16:26].mean()
+        slope_out = out[c, 70:80].mean() - out[c, 16:26].mean()
+        assert abs(slope_out) < 0.2 * abs(slope_in)
+
+    def test_band_sharded_clip_exact(self, rng):
+        from mies_tpu.parallel.halo import spatial_shard_apply
+        from mies_tpu.parallel.mesh import make_mesh
+        from mies_tpu.pipeline.compiler import compile_pipeline
+        from mies_tpu.pipeline.config import PipelineConfig
+
+        cfg = PipelineConfig.make(
+            [("retinex", {"sigmas": (1.5, 4.0)})]
+        )
+        img = rng.random((128, 64)).astype(np.float32)
+        mesh = make_mesh(data=1, space=4)
+        out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+        ref = np.asarray(
+            compile_pipeline(cfg, donate=False)(jnp.asarray(img))
+        )
+        np.testing.assert_array_equal(out, ref)
+
+    def test_minmax_sharding_rejected_and_bad_params(self):
+        from mies_tpu.parallel.halo import stage_receptive_field
+        from mies_tpu.ops.filters import retinex
+        from mies_tpu.pipeline.config import PipelineConfig, validate
+
+        with pytest.raises(ValueError, match="minmax"):
+            stage_receptive_field("retinex", {"rescale": "minmax"})
+        with pytest.raises(ValueError, match="sigmas"):
+            retinex(jnp.zeros((16, 16)), sigmas=())
+        with pytest.raises(ValueError, match="weights"):
+            retinex(jnp.zeros((16, 16)), sigmas=(1.0, 2.0), weights=(1.0,))
+        with pytest.raises(ValueError, match="rescale"):
+            retinex(jnp.zeros((16, 16)), rescale="stretch")
+        with pytest.raises(ValueError, match="rescale"):
+            validate(PipelineConfig.make([("retinex", {"rescale": "x"})]))
+
+
+class TestDespeckle:
+    def test_lee_matches_golden(self, xray):
+        from mies_tpu.ops.filters import lee_filter
+
+        # explicit sigma: box dataflow ULPs, amplified by the k-gain
+        # division (XLA FMA-contracts m*m vs the numpy golden)
+        out = np.asarray(lee_filter(jnp.asarray(xray), 7, sigma=0.05))
+        np.testing.assert_allclose(
+            out, G.lee_filter(xray, 7, sigma=0.05), atol=1e-5, rtol=0
+        )
+        # sigma=None: the image-wide mean-variance reduction tree
+        # differs between XLA and numpy (f32 sum over all pixels), and
+        # the k-gain amplifies it — gate at the propagated scale
+        out = np.asarray(lee_filter(jnp.asarray(xray)))
+        np.testing.assert_allclose(out, G.lee_filter(xray), atol=2e-4,
+                                   rtol=0)
+
+    def test_lee_despeckles_keeps_edge(self):
+        rng = np.random.default_rng(0)
+        img = np.full((64, 64), 0.3, np.float32)
+        img[:, 32:] = 0.7
+        noisy = np.clip(
+            img + rng.normal(0, 0.05, img.shape).astype(np.float32), 0, 1
+        )
+        from mies_tpu.ops.filters import lee_filter
+
+        out = np.asarray(lee_filter(jnp.asarray(noisy), 7, sigma=0.08))
+        assert out[:, 4:28].std() < 0.5 * noisy[:, 4:28].std()
+        jump = out[:, 40:60].mean() - out[:, 4:24].mean()
+        assert jump > 0.9 * 0.4
+
+    def test_kuwahara_matches_golden(self, xray):
+        from mies_tpu.ops.filters import kuwahara
+
+        for kw in (dict(), dict(kernel_size=7), dict(mode="nearest")):
+            out = np.asarray(kuwahara(jnp.asarray(xray), **kw))
+            np.testing.assert_array_equal(out, G.kuwahara(xray, **kw))
+
+    def test_kuwahara_never_crosses_edge(self):
+        # a clean step edge must survive EXACTLY: the winning quadrant
+        # never straddles it
+        img = np.full((32, 64), 0.2, np.float32)
+        img[:, 32:] = 0.8
+        from mies_tpu.ops.filters import kuwahara
+
+        out = np.asarray(kuwahara(jnp.asarray(img), 5))
+        np.testing.assert_array_equal(out, img)
+
+    def test_band_sharded_exact(self, rng):
+        from mies_tpu.parallel.halo import spatial_shard_apply
+        from mies_tpu.parallel.mesh import make_mesh
+        from mies_tpu.pipeline.compiler import compile_pipeline
+        from mies_tpu.pipeline.config import PipelineConfig
+
+        cfg = PipelineConfig.make(
+            [("lee_filter", {"kernel_size": 5, "sigma": 0.05}),
+             ("kuwahara", {"kernel_size": 5})]
+        )
+        img = rng.random((128, 64)).astype(np.float32)
+        mesh = make_mesh(data=1, space=4)
+        out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+        ref = np.asarray(
+            compile_pipeline(cfg, donate=False)(jnp.asarray(img))
+        )
+        np.testing.assert_array_equal(out, ref)
+
+    def test_bad_params_and_sharding_rules(self):
+        from mies_tpu.ops.filters import kuwahara, lee_filter
+        from mies_tpu.parallel.halo import stage_receptive_field
+        from mies_tpu.pipeline.config import PipelineConfig, validate
+
+        with pytest.raises(ValueError, match="kernel_size"):
+            lee_filter(jnp.zeros((16, 16)), 4)
+        with pytest.raises(ValueError, match="sigma"):
+            lee_filter(jnp.zeros((16, 16)), 5, sigma=0.0)
+        with pytest.raises(ValueError, match="kernel_size"):
+            kuwahara(jnp.zeros((16, 16)), 1)
+        with pytest.raises(ValueError, match="sigma"):
+            stage_receptive_field("lee_filter", {"kernel_size": 5})
+        assert stage_receptive_field(
+            "lee_filter", {"kernel_size": 7, "sigma": 0.05}
+        ) == 3
+        with pytest.raises(ValueError, match="kernel_size"):
+            validate(PipelineConfig.make([("kuwahara", {"kernel_size": 4})]))

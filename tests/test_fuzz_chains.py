@@ -48,6 +48,9 @@ _CHAINABLE = [
     ("meijering", {"sigmas": (1.0, 2.0)}),
     ("difference_of_gaussians", {"low_sigma": 1.0}),
     ("gabor", {"frequency": 0.2}),
+    ("retinex", {"sigmas": (1.5, 4.0)}),
+    ("lee_filter", {"kernel_size": 5, "sigma": 0.05}),
+    ("kuwahara", {"kernel_size": 5}),
     ("gabor_bank", {"frequency": 0.2, "n_orientations": 3}),
     ("butterworth", {"cutoff_frequency_ratio": 0.05}),
     ("homomorphic", {"npad": 4}),

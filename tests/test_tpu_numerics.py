@@ -172,3 +172,17 @@ def test_rolling_ball_backend_consistency(consistency):
     """Non-flat ball morphology is a min/max tree — bit-exact across
     backends like the flat morphology contracts."""
     _case(consistency, "rolling_ball_vs_cpu")
+
+
+def test_lee_filter_backend_consistency(consistency):
+    _case(consistency, "lee_filter_vs_cpu")
+
+
+def test_kuwahara_backend_consistency(consistency):
+    """Quadrant-select ties can flip on FMA ULPs — gated as a
+    mismatch-rate + bounded-jump contract (the canny pattern)."""
+    _case(consistency, "kuwahara_vs_cpu")
+
+
+def test_retinex_backend_consistency(consistency):
+    _case(consistency, "retinex_vs_cpu")

@@ -489,6 +489,29 @@ def main() -> int:
     d = float(np.abs(t - c).max())
     out["cases"]["rolling_ball_vs_cpu"] = {"max_abs": d, "ok": d == 0.0}
 
+    # 17. despeckle/illumination family TPU vs CPU. kuwahara's
+    # quadrant select compares variances — an FMA-contraction ULP at a
+    # near-tie flips WHICH quadrant wins (a whole-pixel jump), so its
+    # gate is a mismatch-rate bound (the canny pattern) plus a value
+    # bound on the flips; lee and retinex are smooth and gate on abs.
+    from mies_tpu.ops.filters import kuwahara, lee_filter, retinex
+
+    t, c = both(lambda a: lee_filter(a, 7, 0.05), imgs[0])
+    d = float(np.abs(t - c).max())
+    out["cases"]["lee_filter_vs_cpu"] = {"max_abs": d, "ok": d <= 1e-5}
+
+    t, c = both(lambda a: kuwahara(a, 5), imgs[0])
+    mm = float((t != c).mean())
+    d = float(np.abs(t - c).max())
+    out["cases"]["kuwahara_vs_cpu"] = {
+        "mismatch_frac": mm, "max_abs": d,
+        "ok": mm <= 1e-3 and d <= 0.2,
+    }
+
+    t, c = both(lambda a: retinex(a, sigmas=(2.0, 8.0)), imgs[0])
+    d = float(np.abs(t - c).max())
+    out["cases"]["retinex_vs_cpu"] = {"max_abs": d, "ok": d <= 1e-3}
+
     out["ok"] = all(
         case.get("ok", True) for case in out["cases"].values()
     )

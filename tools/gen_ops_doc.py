@@ -28,6 +28,7 @@ _CATEGORIES = (
         "bilateral_blur", "denoise_bilateral", "guided_blur",
         "sobel_edges", "laplacian_sharpen",
         "difference_of_gaussians", "gabor", "gabor_bank", "motion_blur",
+        "retinex", "lee_filter", "kuwahara",
     )),
     ("Feature / edges", (
         "canny",
