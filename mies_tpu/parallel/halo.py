@@ -226,6 +226,10 @@ def stage_receptive_field(op: str, params: dict) -> int:
             int(truncate * float(s) + 0.5)
             for s in params.get("sigmas", (2.0, 8.0, 30.0))
         )
+    if op == "srad":
+        # 2 px/iteration (the c ring reads the I 2-neighborhood); the
+        # band form refreshes the halo each iteration
+        return 2 * int(params.get("niter", 15))
     if op == "anisotropic_diffusion":
         # 1 px/iteration; the band form refreshes the halo each
         # iteration (stale-halo contamination would otherwise reach the
@@ -334,7 +338,7 @@ def _build_band_fn(
     for s in cfg.stages:
         params = s.kwargs()
         if (s.op in ("clahe", "guided_blur", "anisotropic_diffusion",
-                     "subtract_background")
+                     "subtract_background", "srad")
                 or s.op in _MORPH_OPS):
             # stages whose band form is NOT (extend, run, crop): clahe
             # needs the tile-aligned band algorithm; guided_blur nests
@@ -437,6 +441,28 @@ def _build_band_fn(
                     x = 1.0 - jnp.clip(inv - rb_band(inv), 0.0, 1.0)
                 else:
                     x = jnp.clip(x - rb_band(x), 0.0, 1.0)
+            elif op == "srad":
+                from mies_tpu.ops.restoration import _srad_step
+
+                p = dict(fn)
+                _dt = float(p.get("dt", 0.15))
+                _q0 = float(p.get("q0", 1.0))
+                _rho = float(p.get("rho", 0.2))
+                _eps = float(p.get("eps", 1e-6))
+
+                # per-ITERATION 2-row halo refresh (the diffusion rule
+                # below, with the wider c-ring support)
+                def srad_body(t, v):
+                    q0t = np.float32(_q0) * jnp.exp(
+                        -np.float32(_rho) * t.astype(jnp.float32)
+                    )
+                    ext = halo_extend_rows(v, 2, axis_name, mode="edge")
+                    return _srad_step(ext, _dt, q0t, _eps)
+
+                x = lax.fori_loop(
+                    0, int(p.get("niter", 15)), srad_body,
+                    x.astype(jnp.float32),
+                )
             elif op == "anisotropic_diffusion":
                 from mies_tpu.ops.restoration import _pm_step
 

@@ -77,6 +77,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "denoise_nl_means": REST.denoise_nl_means,
     "denoise_tv": REST.denoise_tv,
     "anisotropic_diffusion": REST.anisotropic_diffusion,
+    "srad": REST.srad,
     # multiscale (Laplacian pyramid)
     "musica": PYR.musica,
     "richardson_lucy": REST.richardson_lucy,

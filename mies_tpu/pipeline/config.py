@@ -586,6 +586,14 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "m": (_pos, "a number > 0 (amplitude bound; 1.0 for [0,1] input)"),
         "clip": (lambda v: isinstance(v, bool), "a bool"),
     },
+    "srad": {
+        "niter": (_pos_int, "an int >= 1"),
+        "dt": (lambda v: _is_num(v) and 0.0 < v <= 0.25,
+               "a number in (0, 0.25] (step size)"),
+        "q0": (_pos, "a number > 0 (speckle scale at t=0)"),
+        "rho": (_nonneg, "a number >= 0 (q0 decay rate)"),
+        "eps": (_pos, "a number > 0"),
+    },
     "anisotropic_diffusion": {
         "niter": (_pos_int, "an int >= 1"),
         "kappa": (_pos, "a number > 0 (gradient scale, intensity units)"),

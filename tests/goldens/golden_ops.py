@@ -1652,3 +1652,36 @@ def kuwahara(img, kernel_size=5, mode="reflect"):
         best_m = np.where(take, mq, best_m)
         best_v = np.where(take, vq, best_v)
     return best_m
+
+
+def srad(img, niter=15, dt=0.15, q0=1.0, rho=0.2, eps=1e-6):
+    """Yu & Acton 2002 SRAD transcription (float32): one-sided
+    4-neighbor diffs, ICOV q², c = 1/(1 + (q²-q0²)/(q0²(1+q0²))) in
+    [0,1], divergence with shifted c, q0 decayed exp(-rho t). All
+    boundary values from the edge-replicated image."""
+    out = np.asarray(img, np.float32).copy()
+    for t in range(niter):
+        q0t = np.float32(q0) * np.float32(np.exp(-rho * t))
+        ext = np.pad(out, ((2, 2), (0, 0)), mode="edge")
+        zz = np.pad(ext, ((0, 0), (2, 2)), mode="edge").astype(np.float32)
+        inner = zz[1:-1, 1:-1]
+        d_n = zz[:-2, 1:-1] - inner
+        d_s = zz[2:, 1:-1] - inner
+        d_w = zz[1:-1, :-2] - inner
+        d_e = zz[1:-1, 2:] - inner
+        ii = inner + np.float32(eps)
+        g2 = (d_n * d_n + d_s * d_s + d_w * d_w + d_e * d_e) / (ii * ii)
+        el = (d_n + d_s + d_w + d_e) / ii
+        q2 = (np.float32(0.5) * g2
+              - np.float32(1.0 / 16.0) * (el * el)) / (
+            (1.0 + np.float32(0.25) * el) ** 2 + np.float32(1e-12)
+        )
+        q02 = q0t * q0t
+        c = 1.0 / (1.0 + (q2 - q02) / (q02 * (1.0 + q02)
+                                       + np.float32(1e-12)))
+        c = np.clip(c, 0.0, 1.0).astype(np.float32)
+        cc = c[1:-1, 1:-1]
+        div = (c[2:, 1:-1] * d_s[1:-1, 1:-1] + cc * d_n[1:-1, 1:-1]
+               + c[1:-1, 2:] * d_e[1:-1, 1:-1] + cc * d_w[1:-1, 1:-1])
+        out = (ext[2:-2] + np.float32(dt / 4.0) * div).astype(np.float32)
+    return out

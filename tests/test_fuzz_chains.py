@@ -38,6 +38,7 @@ _CHAINABLE = [
     ("subtract_background", {"radius": 4.0}),
     ("musica", {"levels": 3, "p": 0.7, "gain": 1.4}),
     ("anisotropic_diffusion", {"niter": 4, "kappa": 0.1, "gamma": 0.2}),
+    ("srad", {"niter": 4}),
     ("denoise_tv", {"weight": 0.1, "max_num_iter": 25}),
     ("richardson_lucy", {"psf_sigma": 1.0, "psf_size": 5, "num_iter": 4}),
     ("wiener", {"psf_sigma": 1.0, "psf_size": 5, "balance": 0.1}),

@@ -488,3 +488,49 @@ class TestAnisotropicDiffusion:
             validate(PipelineConfig.make(
                 [("anisotropic_diffusion", {"option": 3})]
             ))
+
+
+class TestSrad:
+    def _speckled(self, rng, shape=(48, 64)):
+        base = np.full(shape, 0.4, np.float32)
+        base[:, shape[1] // 2:] = 0.7
+        # multiplicative speckle (the ultrasound model)
+        return np.clip(
+            base * (1.0 + 0.15 * rng.standard_normal(shape)), 0.01, 1.0
+        ).astype(np.float32)
+
+    def test_matches_golden(self, rng):
+        img = self._speckled(rng)
+        out = np.asarray(R.srad(jnp.asarray(img), niter=10))
+        np.testing.assert_allclose(
+            out, G.srad(img, niter=10), atol=1e-5, rtol=0
+        )
+
+    def test_despeckles_keeps_edge(self, rng):
+        img = self._speckled(rng, (64, 64))
+        out = np.asarray(R.srad(jnp.asarray(img), niter=20))
+        # speckle in the flat halves reduced
+        assert out[:, 4:28].std() < 0.5 * img[:, 4:28].std()
+        # edge contrast preserved
+        jump = out[:, 40:60].mean() - out[:, 4:24].mean()
+        assert jump > 0.8 * 0.3
+
+    def test_band_sharded_bit_exact(self, rng):
+        from mies_tpu.parallel import make_mesh, spatial_shard_apply
+
+        cfg = PipelineConfig.make([("srad", {"niter": 7})])
+        img = self._speckled(rng, (128, 64))
+        mesh = make_mesh(data=1, space=4)
+        out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+        ref = np.asarray(compile_pipeline(cfg, donate=False)(jnp.asarray(img)))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_bad_params_raise(self):
+        with pytest.raises(ValueError, match="niter"):
+            R.srad(jnp.zeros((8, 8)), niter=0)
+        with pytest.raises(ValueError, match="dt"):
+            R.srad(jnp.zeros((8, 8)), dt=0.5)
+        with pytest.raises(ValueError, match="q0"):
+            R.srad(jnp.zeros((8, 8)), q0=0.0)
+        with pytest.raises(ValueError, match="dt"):
+            validate(PipelineConfig.make([("srad", {"dt": 0.3})]))

@@ -186,3 +186,7 @@ def test_kuwahara_backend_consistency(consistency):
 
 def test_retinex_backend_consistency(consistency):
     _case(consistency, "retinex_vs_cpu")
+
+
+def test_srad_backend_consistency(consistency):
+    _case(consistency, "srad_vs_cpu")

@@ -508,6 +508,12 @@ def main() -> int:
         "ok": mm <= 1e-3 and d <= 0.2,
     }
 
+    from mies_tpu.ops.restoration import srad as _srad
+
+    t, c = both(lambda a: _srad(a, niter=10), imgs[0])
+    d = float(np.abs(t - c).max())
+    out["cases"]["srad_vs_cpu"] = {"max_abs": d, "ok": d <= 1e-4}
+
     t, c = both(lambda a: retinex(a, sigmas=(2.0, 8.0)), imgs[0])
     d = float(np.abs(t - c).max())
     out["cases"]["retinex_vs_cpu"] = {"max_abs": d, "ok": d <= 1e-3}

@@ -35,7 +35,7 @@ _CATEGORIES = (
     )),
     ("Restoration", (
         "denoise_nl_means", "denoise_tv", "richardson_lucy", "wiener",
-        "denoise_wavelet", "anisotropic_diffusion",
+        "denoise_wavelet", "anisotropic_diffusion", "srad",
     )),
     ("Multiscale (Laplacian pyramid)", (
         "musica",
