@@ -80,6 +80,17 @@ def workload_configs():
             ),
             shape=(512, 512), batch=32, dtype="float32",
         ),
+        # 9. ultrasound despeckle: SRAD (ICOV diffusion, VMEM-resident
+        # kernel) + CLAHE — the speckle-imaging counterpart of w8
+        "w9_srad_ultrasound": dict(
+            cfg=PipelineConfig.make(
+                [("srad", {"niter": 15, "dt": 0.15}),
+                 ("clahe", {"clip_limit": 2.0, "grid_size": (8, 8),
+                            "convention": "opencv"})],
+                name="w9",
+            ),
+            shape=(512, 512), batch=32, dtype="float32",
+        ),
         # 7. morphology: the mammo top-hat chain (ops/morphology.py —
         # XLA min/max trees; recorded so the family has a chip number
         # and a floor once measured)

@@ -228,7 +228,10 @@ _register_volume_ops()
 def _batched_registry() -> dict[str, Callable]:
     from mies_tpu.kernels.bilateral import bilateral_batched
     from mies_tpu.kernels.clahe import clahe_batched
-    from mies_tpu.kernels.diffusion import anisotropic_diffusion_batched
+    from mies_tpu.kernels.diffusion import (
+        anisotropic_diffusion_batched,
+        srad_batched,
+    )
 
     return {
         "clahe": clahe_batched,
@@ -239,6 +242,7 @@ def _batched_registry() -> dict[str, Callable]:
         # HBM round trip per slice instead of one PER ITERATION
         # (measured 4.26 -> 0.23 ms for niter=6 b32 512^2 on v5e)
         "anisotropic_diffusion": anisotropic_diffusion_batched,
+        "srad": srad_batched,
     }
 
 

@@ -832,3 +832,33 @@ class TestDiffusionKernel:
             anisotropic_diffusion_batched(jnp.zeros((1, 8, 128)), niter=0)
         with pytest.raises(ValueError, match="option"):
             anisotropic_diffusion_batched(jnp.zeros((1, 8, 128)), option=5)
+
+
+class TestSradKernel:
+    """VMEM-resident SRAD (kernels/diffusion.py::srad_tpu) vs the jnp
+    twin — same residency design as the Perona-Malik kernel; the
+    divergence's virtual c-ring is three masked conduction evals."""
+
+    def test_interpret_matches_twin(self, rng):
+        from mies_tpu.kernels.diffusion import srad_tpu
+        from mies_tpu.ops.restoration import srad
+
+        x = (0.4 + 0.1 * rng.standard_normal((2, 64, 128))).clip(
+            0.01, 1.0
+        ).astype(np.float32)
+        k = np.asarray(srad_tpu(jnp.asarray(x), 8, interpret=True))
+        t = np.asarray(jax.vmap(lambda v: srad(v, 8))(jnp.asarray(x)))
+        np.testing.assert_allclose(k, t, atol=1e-6)
+
+    def test_batched_dispatch_fallback(self, rng):
+        from mies_tpu.kernels.diffusion import srad_batched
+        from mies_tpu.ops.restoration import srad
+
+        x = (0.4 + 0.1 * rng.standard_normal((2, 64, 96))).clip(
+            0.01, 1.0
+        ).astype(np.float32)
+        got = np.asarray(srad_batched(jnp.asarray(x), 5))
+        ref = np.asarray(jax.vmap(lambda v: srad(v, 5))(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, ref)
+        with pytest.raises(ValueError, match="dt"):
+            srad_batched(jnp.zeros((1, 8, 128)), dt=0.3)
