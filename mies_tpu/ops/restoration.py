@@ -665,3 +665,75 @@ def srad(
         )
 
     return lax.fori_loop(0, niter, body, x)
+
+
+def _srad_step3d(ext: Array, dt: float, q0t, eps: float) -> Array:
+    """One volumetric SRAD update for a [z+4, H, W] slab extended by
+    TWO z positions (y/x pad here): the 2-D step's functional form
+    with 6-neighbor sums — the common volumetric extension. Returns
+    the interior [z, H, W]."""
+    z = ext.shape[0] - 4
+    zz = jnp.pad(ext, ((0, 0), (2, 2), (2, 2)), mode="edge")
+    c0 = zz[1:-1, 1:-1, 1:-1]
+    d_u = zz[:-2, 1:-1, 1:-1] - c0  # z-1
+    d_d = zz[2:, 1:-1, 1:-1] - c0   # z+1
+    d_n = zz[1:-1, :-2, 1:-1] - c0
+    d_s = zz[1:-1, 2:, 1:-1] - c0
+    d_w = zz[1:-1, 1:-1, :-2] - c0
+    d_e = zz[1:-1, 1:-1, 2:] - c0
+    ii = c0 + np.float32(eps)
+    g2 = (d_u * d_u + d_d * d_d + d_n * d_n + d_s * d_s
+          + d_w * d_w + d_e * d_e) / (ii * ii)
+    el = (d_u + d_d + d_n + d_s + d_w + d_e) / ii
+    q2 = (np.float32(0.5) * g2 - np.float32(1.0 / 16.0) * (el * el)) / (
+        (1.0 + np.float32(0.25) * el) ** 2 + np.float32(1e-12)
+    )
+    q02 = q0t * q0t
+    c = 1.0 / (1.0 + (q2 - q02) / (q02 * (1.0 + q02) + np.float32(1e-12)))
+    c = jnp.clip(c, 0.0, 1.0)
+    cc = c[1:-1, 1:-1, 1:-1]
+    inr = (slice(1, -1),) * 3
+    div = (
+        c[2:, 1:-1, 1:-1] * d_d[inr]
+        + cc * d_u[inr]
+        + c[1:-1, 2:, 1:-1] * d_s[inr]
+        + cc * d_n[inr]
+        + c[1:-1, 1:-1, 2:] * d_e[inr]
+        + cc * d_w[inr]
+    )
+    return ext[2:-2] + np.float32(dt / 6.0) * div
+
+
+def srad3d(
+    vol: Array,
+    niter: int = 15,
+    dt: float = 0.15,
+    q0: float = 1.0,
+    rho: float = 0.2,
+    eps: float = 1e-6,
+) -> Array:
+    """Volumetric SRAD on [Z, H, W] (3-D echocardiography / 3-D
+    ultrasound): the 2-D op's ICOV gating with 6-neighbor coupling, so
+    speckle smooths consistently ACROSS slices while organ boundaries
+    hold in all three axes. Same deterministic q0 decay schedule —
+    z-band-shardable via the per-iteration 2-slab halo. Step scale
+    dt/6 (one per neighbor; stability <= 0.25). Golden:
+    tests/goldens/golden_ops.py::srad3d."""
+    if niter < 1:
+        raise ValueError("niter must be >= 1")
+    if not 0.0 < dt <= 0.25:
+        raise ValueError(f"dt must be in (0, 0.25], got {dt}")
+    if q0 <= 0 or rho < 0:
+        raise ValueError("q0 must be > 0 and rho >= 0")
+    x = vol.astype(jnp.float32)
+
+    def body(t, v):
+        q0t = np.float32(q0) * jnp.exp(
+            -np.float32(rho) * t.astype(jnp.float32)
+        )
+        return _srad_step3d(
+            jnp.pad(v, ((2, 2), (0, 0), (0, 0)), mode="edge"),
+            dt, q0t, eps,
+        )
+
+    return lax.fori_loop(0, niter, body, x)

@@ -29,6 +29,7 @@ from mies_tpu.ops import histogram as H
 from mies_tpu.ops.restoration import (  # noqa: F401
     denoise_nl_means3d,
     anisotropic_diffusion3d,
+    srad3d,
     denoise_tv3d,
     wiener3d,
 )

@@ -266,6 +266,9 @@ def volume_stage_z_field(op: str, params: dict) -> int:
         s = params.get("patch_size", 5)
         s = s if s % 2 == 1 else s + 1
         return params.get("patch_distance", 5) + s // 2
+    if op == "srad3d":
+        # 2 slabs/iteration (the c ring reads the 2-neighborhood)
+        return 2 * int(params.get("niter", 15))
     if op == "anisotropic_diffusion3d":
         # 1 slab/iteration; the slab form refreshes the halo each
         # iteration (see parallel/halo.py's 2-D branch)
@@ -368,6 +371,26 @@ def _build_zslab_fn(
                 else:
                     ext = halo_extend_rows(x, r, axis_name, mode=mode)
                     x = fn(ext)[r:-r]
+            elif op == "srad3d":
+                from mies_tpu.ops.restoration import _srad_step3d
+
+                p = dict(params)
+                _dt = float(p.get("dt", 0.15))
+                _q0 = float(p.get("q0", 1.0))
+                _rho = float(p.get("rho", 0.2))
+                _eps = float(p.get("eps", 1e-6))
+
+                def srad_body(t, v, _d=_dt, _q=_q0, _r=_rho, _e=_eps):
+                    q0t = np.float32(_q) * jnp.exp(
+                        -np.float32(_r) * t.astype(jnp.float32)
+                    )
+                    ext = halo_extend_rows(v, 2, axis_name, mode="edge")
+                    return _srad_step3d(ext, _d, q0t, _e)
+
+                x = lax.fori_loop(
+                    0, int(p.get("niter", 15)), srad_body,
+                    x.astype(jnp.float32),
+                )
             elif op == "anisotropic_diffusion3d":
                 from mies_tpu.ops.restoration import _pm_step
 

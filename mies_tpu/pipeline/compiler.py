@@ -183,7 +183,7 @@ VOLUME_ONLY_OPS = frozenset(
      "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
      "vessel_enhance3d", "denoise_wavelet3d", "sato3d", "meijering3d",
      "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
-     "wiener3d", "anisotropic_diffusion3d"}
+     "wiener3d", "anisotropic_diffusion3d", "srad3d"}
 )
 
 
@@ -194,7 +194,7 @@ _VOLUME_FILTER_OPS = (
     "denoise_nl_means3d", "denoise_tv3d", "frangi3d", "vessel_enhance3d",
     "denoise_wavelet3d", "sato3d", "meijering3d",
     "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
-    "wiener3d", "anisotropic_diffusion3d",
+    "wiener3d", "anisotropic_diffusion3d", "srad3d",
 )
 
 

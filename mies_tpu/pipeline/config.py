@@ -601,6 +601,14 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "option": (lambda v: v in (1, 2),
                    "1 (exponential conduction) or 2 (inverse quadratic)"),
     },
+    "srad3d": {
+        "niter": (_pos_int, "an int >= 1"),
+        "dt": (lambda v: _is_num(v) and 0.0 < v <= 0.25,
+               "a number in (0, 0.25] (step size)"),
+        "q0": (_pos, "a number > 0 (speckle scale at t=0)"),
+        "rho": (_nonneg, "a number >= 0 (q0 decay rate)"),
+        "eps": (_pos, "a number > 0"),
+    },
     "anisotropic_diffusion3d": {
         "niter": (_pos_int, "an int >= 1"),
         "kappa": (_pos, "a number > 0 (gradient scale, intensity units)"),

@@ -1685,3 +1685,40 @@ def srad(img, niter=15, dt=0.15, q0=1.0, rho=0.2, eps=1e-6):
                + c[1:-1, 2:] * d_e[1:-1, 1:-1] + cc * d_w[1:-1, 1:-1])
         out = (ext[2:-2] + np.float32(dt / 4.0) * div).astype(np.float32)
     return out
+
+
+def srad3d(vol, niter=15, dt=0.15, q0=1.0, rho=0.2, eps=1e-6):
+    """Volumetric SRAD: the 2-D transcription's functional form with
+    6-neighbor sums, step dt/6."""
+    out = np.asarray(vol, np.float32).copy()
+    for t in range(niter):
+        q0t = np.float32(q0) * np.float32(np.exp(-rho * t))
+        ext = np.pad(out, ((2, 2), (0, 0), (0, 0)), mode="edge")
+        zz = np.pad(ext, ((0, 0), (2, 2), (2, 2)),
+                    mode="edge").astype(np.float32)
+        c0 = zz[1:-1, 1:-1, 1:-1]
+        d_u = zz[:-2, 1:-1, 1:-1] - c0
+        d_d = zz[2:, 1:-1, 1:-1] - c0
+        d_n = zz[1:-1, :-2, 1:-1] - c0
+        d_s = zz[1:-1, 2:, 1:-1] - c0
+        d_w = zz[1:-1, 1:-1, :-2] - c0
+        d_e = zz[1:-1, 1:-1, 2:] - c0
+        ii = c0 + np.float32(eps)
+        g2 = (d_u * d_u + d_d * d_d + d_n * d_n + d_s * d_s
+              + d_w * d_w + d_e * d_e) / (ii * ii)
+        el = (d_u + d_d + d_n + d_s + d_w + d_e) / ii
+        q2 = (np.float32(0.5) * g2
+              - np.float32(1.0 / 16.0) * (el * el)) / (
+            (1.0 + np.float32(0.25) * el) ** 2 + np.float32(1e-12)
+        )
+        q02 = q0t * q0t
+        c = 1.0 / (1.0 + (q2 - q02) / (q02 * (1.0 + q02)
+                                       + np.float32(1e-12)))
+        c = np.clip(c, 0.0, 1.0).astype(np.float32)
+        cc = c[1:-1, 1:-1, 1:-1]
+        inr = (slice(1, -1),) * 3
+        div = (c[2:, 1:-1, 1:-1] * d_d[inr] + cc * d_u[inr]
+               + c[1:-1, 2:, 1:-1] * d_s[inr] + cc * d_n[inr]
+               + c[1:-1, 1:-1, 2:] * d_e[inr] + cc * d_w[inr])
+        out = (ext[2:-2] + np.float32(dt / 6.0) * div).astype(np.float32)
+    return out

@@ -142,6 +142,7 @@ _CHAINABLE_3D = [
     ("homomorphic3d", {"npad": 2}),
     ("wiener3d", {"psf_sigma": 1.0, "psf_size": 3}),
     ("anisotropic_diffusion3d", {"niter": 3, "kappa": 0.1}),
+    ("srad3d", {"niter": 3}),
     ("denoise_tv3d", {"weight": 0.1, "max_num_iter": 15}),
     ("erode3d", {}),
     ("dilate3d", {"kernel_size": 5}),

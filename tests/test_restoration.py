@@ -534,3 +534,36 @@ class TestSrad:
             R.srad(jnp.zeros((8, 8)), q0=0.0)
         with pytest.raises(ValueError, match="dt"):
             validate(PipelineConfig.make([("srad", {"dt": 0.3})]))
+
+
+class TestSrad3d:
+    def test_matches_golden(self, rng):
+        v = (0.4 + 0.1 * rng.standard_normal((10, 24, 24))).clip(
+            0.01, 1.0
+        ).astype(np.float32)
+        out = np.asarray(R.srad3d(jnp.asarray(v), niter=6))
+        np.testing.assert_allclose(
+            out, G.srad3d(v, niter=6), atol=1e-5, rtol=0
+        )
+
+    def test_zband_sharded_bit_exact(self, rng):
+        from mies_tpu.parallel import make_mesh, volume_shard_apply
+
+        cfg = PipelineConfig.make([("srad3d", {"niter": 5})])
+        v = (0.4 + 0.1 * rng.standard_normal((24, 24, 24))).clip(
+            0.01, 1.0
+        ).astype(np.float32)
+        mesh = make_mesh(space=4)
+        out = np.asarray(
+            volume_shard_apply(cfg, mesh, quantize=False)(jnp.asarray(v))
+        )
+        ref = np.asarray(
+            compile_volume_pipeline(cfg, quantize=False)(jnp.asarray(v))
+        )
+        np.testing.assert_array_equal(out, ref)
+
+    def test_bad_params_raise(self):
+        with pytest.raises(ValueError, match="dt"):
+            R.srad3d(jnp.zeros((4, 8, 8)), dt=0.3)
+        with pytest.raises(ValueError, match="dt"):
+            validate(PipelineConfig.make([("srad3d", {"dt": 0.3})]))

@@ -61,7 +61,7 @@ _CATEGORIES = (
         "unsharp_mask3d", "erode3d", "dilate3d", "morph_open3d",
         "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
         "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
-        "denoise_wavelet3d", "anisotropic_diffusion3d",
+        "denoise_wavelet3d", "anisotropic_diffusion3d", "srad3d",
         "vessel_enhance3d", "sato3d", "meijering3d",
         "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
         "wiener3d",
