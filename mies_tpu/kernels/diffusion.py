@@ -129,6 +129,19 @@ def anisotropic_diffusion_batched(
     return jax.vmap(fn)(batch)
 
 
+def srad_supported(shape: tuple[int, int]) -> bool:
+    """SRAD keeps ~2x the PM kernel's live slice-sized temporaries
+    (v, four diffs, c, the two virtual-ring conduction maps, the
+    shifted c's), so its admission is half PM's slice budget — 1 MB
+    (512x512 f32, the measured shape); larger slices risk a Mosaic
+    VMEM-exhaustion COMPILE error with no fallback (review finding)."""
+    h, w = shape
+    return (
+        h % 8 == 0 and w % 128 == 0 and h >= 8 and w >= 128
+        and h * w * 4 <= _VMEM_SLICE_LIMIT // 2
+    )
+
+
 def _srad_kernel(x_ref, out_ref, *, niter, dt, q0, rho, eps, h, w):
     """VMEM-resident SRAD (ops/restoration.py::_srad_step semantics).
 
@@ -222,7 +235,7 @@ def srad_batched(
         raise ValueError(f"dt must be in (0, 0.25], got {dt}")
     if q0 <= 0 or rho < 0:
         raise ValueError("q0 must be > 0 and rho >= 0")
-    if jax.default_backend() == "tpu" and pm_supported(batch.shape[-2:]):
+    if jax.default_backend() == "tpu" and srad_supported(batch.shape[-2:]):
         return srad_tpu(batch, niter, dt, q0, rho, eps)
     fn = functools.partial(
         srad, niter=niter, dt=dt, q0=q0, rho=rho, eps=eps,

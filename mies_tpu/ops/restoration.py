@@ -603,8 +603,6 @@ def _srad_step(ext: Array, dt: float, q0t, eps: float) -> Array:
     edge-REPLICATED image — one consistent rule for the unsharded op,
     the golden, and the band form (which swaps the axis-0 pad for a
     2-row halo exchange per iteration, bit-exact)."""
-    h = ext.shape[0] - 4
-    w = ext.shape[1]
     zz = jnp.pad(ext, ((0, 0), (2, 2)), mode="edge")
     inner = zz[1:-1, 1:-1]  # [h+2, w+2]
     d_n = zz[:-2, 1:-1] - inner
@@ -672,7 +670,6 @@ def _srad_step3d(ext: Array, dt: float, q0t, eps: float) -> Array:
     TWO z positions (y/x pad here): the 2-D step's functional form
     with 6-neighbor sums — the common volumetric extension. Returns
     the interior [z, H, W]."""
-    z = ext.shape[0] - 4
     zz = jnp.pad(ext, ((0, 0), (2, 2), (2, 2)), mode="edge")
     c0 = zz[1:-1, 1:-1, 1:-1]
     d_u = zz[:-2, 1:-1, 1:-1] - c0  # z-1

@@ -150,8 +150,6 @@ def stage_receptive_field(op: str, params: dict) -> int:
         # two box-filter levels: image statistics, then the a/b means
         return 2 * (params.get("kernel_size", 3) // 2)
     if op == "denoise_bilateral":
-        import numpy as np
-
         ss = params.get("sigma_spatial", 1.0)
         return max(5, 2 * int(np.ceil(3.0 * float(ss))) + 1) // 2
     if op in ("sobel_edges", "laplacian_sharpen", "sharpness"):
@@ -181,15 +179,13 @@ def stage_receptive_field(op: str, params: dict) -> int:
             high = 1.6 * float(low)
         return int(params.get("truncate", 4.0) * float(high) + 0.5)
     if op in ("gabor", "gabor_bank"):
-        import numpy as _np
-
         from mies_tpu.ops.filters import gabor_kernel
 
         if op == "gabor":
             thetas = [float(params.get("theta", 0.0))]
         else:
             n = int(params.get("n_orientations", 8))
-            thetas = [k * _np.pi / n for k in range(n)]
+            thetas = [k * np.pi / n for k in range(n)]
         return max(
             gabor_kernel(
                 float(params.get("frequency", 0.1)),
@@ -248,8 +244,6 @@ def stage_receptive_field(op: str, params: dict) -> int:
                 "use downscale=1 or batch sharding"
             )
         # non-flat ball opening: two levels of ceil(radius) each
-        import numpy as np
-
         return 2 * int(np.ceil(params.get("radius", 25.0)))
     if op in (
         "equalize_hist", "equalize", "clahe", "normalize",

@@ -190,3 +190,14 @@ def test_retinex_backend_consistency(consistency):
 
 def test_srad_backend_consistency(consistency):
     _case(consistency, "srad_vs_cpu")
+
+
+def test_pm_kernel_dispatch_consistency(consistency):
+    """The batched entry w8 runs — the Pallas kernel on TPU — vs the
+    CPU jnp fallback (review finding: the op-level case never compiles
+    the kernel)."""
+    _case(consistency, "pm_kernel_dispatch_vs_cpu")
+
+
+def test_srad_kernel_dispatch_consistency(consistency):
+    _case(consistency, "srad_kernel_dispatch_vs_cpu")

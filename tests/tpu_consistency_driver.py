@@ -514,6 +514,39 @@ def main() -> int:
     d = float(np.abs(t - c).max())
     out["cases"]["srad_vs_cpu"] = {"max_abs": d, "ok": d <= 1e-4}
 
+    # 17b. the DISPATCHED batched paths: on TPU these compile the
+    # VMEM-resident Pallas kernels (kernels/diffusion.py) — the code
+    # w8/w9 actually run — against the CPU jnp fallback. Without this,
+    # a Mosaic-only numeric bug in the kernels would pass every gate
+    # (review finding, round 5).
+    from mies_tpu.kernels.diffusion import (
+        anisotropic_diffusion_batched, srad_batched,
+    )
+
+    # the *_batched entries dispatch on the DEFAULT backend, so the
+    # CPU leg must call the jnp fallback explicitly (dispatching the
+    # same fn on a CPU-placed array would still pick the Pallas path
+    # and refuse to lower)
+    stack = imgs[:4]
+    t = np.asarray(jax.jit(
+        lambda a: anisotropic_diffusion_batched(a, 6, 0.05, 0.2)
+    )(stack))
+    c = np.asarray(jax.jit(jax.vmap(
+        lambda v: anisotropic_diffusion(v, 6, 0.05, 0.2)
+    ))(jax.device_put(stack, cpu)))
+    d = float(np.abs(t - c).max())
+    out["cases"]["pm_kernel_dispatch_vs_cpu"] = {
+        "max_abs": d, "ok": d <= 2e-5,
+    }
+    t = np.asarray(jax.jit(lambda a: srad_batched(a, niter=10))(stack))
+    c = np.asarray(jax.jit(jax.vmap(
+        lambda v: _srad(v, niter=10)
+    ))(jax.device_put(stack, cpu)))
+    d = float(np.abs(t - c).max())
+    out["cases"]["srad_kernel_dispatch_vs_cpu"] = {
+        "max_abs": d, "ok": d <= 2e-5,
+    }
+
     t, c = both(lambda a: retinex(a, sigmas=(2.0, 8.0)), imgs[0])
     d = float(np.abs(t - c).max())
     out["cases"]["retinex_vs_cpu"] = {"max_abs": d, "ok": d <= 1e-3}
