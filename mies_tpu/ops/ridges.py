@@ -459,3 +459,49 @@ def meijering3d(
     if alpha is None:
         alpha = 1.0 / (vol.ndim + 1)
     return _meijering_core(x, sigmas, float(alpha), mode)
+
+
+def hessian(
+    img: Array,
+    sigmas: tuple = (1.0, 3.0, 5.0, 7.0, 9.0),
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 15.0,
+    black_ridges: bool = True,
+    mode: str = "reflect",
+) -> Array:
+    """Hybrid Hessian ridge filter (Ng et al. 2014) —
+    skimage.filters.hessian semantics: EXACTLY the Frangi response with
+    non-positive values mapped to 1 (skimage's published contract:
+    ``filtered[filtered <= 0] = 1``) and the fixed default
+    ``gamma=15`` (skimage's; NOT frangi's per-scale half-max-norm
+    global statistic — so the default IS spatially shardable). Defaults
+    mirror skimage's ``sigmas=range(1, 10, 2)``. Golden:
+    tests/goldens/golden_ops.py::hessian_ridge."""
+    if gamma is None:
+        raise ValueError(
+            "hessian requires an explicit gamma (skimage's default is "
+            "15); gamma=None is frangi's global-statistic convention"
+        )
+    f = frangi(img, sigmas, alpha, beta, gamma, black_ridges, mode)
+    return jnp.where(f <= 0.0, np.float32(1.0), f)
+
+
+def hessian3d(
+    vol: Array,
+    sigmas: tuple = (1.0, 3.0, 5.0, 7.0, 9.0),
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 15.0,
+    black_ridges: bool = True,
+    mode: str = "reflect",
+) -> Array:
+    """Volumetric hybrid Hessian filter on [Z, H, W] (skimage.filters
+    .hessian is n-D): the frangi3d response with the same <= 0 -> 1
+    map."""
+    if gamma is None:
+        raise ValueError(
+            "hessian3d requires an explicit gamma (skimage default 15)"
+        )
+    f = frangi3d(vol, sigmas, alpha, beta, gamma, black_ridges, mode)
+    return jnp.where(f <= 0.0, np.float32(1.0), f)

@@ -34,7 +34,8 @@ from mies_tpu.ops.restoration import (  # noqa: F401
     wiener3d,
 )
 from mies_tpu.ops.wavelet import denoise_wavelet3d  # noqa: F401
-from mies_tpu.ops.ridges import (  # noqa: F401
+from mies_tpu.ops.ridges import (
+    hessian3d,  # noqa: F401
     frangi3d,
     meijering3d,
     sato3d,

@@ -159,8 +159,11 @@ def stage_receptive_field(op: str, params: dict) -> int:
         s = params.get("patch_size", 7)
         s = s if s % 2 == 1 else s + 1
         return params.get("patch_distance", 11) + s // 2
-    if op in ("frangi", "vessel_enhance", "sato"):
-        if op != "sato" and params.get("gamma") is None:
+    if op in ("frangi", "vessel_enhance", "sato", "hessian"):
+        if op == "hessian":
+            # skimage's fixed gamma=15 default — no global statistic
+            params = {**params, "gamma": params.get("gamma", 15.0)}
+        if op not in ("sato",) and params.get("gamma") is None:
             raise ValueError(
                 f"op {op!r} with gamma=None normalizes by the per-scale "
                 "GLOBAL max Frobenius norm and cannot be spatially "
@@ -304,6 +307,7 @@ _DEFAULT_MODE = {
     "frangi": "reflect",
     "vessel_enhance": "reflect",
     "sato": "reflect",
+    "hessian": "reflect",
     "difference_of_gaussians": "nearest",
     "gabor": "reflect",
     "gabor_bank": "reflect",

@@ -300,8 +300,10 @@ def volume_stage_z_field(op: str, params: dict) -> int:
         if high is None:
             high = 1.6 * float(low)
         return int(params.get("truncate", 4.0) * float(high) + 0.5)
-    if op in ("frangi3d", "vessel_enhance3d", "sato3d"):
-        if op != "sato3d" and params.get("gamma") is None:
+    if op in ("frangi3d", "vessel_enhance3d", "sato3d", "hessian3d"):
+        if op == "hessian3d":
+            params = {**params, "gamma": params.get("gamma", 15.0)}
+        if op not in ("sato3d",) and params.get("gamma") is None:
             raise ValueError(
                 f"op {op!r} with gamma=None normalizes by the per-scale "
                 "GLOBAL max Frobenius norm and is not z-shardable; pass "
@@ -354,14 +356,15 @@ def _build_zslab_fn(
             elif op in ("gaussian_blur3d", "median_blur3d",
                         "unsharp_mask3d", "denoise_nl_means3d",
                         "frangi3d", "vessel_enhance3d", "sato3d",
-                        "difference_of_gaussians3d"):
+                        "hessian3d", "difference_of_gaussians3d"):
                 r = volume_stage_z_field(op, params)
                 # per-op border defaults: nl-means has no mode param and
                 # pads np 'reflect' (our 'mirror'); the ridge ops default
                 # to 'reflect'
                 if op == "denoise_nl_means3d":
                     mode = "mirror"
-                elif op in ("frangi3d", "vessel_enhance3d", "sato3d"):
+                elif op in ("frangi3d", "vessel_enhance3d", "sato3d",
+                            "hessian3d"):
                     mode = params.get("mode", "reflect")
                 else:
                     mode = params.get("mode", "nearest")

@@ -88,6 +88,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "vessel_enhance": RG.vessel_enhance,
     "sato": RG.sato,
     "meijering": RG.meijering,
+    "hessian": RG.hessian,
     # morphology (cv2-compatible flat structuring elements)
     "erode": M.erode,
     "dilate": M.dilate,
@@ -183,7 +184,7 @@ VOLUME_ONLY_OPS = frozenset(
      "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
      "vessel_enhance3d", "denoise_wavelet3d", "sato3d", "meijering3d",
      "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
-     "wiener3d", "anisotropic_diffusion3d", "srad3d"}
+     "wiener3d", "anisotropic_diffusion3d", "srad3d", "hessian3d"}
 )
 
 
@@ -194,7 +195,7 @@ _VOLUME_FILTER_OPS = (
     "denoise_nl_means3d", "denoise_tv3d", "frangi3d", "vessel_enhance3d",
     "denoise_wavelet3d", "sato3d", "meijering3d",
     "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
-    "wiener3d", "anisotropic_diffusion3d", "srad3d",
+    "wiener3d", "anisotropic_diffusion3d", "srad3d", "hessian3d",
 )
 
 

@@ -394,6 +394,30 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "black_ridges": (lambda v: isinstance(v, bool), "a bool"),
         "mode": (_mode_ok, f"one of {_PAD_MODES}"),
     },
+    "hessian": {
+        "sigmas": (
+            lambda v: isinstance(v, (tuple, list)) and len(v) >= 1
+            and all(_pos(x) for x in v),
+            "a non-empty list of numbers > 0",
+        ),
+        "alpha": (_pos, "a number > 0"),
+        "beta": (_pos, "a number > 0"),
+        "gamma": (_pos, "a number > 0 (skimage default 15)"),
+        "black_ridges": (lambda v: isinstance(v, bool), "a bool"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
+    "hessian3d": {
+        "sigmas": (
+            lambda v: isinstance(v, (tuple, list)) and len(v) >= 1
+            and all(_pos(x) for x in v),
+            "a non-empty list of numbers > 0",
+        ),
+        "alpha": (_pos, "a number > 0"),
+        "beta": (_pos, "a number > 0"),
+        "gamma": (_pos, "a number > 0 (skimage default 15)"),
+        "black_ridges": (lambda v: isinstance(v, bool), "a bool"),
+        "mode": (_mode_ok, f"one of {_PAD_MODES}"),
+    },
     "vessel_enhance": {
         "sigmas": (
             lambda v: isinstance(v, (tuple, list)) and len(v) >= 1

@@ -1722,3 +1722,26 @@ def srad3d(vol, niter=15, dt=0.15, q0=1.0, rho=0.2, eps=1e-6):
                + c[1:-1, 1:-1, 2:] * d_e[inr] + cc * d_w[inr])
         out = (ext[2:-2] + np.float32(dt / 6.0) * div).astype(np.float32)
     return out
+
+
+def hessian_ridge(img, sigmas=(1.0, 3.0, 5.0, 7.0, 9.0), alpha=0.5,
+                  beta=0.5, gamma=15.0, black_ridges=True,
+                  mode="reflect"):
+    """skimage.filters.hessian contract: frangi then <= 0 -> 1."""
+    f = frangi_vesselness(img, sigmas=sigmas, alpha=alpha, beta=beta,
+                          gamma=gamma, black_ridges=black_ridges,
+                          mode=mode)
+    f = np.asarray(f, np.float32).copy()
+    f[f <= 0] = 1.0
+    return f
+
+
+def hessian3d_ridge(vol, sigmas=(1.0, 3.0, 5.0, 7.0, 9.0), alpha=0.5,
+                    beta=0.5, gamma=15.0, black_ridges=True,
+                    mode="reflect"):
+    f = frangi3d_vesselness(vol, sigmas=sigmas, alpha=alpha, beta=beta,
+                            gamma=gamma, black_ridges=black_ridges,
+                            mode=mode)
+    f = np.asarray(f, np.float32).copy()
+    f[f <= 0] = 1.0
+    return f

@@ -39,6 +39,7 @@ _CHAINABLE = [
     ("musica", {"levels": 3, "p": 0.7, "gain": 1.4}),
     ("anisotropic_diffusion", {"niter": 4, "kappa": 0.1, "gamma": 0.2}),
     ("srad", {"niter": 4}),
+    ("hessian", {"sigmas": (1.0, 2.0)}),
     ("denoise_tv", {"weight": 0.1, "max_num_iter": 25}),
     ("richardson_lucy", {"psf_sigma": 1.0, "psf_size": 5, "num_iter": 4}),
     ("wiener", {"psf_sigma": 1.0, "psf_size": 5, "balance": 0.1}),
@@ -143,6 +144,7 @@ _CHAINABLE_3D = [
     ("wiener3d", {"psf_sigma": 1.0, "psf_size": 3}),
     ("anisotropic_diffusion3d", {"niter": 3, "kappa": 0.1}),
     ("srad3d", {"niter": 3}),
+    ("hessian3d", {"sigmas": (1.0,)}),
     ("denoise_tv3d", {"weight": 0.1, "max_num_iter": 15}),
     ("erode3d", {}),
     ("dilate3d", {"kernel_size": 5}),

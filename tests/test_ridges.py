@@ -330,3 +330,67 @@ class TestMeijering:
         # sato needs no gamma — plain stencil radii
         assert stage_receptive_field("sato", {"sigmas": (1.0, 2.5)}) == 10
         assert volume_stage_z_field("sato3d", {"sigmas": (2.0,)}) == 8
+
+
+class TestHessianRidge:
+    """skimage.filters.hessian: frangi then <= 0 -> 1. The <= 0 branch
+    is a KNIFE EDGE — frangi ULPs near zero flip whole pixels between
+    ~0 and 1.0 — so golden comparisons exclude the knife zone and
+    assert the flipped pixels land on one of the two legal values."""
+
+    def test_matches_golden_off_knife(self, rng):
+        from mies_tpu.ops.ridges import hessian
+
+        img = rng.random((48, 64)).astype(np.float32)
+        out = np.asarray(hessian(jnp.asarray(img), sigmas=(1.0, 3.0)))
+        gold = G.hessian_ridge(img, sigmas=(1.0, 3.0))
+        fr = G.frangi_vesselness(img, sigmas=(1.0, 3.0), gamma=15.0)
+        knife = np.abs(fr) <= 1e-6
+        np.testing.assert_allclose(
+            out[~knife], gold[~knife], atol=1e-5, rtol=0
+        )
+        # knife pixels: either the tiny frangi value or the 1.0 map
+        ok = (np.abs(out[knife] - 1.0) <= 1e-6) | (
+            np.abs(out[knife]) <= 2e-6
+        )
+        assert ok.all()
+
+    def test_3d_matches_golden_off_knife(self, rng):
+        from mies_tpu.ops.ridges import hessian3d
+
+        vol = rng.random((8, 24, 24)).astype(np.float32)
+        out = np.asarray(hessian3d(jnp.asarray(vol), sigmas=(1.0,)))
+        gold = G.hessian3d_ridge(vol, sigmas=(1.0,))
+        fr = G.frangi3d_vesselness(vol, sigmas=(1.0,), gamma=15.0)
+        knife = np.abs(fr) <= 1e-6
+        np.testing.assert_allclose(
+            out[~knife], gold[~knife], atol=1e-5, rtol=0
+        )
+
+    def test_default_is_shardable_none_rejected(self):
+        from mies_tpu.parallel.halo import stage_receptive_field
+        from mies_tpu.parallel.volume_shard import volume_stage_z_field
+
+        # skimage's fixed gamma=15 default: NOT a global statistic
+        assert stage_receptive_field("hessian", {"sigmas": (1.0,)}) == 4
+        with pytest.raises(ValueError, match="gamma"):
+            stage_receptive_field("hessian", {"gamma": None})
+        assert volume_stage_z_field("hessian3d", {"sigmas": (1.0,)}) == 4
+        from mies_tpu.ops.ridges import hessian
+
+        with pytest.raises(ValueError, match="gamma"):
+            hessian(jnp.zeros((16, 16)), gamma=None)
+
+    def test_band_sharded_exact(self, rng):
+        from mies_tpu.parallel.halo import spatial_shard_apply
+        from mies_tpu.parallel.mesh import make_mesh
+        from mies_tpu.pipeline.compiler import compile_pipeline
+
+        cfg = PipelineConfig.make([("hessian", {"sigmas": (1.0, 2.0)})])
+        img = rng.random((128, 64)).astype(np.float32)
+        mesh = make_mesh(data=1, space=4)
+        out = np.asarray(spatial_shard_apply(cfg, mesh)(jnp.asarray(img)))
+        ref = np.asarray(
+            compile_pipeline(cfg, donate=False)(jnp.asarray(img))
+        )
+        np.testing.assert_array_equal(out, ref)

@@ -44,7 +44,7 @@ _CATEGORIES = (
         "butterworth", "homomorphic",
     )),
     ("Ridge / vesselness", (
-        "frangi", "vessel_enhance", "sato", "meijering",
+        "frangi", "vessel_enhance", "sato", "meijering", "hessian",
     )),
     ("Morphology", (
         "erode", "dilate", "morph_open", "morph_close", "morph_gradient",
@@ -62,7 +62,7 @@ _CATEGORIES = (
         "morph_close3d", "morph_gradient3d", "top_hat3d", "black_hat3d",
         "resample3d", "denoise_nl_means3d", "denoise_tv3d", "frangi3d",
         "denoise_wavelet3d", "anisotropic_diffusion3d", "srad3d",
-        "vessel_enhance3d", "sato3d", "meijering3d",
+        "vessel_enhance3d", "sato3d", "meijering3d", "hessian3d",
         "difference_of_gaussians3d", "butterworth3d", "homomorphic3d",
         "wiener3d",
     )),
