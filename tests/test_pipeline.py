@@ -699,6 +699,30 @@ class TestExport:
             compile_pipeline(cfg, batched=True, donate=False)(x))
         np.testing.assert_array_equal(got, ref)
 
+    def test_export_diffusion_kernel_chain_roundtrip(self, tmp_path, rng):
+        """A chain whose batched path dispatches the VMEM-resident
+        Pallas diffusion kernel (on TPU) must export and reload
+        bit-identically — Mosaic custom calls serialize in the
+        StableHLO artifact. On CPU this exercises the jnp fallback;
+        the platform gate in the loader covers the cross-platform
+        case either way."""
+        from mies_tpu.pipeline.export import export_pipeline, load_exported
+
+        cfg = PipelineConfig.make(
+            [("anisotropic_diffusion",
+              {"niter": 4, "kappa": 0.05, "gamma": 0.2}),
+             ("musica", {"levels": 3, "p": 0.6, "gain": 1.4})],
+            name="musica-exp",
+        )
+        p = export_pipeline(cfg, tmp_path / "m.mies", shape=(64, 128),
+                            batch_size=2)
+        fn, hdr = load_exported(p)
+        x = jnp.asarray(rng.random((2, 64, 128)).astype(np.float32))
+        got = np.asarray(fn(x))
+        ref = np.asarray(
+            compile_pipeline(cfg, batched=True, donate=False)(x))
+        np.testing.assert_array_equal(got, ref)
+
     def test_export_single_slice_and_header(self, tmp_path, rng):
         from mies_tpu.pipeline.export import (
             export_pipeline, load_exported, read_export_header,
