@@ -39,6 +39,7 @@ _TAG_PIXEL_SPACING = (0x0028, 0x0030)
 _TAG_INSTANCE = (0x0020, 0x0013)
 _TAG_IPP = (0x0020, 0x0032)
 _TAG_SLICE_LOC = (0x0020, 0x1041)
+_TAG_FRAMES = (0x0028, 0x0008)  # NumberOfFrames (IS)
 _TAG_PIXEL_DATA = (0x7FE0, 0x0010)
 _TAG_TS_UID = (0x0002, 0x0010)
 _ITEM = (0xFFFE, 0xE000)
@@ -242,6 +243,11 @@ def read_dicom(path: str | Path) -> DicomSlice:
             meta["bits"] = struct.unpack("<H", v[:2])[0]
         elif t == _TAG_PIXEL_REP:
             meta["signed"] = struct.unpack("<H", v[:2])[0] == 1
+        elif t == _TAG_FRAMES:
+            try:
+                meta["frames"] = int(v.decode("ascii").strip(" \x00") or 1)
+            except ValueError:
+                pass
         elif t == _TAG_INTERCEPT:
             meta["intercept"] = float(v.decode("ascii").strip(" \x00") or 0)
         elif t == _TAG_SLOPE:
@@ -253,6 +259,14 @@ def read_dicom(path: str | Path) -> DicomSlice:
         raise ValueError(f"{path}: missing PixelData / Rows / Columns")
 
     rows, cols = meta["rows"], meta["cols"]
+    nframes = meta.get("frames", 1)
+    if nframes > 1:
+        raise ValueError(
+            f"{path}: multi-frame DICOM (NumberOfFrames={nframes}) — "
+            "read_dicom returns ONE slice and would silently drop "
+            f"{nframes - 1} frames; use read_dicom_frames (cine / "
+            "tomosynthesis stack -> [N, H, W]) or the volume pipeline"
+        )
     bits = meta.get("bits", 16)
     if bits == 16:
         dt = np.int16 if meta.get("signed", False) else np.uint16
@@ -319,9 +333,106 @@ def read_dicom_header(path: str | Path) -> dict:
             meta["rows"] = struct.unpack("<H", v[:2])[0]
         elif t == _TAG_COLS:
             meta["cols"] = struct.unpack("<H", v[:2])[0]
+        elif t == _TAG_FRAMES:
+            try:
+                meta["frames"] = int(v.decode("ascii").strip(" \x00") or 1)
+            except ValueError:
+                pass
         elif _parse_geometry_tag(t, v, meta):
             pass
     return meta
+
+
+def read_dicom_frames(path: str | Path) -> tuple[np.ndarray, "DicomSlice"]:
+    """Read a MULTI-frame uncompressed DICOM (cine ultrasound loop,
+    breast-tomosynthesis stack, enhanced CT): [N, rows, cols] int16
+    (HU-rescaled like read_dicom) plus a DicomSlice carrying the
+    shared metadata. Single-frame files return [1, rows, cols].
+
+    PS3.5: multi-frame PixelData is the N frames concatenated
+    frame-major — exactly a reshape, no per-frame offsets. The 2-D
+    reader REFUSES these files (it would silently drop N-1 frames —
+    review finding, round 5)."""
+    data = Path(path).read_bytes()
+    ts, offset = _parse_meta(data)
+    if ts == IMPLICIT_VR_LE:
+        explicit = False
+    elif ts == EXPLICIT_VR_LE:
+        explicit = True
+    else:
+        raise NotImplementedError(
+            f"transfer syntax {ts} not supported (only uncompressed LE)"
+        )
+    r = _Reader(data, explicit=explicit)
+    r.pos = offset
+    meta: dict = {}
+    pixel_bytes = None
+    while not r.eof():
+        t, vr, length = r.element()
+        if length == 0xFFFFFFFF:
+            r.skip_undefined(vr)
+            continue
+        if t == _TAG_PIXEL_DATA:
+            pixel_bytes = r.value(length)
+            continue
+        v = r.value(length)
+        if t == _TAG_ROWS:
+            meta["rows"] = struct.unpack("<H", v[:2])[0]
+        elif t == _TAG_COLS:
+            meta["cols"] = struct.unpack("<H", v[:2])[0]
+        elif t == _TAG_BITS_ALLOC:
+            meta["bits"] = struct.unpack("<H", v[:2])[0]
+        elif t == _TAG_PIXEL_REP:
+            meta["signed"] = struct.unpack("<H", v[:2])[0] == 1
+        elif t == _TAG_FRAMES:
+            try:
+                meta["frames"] = int(v.decode("ascii").strip(" \x00") or 1)
+            except ValueError:
+                pass
+        elif t == _TAG_INTERCEPT:
+            meta["intercept"] = float(v.decode("ascii").strip(" \x00") or 0)
+        elif t == _TAG_SLOPE:
+            meta["slope"] = float(v.decode("ascii").strip(" \x00") or 1)
+        elif _parse_geometry_tag(t, v, meta):
+            pass
+    if pixel_bytes is None or "rows" not in meta or "cols" not in meta:
+        raise ValueError(f"{path}: missing PixelData / Rows / Columns")
+    rows, cols = meta["rows"], meta["cols"]
+    n = max(1, meta.get("frames", 1))
+    bits = meta.get("bits", 16)
+    if bits == 16:
+        dt = np.int16 if meta.get("signed", False) else np.uint16
+    elif bits == 8:
+        dt = np.uint8
+    else:
+        raise NotImplementedError(f"BitsAllocated={bits}")
+    need = n * rows * cols * (bits // 8)
+    if len(pixel_bytes) < need:
+        raise ValueError(
+            f"{path}: PixelData holds {len(pixel_bytes)} bytes but "
+            f"NumberOfFrames={n} at {rows}x{cols}x{bits}bit needs {need}"
+        )
+    px = np.frombuffer(pixel_bytes[:need], dtype=dt).reshape(n, rows, cols)
+    slope = meta.get("slope", 1.0)
+    intercept = meta.get("intercept", 0.0)
+    if slope != 1.0 or intercept != 0.0:
+        px = np.clip(
+            px.astype(np.float32) * slope + intercept, -32768, 32767
+        ).astype(np.int16)
+    info = DicomSlice(
+        pixels=np.ascontiguousarray(px[0]),
+        rows=rows,
+        cols=cols,
+        instance_number=meta.get("instance"),
+        slice_location=meta.get("slice_loc"),
+        image_position_z=meta.get("ipp_z"),
+        pixel_spacing=meta.get("pixel_spacing"),
+        slice_thickness=meta.get("slice_thickness"),
+        rescale_slope=slope,
+        rescale_intercept=intercept,
+        transfer_syntax=ts,
+    )
+    return np.ascontiguousarray(px), info
 
 
 def read_dicom_series(directory: str | Path, pattern: str = "*.dcm") -> np.ndarray:
@@ -439,7 +550,11 @@ def write_dicom(
     pixel_spacing: tuple[float, float] | None = None,
     slice_thickness: float | None = None,
 ) -> None:
-    """Write a minimal explicit-VR-LE Part-10 DICOM file (int16/uint8)."""
+    """Write a minimal explicit-VR-LE Part-10 DICOM file (int16/uint8).
+
+    ``pixels`` may be [H, W] (single frame) or [N, H, W] — the latter
+    writes a MULTI-frame file (NumberOfFrames + frame-major PixelData,
+    PS3.5's layout; read back with read_dicom_frames)."""
     pixels = np.asarray(pixels)
     if pixels.dtype == np.int16:
         bits, signed = 16, 1
@@ -449,7 +564,15 @@ def write_dicom(
         bits, signed = 8, 0
     else:
         raise TypeError(f"unsupported dtype {pixels.dtype}")
-    rows, cols = pixels.shape
+    if pixels.ndim == 3:
+        nframes = pixels.shape[0]
+        rows, cols = pixels.shape[1:]
+    elif pixels.ndim == 2:
+        nframes = 1
+        rows, cols = pixels.shape
+    else:
+        raise ValueError(f"pixels must be [H, W] or [N, H, W], got "
+                         f"{pixels.shape}")
 
     meta_body = _el_short(_TAG_TS_UID, b"UI", EXPLICIT_VR_LE.encode())
     meta = _el_short((0x0002, 0x0000), b"UL", struct.pack("<I", len(meta_body))) + meta_body
@@ -469,6 +592,8 @@ def write_dicom(
         )
     if slice_location is not None:  # (0020,1041)
         ds += _el_short(_TAG_SLICE_LOC, b"DS", f"{slice_location:.3f}".encode())
+    if nframes > 1:  # (0028,0008) sorts before Rows (0028,0010)
+        ds += _el_short(_TAG_FRAMES, b"IS", str(nframes).encode())
     ds += _el_short(_TAG_ROWS, b"US", struct.pack("<H", rows))
     ds += _el_short(_TAG_COLS, b"US", struct.pack("<H", cols))
     if pixel_spacing is not None:  # (0028,0030)

@@ -84,6 +84,15 @@ def load_volume(
     if path.is_dir():
         # native C++ parallel decoder when buildable; Python twin otherwise
         from mies_tpu import native
+        from mies_tpu.io.dicom import read_dicom_header as _hdr
+
+        probe = sorted(path.glob("*.dcm"))[:1]
+        if probe and _hdr(probe[0]).get("frames", 1) > 1:
+            raise ValueError(
+                f"{probe[0]}: multi-frame file in a series directory — "
+                "load it directly (load_volume on the FILE) instead; "
+                "the per-slice series decoders would drop frames"
+            )
 
         if native.available():
             vol = native.read_dicom_series_native(path)
@@ -100,6 +109,20 @@ def load_volume(
             spacing=series_spacing(path),
         )
     suffix = path.suffix.lower()
+    if suffix in (".dcm", ".dicom"):
+        # single MULTI-frame file = a volume (cine loop / tomo stack)
+        from mies_tpu.io.dicom import read_dicom_frames
+
+        vol, info = read_dicom_frames(path)
+        spacing = None
+        if info.slice_thickness and info.pixel_spacing:
+            spacing = (float(info.slice_thickness),
+                       float(info.pixel_spacing[0]),
+                       float(info.pixel_spacing[1]))
+        return vol, VolumeMeta(
+            vol.shape, str(vol.dtype), f"dicom-frames:{path}",
+            spacing=spacing,
+        )
     if suffix == ".nc":
         if _is_classic_netcdf(path):
             # full load -> no mmap (avoids scipy's close-with-live-refs
@@ -205,6 +228,17 @@ def open_volume_slabs(
     if path.is_dir():
         return _dicom_slab_stream(path, slab_size)
     suffix = path.suffix.lower()
+    if suffix in (".dcm", ".dicom"):
+        # multi-frame file: frames are contiguous in ONE PixelData
+        # element — a full parse is unavoidable, so slab-iterate the
+        # in-memory array (bounded by the single file's size)
+        vol, meta = load_volume(path)
+
+        def gen_frames():
+            for z in range(0, vol.shape[0], slab_size):
+                yield vol[z:z + slab_size]
+
+        return meta, gen_frames()
     if suffix == ".nc" and _is_classic_netcdf(path):
         f, var, var_name, unsigned = _open_scipy_nc(path, var_name)
         shape = tuple(int(s) for s in var.data.shape)
@@ -272,6 +306,13 @@ def _dicom_slab_stream(
         m = read_dicom_header(p)
         if "rows" not in m or "cols" not in m:
             raise ValueError(f"{p}: missing Rows/Columns — not streamable")
+        if m.get("frames", 1) > 1:
+            raise ValueError(
+                f"{p}: multi-frame file inside a series directory "
+                f"(NumberOfFrames={m['frames']}) — stream it directly "
+                "as a single-file volume instead (the per-slice series "
+                "decoders would silently drop its extra frames)"
+            )
         hw = (m["rows"], m["cols"])
         if shape_hw is None:
             shape_hw = hw

@@ -467,3 +467,67 @@ def test_dicom_reader_rejects_garbage_cleanly(tmp_path, rng):
                 raise AssertionError(
                     f"{reader.__name__}({name}): leaked "
                     f"{type(e).__name__}: {e}") from e
+
+
+class TestMultiFrameDicom:
+    """Multi-frame DICOM (cine ultrasound / tomosynthesis): PS3.5
+    frame-major PixelData. The 2-D reader REFUSES such files (it would
+    silently drop N-1 frames); the volume paths load them whole."""
+
+    def _write(self, tmp_path, rng, n=12, hw=(32, 40)):
+        from mies_tpu.io.dicom import write_dicom
+
+        vol = rng.integers(-1000, 2000, (n, *hw)).astype(np.int16)
+        f = tmp_path / "cine.dcm"
+        write_dicom(f, vol, slice_thickness=1.5, pixel_spacing=(0.7, 0.7))
+        return f, vol
+
+    def test_frames_roundtrip(self, tmp_path, rng):
+        from mies_tpu.io.dicom import read_dicom_frames, read_dicom_header
+
+        f, vol = self._write(tmp_path, rng)
+        frames, info = self._read(f)
+        np.testing.assert_array_equal(frames, vol)
+        assert read_dicom_header(f).get("frames") == 12
+        assert info.slice_thickness == 1.5
+
+    def _read(self, f):
+        from mies_tpu.io.dicom import read_dicom_frames
+
+        return read_dicom_frames(f)
+
+    def test_2d_reader_refuses(self, tmp_path, rng):
+        from mies_tpu.io.dicom import read_dicom
+
+        f, _ = self._write(tmp_path, rng)
+        with pytest.raises(ValueError, match="multi-frame"):
+            read_dicom(f)
+
+    def test_volume_paths_load_it(self, tmp_path, rng):
+        from mies_tpu.io.volume import load_volume, open_volume_slabs
+
+        f, vol = self._write(tmp_path, rng)
+        v, meta = load_volume(f)
+        np.testing.assert_array_equal(v, vol)
+        assert meta.spacing == (1.5, 0.7, 0.7)
+        meta2, it = open_volume_slabs(f, slab_size=5)
+        np.testing.assert_array_equal(np.concatenate(list(it)), vol)
+
+    def test_series_dir_guards(self, tmp_path, rng):
+        from mies_tpu.io.volume import load_volume, open_volume_slabs
+
+        f, _ = self._write(tmp_path, rng)
+        with pytest.raises(ValueError, match="multi-frame"):
+            load_volume(tmp_path)
+        with pytest.raises(ValueError, match="multi-frame"):
+            meta, it = open_volume_slabs(tmp_path)
+            list(it)
+
+    def test_truncated_pixeldata_rejected(self, tmp_path, rng):
+        from mies_tpu.io.dicom import read_dicom_frames
+
+        f, _ = self._write(tmp_path, rng)
+        data = f.read_bytes()
+        f.write_bytes(data[:-64])  # chop the last frame's tail
+        with pytest.raises(ValueError):
+            read_dicom_frames(f)
