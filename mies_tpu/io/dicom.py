@@ -39,7 +39,9 @@ _TAG_PIXEL_SPACING = (0x0028, 0x0030)
 _TAG_INSTANCE = (0x0020, 0x0013)
 _TAG_IPP = (0x0020, 0x0032)
 _TAG_SLICE_LOC = (0x0020, 0x1041)
+_TAG_PHOTOMETRIC = (0x0028, 0x0004)  # PhotometricInterpretation (CS)
 _TAG_FRAMES = (0x0028, 0x0008)  # NumberOfFrames (IS)
+_TAG_BITS_STORED = (0x0028, 0x0101)
 _TAG_PIXEL_DATA = (0x7FE0, 0x0010)
 _TAG_TS_UID = (0x0002, 0x0010)
 _ITEM = (0xFFFE, 0xE000)
@@ -61,6 +63,8 @@ class DicomSlice:
     slice_thickness: float | None = None  # mm
     rescale_slope: float = 1.0
     rescale_intercept: float = 0.0
+    photometric: str = "MONOCHROME2"
+    bits_stored: int | None = None
     transfer_syntax: str = EXPLICIT_VR_LE
 
 
@@ -248,6 +252,10 @@ def read_dicom(path: str | Path) -> DicomSlice:
                 meta["frames"] = int(v.decode("ascii").strip(" \x00") or 1)
             except ValueError:
                 pass
+        elif t == _TAG_PHOTOMETRIC:
+            meta["photometric"] = v.decode("ascii", "replace").strip(" \x00")
+        elif t == _TAG_BITS_STORED:
+            meta["bits_stored"] = struct.unpack("<H", v[:2])[0]
         elif t == _TAG_INTERCEPT:
             meta["intercept"] = float(v.decode("ascii").strip(" \x00") or 0)
         elif t == _TAG_SLOPE:
@@ -298,6 +306,8 @@ def read_dicom(path: str | Path) -> DicomSlice:
         slice_thickness=meta.get("slice_thickness"),
         rescale_slope=slope,
         rescale_intercept=intercept,
+        photometric=meta.get("photometric", "MONOCHROME2"),
+        bits_stored=meta.get("bits_stored"),
         transfer_syntax=ts,
     )
 
@@ -338,6 +348,10 @@ def read_dicom_header(path: str | Path) -> dict:
                 meta["frames"] = int(v.decode("ascii").strip(" \x00") or 1)
             except ValueError:
                 pass
+        elif t == _TAG_PHOTOMETRIC:
+            meta["photometric"] = v.decode("ascii", "replace").strip(" \x00")
+        elif t == _TAG_BITS_STORED:
+            meta["bits_stored"] = struct.unpack("<H", v[:2])[0]
         elif _parse_geometry_tag(t, v, meta):
             pass
     return meta
@@ -389,6 +403,10 @@ def read_dicom_frames(path: str | Path) -> tuple[np.ndarray, "DicomSlice"]:
                 meta["frames"] = int(v.decode("ascii").strip(" \x00") or 1)
             except ValueError:
                 pass
+        elif t == _TAG_PHOTOMETRIC:
+            meta["photometric"] = v.decode("ascii", "replace").strip(" \x00")
+        elif t == _TAG_BITS_STORED:
+            meta["bits_stored"] = struct.unpack("<H", v[:2])[0]
         elif t == _TAG_INTERCEPT:
             meta["intercept"] = float(v.decode("ascii").strip(" \x00") or 0)
         elif t == _TAG_SLOPE:
@@ -430,6 +448,8 @@ def read_dicom_frames(path: str | Path) -> tuple[np.ndarray, "DicomSlice"]:
         slice_thickness=meta.get("slice_thickness"),
         rescale_slope=slope,
         rescale_intercept=intercept,
+        photometric=meta.get("photometric", "MONOCHROME2"),
+        bits_stored=meta.get("bits_stored"),
         transfer_syntax=ts,
     )
     return np.ascontiguousarray(px), info
@@ -543,6 +563,8 @@ def write_dicom(
     path: str | Path,
     pixels: np.ndarray,
     instance_number: int = 1,
+    photometric: str | None = None,
+    bits_stored: int | None = None,
     slice_location: float | None = None,
     rescale_slope: float = 1.0,
     rescale_intercept: float = 0.0,
@@ -592,6 +614,11 @@ def write_dicom(
         )
     if slice_location is not None:  # (0020,1041)
         ds += _el_short(_TAG_SLICE_LOC, b"DS", f"{slice_location:.3f}".encode())
+    if photometric is not None:  # (0028,0004)
+        ds += _el_short(
+            _TAG_PHOTOMETRIC, b"CS",
+            photometric.encode() + (b" " if len(photometric) % 2 else b""),
+        )
     if nframes > 1:  # (0028,0008) sorts before Rows (0028,0010)
         ds += _el_short(_TAG_FRAMES, b"IS", str(nframes).encode())
     ds += _el_short(_TAG_ROWS, b"US", struct.pack("<H", rows))
@@ -602,6 +629,9 @@ def write_dicom(
             "\\".join(f"{v:.4f}" for v in pixel_spacing).encode(),
         )
     ds += _el_short(_TAG_BITS_ALLOC, b"US", struct.pack("<H", bits))
+    if bits_stored is not None:  # (0028,0101) between 0100 and 0103
+        ds += _el_short(_TAG_BITS_STORED, b"US",
+                        struct.pack("<H", bits_stored))
     ds += _el_short(_TAG_PIXEL_REP, b"US", struct.pack("<H", signed))
     if rescale_intercept != 0.0 or rescale_slope != 1.0:
         ds += _el_short(_TAG_INTERCEPT, b"DS", f"{rescale_intercept:g}".encode())

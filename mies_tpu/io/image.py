@@ -98,8 +98,9 @@ def _load_dicom_slice(path: Path, dtype: str) -> np.ndarray:
     so that combination is an explicit error instead of a silent guess.
     """
     from mies_tpu import native
-    from mies_tpu.io.dicom import read_dicom
+    from mies_tpu.io.dicom import read_dicom, read_dicom_header
 
+    hdr = read_dicom_header(path)  # header-only: photometric/BitsStored
     if native.available():
         try:
             px, _ = native.read_dicom_native(path)
@@ -110,6 +111,22 @@ def _load_dicom_slice(path: Path, dtype: str) -> np.ndarray:
             px = read_dicom(path).pixels
     else:
         px = read_dicom(path).pixels
+    if hdr.get("photometric", "MONOCHROME2") == "MONOCHROME1":
+        # PS3.3 C.7.6.3.1.2: MONOCHROME1 displays LOW values bright —
+        # common for CR/DX X-rays. Invert unsigned stored pixels over
+        # their BitsStored range so the chain sees display-convention
+        # data (what every viewer renders); signed/rescaled pixels have
+        # no canonical inversion, so that combination is an explicit
+        # error instead of silently wrong-contrast output.
+        if px.dtype == np.int16:
+            raise ValueError(
+                f"{path}: MONOCHROME1 with signed/rescaled pixels has "
+                "no canonical inversion; load the file with the DICOM "
+                "API and handle the VOI mapping explicitly"
+            )
+        top = (1 << hdr.get("bits_stored",
+                            16 if px.dtype == np.uint16 else 8)) - 1
+        px = (top - px.astype(np.int32)).clip(0, top).astype(px.dtype)
     if dtype == "raw":
         return px
     if px.dtype == np.int16:

@@ -531,3 +531,66 @@ class TestMultiFrameDicom:
         f.write_bytes(data[:-64])  # chop the last frame's tail
         with pytest.raises(ValueError):
             read_dicom_frames(f)
+
+
+class TestPhotometric:
+    """DICOM PhotometricInterpretation: MONOCHROME1 (low = bright, the
+    common CR/DX convention) inverts over the BitsStored range at
+    ingest — what every viewer renders; MONOCHROME2 passes through."""
+
+    def test_mono1_inverts_over_bits_stored(self, tmp_path, rng):
+        from mies_tpu.io.dicom import write_dicom
+        from mies_tpu.io.image import load_image
+
+        px = rng.integers(0, 4096, (32, 40)).astype(np.uint16)
+        f = tmp_path / "cr.dcm"
+        write_dicom(f, px, photometric="MONOCHROME1", bits_stored=12)
+        got = load_image(f, dtype="raw")
+        np.testing.assert_array_equal(got, (4095 - px).astype(np.uint16))
+
+    def test_mono2_and_absent_untouched(self, tmp_path, rng):
+        from mies_tpu.io.dicom import write_dicom
+        from mies_tpu.io.image import load_image
+
+        px = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        write_dicom(tmp_path / "a.dcm", px, photometric="MONOCHROME2")
+        write_dicom(tmp_path / "b.dcm", px)
+        np.testing.assert_array_equal(
+            load_image(tmp_path / "a.dcm", dtype="raw"), px)
+        np.testing.assert_array_equal(
+            load_image(tmp_path / "b.dcm", dtype="raw"), px)
+
+    def test_mono1_signed_rejected(self, tmp_path, rng):
+        from mies_tpu.io.dicom import write_dicom
+        from mies_tpu.io.image import load_image
+
+        px = rng.integers(-1000, 2000, (16, 16)).astype(np.int16)
+        f = tmp_path / "ct.dcm"
+        write_dicom(f, px, photometric="MONOCHROME1",
+                    rescale_intercept=-1024.0)
+        with pytest.raises(ValueError, match="MONOCHROME1"):
+            load_image(f, dtype="raw")
+
+    def test_written_tags_stay_ascending(self, tmp_path, rng):
+        # the tag-order regression test pattern: parse the file and
+        # assert monotonic tags (PS3.5 7.1)
+        from mies_tpu.io.dicom import (
+            EXPLICIT_VR_LE, _Reader, _parse_meta, write_dicom,
+        )
+
+        px = rng.integers(0, 4096, (8, 8)).astype(np.uint16)
+        f = tmp_path / "t.dcm"
+        write_dicom(f, np.stack([px] * 3), photometric="MONOCHROME1",
+                    bits_stored=12, slice_thickness=1.0,
+                    pixel_spacing=(0.5, 0.5))
+        data = f.read_bytes()
+        ts, offset = _parse_meta(data)
+        assert ts == EXPLICIT_VR_LE
+        r = _Reader(data, explicit=True)
+        r.pos = offset
+        tags = []
+        while not r.eof():
+            t, vr, length = r.element()
+            tags.append(t)
+            r.pos += length
+        assert tags == sorted(tags), tags
