@@ -31,6 +31,49 @@ def _maybe_mesh(args):
     return None
 
 
+def _apply_file_window(cfg, inputs):
+    """Rewrite the chain's window_hu stage with the FIRST input's
+    modality-recommended WindowCenter/Width (DICOM 0028,1050/1051).
+    Returns the new config, or None (error printed) when the request
+    can't be honored — never a silent fallback to the config's
+    numbers."""
+    from mies_tpu.io.dicom import read_dicom_header
+    from mies_tpu.pipeline.config import PipelineConfig, StageConfig, validate
+
+    first = inputs[0]
+    if first.suffix.lower() not in (".dcm", ".dicom"):
+        print("error: --window-from-file needs DICOM input(s)",
+              file=sys.stderr)
+        return None
+    hdr = read_dicom_header(first)
+    wc, ww = hdr.get("window_center"), hdr.get("window_width")
+    if wc is None or ww is None:
+        print(f"error: {first} carries no WindowCenter/WindowWidth "
+              "(0028,1050/1051); drop --window-from-file or window "
+              "explicitly in the config", file=sys.stderr)
+        return None
+    stages = []
+    hit = False
+    for st in cfg.stages:
+        if st.op == "window_hu":
+            kw = st.kwargs()
+            kw.pop("preset", None)
+            kw.update(center=float(wc), width=float(ww))
+            stages.append(StageConfig.make("window_hu", **kw))
+            hit = True
+        else:
+            stages.append(st)
+    if not hit:
+        print("error: --window-from-file needs a window_hu stage in "
+              "the chain to rewrite", file=sys.stderr)
+        return None
+    out = PipelineConfig.make(
+        stages, name=cfg.name, io=cfg.io_dict(), eval=cfg.eval_dict()
+    )
+    validate(out)
+    return out
+
+
 def cmd_enhance(args) -> int:
     import time
 
@@ -40,6 +83,10 @@ def cmd_enhance(args) -> int:
 
     cfg = _load_cfg(args.config)
     inputs = [Path(p) for p in args.inputs]
+    if getattr(args, "window_from_file", False):
+        cfg = _apply_file_window(cfg, inputs)
+        if cfg is None:
+            return 2
     # batch mode when there are multiple inputs OR the output names a
     # directory — existing, trailing-separator, or suffix-less (a
     # one-file glob with a not-yet-created outdir/ must NOT silently
@@ -594,6 +641,11 @@ def main(argv=None) -> int:
     p.add_argument("--data-parallel", action="store_true",
                    help="shard each batch over all devices (batch must "
                         "divide by the device count)")
+    p.add_argument("--window-from-file", action="store_true",
+                   help="rewrite the chain's window_hu stage with the "
+                        "first DICOM input's own WindowCenter/Width "
+                        "(0028,1050/1051) — the modality's recommended "
+                        "display window")
     p.add_argument("--report", help="write before/after PNG report here")
     p.add_argument(
         "--run-report",

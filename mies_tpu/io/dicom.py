@@ -42,6 +42,8 @@ _TAG_SLICE_LOC = (0x0020, 0x1041)
 _TAG_PHOTOMETRIC = (0x0028, 0x0004)  # PhotometricInterpretation (CS)
 _TAG_FRAMES = (0x0028, 0x0008)  # NumberOfFrames (IS)
 _TAG_BITS_STORED = (0x0028, 0x0101)
+_TAG_WIN_CENTER = (0x0028, 0x1050)  # WindowCenter (DS, may be multi)
+_TAG_WIN_WIDTH = (0x0028, 0x1051)
 _TAG_PIXEL_DATA = (0x7FE0, 0x0010)
 _TAG_TS_UID = (0x0002, 0x0010)
 _ITEM = (0xFFFE, 0xE000)
@@ -170,6 +172,23 @@ def _parse_geometry_tag(t, v: bytes, meta: dict) -> bool:
     elif t == _TAG_SLICE_THICK:
         try:
             meta["slice_thickness"] = float(v.decode("ascii").strip(" \x00"))
+        except ValueError:
+            pass
+    elif t == _TAG_WIN_CENTER:
+        # modality-recommended display window (first value of a
+        # possibly multi-valued DS) — surfaced so CLI/users can window
+        # with the file's own recommendation instead of guessing
+        try:
+            meta["window_center"] = float(
+                v.decode("ascii").strip(" \x00").split("\\")[0]
+            )
+        except ValueError:
+            pass
+    elif t == _TAG_WIN_WIDTH:
+        try:
+            meta["window_width"] = float(
+                v.decode("ascii").strip(" \x00").split("\\")[0]
+            )
         except ValueError:
             pass
     else:
@@ -565,6 +584,7 @@ def write_dicom(
     instance_number: int = 1,
     photometric: str | None = None,
     bits_stored: int | None = None,
+    window: tuple[float, float] | None = None,
     slice_location: float | None = None,
     rescale_slope: float = 1.0,
     rescale_intercept: float = 0.0,
@@ -633,6 +653,9 @@ def write_dicom(
         ds += _el_short(_TAG_BITS_STORED, b"US",
                         struct.pack("<H", bits_stored))
     ds += _el_short(_TAG_PIXEL_REP, b"US", struct.pack("<H", signed))
+    if window is not None:  # (0028,1050/1051) before rescale 1052/1053
+        ds += _el_short(_TAG_WIN_CENTER, b"DS", f"{window[0]:g}".encode())
+        ds += _el_short(_TAG_WIN_WIDTH, b"DS", f"{window[1]:g}".encode())
     if rescale_intercept != 0.0 or rescale_slope != 1.0:
         ds += _el_short(_TAG_INTERCEPT, b"DS", f"{rescale_intercept:g}".encode())
         ds += _el_short(_TAG_SLOPE, b"DS", f"{rescale_slope:g}".encode())

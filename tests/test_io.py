@@ -594,3 +594,51 @@ class TestPhotometric:
             tags.append(t)
             r.pos += length
         assert tags == sorted(tags), tags
+
+
+class TestFileWindow:
+    def test_window_tags_roundtrip(self, tmp_path, rng):
+        from mies_tpu.io.dicom import read_dicom_header, write_dicom
+
+        px = rng.integers(-1000, 2000, (16, 16)).astype(np.int16)
+        f = tmp_path / "w.dcm"
+        write_dicom(f, px, window=(40.0, 400.0))
+        h = read_dicom_header(f)
+        assert h["window_center"] == 40.0 and h["window_width"] == 400.0
+
+    def test_apply_file_window_rewrites_stage(self, tmp_path, rng):
+        from mies_tpu.cli import _apply_file_window
+        from mies_tpu.io.dicom import write_dicom
+        from mies_tpu.pipeline.config import PipelineConfig
+
+        px = rng.integers(-1000, 2000, (16, 16)).astype(np.int16)
+        f = tmp_path / "w.dcm"
+        write_dicom(f, px, window=(40.0, 400.0))
+        cfg = PipelineConfig.make(
+            [("window_hu", {"center": 300.0, "width": 1500.0}),
+             ("adjust_gamma", {"gamma": 0.9})],
+        )
+        out = _apply_file_window(cfg, [f])
+        kw = out.stages[0].kwargs()
+        assert kw["center"] == 40.0 and kw["width"] == 400.0
+        assert out.stages[1].op == "adjust_gamma"
+
+    def test_apply_file_window_error_paths(self, tmp_path, rng, capsys):
+        from mies_tpu.cli import _apply_file_window
+        from mies_tpu.io.dicom import write_dicom
+        from mies_tpu.pipeline.config import PipelineConfig
+
+        px = rng.integers(0, 100, (8, 8)).astype(np.uint8)
+        f = tmp_path / "n.dcm"
+        write_dicom(f, px)  # no window tags
+        cfg = PipelineConfig.make(
+            [("window_hu", {"center": 1.0, "width": 2.0})]
+        )
+        assert _apply_file_window(cfg, [f]) is None
+        # no window_hu stage in the chain
+        f2 = tmp_path / "w.dcm"
+        write_dicom(f2, px, window=(10.0, 20.0))
+        cfg2 = PipelineConfig.make([("adjust_gamma", {"gamma": 1.1})])
+        assert _apply_file_window(cfg2, [f2]) is None
+        # non-DICOM input
+        assert _apply_file_window(cfg, [tmp_path / "x.png"]) is None
