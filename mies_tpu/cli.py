@@ -193,6 +193,12 @@ def cmd_enhance_volume(args) -> int:
     from mies_tpu.pipeline import runner
 
     cfg = _load_cfg(args.config)
+    if getattr(args, "window_from_file", False):
+        vp = Path(args.input)
+        first = (sorted(vp.glob("*.dcm"))[:1] or [vp])[0]             if vp.is_dir() else vp
+        cfg = _apply_file_window(cfg, [first])
+        if cfg is None:
+            return 2
     if getattr(args, "stream", False):
         # disk-to-disk: the volume is never fully resident on the host
         if args.mode == "3d" or args.metrics:
@@ -665,6 +671,9 @@ def main(argv=None) -> int:
     p.add_argument("--slab", type=int, default=16)
     p.add_argument("--mode", choices=["slices", "3d"], default="slices",
                    help="'3d' runs a volumetric chain (clahe3d etc.) on the whole volume")
+    p.add_argument("--window-from-file", action="store_true",
+                   help="rewrite the chain's window_hu stage with the "
+                        "first DICOM file's WindowCenter/Width")
     p.add_argument("--isotropic", type=float, metavar="MM",
                    help="(--mode 3d) resample to isotropic MM-mm voxels "
                         "before the chain, using the DICOM series' "
