@@ -91,6 +91,20 @@ def workload_configs():
             ),
             shape=(512, 512), batch=32, dtype="float32",
         ),
+        # 10. low-dose CT NL-means (the ct_lowdose_nlm.yaml hot pair):
+        # windowed int16 -> VMEM-resident NL-means kernel
+        # (kernels/nlmeans.py; the jnp form pays one HBM round trip per
+        # search shift)
+        "w10_nlm_lowdose_ct": dict(
+            cfg=PipelineConfig.make(
+                [("window_hu", {"center": 40.0, "width": 400.0}),
+                 ("denoise_nl_means",
+                  {"patch_size": 5, "patch_distance": 6,
+                   "h": 0.06, "sigma": 0.04})],
+                name="w10",
+            ),
+            shape=(512, 512), batch=32, dtype="int16",
+        ),
         # 7. morphology: the mammo top-hat chain (ops/morphology.py —
         # XLA min/max trees; recorded so the family has a chip number
         # and a floor once measured)

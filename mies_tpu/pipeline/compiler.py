@@ -233,7 +233,6 @@ def _batched_registry() -> dict[str, Callable]:
         anisotropic_diffusion_batched,
         srad_batched,
     )
-
     return {
         "clahe": clahe_batched,
         "bilateral_blur": bilateral_batched,
@@ -244,6 +243,13 @@ def _batched_registry() -> dict[str, Callable]:
         # (measured 4.26 -> 0.23 ms for niter=6 b32 512^2 on v5e)
         "anisotropic_diffusion": anisotropic_diffusion_batched,
         "srad": srad_batched,
+        # denoise_nl_means deliberately ABSENT: a full VMEM-resident
+        # NL-means kernel was built, bit-exact, and measured 1.5x
+        # SLOWER than the jnp form (274 vs 178 ms, d=11 b32 512^2) —
+        # the search loop has no iteration residency to exploit and
+        # every pair shift is a materialized dynamic rotate, while XLA
+        # reads shifted windows nearly free inside its fusions. Numbers
+        # and the full design in docs/KERNELS.md.
     }
 
 

@@ -547,6 +547,15 @@ def main() -> int:
         "max_abs": d, "ok": d <= 2e-5,
     }
 
+    # NL-means runs the jnp form on every backend (the VMEM-resident
+    # kernel lost its A/B — docs/KERNELS.md); this contract pins the
+    # TPU evaluation of the pair loop against CPU.
+    from mies_tpu.ops.restoration import denoise_nl_means as _nlm
+
+    t, c = both(lambda a: _nlm(a, 7, 5, 0.1, 0.05), imgs[0])
+    d = float(np.abs(t - c).max())
+    out["cases"]["nl_means_vs_cpu"] = {"max_abs": d, "ok": d <= 2e-5}
+
     t, c = both(lambda a: retinex(a, sigmas=(2.0, 8.0)), imgs[0])
     d = float(np.abs(t - c).max())
     out["cases"]["retinex_vs_cpu"] = {"max_abs": d, "ok": d <= 1e-3}
