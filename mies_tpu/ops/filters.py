@@ -342,6 +342,96 @@ def sobel_edges(img: Array, mode: str = "reflect") -> Array:
     return jnp.sqrt(gx * gx + gy * gy) / np.sqrt(2.0).astype(np.float32)
 
 
+def _edge_magnitude(
+    img: Array, smooth: np.ndarray, edge: np.ndarray, mode: str
+) -> Array:
+    """sqrt(gy^2 + gx^2) / sqrt(2) over separable smooth x derivative
+    taps — the skimage.filters gradient-magnitude convention shared by
+    sobel/scharr/prewitt/farid (each axis kernel is the outer product
+    smooth (x) edge; the sign of the derivative cancels in the square,
+    so correlate-vs-convolve orientation is unobservable here)."""
+    gy = _sep_conv2d(img, edge, smooth, mode)
+    gx = _sep_conv2d(img, smooth, edge, mode)
+    return jnp.sqrt(gx * gx + gy * gy) / np.sqrt(2.0).astype(np.float32)
+
+
+def scharr_edges(img: Array, mode: str = "reflect") -> Array:
+    """Scharr gradient magnitude (skimage.filters.scharr semantics:
+    axis kernels [3,10,3]/16 (x) [-1,0,1]/2 == the HSCHARR/32 weights,
+    rotation-optimal 3x3 derivative). Golden:
+    tests/goldens/golden_ops.py::scharr_edges (real scipy correlate1d
+    over the documented skimage 0.26 constants)."""
+    smooth = np.array([3.0, 10.0, 3.0], np.float32) / 16.0
+    edge = (_SOBEL_D / 2.0).ravel()
+    return _edge_magnitude(img, smooth, edge, mode)
+
+
+def prewitt_edges(img: Array, mode: str = "reflect") -> Array:
+    """Prewitt gradient magnitude (skimage.filters.prewitt semantics:
+    axis kernels [1,1,1]/3 (x) [-1,0,1]/2 == HPREWITT/6)."""
+    smooth = np.array([1.0, 1.0, 1.0], np.float32) / 3.0
+    edge = (_SOBEL_D / 2.0).ravel()
+    return _edge_magnitude(img, smooth, edge, mode)
+
+
+# Farid & Simoncelli (2004) optimal 5-tap pair, the skimage 0.26
+# constants (filters/edges.py p/d1): interpolator p sums to 1, d1 is
+# its matched derivative.
+_FARID_P = np.array(
+    [0.0376593171958126, 0.249153396177344, 0.426374573253687,
+     0.249153396177344, 0.0376593171958126], np.float32,
+)
+_FARID_D1 = np.array(
+    [0.109603762960254, 0.276690988455557, 0.0,
+     -0.276690988455557, -0.109603762960254], np.float32,
+)
+
+
+def farid_edges(img: Array, mode: str = "reflect") -> Array:
+    """Farid gradient magnitude (skimage.filters.farid semantics: the
+    Farid-Simoncelli optimal 5-tap interpolator/derivative pair — the
+    most rotation-invariant of the family)."""
+    return _edge_magnitude(img, _FARID_P, _FARID_D1, mode)
+
+
+def roberts_edges(img: Array, mode: str = "reflect") -> Array:
+    """Roberts cross gradient magnitude (skimage.filters.roberts
+    semantics). The two 2x2 cross kernels are not separable; with
+    scipy.ndimage.convolve's even-kernel alignment (center index
+    size//2 == 1) they reduce to the pixel's forward cross
+    differences:
+
+        pos[i,j] = x[i+1,j+1] - x[i,j]     (ROBERTS_PD)
+        neg[i,j] = x[i+1,j]   - x[i,j+1]   (ROBERTS_ND)
+
+    on the ``mode``-padded extension, magnitude sqrt(pos^2+neg^2) /
+    sqrt(2) (the same [0,1]-bounding scale as the rest of the family).
+    Golden: real scipy ndi.convolve over the documented 2x2 weights."""
+    h, w = img.shape
+    x = _pad2d(img.astype(jnp.float32), 1, 1, mode)
+    c = lax.dynamic_slice(x, (1, 1), (h, w))
+    se = lax.dynamic_slice(x, (2, 2), (h, w))
+    s = lax.dynamic_slice(x, (2, 1), (h, w))
+    e = lax.dynamic_slice(x, (1, 2), (h, w))
+    pos = se - c
+    neg = s - e
+    return jnp.sqrt(pos * pos + neg * neg) / np.sqrt(2.0).astype(
+        np.float32
+    )
+
+
+def laplace(img: Array, mode: str = "reflect") -> Array:
+    """4-neighbor Laplacian (skimage.filters.laplace(ksize=3) ==
+    scipy.ndimage.laplace: sum of per-axis [1,-2,1] second
+    differences). The RAW operator — ``laplacian_sharpen`` below is
+    the enhancement composite. Golden: real ndi.laplace."""
+    taps = np.array([1.0, -2.0, 1.0], np.float32)
+    one = np.ones(1, np.float32)
+    return _sep_conv2d(img, taps, one, mode) + _sep_conv2d(
+        img, one, taps, mode
+    )
+
+
 def laplacian_sharpen(img: Array, alpha: float = 0.2, mode: str = "reflect") -> Array:
     """Sharpen via 4-neighbor Laplacian: img - alpha * lap(img), clipped."""
     p = _pad2d(img, 1, 1, mode)

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import Array, lax
@@ -395,3 +396,57 @@ def denoise_wavelet3d(
     return _denoise_wavelet_core(
         vol, sigma, wavelet, mode, wavelet_levels, method
     )
+
+
+def cycle_spin(
+    img: Array,
+    max_shifts: int = 3,
+    shift_steps: int = 1,
+    sigma: float | None = None,
+    wavelet: str = "db1",
+    mode: str = "soft",
+    wavelet_levels: int | None = None,
+    method: str = "BayesShrink",
+) -> Array:
+    """Shift-invariant (cycle-spun) wavelet denoising:
+    skimage.restoration.cycle_spin specialized to its canonical
+    ``func=denoise_wavelet`` use. The decimated DWT is not
+    shift-invariant, so thresholding leaves grid-locked ringing;
+    averaging the denoiser over circularly shifted copies
+
+        out = mean_s unroll_s( denoise_wavelet( roll_s(img) ) ),
+        s in {0, shift_steps, ...} x {0, shift_steps, ...} <= max_shifts
+
+    (Coifman & Donoho translation-invariant denoising) removes it.
+
+    TPU-first: the whole shift grid runs as ONE vmapped program — the
+    S = ((max_shifts // shift_steps) + 1)^2 shifted copies stack on a
+    leading axis so every DWT level batches; rolls are static
+    (shift table is host-side), and the mean reduces the stack on
+    device. skimage instead loops Python-side per shift.
+    """
+    if max_shifts < 0:
+        raise ValueError("max_shifts must be >= 0")
+    if shift_steps < 1:
+        raise ValueError("shift_steps must be >= 1")
+    shifts = [
+        (dy, dx)
+        for dy in range(0, max_shifts + 1, shift_steps)
+        for dx in range(0, max_shifts + 1, shift_steps)
+    ]
+
+    rolled = jnp.stack(
+        [jnp.roll(img, s, axis=(0, 1)) for s in shifts]
+    )  # [S, H, W], static rolls
+    den = jax.vmap(
+        lambda x: _denoise_wavelet_core(
+            x, sigma, wavelet, mode, wavelet_levels, method
+        )
+    )(rolled)  # ONE batched DWT over the whole shift grid
+    unrolled = jnp.stack(
+        [
+            jnp.roll(den[i], (-dy, -dx), axis=(0, 1))
+            for i, (dy, dx) in enumerate(shifts)
+        ]
+    )
+    return jnp.mean(unrolled, axis=0)

@@ -152,8 +152,15 @@ def stage_receptive_field(op: str, params: dict) -> int:
     if op == "denoise_bilateral":
         ss = params.get("sigma_spatial", 1.0)
         return max(5, 2 * int(np.ceil(3.0 * float(ss))) + 1) // 2
-    if op in ("sobel_edges", "laplacian_sharpen", "sharpness"):
+    if op in (
+        "sobel_edges", "scharr_edges", "prewitt_edges", "roberts_edges",
+        "laplace", "laplacian_sharpen", "sharpness",
+    ):
+        # roberts reads only the forward (+1) diagonal but the
+        # symmetric 1-row halo covers it
         return 1
+    if op == "farid_edges":
+        return 2  # 5-tap Farid-Simoncelli pair
     if op == "denoise_nl_means":
         # single-pass patch stencil: search radius + patch radius
         s = params.get("patch_size", 7)
@@ -269,6 +276,8 @@ def stage_receptive_field(op: str, params: dict) -> int:
         "wiener",  # circulant FFT deconvolution = global extent
         "musica",  # decimated pyramid grids don't tile along rows
         # (each level halves the grid; band rows mix across devices)
+        "cycle_spin",  # circular rolls wrap rows across the image
+        # (and the inner wavelet transform is global anyway)
     ):
         raise ValueError(
             f"op {op!r} has global/tile extent and cannot be spatially "
@@ -301,6 +310,11 @@ _DEFAULT_MODE = {
     "bilateral_blur": "reflect",
     "denoise_bilateral": "edge",
     "sobel_edges": "reflect",
+    "scharr_edges": "reflect",
+    "prewitt_edges": "reflect",
+    "farid_edges": "reflect",
+    "roberts_edges": "reflect",
+    "laplace": "reflect",
     "laplacian_sharpen": "reflect",
     # nl-means has no mode param: skimage pads np 'reflect' == our 'mirror'
     "denoise_nl_means": "mirror",

@@ -61,6 +61,11 @@ OP_REGISTRY: dict[str, Callable] = {
     "denoise_bilateral": F.denoise_bilateral,
     "guided_blur": F.guided_blur,
     "sobel_edges": F.sobel_edges,
+    "scharr_edges": F.scharr_edges,
+    "prewitt_edges": F.prewitt_edges,
+    "farid_edges": F.farid_edges,
+    "roberts_edges": F.roberts_edges,
+    "laplace": F.laplace,
     "laplacian_sharpen": F.laplacian_sharpen,
     "difference_of_gaussians": F.difference_of_gaussians,
     "gabor": F.gabor,
@@ -83,6 +88,7 @@ OP_REGISTRY: dict[str, Callable] = {
     "richardson_lucy": REST.richardson_lucy,
     "wiener": REST.wiener,
     "denoise_wavelet": WV.denoise_wavelet,
+    "cycle_spin": WV.cycle_spin,
     # ridge / vesselness (Frangi 1998 / Sato 1998 / Meijering 2004)
     "frangi": RG.frangi,
     "vessel_enhance": RG.vessel_enhance,

@@ -674,6 +674,29 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
             "'BayesShrink' or 'VisuShrink'",
         ),
     },
+    "cycle_spin": {
+        "max_shifts": (
+            lambda v: isinstance(v, int) and not isinstance(v, bool)
+            and v >= 0,
+            "an int >= 0",
+        ),
+        "shift_steps": (_pos_int, "an int >= 1"),
+        "sigma": (lambda v: v is None or _pos(v),
+                  "a number > 0 (or omitted: MAD estimate in-graph)"),
+        "wavelet": (
+            lambda v: isinstance(v, str),
+            "a wavelet name (haar/db1..db4/sym4)",
+        ),
+        "mode": (lambda v: v in ("soft", "hard"), "'soft' or 'hard'"),
+        "wavelet_levels": (
+            lambda v: v is None or _pos_int(v),
+            "an int >= 1 (or omitted: skimage default max-3)",
+        ),
+        "method": (
+            lambda v: v in ("BayesShrink", "VisuShrink"),
+            "'BayesShrink' or 'VisuShrink'",
+        ),
+    },
     "denoise_wavelet3d": {
         "sigma": (lambda v: v is None or _pos(v),
                   "a number > 0 (or omitted: MAD estimate in-graph)"),
@@ -701,6 +724,11 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         ),
     },
     "sobel_edges": {"mode": (_mode_ok, f"one of {_PAD_MODES}")},
+    "scharr_edges": {"mode": (_mode_ok, f"one of {_PAD_MODES}")},
+    "prewitt_edges": {"mode": (_mode_ok, f"one of {_PAD_MODES}")},
+    "farid_edges": {"mode": (_mode_ok, f"one of {_PAD_MODES}")},
+    "roberts_edges": {"mode": (_mode_ok, f"one of {_PAD_MODES}")},
+    "laplace": {"mode": (_mode_ok, f"one of {_PAD_MODES}")},
     "laplacian_sharpen": {
         "alpha": (_nonneg, "a number >= 0"),
         "mode": (_mode_ok, f"one of {_PAD_MODES}"),

@@ -438,6 +438,66 @@ def sobel_edges(img, mode="reflect"):
     return (np.sqrt(gx * gx + gy * gy) / np.sqrt(2.0)).astype(np.float32)
 
 
+def _edge_mag_sep(img, smooth, edge, mode):
+    """Separable gradient magnitude via REAL scipy correlate1d — the
+    skimage convention sqrt(gy^2+gx^2)/sqrt(2) over documented kernel
+    constants (an independent evaluation path from the jnp
+    shifted-add form)."""
+    x = img.astype(np.float64)
+    gy = ndimage.correlate1d(
+        ndimage.correlate1d(x, edge, axis=0, mode=mode), smooth, axis=1,
+        mode=mode,
+    )
+    gx = ndimage.correlate1d(
+        ndimage.correlate1d(x, smooth, axis=0, mode=mode), edge, axis=1,
+        mode=mode,
+    )
+    return (np.sqrt(gx * gx + gy * gy) / np.sqrt(2.0)).astype(np.float32)
+
+
+def scharr_edges(img, mode="reflect"):
+    return _edge_mag_sep(
+        img, np.array([3.0, 10.0, 3.0]) / 16.0,
+        np.array([-1.0, 0.0, 1.0]) / 2.0, mode,
+    )
+
+
+def prewitt_edges(img, mode="reflect"):
+    return _edge_mag_sep(
+        img, np.array([1.0, 1.0, 1.0]) / 3.0,
+        np.array([-1.0, 0.0, 1.0]) / 2.0, mode,
+    )
+
+
+def farid_edges(img, mode="reflect"):
+    p = np.array([0.0376593171958126, 0.249153396177344,
+                  0.426374573253687, 0.249153396177344,
+                  0.0376593171958126])
+    d1 = np.array([0.109603762960254, 0.276690988455557, 0.0,
+                   -0.276690988455557, -0.109603762960254])
+    return _edge_mag_sep(img, p, d1, mode)
+
+
+def roberts_edges(img, mode="reflect"):
+    # REAL ndi.convolve over the skimage 2x2 cross weights — pins the
+    # even-kernel alignment the jnp transcription claims
+    pd = np.array([[1.0, 0.0], [0.0, -1.0]])
+    nd = np.array([[0.0, 1.0], [-1.0, 0.0]])
+    x = img.astype(np.float64)
+    pos = ndimage.convolve(x, pd, mode=mode)
+    neg = ndimage.convolve(x, nd, mode=mode)
+    return (np.sqrt(pos * pos + neg * neg) / np.sqrt(2.0)).astype(
+        np.float32
+    )
+
+
+def laplace(img, mode="reflect"):
+    # REAL scipy.ndimage.laplace (== skimage.filters.laplace ksize=3)
+    return ndimage.laplace(img.astype(np.float64), mode=mode).astype(
+        np.float32
+    )
+
+
 def laplacian_sharpen(img, alpha=0.2, mode="reflect"):
     x = img.astype(np.float64)
     pad_mode = {"reflect": "symmetric", "nearest": "edge"}[mode]
@@ -1745,3 +1805,30 @@ def hessian3d_ridge(vol, sigmas=(1.0, 3.0, 5.0, 7.0, 9.0), alpha=0.5,
     f = np.asarray(f, np.float32).copy()
     f[f <= 0] = 1.0
     return f
+
+
+def cycle_spin(
+    img,
+    max_shifts=3,
+    shift_steps=1,
+    sigma=None,
+    wavelet="db1",
+    mode="soft",
+    wavelet_levels=None,
+    method="BayesShrink",
+):
+    """skimage.restoration.cycle_spin specialized to denoise_wavelet:
+    the sequential roll -> denoise -> unroll -> mean loop, composed
+    over this module's own denoise_wavelet transcription."""
+    x = np.asarray(img, np.float64)
+    acc = np.zeros_like(x)
+    n = 0
+    for dy in range(0, max_shifts + 1, shift_steps):
+        for dx in range(0, max_shifts + 1, shift_steps):
+            rolled = np.roll(x, (dy, dx), axis=(0, 1))
+            den = denoise_wavelet(
+                rolled, sigma, wavelet, mode, wavelet_levels, method
+            )
+            acc += np.roll(den.astype(np.float64), (-dy, -dx), axis=(0, 1))
+            n += 1
+    return (acc / n).astype(np.float32)

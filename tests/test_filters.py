@@ -82,6 +82,30 @@ def test_sobel_edges(xray):
     _check(F.sobel_edges(jnp.asarray(xray)), G.sobel_edges(xray), atol=3e-5)
 
 
+@pytest.mark.parametrize(
+    "op,mode",
+    [("scharr_edges", "reflect"), ("prewitt_edges", "nearest"),
+     ("farid_edges", "reflect"), ("roberts_edges", "reflect"),
+     ("laplace", "reflect"), ("scharr_edges", "mirror")],
+)
+def test_edge_family_vs_scipy_golden(xray, op, mode):
+    # jnp shifted-add vs REAL scipy correlate1d/convolve over the
+    # documented skimage kernel constants
+    got = getattr(F, op)(jnp.asarray(xray), mode=mode)
+    _check(got, getattr(G, op)(xray, mode=mode), atol=3e-5)
+
+
+def test_roberts_alignment_knife_edge():
+    # a single bright pixel pins the even-kernel alignment: the pos
+    # diagonal response must sit at the pixel and its NW neighbor
+    img = np.zeros((8, 8), np.float32)
+    img[4, 4] = 1.0
+    got = np.asarray(F.roberts_edges(jnp.asarray(img)))
+    gold = G.roberts_edges(img)
+    np.testing.assert_allclose(got, gold, atol=1e-6)
+    assert got[4, 4] > 0 and got[3, 3] > 0
+
+
 def test_laplacian_sharpen(xray):
     _check(F.laplacian_sharpen(jnp.asarray(xray), alpha=0.3), G.laplacian_sharpen(xray, alpha=0.3))
 

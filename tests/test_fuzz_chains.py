@@ -33,6 +33,12 @@ _CHAINABLE = [
     ("denoise_bilateral", {}),
     ("guided_blur", {"kernel_size": 3, "eps": 0.01}),
     ("sobel_edges", {}),
+    ("scharr_edges", {}),
+    ("prewitt_edges", {}),
+    ("farid_edges", {}),
+    ("roberts_edges", {}),
+    ("laplace", {}),
+    ("cycle_spin", {"max_shifts": 1, "sigma": 0.05}),
     ("laplacian_sharpen", {}),
     ("denoise_nl_means", {"patch_size": 5, "patch_distance": 3}),
     ("subtract_background", {"radius": 4.0}),

@@ -199,3 +199,63 @@ class TestPipelineIntegration:
 
         with pytest.raises(ValueError, match="not z-shardable"):
             volume_stage_z_field("denoise_wavelet3d", {})
+
+
+class TestCycleSpin:
+    """Shift-invariant cycle-spun wavelet denoising (one batched DWT
+    over the shift grid) vs the sequential golden composition."""
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {"max_shifts": 2},
+            {"max_shifts": 3, "shift_steps": 2, "wavelet": "db2"},
+            {"max_shifts": 1, "sigma": 0.08, "mode": "hard"},
+        ],
+    )
+    def test_matches_golden(self, rng, kw):
+        img = _noisy(rng, (64, 64))
+        out = np.asarray(
+            jax.jit(lambda x: W.cycle_spin(x, **kw))(jnp.asarray(img))
+        )
+        gold = G.cycle_spin(img, **kw)
+        np.testing.assert_allclose(out, gold, atol=2e-6)
+
+    def test_max_shifts_zero_is_plain_denoise(self, rng):
+        img = _noisy(rng, (48, 48))
+        a = np.asarray(jax.jit(lambda v: W.cycle_spin(v, 0))(jnp.asarray(img)))
+        b = np.asarray(jax.jit(W.denoise_wavelet)(jnp.asarray(img)))
+        np.testing.assert_allclose(a, b, atol=1e-7)
+
+    def test_more_shift_invariant_than_plain(self, rng):
+        # the defining property: output varies less under an input
+        # roll than the decimated single-pass denoiser
+        img = _noisy(rng, (64, 64))
+        x = jnp.asarray(img)
+        xr = jnp.roll(x, (1, 1), axis=(0, 1))
+
+        def invariance(fn):
+            a = np.asarray(fn(x))
+            b = np.roll(np.asarray(fn(xr)), (-1, -1), axis=(0, 1))
+            return np.abs(a - b).mean()
+
+        plain = invariance(jax.jit(W.denoise_wavelet))
+        spun = invariance(jax.jit(lambda v: W.cycle_spin(v, 3)))
+        assert spun < plain * 0.7
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="max_shifts"):
+            W.cycle_spin(jnp.zeros((8, 8)), max_shifts=-1)
+        with pytest.raises(ValueError, match="shift_steps"):
+            W.cycle_spin(jnp.zeros((8, 8)), shift_steps=0)
+
+    def test_in_pipeline(self, rng):
+        cfg = PipelineConfig.make(
+            [("cycle_spin", {"max_shifts": 1, "sigma": 0.05})],
+            name="cs",
+        )
+        validate(cfg)
+        fn = compile_pipeline(cfg, quantize=False)
+        img = _noisy(rng, (64, 128))
+        out = np.asarray(fn(jnp.asarray(img)))
+        assert out.shape == img.shape and np.isfinite(out).all()
