@@ -92,9 +92,11 @@ def workload_configs():
             shape=(512, 512), batch=32, dtype="float32",
         ),
         # 10. low-dose CT NL-means (the ct_lowdose_nlm.yaml hot pair):
-        # windowed int16 -> VMEM-resident NL-means kernel
-        # (kernels/nlmeans.py; the jnp form pays one HBM round trip per
-        # search shift)
+        # windowed int16 -> the production jnp symmetric-pair loop
+        # (ops/restoration.py). A VMEM-resident Pallas kernel was built,
+        # bit-exact, and measured 1.5x SLOWER — see docs/KERNELS.md
+        # round 6 — so the pair loop IS the shipped form; this workload
+        # keeps a chip number on it.
         "w10_nlm_lowdose_ct": dict(
             cfg=PipelineConfig.make(
                 [("window_hu", {"center": 40.0, "width": 400.0}),

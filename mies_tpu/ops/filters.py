@@ -374,9 +374,11 @@ def prewitt_edges(img: Array, mode: str = "reflect") -> Array:
     return _edge_magnitude(img, smooth, edge, mode)
 
 
-# Farid & Simoncelli (2004) optimal 5-tap pair, the skimage 0.26
-# constants (filters/edges.py p/d1): interpolator p sums to 1, d1 is
-# its matched derivative.
+# Farid & Simoncelli (2004) optimal 5-tap pair at full published
+# precision: interpolator p sums to 1, d1 is its matched derivative.
+# skimage 0.26 (filters/edges.py) ships 6-decimal TRUNCATIONS of these
+# taps (~1e-7 apart); tools/verify_skimage_golden.py pins the actual
+# deviation when a skimage env is available.
 _FARID_P = np.array(
     [0.0376593171958126, 0.249153396177344, 0.426374573253687,
      0.249153396177344, 0.0376593171958126], np.float32,
@@ -421,9 +423,11 @@ def roberts_edges(img: Array, mode: str = "reflect") -> Array:
 
 
 def laplace(img: Array, mode: str = "reflect") -> Array:
-    """4-neighbor Laplacian (skimage.filters.laplace(ksize=3) ==
-    scipy.ndimage.laplace: sum of per-axis [1,-2,1] second
-    differences). The RAW operator — ``laplacian_sharpen`` below is
+    """4-neighbor Laplacian, scipy.ndimage.laplace semantics: the sum
+    of per-axis [1,-2,1] second differences (center -4). NB
+    skimage.filters.laplace(ksize=3) applies the NEGATED kernel
+    (restoration.uft.laplacian, center +4) — its output is ``-laplace``
+    of this op. The RAW operator — ``laplacian_sharpen`` below is
     the enhancement composite. Golden: real ndi.laplace."""
     taps = np.array([1.0, -2.0, 1.0], np.float32)
     one = np.ones(1, np.float32)

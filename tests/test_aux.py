@@ -336,3 +336,55 @@ def test_cli_doctor(capsys):
             "sharding", "status"} <= set(rep)
     assert rep["sharding"]["ok"] is True
     assert rc in (0, 1)
+
+
+def test_expected_skips():
+    """VERDICT round-3 item 9: the CPU suite's permanent skips are
+    EXACTLY the two pin-replays (skimage_pin.npz / sewar_pin.npz absent
+    in this env). This gate pins every skip *site* in the test sources
+    so a new conditional skip can't join silently — adding one requires
+    updating the table here — and asserts the conditions behind the
+    existing sites (cv2 importable; native toolchain available) so the
+    cv2/native tests actually run.
+    """
+    from pathlib import Path
+
+    import cv2  # noqa: F401 — every importorskip("cv2") site runs
+
+    from mies_tpu import native
+
+    assert native.available(), "native toolchain gone — test_native would skip"
+
+    tests_dir = Path(__file__).parent
+    # Needles assembled at runtime so this test's own source never matches.
+    needles = tuple("pytest." + s for s in ("skip(", "importorskip(")) + (
+        "pytest.mark." + "skipif(",
+    )
+    sites = {}
+    for p in sorted(tests_dir.glob("test_*.py")):
+        n = sum(
+            line.count(nd)
+            for line in p.read_text().splitlines()
+            if not line.lstrip().startswith("#")
+            for nd in needles
+        )
+        if n:
+            sites[p.name] = n
+    expected = {
+        # chip-gated files (excluded from the CPU suite invocation):
+        "test_perf.py": 8,
+        "test_tpu_numerics.py": 4,
+        # env gates asserted non-firing above:
+        "test_clahe.py": 1,       # importorskip cv2
+        "test_filters.py": 5,     # importorskip cv2
+        "test_native.py": 1,      # skipif native unavailable
+        # the 2 permanent pin-replay skips (fire until a pin is checked in):
+        "test_histogram.py": 1,   # skimage_pin.npz replay
+        "test_metrics.py": 1,     # sewar_pin.npz replay
+        # data-dependent guard, non-firing for the shipped cases:
+        "test_wavelet.py": 1,
+    }
+    assert sites == expected, (
+        f"skip sites changed: {sites} != {expected} — if a new skip is "
+        "intentional, register it here with a reason"
+    )

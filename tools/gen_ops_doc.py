@@ -31,11 +31,12 @@ _CATEGORIES = (
         "retinex", "lee_filter", "kuwahara",
     )),
     ("Feature / edges", (
-        "canny",
+        "canny", "laplace", "prewitt_edges", "roberts_edges",
+        "scharr_edges", "farid_edges",
     )),
     ("Restoration", (
         "denoise_nl_means", "denoise_tv", "richardson_lucy", "wiener",
-        "denoise_wavelet", "anisotropic_diffusion", "srad",
+        "denoise_wavelet", "cycle_spin", "anisotropic_diffusion", "srad",
     )),
     ("Multiscale (Laplacian pyramid)", (
         "musica",
