@@ -105,7 +105,10 @@ def workload_configs():
                    "h": 0.06, "sigma": 0.04})],
                 name="w10",
             ),
-            shape=(512, 512), batch=32, dtype="int16",
+            shape=(512, 512), batch=32, dtype="int16", device=False,
+            # device=False: at ~180 ms/batch the per-call slope already
+            # dwarfs dispatch jitter (0.04-0.10 ms/call) — the fori_loop
+            # figure would cost minutes for no extra honesty
         ),
         # 7. morphology: the mammo top-hat chain (ops/morphology.py —
         # XLA min/max trees; recorded so the family has a chip number
@@ -297,17 +300,19 @@ def main() -> int:
             )
             res["device_p50_ms_per_slice"] = dev["p50_ms"]
             res["device_slices_per_sec"] = 1000.0 / dev["p50_ms"]
-        elif w["dtype"] == "float32":
-            # batched float chains get the same treatment: the per-call
-            # slope is dispatch-polluted under host load (w3 recorded
-            # 7.2k-34k slices/s run to run), the fori_loop figure is
-            # stable and device-attributable
+        elif w.get("device", True):
+            # batched chains get the same treatment: the per-call slope
+            # is dispatch-polluted under host load (w3 recorded 7.2k-34k
+            # slices/s run to run), the fori_loop figure is stable and
+            # device-attributable. int16 chains re-quantize the carry
+            # in-loop so the windowing ingest is measured (w4).
             from mies_tpu.pipeline.runner import time_pipeline_device
 
             dev = time_pipeline_device(
                 w["cfg"], shape=w["shape"], batch_size=w["batch"],
                 inner=4 if args.quick else 8,
                 repeats=8 if args.quick else 16,
+                dtype=np.dtype(w["dtype"]).type,
             )
             res["device_p50_ms_per_slice"] = dev["p50_ms_per_slice"]
             res["device_slices_per_sec"] = dev["slices_per_sec"]

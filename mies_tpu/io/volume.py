@@ -339,8 +339,14 @@ def _dicom_slab_stream(
 
     def decode(p: Path) -> np.ndarray:
         if use_native:
-            px, _ = native.read_dicom_native(p)
-            return px.astype(np.int16)
+            try:
+                px, _ = native.read_dicom_native(p)
+                return px.astype(np.int16)
+            except ValueError:
+                # the Python reader handles forms the C parser doesn't
+                # (e.g. preamble-less implicit-VR dumps) — same fallback
+                # contract as the 2-D ingest (io/image.py)
+                pass
         return read_dicom(p).pixels.astype(np.int16)
 
     def gen():

@@ -119,11 +119,13 @@ def available() -> bool:
 
 _ERRORS = {
     -1: "truncated or garbled dataset",
-    -2: "unsupported transfer syntax (only uncompressed LE)",
+    -2: "unsupported transfer syntax (only uncompressed LE / RLE Lossless)",
     -3: "missing PixelData / Rows / Columns",
     -4: "unsupported BitsAllocated",
     -5: "cannot read file",
     -6: "out of memory",
+    -7: "corrupt RLE PixelData",
+    -8: "multi-fragment (multi-frame) RLE PixelData",
 }
 
 

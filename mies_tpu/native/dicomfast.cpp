@@ -10,8 +10,10 @@
 //
 // Scope matches mies_tpu/io/dicom.py exactly (the Python twin defines
 // the semantics and remains the fallback): Part-10 or raw datasets,
-// implicit/explicit VR little endian, uncompressed 8/16-bit PixelData,
-// rescale slope/intercept applied to int16 output.
+// implicit/explicit VR little endian, uncompressed 8/16-bit PixelData
+// or RLE Lossless (PS3.5 Annex G segment table + PackBits, single
+// fragment — the per-slice series contract), rescale slope/intercept
+// applied to int16 output.
 //
 // Build: g++ -O3 -shared -fPIC -o _dicomfast.so dicomfast.cpp
 //        (see mies_tpu/native/__init__.py::build)
@@ -20,6 +22,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+
+#include <vector>
 
 namespace {
 
@@ -122,6 +126,57 @@ bool skip_undefined(const uint8_t* d, size_t n, size_t& pos, bool expl) {
   return true;
 }
 
+// PackBits (PS3.5 G.3.2) -> exactly `expected` bytes; trailing pad
+// replication past `expected` is discarded (mirrors the Python twin).
+bool packbits_decode(const uint8_t* s, size_t len, uint8_t* out,
+                     size_t expected) {
+  size_t i = 0, o = 0;
+  while (o < expected) {
+    if (i >= len) return false;
+    uint8_t n = s[i++];
+    if (n < 128) {
+      size_t cnt = static_cast<size_t>(n) + 1;
+      if (i + cnt > len) return false;
+      size_t take = cnt < expected - o ? cnt : expected - o;
+      memcpy(out + o, s + i, take);
+      i += cnt;
+      o += take;
+    } else if (n > 128) {
+      if (i >= len) return false;
+      size_t cnt = 257 - static_cast<size_t>(n);
+      size_t take = cnt < expected - o ? cnt : expected - o;
+      memset(out + o, s[i], take);
+      i += 1;
+      o += take;
+    }  // n == 128: no-op
+  }
+  return true;
+}
+
+// One RLE Lossless fragment (64-byte segment table + PackBits planes,
+// MSB plane first) -> little-endian raw pixel bytes in `out`
+// (npx * bytes_per_px). Returns 0 / -7 (corrupt RLE).
+int rle_decode_frame(const uint8_t* frag, size_t flen, size_t npx,
+                     int bytes_per_px, std::vector<uint8_t>* out) {
+  if (flen < 64) return -7;
+  uint32_t nseg = rd32(frag);
+  if (nseg != static_cast<uint32_t>(bytes_per_px)) return -7;
+  out->resize(npx * bytes_per_px);
+  std::vector<uint8_t> plane(npx);
+  for (uint32_t k = 0; k < nseg; ++k) {
+    uint32_t a = rd32(frag + 4 + 4 * k);
+    uint32_t b = (k + 1 < nseg) ? rd32(frag + 4 + 4 * (k + 1))
+                                : static_cast<uint32_t>(flen);
+    if (a < 64 || b < a || b > flen) return -7;
+    if (!packbits_decode(frag + a, b - a, plane.data(), npx)) return -7;
+    // segment 0 carries the MSBs (PS3.5 G.2); output is little-endian
+    size_t byte_idx = static_cast<size_t>(bytes_per_px - 1 - k);
+    for (size_t i = 0; i < npx; ++i)
+      (*out)[i * bytes_per_px + byte_idx] = plane[i];
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -133,12 +188,14 @@ extern "C" {
 //                  rescaled HU pixels; pass null to probe metadata only.
 // Returns 0 on success; negative error codes otherwise:
 //   -1 truncated/garbled, -2 unsupported transfer syntax,
-//   -3 missing PixelData/Rows/Cols, -4 unsupported BitsAllocated.
+//   -3 missing PixelData/Rows/Cols, -4 unsupported BitsAllocated,
+//   -7 corrupt RLE PixelData, -8 multi-fragment (multi-frame) RLE.
 int mies_dicom_parse(const uint8_t* data, size_t len, Meta* meta,
                      int16_t* out_pixels) {
   *meta = Meta();
   size_t pos = 0;
   bool expl = true;
+  bool rle = false;
 
   if (len > 132 && memcmp(data + 128, "DICM", 4) == 0) {
     // file-meta group: always explicit VR LE
@@ -159,12 +216,16 @@ int mies_dicom_parse(const uint8_t* data, size_t len, Meta* meta,
         for (int i = static_cast<int>(n) - 1;
              i >= 0 && (uid[i] == 0 || uid[i] == ' '); --i)
           uid[i] = 0;
-        if (strcmp(uid, "1.2.840.10008.1.2") == 0)
+        if (strcmp(uid, "1.2.840.10008.1.2") == 0) {
           expl = false;
-        else if (strcmp(uid, "1.2.840.10008.1.2.1") == 0)
+        } else if (strcmp(uid, "1.2.840.10008.1.2.1") == 0) {
           expl = true;
-        else
+        } else if (strcmp(uid, "1.2.840.10008.1.2.5") == 0) {
+          expl = true;  // encapsulated syntaxes are explicit VR LE
+          rle = true;
+        } else {
           return -2;
+        }
       }
       pos += e.length;
     }
@@ -172,10 +233,41 @@ int mies_dicom_parse(const uint8_t* data, size_t len, Meta* meta,
 
   const uint8_t* px = nullptr;
   uint32_t px_len = 0;
+  const uint8_t* frag = nullptr;  // the one RLE PixelData fragment
+  uint32_t frag_len = 0;
   Elem e;
   while (pos < len) {
     if (!read_elem(data, len, pos, expl, &e)) break;
     if (e.length == kUndefined) {
+      if (rle && e.group == 0x7FE0 && e.elem == 0x0010) {
+        // encapsulated PixelData: Basic Offset Table item first
+        // (redundant for RLE — one frame per fragment), then exactly
+        // one fragment (the per-slice contract; the Python twin
+        // handles multi-frame files), then the sequence delimiter.
+        bool first = true;
+        bool closed = false;
+        while (pos < len) {
+          Elem it;
+          if (!read_elem(data, len, pos, expl, &it)) return -1;
+          if (it.group == 0xFFFE && it.elem == 0xE0DD) {
+            closed = true;
+            break;
+          }
+          if (it.group != 0xFFFE || it.elem != 0xE000 ||
+              it.length == kUndefined || pos + it.length > len)
+            return -7;
+          if (first) {
+            first = false;  // Basic Offset Table
+          } else {
+            if (frag) return -8;  // second fragment = multi-frame
+            frag = data + pos;
+            frag_len = it.length;
+          }
+          pos += it.length;
+        }
+        if (!closed) return -7;
+        continue;
+      }
       if (!skip_undefined(data, len, pos, expl)) return -1;
       continue;
     }
@@ -218,10 +310,19 @@ int mies_dicom_parse(const uint8_t* data, size_t len, Meta* meta,
     pos += e.length;
   }
 
-  if (!px || meta->rows <= 0 || meta->cols <= 0) return -3;
+  if ((!px && !frag) || meta->rows <= 0 || meta->cols <= 0) return -3;
   const size_t npx = static_cast<size_t>(meta->rows) * meta->cols;
 
   if (!out_pixels) return 0;
+
+  std::vector<uint8_t> rle_buf;
+  if (frag) {
+    if (meta->bits != 8 && meta->bits != 16) return -4;
+    int rc = rle_decode_frame(frag, frag_len, npx, meta->bits / 8, &rle_buf);
+    if (rc != 0) return rc;
+    px = rle_buf.data();
+    px_len = static_cast<uint32_t>(rle_buf.size());
+  }
 
   const double slope = meta->slope, icpt = meta->intercept;
   const bool rescale = slope != 1.0 || icpt != 0.0;

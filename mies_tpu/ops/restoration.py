@@ -49,6 +49,21 @@ from mies_tpu.ops.filters import _conv1d_shifted, gaussian_kernel1d
 _DISTANCE_CUTOFF = 5.0  # skimage _nl_means_denoising.pyx: DISTANCE_CUTOFF
 
 
+def _nlm_unroll() -> bool:
+    """A/B knob for the NL-means pair loop (VERDICT r3 item 2):
+    MIES_TPU_NLM=unroll statically unrolls the shift table (identical
+    numerics). Read at TRACE time — a mid-process flip does NOT retrace
+    an already-compiled chain, so A/B measurements must run each
+    variant in its own process (benchmarks/nlm_ab.py does).
+    """
+    import os
+
+    v = os.environ.get("MIES_TPU_NLM", "fori")
+    if v not in ("fori", "unroll"):
+        raise ValueError(f"MIES_TPU_NLM must be 'fori' or 'unroll', got {v!r}")
+    return v == "unroll"
+
+
 def _half_shift_table(d: int, nd: int) -> np.ndarray:
     """Lexicographically-positive half of [-d, d]^nd (first nonzero
     component > 0), encoded as offsets in [0, 2d] (dec = t + d).
@@ -124,7 +139,8 @@ def _nl_means_core(
     # distance-field domain Q = [-d, shape + d) (indexed q + d)
     ext_q = tuple(n + 2 * d + 2 * offset for n in shape)
     base = lax.dynamic_slice(up, (d,) * nd, ext_q)
-    table = jnp.asarray(_half_shift_table(d, nd))  # [n_half, nd] in [0, 2d]
+    table_np = _half_shift_table(d, nd)  # [n_half, nd] in [0, 2d]
+    table = jnp.asarray(table_np)
 
     def patch_sum(v: Array) -> Array:
         # un-normalized s-wide 'valid' box sum per axis. Explicit shifted
@@ -139,9 +155,13 @@ def _nl_means_core(
             v = acc
         return v
 
-    def body(i, carry):
+    def body(dec, carry):
+        # ``dec``: per-axis offsets, dec = t + d in [0, 2d]. Either a
+        # traced table row (fori_loop form: dynamic_slice offsets) or a
+        # tuple of Python ints (unrolled form: every slice is STATIC, so
+        # XLA fuses the shifted reads and batches several pairs per HBM
+        # pass). Identical math and accumulation order either way.
         num, den = carry
-        dec = table[i]  # per-axis offsets, dec = t + d in [0, 2d]
         shifted = lax.dynamic_slice(
             up, tuple(dec[ax] for ax in range(nd)), ext_q
         )
@@ -164,12 +184,19 @@ def _nl_means_core(
         return num + (w_f * v_f + w_r * v_r), den + (w_f + w_r)
 
     n_half = ((2 * d + 1) ** nd - 1) // 2
-    num, den = lax.fori_loop(
-        0,
-        n_half,
-        body,
-        (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)),
-    )
+    carry = (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    if _nlm_unroll():
+        # Static unroll: one Python loop over the same table, same
+        # order — bit-identical accumulation, but every shift is a
+        # static slice (no dynamic_slice ops, no loop-carried
+        # dependency barrier per pair), letting XLA fuse across pairs.
+        for row in table_np:
+            carry = body(tuple(int(v) for v in row), carry)
+        num, den = carry
+    else:
+        num, den = lax.fori_loop(
+            0, n_half, lambda i, c: body(table[i], c), carry
+        )
     # the self pair: skimage's t=0 iteration writes both endpoints of
     # (p, p), so the center weight is exactly 2
     return (num + 2.0 * u) / (den + 2.0)

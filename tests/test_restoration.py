@@ -567,3 +567,30 @@ class TestSrad3d:
             R.srad3d(jnp.zeros((4, 8, 8)), dt=0.3)
         with pytest.raises(ValueError, match="dt"):
             validate(PipelineConfig.make([("srad3d", {"dt": 0.3})]))
+
+
+def test_nlm_unroll_variant_matches(rng, monkeypatch):
+    """MIES_TPU_NLM=unroll replays the SAME pair table in the same
+    accumulation order with static slices (benchmarks/nlm_ab.py A/Bs
+    them on chip). The math is identical but XLA contracts/fuses the
+    static-slice form differently (measured 1.8e-7 max on CPU — the
+    bilateral-pairs ULP class), so the pin is a tight tolerance, not
+    bit equality. Eager calls so each variant traces fresh (the knob
+    is trace-time)."""
+    img = _noisy(rng, (40, 44))
+    x = jnp.asarray(img)
+
+    def run():
+        return np.asarray(
+            R.denoise_nl_means(x, patch_size=5, patch_distance=3,
+                               h=0.07, sigma=0.03)
+        )
+
+    monkeypatch.setenv("MIES_TPU_NLM", "fori")
+    a = run()
+    monkeypatch.setenv("MIES_TPU_NLM", "unroll")
+    b = run()
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=0)
+    monkeypatch.setenv("MIES_TPU_NLM", "bogus")
+    with pytest.raises(ValueError, match="MIES_TPU_NLM"):
+        run()
