@@ -31,7 +31,7 @@ BATCH, H, W = 32, 512, 512
 
 
 def child(mode: str, d: int) -> int:
-    os.environ["MIES_TPU_NLM"] = mode if mode != "kernel" else "fori"
+    os.environ["MIES_TPU_NLM"] = mode if mode not in ("kernel", "floor") else "fori"
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -41,12 +41,48 @@ def child(mode: str, d: int) -> int:
     enable_compilation_cache()
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((BATCH, H, W), dtype=np.float32))
-    if mode == "kernel":
+    if mode == "floor":
+        # Measured FLOOR skeleton (the tile33-apply closure pattern):
+        # the pair loop's irreducible dataflow — per pair, ONE shifted
+        # dynamic-slice read of the padded field and the two carry
+        # accumulations — with the patch box-sum, exp, and value/weight
+        # window arithmetic all deleted. Any implementation that keeps
+        # the pair loop must at least stream these reads and carries,
+        # so production / floor bounds the remaining headroom.
+        from jax import lax
+
+        from mies_tpu.ops.restoration import _half_shift_table
+
+        s = 7 if d > 6 else 5
+        offset = s // 2
+        table = jnp.asarray(_half_shift_table(d, 2))
+
+        def one(u):
+            up = jnp.pad(u, d + offset, mode="reflect")
+            ext = tuple(n + 2 * d + 2 * offset for n in u.shape)
+
+            def body(i, c):
+                num, den = c
+                dec = table[i]
+                shifted = lax.dynamic_slice(up, (dec[0], dec[1]), ext)
+                w = shifted[offset:-offset or None, offset:-offset or None][
+                    : u.shape[0], : u.shape[1]
+                ]
+                return num + w, den + w * 2.0
+
+            n_half = ((2 * d + 1) ** 2 - 1) // 2
+            z = jnp.zeros(u.shape, jnp.float32)
+            num, den = lax.fori_loop(0, n_half, body, (z, z))
+            return num / (den + 2.0)
+
+        fn = jax.jit(jax.vmap(one))
+    elif mode == "kernel":
         from mies_tpu.kernels.nlmeans import nl_means_batched
 
         fn = jax.jit(
             lambda v: nl_means_batched(
-                v, patch_size=7, patch_distance=d, h=0.06, sigma=0.04
+                v, patch_size=(7 if d > 6 else 5), patch_distance=d,
+                h=0.06, sigma=0.04
             )
         )
     else:
@@ -55,7 +91,8 @@ def child(mode: str, d: int) -> int:
         fn = jax.jit(
             jax.vmap(
                 lambda v: denoise_nl_means(
-                    v, patch_size=7, patch_distance=d, h=0.06, sigma=0.04
+                    v, patch_size=(7 if d > 6 else 5), patch_distance=d,
+                h=0.06, sigma=0.04
                 )
             )
         )

@@ -518,8 +518,12 @@ def cmd_serve(args) -> int:
             raise SystemExit(
                 f"--warmup expects HxW (e.g. 512x512), got {args.warmup!r}"
             )
+    if args.max_body_mb <= 0:
+        raise SystemExit(f"--max-body-mb must be positive, got "
+                         f"{args.max_body_mb}")
     serve(args.config, host=args.host, port=args.port, warmup=warmup,
-          artifact=args.artifact)
+          artifact=args.artifact,
+          max_body_bytes=args.max_body_mb * 2**20)
     return 0
 
 
@@ -758,6 +762,9 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", default=None, metavar="HxW",
                    help="compile this input shape before the socket "
                         "opens, e.g. 512x512")
+    p.add_argument("--max-body-mb", type=int, default=256,
+                   help="reject POST bodies above this size with a 413 "
+                        "before reading them (default 256)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("ops", help="list every pipeline op with its "

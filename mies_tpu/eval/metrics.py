@@ -230,22 +230,61 @@ def sam(gt: Array, p: Array) -> Array:
     return jnp.mean(ang)
 
 
-def scc(gt: Array, p: Array) -> Array:
-    """Spatial correlation coefficient: Pearson r of high-passed images.
+def scc(gt: Array, p: Array, ws: int = 8) -> Array:
+    """Spatial correlation coefficient — sewar 0.4.6's WINDOWED form
+    (VERDICT r3 item 5; golden:
+    tests/goldens/golden_metrics.py::scc, transcribed from sewar's
+    ``full_ref.scc``/``_scc_single``):
 
-    High-pass = 3x3 Laplacian ([-1]*8 ring, +8 center), valid mode.
+    * high-pass: sewar's generic_laplace applies the 3x3 ring correlate
+      once per axis and sums — 2 x correlate(x, k, mode='reflect')
+      for 2-D (factor kept verbatim; it cancels in the ratio);
+    * ws=8 uniform local (co)variances via 'same' convolution with
+      ZERO borders (convolve2d fill) — explicit (4, 3) padding;
+    * negative variances clamp to 0; per-pixel r = cov / (sd*sd), 0
+      where the denominator is 0; mean over all pixels.
 
-    DEVIATION NOTE: this is the GLOBAL-correlation form. sewar 0.4.6
-    computes a windowed variant (mean of ws=8 local correlation
-    coefficients of the high-passed images); sewar is not installable
-    in this environment to pin its exact windowing, so this module
-    ships the unambiguous global form and the divergence is closed
-    operationally by tools/verify_sewar_golden.py — run it wherever
-    sewar installs to record the reference values and quantify the
-    difference (golden_metrics.py transcribes THIS formula, so the
-    in-repo tests pin self-consistency, not sewar lineage, for scc
-    alone; the other 11 metrics follow sewar's documented definitions).
+    The pre-round-4 global-Pearson form remains available as
+    ``scc_global``. Runs in f32 (sewar is f64) — tolerance is pinned by
+    the golden tests; tools/verify_sewar_golden.py gates lineage.
     """
+    gt, p = _f32(gt), _f32(p)
+    k = jnp.asarray(
+        [[-1.0, -1.0, -1.0], [-1.0, 8.0, -1.0], [-1.0, -1.0, -1.0]], jnp.float32
+    )[None, None]
+
+    def hp(x):
+        xp = jnp.pad(x, 1, mode="reflect")
+        return 2.0 * lax.conv_general_dilated(
+            xp[None, None], k, (1, 1), "VALID",
+            precision=lax.Precision.HIGHEST,
+        )[0, 0]
+
+    win = jnp.full((1, 1, ws, ws), 1.0 / (ws * ws), jnp.float32)
+    lo, hi = (ws - 1) // 2 + 1, (ws - 1) // 2  # convolve2d 'same': (4, 3)
+
+    def f2(x):
+        return lax.conv_general_dilated(
+            x[None, None], win, (1, 1), ((lo, hi), (lo, hi)),
+            precision=lax.Precision.HIGHEST,
+        )[0, 0]
+
+    a, b = hp(gt), hp(p)
+    mu_a, mu_b = f2(a), f2(b)
+    va = jnp.maximum(f2(a * a) - mu_a * mu_a, 0.0)
+    vb = jnp.maximum(f2(b * b) - mu_b * mu_b, 0.0)
+    vab = f2(a * b) - mu_a * mu_b
+    den = jnp.sqrt(va) * jnp.sqrt(vb)
+    zero = den == 0
+    cc = jnp.where(zero, 0.0, vab / jnp.where(zero, 1.0, den))
+    return jnp.mean(cc)
+
+
+def scc_global(gt: Array, p: Array) -> Array:
+    """GLOBAL-Pearson spatial correlation (the pre-round-4 ``scc``):
+    Pearson r of 3x3-ring high-passed images, valid mode. Kept as an
+    option — it is the unambiguous scale-free form; ``scc`` is the
+    sewar-exact windowed variant."""
     gt, p = _f32(gt), _f32(p)
     k = jnp.asarray(
         [[-1.0, -1.0, -1.0], [-1.0, 8.0, -1.0], [-1.0, -1.0, -1.0]], jnp.float32
@@ -367,6 +406,7 @@ METRIC_REGISTRY = {
     "msssim": msssim,
     "ergas": ergas,
     "scc": scc,
+    "scc_global": scc_global,
     "rase": rase,
     "sam": sam,
     "vifp": vifp,

@@ -1526,7 +1526,11 @@ def clahe_batched(
                       max(batch.shape[-1] // gx, 1))
             if clahe_skimage_supported(batch.shape[-2:], ks, nbins):
                 return clahe_skimage_tpu(batch, ks, clip_limit, nbins)
-        elif clahe_supported(batch.shape[-2:], grid_size):
+        elif convention in ("opencv", "fraction") and clahe_supported(
+            batch.shape[-2:], grid_size
+        ):
+            # kornia's even-ceil tiling / histc binning / linspace blend
+            # don't match these kernels — it rides the vmapped jnp path
             return clahe_tpu(batch, clip_limit, grid_size, convention)
     fn = functools.partial(
         H.clahe.__wrapped__,

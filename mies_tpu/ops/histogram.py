@@ -1,10 +1,10 @@
 """Histogram-based contrast ops: global equalization and CLAHE.
 
-Three CLAHE conventions exist (SURVEY.md section 4 item 1; the
+Four CLAHE conventions exist (SURVEY.md section 4 item 1; the
 reference's dependency set pins two different libraries whose CLAHE
 algorithms differ numerically):
 
-* ``convention="opencv"`` — OpenCV / kornia ``equalize_clahe`` semantics:
+* ``convention="opencv"`` — OpenCV uint8 CLAHE semantics:
   integer uint8 histograms, ``clip_limit`` is a multiple of the uniform
   bin level (default 2.0 .. 40.0), OpenCV's exact clip-redistribution and
   rounding. This path is validated BIT-EXACTLY against ``cv2.createCLAHE``
@@ -23,6 +23,15 @@ algorithms differ numerically):
   tiling/weights. It does NOT claim skimage lineage — use "skimage" for
   parity with ``equalize_adapthist``. Contract:
   tests/goldens/golden_ops.py::clahe_fraction.
+* ``convention="kornia"`` — ``kornia.enhance.equalize_clahe`` (0.8.2)
+  float-native semantics (the reference pyproject's pinned dep): even-
+  ceil reflect-padded tiles, ``torch.histc`` binning, float clip at
+  ``clip_limit * P // 256``, floor()ed 255/P CDF LUTs, half-tile
+  interpolation grid with ``linspace(0, 1)`` blend weights, float
+  output with NO uint8 quantization. Contract:
+  tests/goldens/golden_ops.py::equalize_clahe_kornia (a transcription
+  — kornia is not installable here; tools/verify_kornia_golden.py pins
+  it against the real library when available).
 
 The pure-jnp implementation below is the correctness reference; the
 Pallas kernel in ``mies_tpu.kernels.clahe`` is the performance path for
@@ -836,6 +845,140 @@ def _clahe_skimage(
     return _skimage_stretch_out(result)
 
 
+# ---------------------------------------------------------------------------
+# kornia equalize_clahe convention
+# ---------------------------------------------------------------------------
+
+
+def _kornia_tile_geometry(
+    shape: tuple[int, int], grid: tuple[int, int]
+) -> tuple[int, int, int, int]:
+    """kornia _compute_tiles(even_tile_size=True): tile = ceil(side /
+    grid) rounded UP to even; reflect pad must stay < dim."""
+    h, w = shape
+    gh, gw = grid
+    th = -(-h // gh)
+    th += th % 2
+    tw = -(-w // gw)
+    tw += tw % 2
+    pv, pw = th * gh - h, tw * gw - w
+    if pv >= h or pw >= w:
+        raise ValueError(
+            f"image size {shape} and grid size {grid} mismatch for the "
+            f"kornia convention (reflect padding needs pad < dim)"
+        )
+    return th, tw, pv, pw
+
+
+def _clahe_kornia(
+    img: Array, clip_limit: float, grid_size: tuple[int, int]
+) -> Array:
+    """kornia.enhance.equalize_clahe (0.8.2) float-native semantics.
+
+    Mirrors tests/goldens/golden_ops.py::equalize_clahe_kornia step for
+    step (see its docstring for the transcribed algorithm; kornia is
+    the reference pyproject's pinned dep — /root/reference/
+    pyproject.toml:8). TPU runs the gatherless selection-by-matmul LUT
+    lookup (_select_blocks — integer-valued LUTs are exact under the
+    bf16x3 path); CPU keeps advanced-indexing gathers. Border interp
+    tiles fold into ONE bilinear formula by clamping the neighbor-LUT
+    indices AND zeroing the border-axis weight: ``t*(1-0) + b*0 == t``
+    bit-exactly in f32, so corner/edge tiles reproduce kornia's
+    direct-assignment branches without separate code paths.
+    """
+    x = img.astype(jnp.float32)
+    h0, w0 = x.shape
+    gh, gw = grid_size
+    th, tw, pv, pw = _kornia_tile_geometry((h0, w0), (gh, gw))
+    p = jnp.pad(x, ((0, pv), (0, pw)), mode="reflect") if (pv or pw) else x
+    p_px = th * tw
+
+    # per-tile torch.histc(_, 256, 0, 1): floor(x*256), x == 1 in bin 255
+    idx256 = jnp.minimum(jnp.floor(p * 256.0), 255.0).astype(jnp.int32)
+    tiles = (
+        idx256.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3)
+        .reshape(gh * gw, p_px)
+    )
+    if jax.default_backend() == "tpu":
+        hist = _region_hists_onehot(tiles, NBINS).astype(jnp.float32)
+    else:
+        hist = jax.vmap(
+            lambda t: jnp.zeros((NBINS,), jnp.float32).at[t].add(1.0)
+        )(tiles)
+    if clip_limit > 0:
+        # float clip at max(clip * P // 256, 1); even redistribution
+        # with the first (excess % 256) bins topped up by one
+        max_val = jnp.float32(max(clip_limit * p_px // NBINS, 1.0))
+        hist = jnp.minimum(hist, max_val)
+        clipped = jnp.float32(p_px) - jnp.sum(hist, axis=1, keepdims=True)
+        residual = jnp.mod(clipped, NBINS)
+        hist = hist + (clipped - residual) / NBINS
+        hist = hist + (
+            jnp.arange(NBINS, dtype=jnp.float32)[None, :] < residual
+        ).astype(jnp.float32)
+    lut = jnp.cumsum(hist, axis=1) * jnp.float32(255.0 / p_px)
+    luts = jnp.floor(jnp.clip(lut, 0.0, 255.0)).reshape(gh, gw, NBINS)
+
+    # half-tile interpolation grid; pixel bin = trunc(x * 255)
+    th2, tw2 = th // 2, tw // 2
+    nr, nc = 2 * gh, 2 * gw
+    nb, blk_px = nr * nc, th2 * tw2
+    idx255 = jnp.clip(jnp.floor(p * 255.0), 0.0, 255.0).astype(jnp.int32)
+    blocks = (
+        idx255.reshape(nr, th2, nc, tw2).transpose(0, 2, 1, 3)
+        .reshape(nb, blk_px)
+    )
+    cy1 = np.clip((np.arange(nr) - 1) // 2, 0, gh - 1)
+    cy2 = np.clip((np.arange(nr) + 1) // 2, 0, gh - 1)
+    cx1 = np.clip((np.arange(nc) - 1) // 2, 0, gw - 1)
+    cx2 = np.clip((np.arange(nc) + 1) // 2, 0, gw - 1)
+    m4 = jnp.stack(
+        [
+            luts[cy1[:, None], cx1[None, :]],
+            luts[cy1[:, None], cx2[None, :]],
+            luts[cy2[:, None], cx1[None, :]],
+            luts[cy2[:, None], cx2[None, :]],
+        ],
+        axis=2,
+    ).reshape(nb, 4, NBINS)
+
+    # linspace(0,1) weights; zeroed along a border tile's clamped axis
+    wy = np.broadcast_to(
+        np.linspace(0.0, 1.0, th2, dtype=np.float32)[None, :], (nr, th2)
+    ).copy()
+    wy[0] = 0.0
+    wy[-1] = 0.0
+    wx = np.broadcast_to(
+        np.linspace(0.0, 1.0, tw2, dtype=np.float32)[None, :], (nc, tw2)
+    ).copy()
+    wx[0] = 0.0
+    wx[-1] = 0.0
+    wyb = jnp.asarray(
+        np.broadcast_to(
+            wy[:, None, :, None], (nr, nc, th2, tw2)
+        ).reshape(nb, blk_px)
+    )
+    wxb = jnp.asarray(
+        np.broadcast_to(
+            wx[None, :, None, :], (nr, nc, th2, tw2)
+        ).reshape(nb, blk_px)
+    )
+
+    if jax.default_backend() == "tpu":
+        sels = _select_blocks(blocks, m4, NBINS)  # [NB, P, 4]
+    else:
+        sels = jax.vmap(lambda m, b: m[:, b])(m4, blocks).transpose(0, 2, 1)
+    top = sels[:, :, 0] * (1.0 - wxb) + sels[:, :, 1] * wxb
+    bot = sels[:, :, 2] * (1.0 - wxb) + sels[:, :, 3] * wxb
+    res = top * (1.0 - wyb) + bot * wyb
+    out = (
+        res.reshape(nr, nc, th2, tw2).transpose(0, 2, 1, 3)
+        .reshape(gh * th, gw * tw)
+        / 255.0
+    )
+    return out[:h0, :w0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("grid_size", "clip_limit", "convention", "nbins", "kernel_size"),
@@ -866,11 +1009,24 @@ def clahe(
     clip = max(clip_limit * tile_area, 1) float counts, single-pass
     uniform redistribution, CDF LUT normalized to [0,1], OpenCV-style
     bilinear blend, float output.
+
+    convention="kornia": kornia.enhance.equalize_clahe float-native
+    semantics (see _clahe_kornia; kornia's own default clip_limit is
+    40.0 — the same multiple-of-uniform parameterization as opencv).
+
+    ``nbins``: skimage's equalize_adapthist exposes it (any value
+    >= 2); the other conventions are 256-bin by definition (opencv and
+    kornia hard-code 256 in cv2/kornia).
     """
     if img.ndim != 2:
         raise ValueError(f"clahe expects [H, W]; got shape {img.shape}")
-    if nbins != NBINS:
-        raise NotImplementedError("only nbins=256 is supported")
+    if nbins != NBINS and convention != "skimage":
+        raise NotImplementedError(
+            f"nbins={nbins}: only the skimage convention supports "
+            f"nbins != 256 (cv2/kornia hard-code 256 bins)"
+        )
+    if nbins < 2:
+        raise ValueError(f"nbins must be >= 2, got {nbins}")
     gy, gx = grid_size
     h0, w0 = img.shape
 
@@ -878,6 +1034,10 @@ def clahe(
         if kernel_size is None:
             kernel_size = (max(h0 // gy, 1), max(w0 // gx, 1))
         return _clahe_skimage(img, kernel_size, clip_limit, nbins).astype(
+            img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
+        )
+    if convention == "kornia":
+        return _clahe_kornia(img, clip_limit, grid_size).astype(
             img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
         )
 

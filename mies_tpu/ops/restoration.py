@@ -49,19 +49,33 @@ from mies_tpu.ops.filters import _conv1d_shifted, gaussian_kernel1d
 _DISTANCE_CUTOFF = 5.0  # skimage _nl_means_denoising.pyx: DISTANCE_CUTOFF
 
 
-def _nlm_unroll() -> bool:
+def _nlm_mode() -> tuple[str, int]:
     """A/B knob for the NL-means pair loop (VERDICT r3 item 2):
-    MIES_TPU_NLM=unroll statically unrolls the shift table (identical
-    numerics). Read at TRACE time — a mid-process flip does NOT retrace
-    an already-compiled chain, so A/B measurements must run each
-    variant in its own process (benchmarks/nlm_ab.py does).
+    MIES_TPU_NLM selects 'fori' (production lax.fori_loop), 'unroll'
+    (full static unroll — measured OOM at d=11 and 1.34x SLOWER at d=5,
+    benchmarks/nlm_ab.py), or 'chunkK' (e.g. chunk8: static unroll in
+    groups of K pairs with an optimization_barrier on the carry between
+    groups — static slices for XLA cross-pair fusion, bounded live
+    set). Identical math and accumulation order in every mode. Read at
+    TRACE time — a mid-process flip does NOT retrace an
+    already-compiled chain, so A/B measurements run each variant in
+    its own process (benchmarks/nlm_ab.py does).
     """
     import os
 
     v = os.environ.get("MIES_TPU_NLM", "fori")
-    if v not in ("fori", "unroll"):
-        raise ValueError(f"MIES_TPU_NLM must be 'fori' or 'unroll', got {v!r}")
-    return v == "unroll"
+    if v in ("fori", "unroll"):
+        return v, 0
+    if v.startswith("chunk"):
+        try:
+            k = int(v[len("chunk"):])
+            if k > 0:
+                return "chunk", k
+        except ValueError:
+            pass
+    raise ValueError(
+        f"MIES_TPU_NLM must be 'fori', 'unroll' or 'chunkK', got {v!r}"
+    )
 
 
 def _half_shift_table(d: int, nd: int) -> np.ndarray:
@@ -185,13 +199,23 @@ def _nl_means_core(
 
     n_half = ((2 * d + 1) ** nd - 1) // 2
     carry = (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
-    if _nlm_unroll():
-        # Static unroll: one Python loop over the same table, same
-        # order — bit-identical accumulation, but every shift is a
-        # static slice (no dynamic_slice ops, no loop-carried
-        # dependency barrier per pair), letting XLA fuse across pairs.
+    mode, chunk = _nlm_mode()
+    if mode == "unroll":
+        # Full static unroll: one Python loop over the same table, same
+        # order — every shift a static slice. Measured DEAD END on chip
+        # (OOM at d=11: 17.4 GB of live fused temporaries; 1.34x slower
+        # at d=5) — kept for the A/B record.
         for row in table_np:
             carry = body(tuple(int(v) for v in row), carry)
+        num, den = carry
+    elif mode == "chunk":
+        # Static slices with a BOUNDED live set: barrier the carry
+        # every `chunk` pairs so XLA fuses within a group but cannot
+        # balloon temporaries across the whole table.
+        for g, row in enumerate(table_np):
+            carry = body(tuple(int(v) for v in row), carry)
+            if (g + 1) % chunk == 0:
+                carry = lax.optimization_barrier(carry)
         num, den = carry
     else:
         num, den = lax.fori_loop(

@@ -54,7 +54,9 @@ def clahe_band(
     if convention not in ("opencv", "fraction"):
         raise ValueError(
             f"convention {convention!r} does not spatially shard (skimage "
-            "regions straddle band boundaries); use opencv or fraction"
+            "regions straddle band boundaries; kornia's even-ceil tiles + "
+            "half-tile interp grid don't align with the band contract); "
+            "use opencv or fraction"
         )
     th, tw = hb // gy_local, w // gx
     tile_area = th * tw

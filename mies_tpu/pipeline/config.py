@@ -307,10 +307,12 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         "clip_limit": (_pos, "a number > 0"),
         "grid_size": (_int_pair(2), "a pair of ints >= 1"),
         "convention": (
-            lambda v: v in ("opencv", "skimage", "fraction"),
-            "one of 'opencv', 'skimage', 'fraction'",
+            lambda v: v in ("opencv", "skimage", "fraction", "kornia"),
+            "one of 'opencv', 'skimage', 'fraction', 'kornia'",
         ),
-        "nbins": (lambda v: v == 256, "256 (the only supported value)"),
+        # nbins != 256 is skimage-only; the op rejects other
+        # conventions at build time with the reason
+        "nbins": (lambda v: _is_int(v) and v >= 2, "an int >= 2"),
         "kernel_size": (
             lambda v: v is None or _int_pair(2)(v),
             "a pair of ints >= 1 (or omitted)",

@@ -182,14 +182,28 @@ def _enhance_bytes(state: _State, body: bytes, suffix: str,
     return buf.getvalue(), metrics
 
 
+DEFAULT_MAX_BODY_BYTES = 256 * 2**20  # largest clinical single-slice ask
+
+
 def make_server(
     cfg: PipelineConfig, host: str = "127.0.0.1", port: int = 8080,
     artifact_fn=None, artifact_header: dict | None = None,
+    max_body_bytes: int = DEFAULT_MAX_BODY_BYTES,
+    request_timeout: float | None = 60.0,
 ) -> ThreadingHTTPServer:
-    """Build (not start) the serving HTTPServer for ``cfg``."""
+    """Build (not start) the serving HTTPServer for ``cfg``.
+
+    ``max_body_bytes`` caps POST bodies — an oversized request is a 413
+    rejected from its Content-Length alone, BEFORE any body byte is
+    read, so a hostile/buggy client cannot make the server allocate
+    arbitrary host memory. ``request_timeout`` is the per-connection
+    socket timeout (socketserver's handler timeout): a stalled client
+    cannot pin a worker thread forever."""
     state = _State(cfg, artifact_fn, artifact_header)
 
     class Handler(BaseHTTPRequestHandler):
+        timeout = request_timeout  # connection.settimeout in setup()
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -227,9 +241,24 @@ def make_server(
                 self._json(404, {"error": f"no route {url.path!r}"})
                 return
             q = parse_qs(url.query)
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._json(400, {"error": "invalid Content-Length"})
+                return
             if n <= 0:
                 self._json(400, {"error": "empty body"})
+                return
+            if n > max_body_bytes:
+                # refuse BEFORE reading: the body never gets allocated.
+                # The unread body makes the connection unusable for
+                # keep-alive, so close it.
+                self.close_connection = True
+                self._json(413, {
+                    "error": f"body of {n} bytes exceeds the "
+                             f"{max_body_bytes}-byte limit (configure "
+                             f"with --max-body-mb)"
+                })
                 return
             body = self.rfile.read(n)
             fname = q.get("filename", [""])[0]
@@ -275,6 +304,7 @@ def serve(
     port: int = 8080,
     warmup: tuple[int, int] | None = None,
     artifact: str | Path | None = None,
+    max_body_bytes: int = DEFAULT_MAX_BODY_BYTES,
 ) -> None:
     """Blocking entry: load config (or a .mies artifact), optional warm
     compile, serve. Artifact mode needs NO warm-up: the program is AOT."""
@@ -291,7 +321,8 @@ def serve(
         validate_servable_artifact(header)
         cfg = from_dict(header["config"])
         srv = make_server(cfg, host, port,
-                          artifact_fn=fn, artifact_header=header)
+                          artifact_fn=fn, artifact_header=header,
+                          max_body_bytes=max_body_bytes)
         announce = {
             "serving": f"http://{host}:{srv.server_address[1]}",
             "pipeline": cfg.name,
@@ -313,7 +344,7 @@ def serve(
         np.asarray(compile_pipeline(cfg)(
             jnp.asarray(np.zeros((h, w), np.uint8))
         ))
-    srv = make_server(cfg, host, port)
+    srv = make_server(cfg, host, port, max_body_bytes=max_body_bytes)
     return _run_server(srv, {
         "serving": f"http://{host}:{srv.server_address[1]}",
         "pipeline": cfg.name,

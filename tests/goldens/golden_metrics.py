@@ -119,7 +119,40 @@ def sam(gt, p):
     return float(np.mean(np.arccos(np.clip(num / den, -1, 1))))
 
 
-def scc(gt, p):
+def scc(gt, p, ws=8):
+    """sewar 0.4.6 full_ref.scc — the WINDOWED local-correlation form:
+
+    * high-pass via ``scipy.ndimage.generic_laplace`` whose derivative2
+      applies the full 3x3 ring correlate once PER AXIS and sums —
+      i.e. 2 x correlate(x, k, mode='reflect') for 2-D input (the
+      factor 2 cancels in the correlation ratio but is kept verbatim);
+    * ws=8 uniform local means/variances/covariance via
+      ``convolve2d(..., mode='same')`` (ZERO fill at borders);
+    * negative variances clamped to 0, per-pixel r = cov / (sd*sd)
+      with 0 where the denominator is 0; mean over all pixels.
+    """
+    from scipy import ndimage
+
+    k = np.array([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]], np.float64)
+    a = 2.0 * ndimage.correlate(_f64(gt), k, mode="reflect")
+    b = 2.0 * ndimage.correlate(_f64(p), k, mode="reflect")
+    win = np.ones((ws, ws), np.float64) / ws**2
+
+    def f2(x):
+        return convolve2d(x, win, mode="same")
+
+    mu_a, mu_b = f2(a), f2(b)
+    va = np.maximum(f2(a * a) - mu_a * mu_a, 0.0)
+    vb = np.maximum(f2(b * b) - mu_b * mu_b, 0.0)
+    vab = f2(a * b) - mu_a * mu_b
+    den = np.sqrt(va) * np.sqrt(vb)
+    zero = den == 0
+    cc = vab / np.where(zero, 1.0, den)
+    cc[zero] = 0.0
+    return float(np.mean(cc))
+
+
+def scc_global(gt, p):
     k = np.array([[-1, -1, -1], [-1, 8, -1], [-1, -1, -1]], np.float64)
     # convolve2d flips the kernel; symmetric here so valid correlate == conv
     a = convolve2d(_f64(gt), k, mode="valid")

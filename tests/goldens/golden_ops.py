@@ -1832,3 +1832,97 @@ def cycle_spin(
             acc += np.roll(den.astype(np.float64), (-dy, -dx), axis=(0, 1))
             n += 1
     return (acc / n).astype(np.float32)
+
+
+# -- kornia equalize_clahe ----------------------------------------------------
+
+
+def equalize_clahe_kornia(img, clip_limit=40.0, grid_size=(8, 8)):
+    """kornia.enhance.equalize_clahe (0.8.2) on one [H, W] float [0,1]
+    channel — transcribed from kornia/enhance/equalization.py:
+
+    * ``_compute_tiles(..., even_tile_size=True)``: tile = ceil(side /
+      grid) rounded UP to even; pad bottom/right with torch 'reflect'
+      (edge not duplicated; pad must stay < dim, else kornia's
+      "mismatch" ValueError).
+    * ``_compute_luts``: per-tile ``torch.histc(tile, 256, 0, 1)``
+      (floor(x*256), x == 1 in the last bin), float clip at
+      ``max(clip_limit * P // 256, 1)``, even redistribution of the
+      clipped mass with the first ``excess % 256`` bins topped up by 1,
+      LUT = ``floor(clamp(cumsum * 255 / P, 0, 255))``.
+    * ``_compute_interpolation_tiles`` + ``_compute_equalized_tiles``:
+      half-tile interpolation grid (2G per axis); pixel bin =
+      ``(x * 255).long()``; interior tiles bilinear-blend the 4
+      neighbor LUTs with ``linspace(0, 1, tile/2)`` weights, border
+      tiles lerp 2 LUTs along the free axis, corner tiles take the
+      nearest LUT; output = blended / 255, cropped to [H, W].
+
+    kornia is not installable here, so this transcription IS the
+    contract; tools/verify_kornia_golden.py pins it against the real
+    kornia in any environment that has it.
+    """
+    img = np.asarray(img, np.float32)
+    h, w = img.shape
+    gh, gw = grid_size
+    th = -(-h // gh)
+    th += th % 2
+    tw = -(-w // gw)
+    tw += tw % 2
+    pv, ph = th * gh - h, tw * gw - w
+    if pv >= h or ph >= w:
+        raise ValueError(
+            f"image size {img.shape} and grid size {grid_size} mismatch "
+            f"(reflect padding needs pad < dim)"
+        )
+    p = np.pad(img, ((0, pv), (0, ph)), mode="reflect")
+    P = th * tw
+
+    luts = np.zeros((gh, gw, 256), np.float32)
+    for i in range(gh):
+        for j in range(gw):
+            tile = p[i * th:(i + 1) * th, j * tw:(j + 1) * tw].ravel()
+            idx = np.floor(tile * 256.0).astype(np.int64)
+            idx = np.minimum(idx, 255)  # histc: x == max -> last bin
+            keep = (idx >= 0) & (tile <= 1.0)  # histc ignores out-of-range
+            hist = np.bincount(idx[keep], minlength=256).astype(np.float32)
+            if clip_limit > 0:
+                max_val = max(clip_limit * P // 256, 1.0)
+                hist = np.minimum(hist, max_val)
+                clipped = P - hist.sum()
+                residual = clipped % 256
+                hist += (clipped - residual) / 256
+                hist[np.arange(256) < residual] += 1.0
+            lut = np.cumsum(hist, dtype=np.float32) * np.float32(255.0 / P)
+            luts[i, j] = np.floor(np.clip(lut, 0.0, 255.0))
+
+    th2, tw2 = th // 2, tw // 2
+    idx255 = np.clip(np.floor(p * 255.0).astype(np.int64), 0, 255)
+    wy = np.linspace(0.0, 1.0, th2, dtype=np.float32)
+    wx = np.linspace(0.0, 1.0, tw2, dtype=np.float32)
+    out = np.zeros_like(p)
+    nr, nc = 2 * gh, 2 * gw
+    for r in range(nr):
+        cy1 = min(max((r - 1) // 2, 0), gh - 1)
+        cy2 = min(max((r + 1) // 2, 0), gh - 1)
+        for c in range(nc):
+            cx1 = min(max((c - 1) // 2, 0), gw - 1)
+            cx2 = min(max((c + 1) // 2, 0), gw - 1)
+            blk = idx255[r * th2:(r + 1) * th2, c * tw2:(c + 1) * tw2]
+            tl = luts[cy1, cx1][blk]
+            tr = luts[cy1, cx2][blk]
+            bl = luts[cy2, cx1][blk]
+            br = luts[cy2, cx2][blk]
+            row_edge = r in (0, nr - 1)
+            col_edge = c in (0, nc - 1)
+            if row_edge and col_edge:  # corner: nearest LUT
+                v = tl
+            elif row_edge:  # top/bottom border: x-lerp of 2 LUTs
+                v = tl * (1.0 - wx)[None, :] + tr * wx[None, :]
+            elif col_edge:  # left/right border: y-lerp of 2 LUTs
+                v = tl * (1.0 - wy)[:, None] + bl * wy[:, None]
+            else:  # interior: bilinear of 4 LUTs
+                t = tl * (1.0 - wx)[None, :] + tr * wx[None, :]
+                b = bl * (1.0 - wx)[None, :] + br * wx[None, :]
+                v = t * (1.0 - wy)[:, None] + b * wy[:, None]
+            out[r * th2:(r + 1) * th2, c * tw2:(c + 1) * tw2] = v
+    return (out / 255.0)[:h, :w].astype(np.float32)

@@ -375,10 +375,12 @@ def test_expected_skips():
         "test_perf.py": 8,
         "test_tpu_numerics.py": 4,
         # env gates asserted non-firing above:
-        "test_clahe.py": 1,       # importorskip cv2
+        "test_clahe.py": 2,       # importorskip cv2 + kornia_pin replay
         "test_filters.py": 5,     # importorskip cv2
         "test_native.py": 1,      # skipif native unavailable
-        # the 2 permanent pin-replay skips (fire until a pin is checked in):
+        "test_io.py": 2,          # RLE native-vs-python (native available)
+        # permanent pin-replay skips (fire until a pin is checked in;
+        # the kornia one is counted under test_clahe.py above):
         "test_histogram.py": 1,   # skimage_pin.npz replay
         "test_metrics.py": 1,     # sewar_pin.npz replay
         # data-dependent guard, non-firing for the shipped cases:

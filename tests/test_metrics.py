@@ -28,7 +28,10 @@ PAIRS = [
     ("ssim", {}, 1e-4),
     ("msssim", {}, 1e-3),
     ("ergas", {}, 1e-2),
-    ("scc", {}, 1e-4),
+    # scc: f32 windowed (co)variance cancellation vs the f64 golden
+    # on 255-scale high-passed values bounds at ~2e-3
+    ("scc", {}, 5e-3),
+    ("scc_global", {}, 1e-4),
     ("rase", {}, 1e-2),
     ("sam", {}, 1e-4),
     ("vifp", {}, 1e-3),
@@ -87,11 +90,12 @@ def test_psnrb_penalizes_blocking(pair):
 
 
 def test_evaluate_all_twelve_metrics(pair):
-    """The full sewar surface through the single-program entry point."""
+    """The full sewar surface (12 names) + the scc_global extra through
+    the single-program entry point."""
     gt, p = pair
     names = tuple(M.METRIC_REGISTRY)
     out = M.evaluate(gt, p, names=names)
-    assert set(out) == set(names) and len(names) == 12
+    assert set(out) == set(names) and len(names) == 13  # 12 sewar + scc_global
     for k, v in out.items():
         assert np.isfinite(v), (k, v)
 

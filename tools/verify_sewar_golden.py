@@ -15,13 +15,12 @@ implementations, prints a per-metric report, and writes
 committed, ``tests/test_metrics.py::test_sewar_pin_replay`` asserts the
 suite against the pinned values in every future environment.
 
-Known deviation to expect: ``scc`` — this suite ships the global
-Pearson form while sewar computes a windowed local-mean variant (see
-eval/metrics.py::scc). The report quantifies the gap; every other
-metric is expected to match within float tolerance.
+As of round 4, ``scc`` is the sewar-exact windowed form (the old
+global-Pearson variant ships as ``scc_global``, which sewar has no
+counterpart for), so every one of the 12 metrics is gated.
 
-Exit codes: 0 = all non-scc metrics match, 2 = mismatch beyond
-tolerance, 3 = sewar not importable here.
+Exit codes: 0 = all metrics match, 2 = mismatch beyond tolerance,
+3 = sewar not importable here.
 """
 
 from __future__ import annotations
@@ -39,7 +38,9 @@ ATOL = {  # |ours - sewar| tolerances (f32 vs f64 pipelines)
     "mse": 1e-3, "rmse": 1e-4, "psnr": 1e-3, "uqi": 1e-4, "ssim": 1e-4,
     "msssim": 1e-3, "ergas": 1e-2, "rase": 1e-1, "sam": 1e-4,
     "vifp": 1e-3, "psnrb": 1e-3,
-    "scc": float("inf"),  # documented deviation — recorded, not gated
+    # f32 windowed-(co)variance cancellation vs sewar's f64 on
+    # 255-scale high-passed values (same bound the golden test pins)
+    "scc": 5e-3,
 }
 
 METRICS = ("mse", "rmse", "psnr", "uqi", "ssim", "msssim", "ergas",
@@ -111,10 +112,10 @@ def main() -> int:
             pin[f"{pair['name']}:{m}"] = theirs
             d = abs(mine - theirs)
             ok = d <= ATOL[m] or (np.isinf(mine) and np.isinf(theirs))
-            tag = "OK" if ok else ("NOTE(scc)" if m == "scc" else "MISMATCH")
+            tag = "OK" if ok else "MISMATCH"
             print(f"  {pair['name']:14s} {m:7s} ours={mine:.6g} "
                   f"sewar={theirs:.6g} |d|={d:.3g}  {tag}")
-            if not ok and m != "scc":
+            if not ok:
                 failures.append(f"{pair['name']}:{m}")
 
     np.savez(args.out, **pin)
@@ -123,8 +124,7 @@ def main() -> int:
     if failures:
         print(f"FAIL: {failures}")
         return 2
-    print("PASS: all metrics match sewar within tolerance (scc recorded "
-          "as the documented deviation)")
+    print("PASS: all 12 metrics match sewar within tolerance")
     return 0
 
 

@@ -42,7 +42,12 @@ from tests.goldens.golden_ops import (  # noqa: E402
     equalize_adapthist3d_skimage,
     equalize_adapthist_skimage,
     estimate_sigma,
+    frangi_vesselness,
+    hessian_ridge,
+    meijering_neuriteness,
     richardson_lucy,
+    rolling_ball,
+    sato_tubeness,
 )
 
 # Deterministic across environments: PCG64 streams are versioned and
@@ -169,6 +174,29 @@ def make_cases() -> list[dict]:
         dict(name="estimate_sigma_2d", op="sigma", img=noisy,
              wavelet="db2", atol=1e-12)
     )
+    # --- ridge family + rolling-ball (appended round 7; VERDICT r3
+    # item 5). These transcriptions are PAPER-faithful by design — the
+    # op docstrings explicitly do NOT claim skimage parity (skimage's
+    # internal Hessian discretization/eigen handling differs), so the
+    # cases are gate=False: the run PINS skimage's outputs and reports
+    # the divergence magnitude instead of failing on it. A future
+    # tightening starts from these recorded numbers.
+    ridge_img = np.clip(
+        img2d((72, 88)) * 0.3
+        + np.exp(-((np.mgrid[0:72, 0:88][0] - 36) ** 2) / 18.0) * 0.7,
+        0, 1,
+    )
+    cases.append(dict(name="frangi_2d", op="frangi", img=ridge_img,
+                      sigmas=(1.0, 2.0, 4.0), gate=False))
+    cases.append(dict(name="sato_2d", op="sato", img=ridge_img,
+                      sigmas=(1.0, 2.0, 4.0), gate=False))
+    cases.append(dict(name="meijering_2d", op="meijering", img=ridge_img,
+                      sigmas=(1.0, 2.0), gate=False))
+    cases.append(dict(name="hessian_2d", op="hessian", img=ridge_img,
+                      sigmas=(1.0, 3.0, 5.0), gate=False))
+    cases.append(dict(name="rolling_ball_r10", op="rolling_ball",
+                      img=img2d((64, 72)).astype(np.float32), radius=10.0,
+                      gate=False))
     return cases
 
 
@@ -235,6 +263,24 @@ def transcription(case: dict) -> np.ndarray:
         return np.asarray(
             estimate_sigma(case["img"], wavelet=case["wavelet"])
         )
+    if op == "frangi":
+        return np.asarray(
+            frangi_vesselness(case["img"], sigmas=case["sigmas"])
+        )
+    if op == "sato":
+        return np.asarray(
+            sato_tubeness(case["img"], sigmas=case["sigmas"])
+        )
+    if op == "meijering":
+        return np.asarray(
+            meijering_neuriteness(case["img"], sigmas=case["sigmas"])
+        )
+    if op == "hessian":
+        return np.asarray(
+            hessian_ridge(case["img"], sigmas=case["sigmas"])
+        )
+    if op == "rolling_ball":
+        return np.asarray(rolling_ball(case["img"], radius=case["radius"]))
     fn = (
         equalize_adapthist3d_skimage
         if case["img"].ndim == 3
@@ -276,6 +322,13 @@ def _library_output(case: dict):
         return np.asarray(
             restoration.estimate_sigma(case["img"])
         )
+    if op in ("frangi", "sato", "meijering", "hessian"):
+        from skimage import filters
+
+        fn = getattr(filters, op)
+        return fn(case["img"], sigmas=case["sigmas"], black_ridges=True)
+    if op == "rolling_ball":
+        return restoration.rolling_ball(case["img"], radius=case["radius"])
     return exposure.equalize_adapthist(
         case["img"], kernel_size=case["kernel_size"],
         clip_limit=case["clip_limit"],
@@ -311,6 +364,10 @@ def main() -> int:
         theirs = np.asarray(_library_output(case))
         pin[case["name"]] = theirs
         d = float(np.abs(ours - theirs).max())
+        if not case.get("gate", True):
+            print(f"  {case['name']:28s} max|diff| = {d:.3e}  RECORDED "
+                  f"(parity not claimed — pinned for future tightening)")
+            continue
         ok = d <= case.get("atol", ATOL)
         print(f"  {case['name']:28s} max|diff| = {d:.3e}  "
               f"{'OK' if ok else 'MISMATCH'}")
