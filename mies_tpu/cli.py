@@ -230,12 +230,6 @@ def cmd_enhance_volume(args) -> int:
             raise SystemExit("--isotropic changes the grid shape; "
                              "full-reference --metrics need matching "
                              "shapes")
-        if getattr(args, "data_parallel", False):
-            raise SystemExit(
-                "--isotropic cannot combine with --data-parallel: the "
-                "resample changes the z extent, so it is not "
-                "z-shardable; resample first, then shard the result"
-            )
         if meta.spacing is None:
             raise SystemExit(
                 "--isotropic needs voxel spacing, which only DICOM "
@@ -249,6 +243,22 @@ def cmd_enhance_volume(args) -> int:
             max(1, round(n * s / tgt))
             for n, s in zip(vol.shape, meta.spacing)
         )
+        if getattr(args, "data_parallel", False):
+            # z-sharded resample3d (parallel/volume_shard.py::
+            # resample3d_zband) needs the OUTPUT depth divisible by the
+            # device count — never silently change the user's grid
+            import jax as _jax
+
+            nd = len(_jax.devices())
+            if d % nd:
+                lo, hi = (d // nd) * nd, (d // nd + 1) * nd
+                raise SystemExit(
+                    f"--isotropic {tgt:g} under --data-parallel: target "
+                    f"depth {d} is not divisible by the {nd} devices; "
+                    f"adjust --isotropic so the depth lands on a multiple "
+                    f"of {nd} (nearest: {lo} or {hi} slices), or run "
+                    f"without --data-parallel"
+                )
         cfg = PipelineConfig.make(
             [("resample3d", {"depth": d, "height": h, "width": w}),
              *cfg.stages],

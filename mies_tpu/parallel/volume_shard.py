@@ -324,15 +324,116 @@ def volume_stage_z_field(op: str, params: dict) -> int:
         "invert", "normalize_meanstd", "denormalize_meanstd",
         "clahe3d", "normalize", "rescale_intensity", "equalize_hist",
     }
+    if op == "resample3d":
+        # shape-changing banded matmuls; the z band's halo is computed
+        # from the resize matrix inside resample3d_zband (needs the
+        # static device count, so it can't be expressed as a plain
+        # halo radius here)
+        return 0
     if op not in _LOCAL:
         raise ValueError(f"op {op!r} is not z-shardable")
     return 0
 
 
+def _resample_band_geometry(
+    z: int, depth: int, n: int
+) -> tuple[np.ndarray, int]:
+    """Static per-device z-resize matrices for a z-sharded resample.
+
+    Returns (stacked [n, depth//n, z//n + 2*halo] matrices, halo). The
+    global align-corners matrix M is 2-tap banded (each output row
+    interpolates two adjacent input rows), so device k's output band
+    [k*dl, (k+1)*dl) reads a contiguous input window around its own
+    band [k*zl, (k+1)*zl); halo = the worst-case overhang, exchanged
+    once via ppermute. Matrix columns that fall outside [0, Z) (they
+    align with halo_extend_rows' global-edge fill rows) are ZERO, so
+    the fill rows are never consumed — 0.0 * fill == 0.0 exactly.
+    """
+    from mies_tpu.ops.volume3d import _linear_resize_matrix
+
+    if depth % n or z % n:
+        raise ValueError(
+            f"z-sharded resample3d needs input z ({z}) and output depth "
+            f"({depth}) divisible by the axis size ({n}); pick a target "
+            f"depth that is a multiple of {n} (or run without "
+            f"--data-parallel)"
+        )
+    m = _linear_resize_matrix(z, depth)  # [depth, z], 2-tap rows
+    dl, zl = depth // n, z // n
+    halo = 0
+    for k in range(n):
+        rows = m[k * dl:(k + 1) * dl]
+        cols = np.nonzero(rows.any(axis=0))[0]
+        halo = max(halo, int(k * zl - cols.min()),
+                   int(cols.max() + 1 - (k + 1) * zl))
+    halo = max(halo, 0)
+    if halo > zl:
+        raise ValueError(
+            f"z-sharded resample3d: the {z}->{depth} resize needs a "
+            f"{halo}-slab halo but each device holds only {zl} slabs — "
+            f"use fewer devices or resample unsharded first"
+        )
+    mpad = np.zeros((depth, z + 2 * halo), np.float32)
+    mpad[:, halo:halo + z] = m
+    stacked = np.stack(
+        [
+            mpad[k * dl:(k + 1) * dl, k * zl:k * zl + zl + 2 * halo]
+            for k in range(n)
+        ]
+    )
+    return stacked, halo
+
+
+def resample3d_zband(
+    x: jax.Array,
+    depth: int,
+    height: int,
+    width: int,
+    axis_name: str,
+    n: int,
+) -> jax.Array:
+    """z-sharded ``ops.volume3d.resample3d``: [z/n, H, W] per-device
+    slab -> [depth/n, height, width]. The h/w resamples are pure
+    per-slice matmuls (local); the z resample exchanges a static halo
+    (one ppermute round) and contracts each device's output band with
+    its own static slice of the global resize matrix — the same
+    numbers the unsharded einsum sums, in the same ascending-z order
+    (the extra terms are exact zeros). VERDICT r3 item 8.
+    """
+    from mies_tpu.ops.volume3d import _linear_resize_matrix
+
+    zl, h, w = x.shape
+    z = zl * n
+    prec = jax.lax.Precision.HIGHEST
+    x = x.astype(jnp.float32)
+    # axis order matches the unsharded op (z, then h, then w) — the
+    # separable passes commute mathematically but not bit-wise in f32
+    if z != depth:
+        stacked, halo = _resample_band_geometry(z, depth, n)
+        ext = halo_extend_rows(x, halo, axis_name, mode="nearest")
+        mk = jnp.take(
+            jnp.asarray(stacked), lax.axis_index(axis_name), axis=0
+        )
+        x = jnp.einsum("oz,zhw->ohw", mk, ext, precision=prec)
+    if h != height:
+        x = jnp.einsum("oh,zhw->zow", jnp.asarray(
+            _linear_resize_matrix(h, height)), x, precision=prec)
+    if w != width:
+        x = jnp.einsum("ow,zhw->zho", jnp.asarray(
+            _linear_resize_matrix(w, width)), x, precision=prec)
+    return x
+
+
 def _build_zslab_fn(
-    cfg: PipelineConfig, quantize: bool, axis_name: str
+    cfg: PipelineConfig, quantize: bool, axis_name: str,
+    n_devices: int | None = None,
 ) -> Callable:
-    """Per-device slab function for a z-sharded volume chain."""
+    """Per-device slab function for a z-sharded volume chain.
+
+    ``n_devices`` (the 'space' axis size) is needed statically only by
+    shape-changing stages (resample3d builds per-device slices of the
+    global resize matrix); volume_shard_apply passes it from the mesh.
+    """
     from mies_tpu.pipeline.compiler import _volume_registry
 
     reg = _volume_registry()
@@ -344,12 +445,22 @@ def _build_zslab_fn(
                 f"op {s.op!r} is not volume-capable; available: {sorted(reg)}"
             )
         volume_stage_z_field(s.op, params)  # reject non-shardable early
+        if s.op == "resample3d" and n_devices is None:
+            raise ValueError(
+                "resample3d in a z-sharded chain needs the static device "
+                "count (use volume_shard_apply, which passes it)"
+            )
         stages.append((s.op, params))
 
     def slab_fn(slab):  # [Z/n, H, W] on each device
         x = slab
         for op, params in stages:
-            if op == "clahe3d":
+            if op == "resample3d":
+                x = resample3d_zband(
+                    x, params["depth"], params["height"], params["width"],
+                    axis_name, n_devices,
+                )
+            elif op == "clahe3d":
                 p = dict(params)
                 p.pop("kernel_size", None)
                 x = clahe3d_band(x, axis_name=axis_name, **p)
@@ -539,7 +650,10 @@ def volume_shard_apply(
     chains on the 8-device CPU mesh.
     """
     sharded = shard_map(
-        _build_zslab_fn(cfg, quantize, axis_name),
+        _build_zslab_fn(
+            cfg, quantize, axis_name,
+            n_devices=mesh.shape[axis_name],
+        ),
         mesh=mesh,
         in_specs=P(axis_name, None, None),
         out_specs=P(axis_name, None, None),

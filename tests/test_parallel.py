@@ -612,3 +612,65 @@ def test_volume_morphology_zsharded_exact(rng, op, params):
     ref = np.asarray(compile_volume_pipeline(cfg, quantize=False)(
         jnp.asarray(vol)))
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("depth,height,width", [
+    (64, 48, 40),   # z upsample + hw resize
+    (16, 24, 24),   # z downsample
+    (32, 32, 32),   # z identity, hw identity
+    (24, 40, 56),   # non-integer ratios everywhere
+])
+def test_resample3d_zsharded_exact(rng, depth, height, width):
+    """--isotropic under --data-parallel (VERDICT r3 item 8): the
+    z-sharded resample3d (static 2-tap banded matmuls + one slab-halo
+    exchange) equals the unsharded op bit for bit — the per-device
+    matrix slices sum the same taps in the same ascending-z order."""
+    from mies_tpu.parallel import make_mesh, volume_shard_apply
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+    vol = rng.random((32, 32, 32)).astype(np.float32)
+    mesh = make_mesh(space=4)
+    cfg = PipelineConfig.make(
+        [("resample3d", {"depth": depth, "height": height,
+                         "width": width})],
+        name="z-resample",
+    )
+    out = np.asarray(volume_shard_apply(cfg, mesh, quantize=False)(
+        jnp.asarray(vol)))
+    ref = np.asarray(compile_volume_pipeline(cfg, quantize=False)(
+        jnp.asarray(vol)))
+    assert out.shape == (depth, height, width)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_resample3d_zsharded_isotropic_chain(rng):
+    """The full --isotropic --data-parallel shape: resample3d first,
+    then a stencil and clahe3d — z-band programs compose across the
+    shape change."""
+    from mies_tpu.parallel import make_mesh, volume_shard_apply
+    from mies_tpu.pipeline.compiler import compile_volume_pipeline
+
+    vol = (rng.random((16, 32, 32)) * 3000 - 1000).astype(np.float32)
+    mesh = make_mesh(space=4)
+    cfg = PipelineConfig.make(
+        [("resample3d", {"depth": 32, "height": 32, "width": 32}),
+         ("window_hu", {"center": 40.0, "width": 400.0}),
+         ("gaussian_blur3d", {"sigma": 1.0}),
+         ("clahe3d", {"clip_limit": 2.0, "grid_size": (4, 4, 4)})],
+        name="iso-dp-chain",
+    )
+    out = np.asarray(volume_shard_apply(cfg, mesh)(jnp.asarray(vol)))
+    ref = np.asarray(compile_volume_pipeline(cfg)(jnp.asarray(vol)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_resample3d_zsharded_rejections():
+    from mies_tpu.parallel.volume_shard import _resample_band_geometry
+
+    with pytest.raises(ValueError, match="divisible"):
+        _resample_band_geometry(32, 30, 4)  # depth not divisible
+    # the 2-tap matrix keeps halos tiny: even an 8x downsample onto
+    # single-slab output bands needs <= 1-slab halo (the in-code
+    # halo > zl guard is a safety net, not a reachable path here)
+    _, halo = _resample_band_geometry(64, 8, 8)
+    assert halo <= 1
