@@ -1,0 +1,181 @@
+"""VMEM-resident NL-means kernel with a STATICALLY UNROLLED pair table.
+
+Why this exists (the round-6/round-7 measurement trail, docs/KERNELS.md):
+
+* production jnp pair loop (ops/restoration.py::_nl_means_core):
+  178 ms (d=11) / 48 ms (d=6) per batch-32 512² on v5e;
+* a whole-slice VMEM kernel with DYNAMIC pair offsets was built in
+  round 6 and measured 1.5x SLOWER — every shift was a dynamic rotate
+  (~3 passes each on Mosaic);
+* XLA-side static unrolling (MIES_TPU_NLM=unroll/chunkK) LOSES too:
+  full unroll OOMs at d=11 (17.4 GB of live fused temporaries), chunked
+  barriers measure 188-214 ms vs 178;
+* the round-7 FLOOR skeleton (benchmarks/nlm_ab.py --modes floor) —
+  just the shifted reads + carry accumulation — runs in 10.5 ms
+  (d=11) / 3.3 ms (d=6): the pair loop is ARITHMETIC-bound, and the
+  arithmetic (the per-pair s-wide box sums) is exactly what a
+  VMEM-resident kernel evaluates without HBM round trips.
+
+This kernel holds the padded slice (~1.4 MB at 512², d=11) in VMEM and
+unrolls the symmetric-pair table in PYTHON at trace time, so every
+shift is a STATIC Mosaic slice — no dynamic rotates, no 8-alignment
+constraint, no HBM traffic between pairs. Per-pair temporaries route
+through TWO shared scratch refs (Mosaic does not share VMEM stack
+slots across unrolled iterations — the CLAUDE.md round-3 finding — so
+values must be materialized into explicitly reused scratch).
+
+Numerics: the same table, in the same order, with the same shifted-add
+box sums as the jnp twin — interpret-mode tests pin tight equality
+(FMA-contraction ULPs only, the bilateral-kernel class).
+
+Admission (nl_means_supported): f32, H % 8 == 0, W % 128 == 0,
+patch_distance <= 8 (compile time grows with the table; d=6 is the
+shipped w10 config), and the padded slice + scratch within the VMEM
+budget.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mies_tpu.ops.restoration import _DISTANCE_CUTOFF, _half_shift_table
+
+# padded slice + 2 scratch + num/den/out live arrays, under ~16 MB/core
+_VMEM_BUDGET = 12 * 1024 * 1024
+_MAX_D = 8
+
+
+def _geometry(h: int, w: int, d: int, s: int):
+    offset = s // 2
+    pad = offset + 2 * d  # reflect(offset + d) + edge(d), like the twin
+    hp, wp = h + 2 * pad, w + 2 * pad
+    wpad = -(-wp // 128) * 128
+    exth, extw = h + 2 * d + 2 * offset, w + 2 * d + 2 * offset
+    return offset, pad, hp, wp, wpad, exth, extw
+
+
+def nl_means_supported(
+    shape: tuple[int, int], patch_size: int, patch_distance: int
+) -> bool:
+    h, w = shape
+    s = patch_size if patch_size % 2 == 1 else patch_size + 1
+    d = int(patch_distance)
+    if d > _MAX_D or d < 1:
+        return False
+    if h % 8 or w % 128 or h < 8 or w < 128:
+        return False
+    offset, pad, hp, wp, wpad, exth, extw = _geometry(h, w, d, s)
+    if pad > min(h, w) - 1:  # the twin's reflect-pad limit
+        return False
+    vmem = 4 * (hp * wpad + 2 * exth * wpad + 3 * h * w)
+    return vmem <= _VMEM_BUDGET
+
+
+def _nlm_kernel(
+    up_ref, out_ref, diff_ref, box_ref, *, h, w, d, s, table, bias,
+    inv_h2sn
+):
+    offset = s // 2
+    exth = h + 2 * d + 2 * offset
+    extw = w + 2 * d + 2 * offset
+    wh, ww = exth - 2 * offset, extw - 2 * offset  # weight field extent
+    cutoff = np.float32(_DISTANCE_CUTOFF)
+    zero = np.float32(0.0)
+    num = jnp.zeros((h, w), jnp.float32)
+    den = jnp.zeros((h, w), jnp.float32)
+    for dy, dx in table:  # STATIC offsets — every slice below is static
+        a = up_ref[0, d:d + exth, d:d + extw]
+        b = up_ref[0, dy:dy + exth, dx:dx + extw]
+        diff_ref[0:exth, 0:extw] = (a - b) * (a - b)
+        # s-wide 'valid' box, rows then cols, the twin's exact order
+        racc = diff_ref[0:wh, 0:extw]
+        for j in range(1, s):
+            racc = racc + diff_ref[j:j + wh, 0:extw]
+        box_ref[0:wh, 0:extw] = racc
+        cacc = box_ref[0:wh, 0:ww]
+        for j in range(1, s):
+            cacc = cacc + box_ref[0:wh, j:j + ww]
+        dist = jnp.maximum(cacc - bias, zero) * inv_h2sn
+        wgt = jnp.where(dist <= cutoff, jnp.exp(-dist), zero)
+        box_ref[0:wh, 0:ww] = wgt
+        w_f = box_ref[d:d + h, d:d + w]
+        v_f = up_ref[0, offset + d + dy:offset + d + dy + h,
+                     offset + d + dx:offset + d + dx + w]
+        w_r = box_ref[2 * d - dy:2 * d - dy + h, 2 * d - dx:2 * d - dx + w]
+        v_r = up_ref[0, offset + 3 * d - dy:offset + 3 * d - dy + h,
+                     offset + 3 * d - dx:offset + 3 * d - dx + w]
+        num = num + (w_f * v_f + w_r * v_r)
+        den = den + (w_f + w_r)
+    pad = offset + 2 * d
+    u0 = up_ref[0, pad:pad + h, pad:pad + w]
+    out_ref[0] = (num + 2.0 * u0) / (den + 2.0)
+
+
+def nl_means_tpu(
+    batch: Array,
+    patch_size: int = 7,
+    patch_distance: int = 6,
+    h: float = 0.1,
+    sigma: float = 0.0,
+    interpret: bool = False,
+) -> Array:
+    """[B, H, W] NL-means, whole-slice VMEM-resident, static pair table."""
+    b, hh, ww = batch.shape
+    s = patch_size if patch_size % 2 == 1 else patch_size + 1
+    d = int(patch_distance)
+    offset, pad, hp, wp, wpad, exth, extw = _geometry(hh, ww, d, s)
+    x = batch.astype(jnp.float32)
+    # the twin's two-step pad: semantic reflect(offset + d) + edge(d)
+    up = jnp.pad(x, ((0, 0), (offset + d,) * 2, (offset + d,) * 2),
+                 mode="reflect")
+    up = jnp.pad(up, ((0, 0), (d, d), (d, d)), mode="edge")
+    up = jnp.pad(up, ((0, 0), (0, 0), (0, wpad - wp)))
+    sn = float(s) ** 2
+    table = [(int(r[0]), int(r[1])) for r in _half_shift_table(d, 2)]
+    kern = functools.partial(
+        _nlm_kernel, h=hh, w=ww, d=d, s=s, table=table,
+        bias=np.float32(2.0 * float(sigma) * float(sigma) * sn),
+        inv_h2sn=np.float32(1.0 / (float(h) * float(h) * sn)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, hp, wpad), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, hh, ww), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hh, ww), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((exth, wpad), jnp.float32),
+            pltpu.VMEM((exth, wpad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(up)
+
+
+def nl_means_batched(
+    batch: Array,
+    patch_size: int = 7,
+    patch_distance: int = 6,
+    h: float = 0.1,
+    sigma: float = 0.0,
+) -> Array:
+    """Backend-dispatching batched NL-means: the static-table Pallas
+    kernel on TPU when admitted, the vmapped jnp pair loop elsewhere
+    (FMA-contraction ULPs apart — tests pin atol)."""
+    from mies_tpu.ops.restoration import denoise_nl_means
+
+    if jax.default_backend() == "tpu" and nl_means_supported(
+        batch.shape[-2:], patch_size, patch_distance
+    ):
+        return nl_means_tpu(batch, patch_size, patch_distance, h, sigma)
+    fn = functools.partial(
+        denoise_nl_means, patch_size=patch_size,
+        patch_distance=patch_distance, h=h, sigma=sigma,
+    )
+    return jax.vmap(fn)(batch)

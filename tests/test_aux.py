@@ -372,7 +372,7 @@ def test_expected_skips():
             sites[p.name] = n
     expected = {
         # chip-gated files (excluded from the CPU suite invocation):
-        "test_perf.py": 8,
+        "test_perf.py": 12,
         "test_tpu_numerics.py": 4,
         # env gates asserted non-firing above:
         "test_clahe.py": 2,       # importorskip cv2 + kornia_pin replay

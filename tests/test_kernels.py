@@ -862,3 +862,56 @@ class TestSradKernel:
         np.testing.assert_array_equal(got, ref)
         with pytest.raises(ValueError, match="dt"):
             srad_batched(jnp.zeros((1, 8, 128)), dt=0.3)
+
+
+class TestNlMeansKernel:
+    """Static-pair-table VMEM-resident NL-means (kernels/nlmeans.py) vs
+    the jnp pair loop — every shift a static Mosaic slice (the dynamic-
+    rotate kernel was the round-6 dead end); interpret mode pins BIT
+    equality (same table, same order, same shifted-add box sums)."""
+
+    def test_interpret_matches_twin_w10_config(self, rng):
+        from mies_tpu.kernels.nlmeans import nl_means_tpu
+        from mies_tpu.ops.restoration import denoise_nl_means
+
+        x = rng.random((2, 32, 128)).astype(np.float32)
+        k = np.asarray(nl_means_tpu(
+            jnp.asarray(x), patch_size=5, patch_distance=6, h=0.06,
+            sigma=0.04, interpret=True))
+        t = np.asarray(jax.vmap(lambda v: denoise_nl_means(
+            v, patch_size=5, patch_distance=6, h=0.06, sigma=0.04
+        ))(jnp.asarray(x)))
+        np.testing.assert_array_equal(k, t)
+
+    def test_interpret_even_patch_and_sigma0(self, rng):
+        from mies_tpu.kernels.nlmeans import nl_means_tpu
+        from mies_tpu.ops.restoration import denoise_nl_means
+
+        x = rng.random((1, 16, 128)).astype(np.float32)
+        k = np.asarray(nl_means_tpu(
+            jnp.asarray(x), patch_size=4, patch_distance=3, h=0.1,
+            interpret=True))
+        t = np.asarray(jax.vmap(lambda v: denoise_nl_means(
+            v, patch_size=4, patch_distance=3, h=0.1))(jnp.asarray(x)))
+        np.testing.assert_array_equal(k, t)
+
+    def test_admission(self):
+        from mies_tpu.kernels.nlmeans import nl_means_supported
+
+        assert nl_means_supported((512, 512), 5, 6)
+        assert nl_means_supported((512, 512), 7, 8)
+        assert not nl_means_supported((512, 512), 7, 11)  # d cap
+        assert not nl_means_supported((500, 512), 5, 6)   # h % 8
+        assert not nl_means_supported((512, 500), 5, 6)   # w % 128
+        assert not nl_means_supported((8, 128), 7, 6)     # pad > dim-1
+
+    def test_batched_dispatch_fallback(self, rng):
+        from mies_tpu.kernels.nlmeans import nl_means_batched
+        from mies_tpu.ops.restoration import denoise_nl_means
+
+        x = rng.random((2, 24, 32)).astype(np.float32)
+        got = np.asarray(nl_means_batched(
+            jnp.asarray(x), patch_size=5, patch_distance=3, h=0.08))
+        ref = np.asarray(jax.vmap(lambda v: denoise_nl_means(
+            v, patch_size=5, patch_distance=3, h=0.08))(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, ref)

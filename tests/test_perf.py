@@ -120,3 +120,54 @@ def test_latency_device_tail_ceiling(workload_results):
         f"device-side latency tail regressed: p95 "
         f"{r['device_p95_ms']:.3f} ms > {ceil} ms"
     )
+
+
+@pytest.fixture(scope="module")
+def census_results():
+    """Chip run of the slowest-op census subset (the ops floor-gated as
+    census_<op> in floors.json). The full 100-op sweep is a manual/
+    round-end job (benchmarks/op_census.py --write); this fixture
+    re-times ONLY the gated ops so the perf suite stays bounded."""
+    gated = sorted(
+        n[len("census_"):] for n in FLOORS if n.startswith("census_")
+    )
+    if not gated:
+        pytest.skip("no census floors recorded yet")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    try:
+        out = subprocess.run(
+            [sys.executable, str(ROOT / "benchmarks" / "op_census.py"),
+             "--only", ",".join(gated), "--quick"],
+            capture_output=True, text=True, timeout=2400, env=env, cwd=ROOT,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("census run timed out (cold compile or no chip)")
+    rows = [json.loads(l) for l in out.stdout.splitlines()
+            if l.startswith("{")]
+    if not rows:
+        pytest.skip(f"census unavailable: {out.stderr.strip()[-300:]}")
+    if any(r.get("backend") != "tpu" for r in rows):
+        pytest.skip("census ran on a non-TPU backend; floors are chip numbers")
+    return {r["op"]: r for r in rows}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in FLOORS if n.startswith("census_"))
+)
+def test_op_census_floor(census_results, name):
+    """VERDICT r3 item 1c: the slowest registry ops get chip floors —
+    the class of op that hid 100x losses (493 ms 3-D CLAHE, 911 ms band
+    CLAHE) until first measured."""
+    op = name[len("census_"):]
+    r = census_results.get(op)
+    if r is None or "error" in r:
+        pytest.fail(f"census op {op} unmeasurable: {r}")
+    got = r["slices_per_sec"]
+    assert got >= FLOORS[name], (
+        f"census op {op} regressed: {got:.0f} slices/s < floor "
+        f"{FLOORS[name]} (0.85x the recorded census run)"
+    )
