@@ -79,8 +79,8 @@ def nl_means_supported(
 
 
 def _nlm_kernel(
-    up_ref, out_ref, diff_ref, box_ref, *, h, w, d, s, table, bias,
-    inv_h2sn
+    up_ref, out_ref, diff_ref, box_ref, num_ref, den_ref, *, h, w, d, s,
+    table, bias, inv_h2sn
 ):
     offset = s // 2
     exth = h + 2 * d + 2 * offset
@@ -88,8 +88,11 @@ def _nlm_kernel(
     wh, ww = exth - 2 * offset, extw - 2 * offset  # weight field extent
     cutoff = np.float32(_DISTANCE_CUTOFF)
     zero = np.float32(0.0)
-    num = jnp.zeros((h, w), jnp.float32)
-    den = jnp.zeros((h, w), jnp.float32)
+    # accumulate in scratch REFS (not threaded values): an 84-iteration
+    # value live range stretches Mosaic's scheduler; a read-modify-write
+    # per iteration keeps every live range one iteration long
+    num_ref[...] = jnp.zeros((h, w), jnp.float32)
+    den_ref[...] = jnp.zeros((h, w), jnp.float32)
     for dy, dx in table:  # STATIC offsets — every slice below is static
         a = up_ref[0, d:d + exth, d:d + extw]
         b = up_ref[0, dy:dy + exth, dx:dx + extw]
@@ -111,11 +114,11 @@ def _nlm_kernel(
         w_r = box_ref[2 * d - dy:2 * d - dy + h, 2 * d - dx:2 * d - dx + w]
         v_r = up_ref[0, offset + 3 * d - dy:offset + 3 * d - dy + h,
                      offset + 3 * d - dx:offset + 3 * d - dx + w]
-        num = num + (w_f * v_f + w_r * v_r)
-        den = den + (w_f + w_r)
+        num_ref[...] = num_ref[...] + (w_f * v_f + w_r * v_r)
+        den_ref[...] = den_ref[...] + (w_f + w_r)
     pad = offset + 2 * d
     u0 = up_ref[0, pad:pad + h, pad:pad + w]
-    out_ref[0] = (num + 2.0 * u0) / (den + 2.0)
+    out_ref[0] = (num_ref[...] + 2.0 * u0) / (den_ref[...] + 2.0)
 
 
 def nl_means_tpu(
@@ -153,6 +156,8 @@ def nl_means_tpu(
         scratch_shapes=[
             pltpu.VMEM((exth, wpad), jnp.float32),
             pltpu.VMEM((exth, wpad), jnp.float32),
+            pltpu.VMEM((hh, ww), jnp.float32),
+            pltpu.VMEM((hh, ww), jnp.float32),
         ],
         interpret=interpret,
     )(up)
