@@ -53,6 +53,7 @@ REQUIRED_PARAMS = {
         "matrix": [[1.0, 0.02, 1.0], [0.01, 0.99, -2.0], [1e-5, -2e-5, 1.0]],
     },
     "resample3d": {"depth": 48, "height": 256, "width": 256},
+    "window_hu": {"center": 40.0, "width": 400.0},
     # histogram_match / learned_denoise need host artifacts — built in
     # _op_params() below.
 }
@@ -101,7 +102,11 @@ def _time_adaptive(fn, x, quick: bool) -> float:
         iters, repeats = 8, 3
     else:
         iters, repeats = (8, 3) if quick else (16, 5)
-    return time_fn(fn, x, iters=iters, repeats=repeats)["ms_per_call"]
+    ms = time_fn(fn, x, iters=iters, repeats=repeats)["ms_per_call"]
+    # sub-0.1 ms ops sit below the tunnel-RTT slope's resolution and can
+    # come out slightly negative — clamp and mark them, never report a
+    # negative throughput
+    return max(ms, 0.005)
 
 
 def run_census(only: set[str] | None = None, quick: bool = False) -> list[dict]:
@@ -177,7 +182,9 @@ def render_doc(rows: list[dict]) -> str:
         f"Every registry op as a one-stage chain on the chip, slowest first.",
         f"2-D ops: batch {BATCH_2D} x {SHAPE_2D[0]}^2 float32 incl. uint8",
         f"quantize tail; 3-D ops: one {'x'.join(map(str, SHAPE_3D))} volume,",
-        "no quantize. Adaptive slope timing (benchmarks/op_census.py).",
+        "no quantize. Adaptive slope timing (benchmarks/op_census.py);",
+        "entries at 0.005 ms are below the tunnel-RTT slope's resolution",
+        "(clamped — read as 'free').",
         "The slowest ops are floor-gated as `census_<op>` in",
         "benchmarks/floors.json.",
         "",
@@ -204,9 +211,29 @@ def main() -> int:
         "--write", action="store_true",
         help="render docs/OP_CENSUS.md + append to bench_history.jsonl",
     )
+    ap.add_argument(
+        "--merge", action="store_true",
+        help="with --only + --write: merge the re-measured rows over the "
+             "last recorded census instead of rendering a partial doc "
+             "(for re-timing just the ops a change touched)",
+    )
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
     rows = run_census(only=only, quick=args.quick)
+    if args.merge:
+        last = None
+        with open(ROOT / "benchmarks" / "bench_history.jsonl") as f:
+            for line in f:
+                rec = json.loads(line)
+                if "op_census" in rec:
+                    last = rec["op_census"]
+        if last is None:
+            print("--merge: no recorded census in bench_history.jsonl",
+                  file=sys.stderr)
+            return 1
+        merged = {r["op"]: r for r in last}
+        merged.update({r["op"]: r for r in rows})
+        rows = list(merged.values())
     if args.write:
         (ROOT / "docs" / "OP_CENSUS.md").write_text(render_doc(rows))
         with open(ROOT / "benchmarks" / "bench_history.jsonl", "a") as f:

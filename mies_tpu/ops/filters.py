@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import Array, lax
@@ -523,6 +524,48 @@ def gabor_kernel(
                             + float(offset)))
 
 
+def _dense_conv2d(
+    xp: Array, kernels: "np.ndarray", out_h: int, out_w: int
+) -> Array:
+    """VALID ``scipy.ndimage.convolve`` of a border-padded image with a
+    stack of dense 2-D kernels: xp [Hp, Wp] f32, kernels [C, kh, kw]
+    (unflipped, float64 host-side) -> [C, out_h, out_w] f32.
+
+    TPU: ONE shared ``rfft2`` of the image, a batched spectral multiply
+    with the host-precomputed kernel FFTs, one batched ``irfft2`` —
+    circular convolution with the kernel at the origin; the linear
+    'valid' window sits at [kh-1:, kw-1:] and the wrap-around only
+    contaminates rows/cols before it. The round-8 census caught the
+    previous ``lax.conv_general_dilated`` lowering at 598.9 ms per
+    batch-32 512² for the default 33x33 gabor pair (XLA:TPU's
+    single-input-channel spatial conv is the documented 20x trap, and
+    it compounds with kernel area); this form measured **9.6 ms** —
+    62x — at max 7e-8 vs the conv values (benchmarks/gabor_ab.py; the
+    flip bookkeeping is pinned by the asymmetric-kernel golden tests —
+    offset != 0 breaks the even/odd symmetry that would hide it).
+
+    CPU keeps the XLA conv (fine there, and the goldens compare f64
+    scipy against BOTH backends at the same atol).
+    """
+    kernels = np.asarray(kernels)
+    c, kh, kw = kernels.shape
+    hp, wp = xp.shape
+    if jax.default_backend() == "tpu":
+        kf = np.zeros((c, hp, wp), np.float64)
+        kf[:, :kh, :kw] = kernels
+        spec = jnp.asarray(np.fft.rfft2(kf, axes=(-2, -1)).astype(np.complex64))
+        f = jnp.fft.rfft2(xp.astype(jnp.float32))
+        out = jnp.fft.irfft2(f[None] * spec, s=(hp, wp), axes=(-2, -1))
+        return out[:, kh - 1:kh - 1 + out_h, kw - 1:kw - 1 + out_w]
+    taps = jnp.asarray(
+        kernels[:, None, ::-1, ::-1].astype(np.float32)
+    )  # conv == correlation with flipped taps
+    return lax.conv_general_dilated(
+        xp.astype(jnp.float32)[None, None], taps, (1, 1), "VALID",
+        precision=lax.Precision.HIGHEST,
+    )[0]
+
+
 def gabor_response(
     img: Array,
     frequency: float,
@@ -539,10 +582,10 @@ def gabor_response(
     imaginary parts (convolution, so the taps are flipped before the
     correlation below).
 
-    TPU note: both parts run as ONE ``lax.conv_general_dilated`` with
-    two output channels over the border-padded image — a single MXU
-    pass; HIGHEST precision because the goldens compare against
-    float64 scipy. Golden: tests/goldens/golden_ops.py::gabor_response.
+    TPU note: both parts run through ``_dense_conv2d`` — one shared
+    rfft2 + batched spectral multiply (598.9 -> 9.6 ms per b32 512² at
+    the defaults; the census caught the old single-channel conv
+    lowering). Golden: tests/goldens/golden_ops.py::gabor_response.
     """
     g = gabor_kernel(
         float(frequency), float(theta), float(bandwidth),
@@ -550,19 +593,10 @@ def gabor_response(
         None if sigma_y is None else float(sigma_y),
         int(n_stds), float(offset),
     )
-    # scipy convolve == correlate with the kernel flipped on both axes
-    kre = np.ascontiguousarray(g.real[::-1, ::-1], dtype=np.float32)
-    kim = np.ascontiguousarray(g.imag[::-1, ::-1], dtype=np.float32)
     ry, rx = g.shape[0] // 2, g.shape[1] // 2
+    h0, w0 = img.shape
     xp = _pad2d(img.astype(jnp.float32), ry, rx, mode)
-    taps = jnp.asarray(np.stack([kre, kim])[:, None])  # [O=2, I=1, kh, kw]
-    out = lax.conv_general_dilated(
-        xp[None, None],
-        taps,
-        window_strides=(1, 1),
-        padding="VALID",
-        precision=lax.Precision.HIGHEST,
-    )[0]
+    out = _dense_conv2d(xp, np.stack([g.real, g.imag]), h0, w0)
     return out[0], out[1]
 
 
@@ -641,16 +675,12 @@ def motion_blur(
     kern = motion_blur_kernel(int(kernel_size), float(angle),
                               float(direction))
     r = kern.shape[0] // 2
+    h0, w0 = img.shape
     xp = _pad2d(img.astype(jnp.float32), r, r, mode)
-    taps = jnp.asarray(kern.astype(np.float32)[None, None])
-    out = lax.conv_general_dilated(
-        xp[None, None],
-        taps,
-        window_strides=(1, 1),
-        padding="VALID",
-        precision=lax.Precision.HIGHEST,
-    )[0, 0]
-    return out
+    # _dense_conv2d CONVOLVES; this op's contract is scipy CORRELATE,
+    # so hand it the flipped kernel (convolve(flip(k)) == correlate(k))
+    flipped = np.ascontiguousarray(kern[::-1, ::-1])
+    return _dense_conv2d(xp, flipped[None], h0, w0)[0]
 
 
 def gabor_bank(
@@ -672,12 +702,13 @@ def gabor_bank(
     output='magnitude')``.
 
     TPU note: every orientation's (real, imag) kernel pair is zero-
-    padded to the bank's largest support and stacked into ONE
-    ``lax.conv_general_dilated`` with 2*N output channels — a single
-    MXU pass for the whole bank (zero taps read extra border pixels
-    times zero, so each channel is bit-identical to its standalone
-    conv). Golden: tests/goldens/golden_ops.py::gabor_response looped
-    per orientation (real scipy convolutions).
+    padded to the bank's largest support and stacked through ONE
+    ``_dense_conv2d`` call — one shared image FFT + a batched spectral
+    multiply over 2*N channels (the zero-padded support keeps each
+    channel identical to its standalone response; the census caught
+    the previous 2N-channel conv lowering at 541.6 ms per b32 512²).
+    Golden: tests/goldens/golden_ops.py::gabor_response looped per
+    orientation (real scipy convolutions).
     """
     if n_orientations < 1:
         raise ValueError("n_orientations must be >= 1")
@@ -694,21 +725,16 @@ def gabor_bank(
     ]
     ry = max(g.shape[0] // 2 for g in kernels)
     rx = max(g.shape[1] // 2 for g in kernels)
-    taps = np.zeros((2 * len(kernels), 1, 2 * ry + 1, 2 * rx + 1),
-                    np.float32)
+    stack = np.zeros((2 * len(kernels), 2 * ry + 1, 2 * rx + 1),
+                     np.float64)
     for i, g in enumerate(kernels):
         gy, gx = g.shape[0] // 2, g.shape[1] // 2
         sl = (slice(ry - gy, ry + gy + 1), slice(rx - gx, rx + gx + 1))
-        taps[2 * i, 0][sl] = g.real[::-1, ::-1]  # convolve == flipped corr
-        taps[2 * i + 1, 0][sl] = g.imag[::-1, ::-1]
+        stack[2 * i][sl] = g.real
+        stack[2 * i + 1][sl] = g.imag
+    h0, w0 = img.shape
     xp = _pad2d(img.astype(jnp.float32), ry, rx, mode)
-    resp = lax.conv_general_dilated(
-        xp[None, None],
-        jnp.asarray(taps),
-        window_strides=(1, 1),
-        padding="VALID",
-        precision=lax.Precision.HIGHEST,
-    )[0]
+    resp = _dense_conv2d(xp, stack, h0, w0)
     mags = jnp.sqrt(resp[0::2] ** 2 + resp[1::2] ** 2)  # [N, H, W]
     return jnp.max(mags, axis=0) if output == "max" else jnp.mean(
         mags, axis=0

@@ -560,6 +560,49 @@ def main() -> int:
     d = float(np.abs(t - c).max())
     out["cases"]["retinex_vs_cpu"] = {"max_abs": d, "ok": d <= 1e-3}
 
+    # 18. the dense-kernel FFT conv path (round 8: 598.9 -> 9.6 ms for
+    # gabor; TPU-ONLY — CPU keeps the XLA conv, so the CPU suite never
+    # exercises this lowering). Contract: the TPU FFT values vs the
+    # f64 scipy GOLDENS at the unit tests' own atol, on asymmetric
+    # kernels (offset != 0 breaks the even/odd symmetry that would
+    # mask flip-bookkeeping bugs — exactly the bug the first A/B hid).
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).parent))
+    from goldens import golden_ops as G
+
+    from mies_tpu.ops.filters import gabor_bank, gabor_response, motion_blur
+
+    img_np = np.asarray(imgs[0][:128, :128])
+    kwg = dict(frequency=0.15, theta=0.7, offset=0.5)
+    t_re, t_im = jax.jit(
+        lambda a: gabor_response(a, **kwg)
+    )(imgs[0][:128, :128])
+    g_re, g_im = G.gabor_response(img_np, **kwg)
+    d = max(float(np.abs(np.asarray(t_re) - g_re).max()),
+            float(np.abs(np.asarray(t_im) - g_im).max()))
+    out["cases"]["gabor_fft_vs_golden"] = {"max_abs": d, "ok": d <= 1e-5}
+
+    tb = np.asarray(jax.jit(
+        lambda a: gabor_bank(a, 0.15, n_orientations=3, offset=0.3,
+                             output="mean")
+    )(imgs[0][:128, :128]))
+    mags = []
+    for k in range(3):
+        re, im = G.gabor_response(img_np, 0.15, theta=k * np.pi / 3,
+                                  offset=0.3)
+        mags.append(np.sqrt(re ** 2 + im ** 2))
+    d = float(np.abs(tb - np.mean(mags, axis=0)).max())
+    out["cases"]["gabor_bank_fft_vs_golden"] = {"max_abs": d, "ok": d <= 1e-5}
+
+    tm = np.asarray(jax.jit(
+        lambda a: motion_blur(a, kernel_size=9, angle=25.0, direction=0.4)
+    )(imgs[0][:128, :128]))
+    gm = G.motion_blur(img_np, kernel_size=9, angle=25.0, direction=0.4)
+    d = float(np.abs(tm - gm).max())
+    out["cases"]["motion_blur_fft_vs_golden"] = {"max_abs": d, "ok": d <= 1e-5}
+
     out["ok"] = all(
         case.get("ok", True) for case in out["cases"].values()
     )
