@@ -1,6 +1,6 @@
-"""VMEM-resident NL-means kernel with a STATICALLY UNROLLED pair table.
+"""VMEM-resident NL-means: the static pair table CHUNKED across kernels.
 
-Why this exists (the round-6/round-7 measurement trail, docs/KERNELS.md):
+Why this exists (the round-6/7/8 measurement trail, docs/KERNELS.md):
 
 * production jnp pair loop (ops/restoration.py::_nl_means_core):
   178 ms (d=11) / 48 ms (d=6) per batch-32 512² on v5e;
@@ -14,29 +14,42 @@ Why this exists (the round-6/round-7 measurement trail, docs/KERNELS.md):
   just the shifted reads + carry accumulation — runs in 10.5 ms
   (d=11) / 3.3 ms (d=6): the pair loop is ARITHMETIC-bound, and the
   arithmetic (the per-pair s-wide box sums) is exactly what a
-  VMEM-resident kernel evaluates without HBM round trips.
+  VMEM-resident kernel evaluates without HBM round trips;
+* the round-7 SINGLE-kernel form (the whole 84-pair table unrolled in
+  one Mosaic program) was bit-exact in interpret mode but its Mosaic
+  compile never finished inside 60 min on the remote helper — compile
+  time is superlinear in the unrolled statement count.
 
-This kernel holds the padded slice (~1.4 MB at 512², d=11) in VMEM and
-unrolls the symmetric-pair table in PYTHON at trace time, so every
-shift is a STATIC Mosaic slice — no dynamic rotates, no 8-alignment
-constraint, no HBM traffic between pairs. Per-pair temporaries route
-through TWO shared scratch refs (Mosaic does not share VMEM stack
-slots across unrolled iterations — the CLAUDE.md round-3 finding — so
-values must be materialized into explicitly reused scratch).
+This version keeps every property that made the round-7 kernel right —
+STATIC Mosaic slices for every shift (no dynamic rotates), whole padded
+slice resident in VMEM, per-pair temporaries routed through two shared
+scratch refs (Mosaic does not reuse VMEM stack slots across unrolled
+iterations — the round-3 rule) — but splits the pair table into chunks
+of ``MIES_TPU_NLM_CHUNK`` (default 12) pairs, ONE small ``pallas_call``
+per chunk. The (num, den) accumulators ride between chunks through HBM
+f32 arrays with ``input_output_aliases`` (donated in place); a chunk
+boundary costs one extra read+write of the two carry planes plus a
+re-read of the padded slice (~5.4 MB/slice ≈ 0.2 ms per boundary at
+batch 32 — noise against the 3.3 ms floor), and each chunk's Mosaic
+program is ~an-order-of-magnitude smaller than the monolith, which is
+what makes the compile terminate. The f32 HBM round trips are exact;
+chunk layouts differ only by FMA-contraction ULPs in the accumulate
+(tests pin 2e-7 across layouts, bit equality vs the twin at the
+default layout).
 
 Numerics: the same table, in the same order, with the same shifted-add
-box sums as the jnp twin — interpret-mode tests pin tight equality
-(FMA-contraction ULPs only, the bilateral-kernel class).
+box sums as the jnp twin — interpret-mode tests pin bit equality
+(tests/test_kernels.py::TestNlMeansKernel).
 
 Admission (nl_means_supported): f32, H % 8 == 0, W % 128 == 0,
-patch_distance <= 8 (compile time grows with the table; d=6 is the
-shipped w10 config), and the padded slice + scratch within the VMEM
-budget.
+patch_distance <= 8 (the shipped w10 config is d=6), and the padded
+slice + scratch within the VMEM budget.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,9 +60,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mies_tpu.ops.restoration import _DISTANCE_CUTOFF, _half_shift_table
 
-# padded slice + 2 scratch + num/den/out live arrays, under ~16 MB/core
+# padded slice + 2 scratch + carry blocks, under ~16 MB/core
 _VMEM_BUDGET = 12 * 1024 * 1024
 _MAX_D = 8
+_DEFAULT_CHUNK = 12  # divides both 84 (d=6) and 264 (d=11) exactly
+
+
+def _chunk_size() -> int:
+    v = os.environ.get("MIES_TPU_NLM_CHUNK", "")
+    if v:
+        k = int(v)
+        if k < 1:
+            raise ValueError(f"MIES_TPU_NLM_CHUNK must be >= 1, got {v!r}")
+        return k
+    return _DEFAULT_CHUNK
 
 
 def _geometry(h: int, w: int, d: int, s: int):
@@ -74,13 +98,13 @@ def nl_means_supported(
     offset, pad, hp, wp, wpad, exth, extw = _geometry(h, w, d, s)
     if pad > min(h, w) - 1:  # the twin's reflect-pad limit
         return False
-    vmem = 4 * (hp * wpad + 2 * exth * wpad + 3 * h * w)
+    vmem = 4 * (hp * wpad + 2 * exth * wpad + 4 * h * w)
     return vmem <= _VMEM_BUDGET
 
 
-def _nlm_kernel(
-    up_ref, out_ref, diff_ref, box_ref, num_ref, den_ref, *, h, w, d, s,
-    table, bias, inv_h2sn
+def _nlm_chunk_kernel(
+    up_ref, nin_ref, din_ref, nout_ref, dout_ref, diff_ref, box_ref,
+    *, h, w, d, s, table, bias, inv_h2sn
 ):
     offset = s // 2
     exth = h + 2 * d + 2 * offset
@@ -88,11 +112,11 @@ def _nlm_kernel(
     wh, ww = exth - 2 * offset, extw - 2 * offset  # weight field extent
     cutoff = np.float32(_DISTANCE_CUTOFF)
     zero = np.float32(0.0)
-    # accumulate in scratch REFS (not threaded values): an 84-iteration
-    # value live range stretches Mosaic's scheduler; a read-modify-write
-    # per iteration keeps every live range one iteration long
-    num_ref[...] = jnp.zeros((h, w), jnp.float32)
-    den_ref[...] = jnp.zeros((h, w), jnp.float32)
+    # carry in: the aliased out refs become the accumulators, so every
+    # live range is one pair long (read-modify-write through the ref,
+    # never a threaded value — the round-3 stack-slot rule)
+    nout_ref[0] = nin_ref[0]
+    dout_ref[0] = din_ref[0]
     for dy, dx in table:  # STATIC offsets — every slice below is static
         a = up_ref[0, d:d + exth, d:d + extw]
         b = up_ref[0, dy:dy + exth, dx:dx + extw]
@@ -114,11 +138,8 @@ def _nlm_kernel(
         w_r = box_ref[2 * d - dy:2 * d - dy + h, 2 * d - dx:2 * d - dx + w]
         v_r = up_ref[0, offset + 3 * d - dy:offset + 3 * d - dy + h,
                      offset + 3 * d - dx:offset + 3 * d - dx + w]
-        num_ref[...] = num_ref[...] + (w_f * v_f + w_r * v_r)
-        den_ref[...] = den_ref[...] + (w_f + w_r)
-    pad = offset + 2 * d
-    u0 = up_ref[0, pad:pad + h, pad:pad + w]
-    out_ref[0] = (num_ref[...] + 2.0 * u0) / (den_ref[...] + 2.0)
+        nout_ref[0] = nout_ref[0] + (w_f * v_f + w_r * v_r)
+        dout_ref[0] = dout_ref[0] + (w_f + w_r)
 
 
 def nl_means_tpu(
@@ -129,7 +150,8 @@ def nl_means_tpu(
     sigma: float = 0.0,
     interpret: bool = False,
 ) -> Array:
-    """[B, H, W] NL-means, whole-slice VMEM-resident, static pair table."""
+    """[B, H, W] NL-means, whole-slice VMEM-resident, static pair table
+    chunked across ``ceil(n_pairs / MIES_TPU_NLM_CHUNK)`` kernels."""
     b, hh, ww = batch.shape
     s = patch_size if patch_size % 2 == 1 else patch_size + 1
     d = int(patch_distance)
@@ -142,37 +164,55 @@ def nl_means_tpu(
     up = jnp.pad(up, ((0, 0), (0, 0), (0, wpad - wp)))
     sn = float(s) ** 2
     table = [(int(r[0]), int(r[1])) for r in _half_shift_table(d, 2)]
-    kern = functools.partial(
-        _nlm_kernel, h=hh, w=ww, d=d, s=s, table=table,
-        bias=np.float32(2.0 * float(sigma) * float(sigma) * sn),
-        inv_h2sn=np.float32(1.0 / (float(h) * float(h) * sn)),
-    )
-    return pl.pallas_call(
-        kern,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, hp, wpad), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, hh, ww), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hh, ww), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((exth, wpad), jnp.float32),
-            pltpu.VMEM((exth, wpad), jnp.float32),
-            pltpu.VMEM((hh, ww), jnp.float32),
-            pltpu.VMEM((hh, ww), jnp.float32),
-        ],
-        interpret=interpret,
-    )(up)
+    k = _chunk_size()
+    num = jnp.zeros((b, hh, ww), jnp.float32)
+    den = jnp.zeros((b, hh, ww), jnp.float32)
+    carry_spec = pl.BlockSpec((1, hh, ww), lambda i: (i, 0, 0))
+    for lo in range(0, len(table), k):
+        kern = functools.partial(
+            _nlm_chunk_kernel, h=hh, w=ww, d=d, s=s,
+            table=table[lo:lo + k],
+            bias=np.float32(2.0 * float(sigma) * float(sigma) * sn),
+            inv_h2sn=np.float32(1.0 / (float(h) * float(h) * sn)),
+        )
+        num, den = pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, hp, wpad), lambda i: (i, 0, 0)),
+                carry_spec,
+                carry_spec,
+            ],
+            out_specs=(carry_spec, carry_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, hh, ww), jnp.float32),
+                jax.ShapeDtypeStruct((b, hh, ww), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((exth, wpad), jnp.float32),
+                pltpu.VMEM((exth, wpad), jnp.float32),
+            ],
+            input_output_aliases={1: 0, 2: 1},
+            interpret=interpret,
+        )(up, num, den)
+    # the self pair: skimage's t=0 iteration writes both endpoints of
+    # (p, p), so the center weight is exactly 2 (the twin's epilogue,
+    # evaluated XLA-side — u(p) is just the unpadded input)
+    return (num + 2.0 * x) / (den + 2.0)
 
 
 def nl_means_batched(
     batch: Array,
     patch_size: int = 7,
-    patch_distance: int = 6,
+    patch_distance: int = 11,
     h: float = 0.1,
     sigma: float = 0.0,
 ) -> Array:
-    """Backend-dispatching batched NL-means: the static-table Pallas
-    kernel on TPU when admitted, the vmapped jnp pair loop elsewhere
-    (FMA-contraction ULPs apart — tests pin atol)."""
+    """Backend-dispatching batched NL-means: the chunked static-table
+    Pallas kernels on TPU when admitted, the vmapped jnp pair loop
+    elsewhere (FMA-contraction ULPs apart — tests pin atol). Defaults
+    MATCH ops.restoration.denoise_nl_means (the compiler's batched
+    registry resolves omitted config params from THIS signature)."""
     from mies_tpu.ops.restoration import denoise_nl_means
 
     if jax.default_backend() == "tpu" and nl_means_supported(

@@ -177,8 +177,27 @@ def read_dicom_series_native(
     paths = sorted(Path(directory).glob(pattern))
     if not paths:
         raise FileNotFoundError(f"no {pattern} files in {directory}")
+
+    def _read_one(p):
+        try:
+            return read_dicom_native(p)
+        except ValueError as e:
+            # syntaxes the C core doesn't know (JPEG Lossless) fall back
+            # per-file to the Python twin — a mixed-syntax series still
+            # streams, the supported files stay on the fast path
+            if "unsupported transfer syntax" not in str(e):
+                raise
+            from mies_tpu.io.dicom import read_dicom
+
+            s = read_dicom(p)
+            return s.pixels, {
+                "instance": s.instance_number,
+                "slice_loc": s.slice_location,
+                "ipp_z": s.image_position_z,
+            }
+
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        results = list(pool.map(read_dicom_native, paths))
+        results = list(pool.map(_read_one, paths))
 
     def key(item):
         # same merged-position ordering as io.dicom.read_dicom_series

@@ -82,6 +82,72 @@ def _conv1d_shifted(x: Array, taps: np.ndarray, axis: int, mode: str) -> Array:
     return acc
 
 
+_MATMUL_TAP_MIN = 33  # crossover: shifted-add ~0.05 ms/tap-pass per b32
+# 512² on v5e vs ~0.3 ms for one HIGHEST-precision 512x512 operator
+# matmul — the MXU wins once a 1-D kernel has ~2x16+1 taps or more
+
+
+@functools.lru_cache(maxsize=128)
+def _correlate1d_op_matrix(
+    n: int, taps_key: bytes, ntaps: int, mode: str
+) -> np.ndarray:
+    """The 1-D correlation-with-border as an explicit [n, n] operator:
+    ``A[i, j] = sum of taps t with border-resolved index(i + t - r) == j``.
+    Built host-side from the SAME np.pad index semantics the shifted-add
+    path uses (_PAD_MODE), so every border mode — nearest/reflect/mirror/
+    wrap/constant (dropped weight) — is exact by construction."""
+    taps = np.frombuffer(taps_key, np.float32).astype(np.float64)
+    r = ntaps // 2
+    rows = np.arange(n)
+    if _PAD_MODE[mode] == "constant":
+        idx = np.concatenate(
+            [np.full(r, -1), np.arange(n), np.full(r, -1)]
+        )
+    else:
+        idx = np.pad(np.arange(n), r, mode=_PAD_MODE[mode])
+    a = np.zeros((n, n), np.float64)
+    for t in range(ntaps):
+        cols = idx[rows + t]
+        valid = cols >= 0
+        np.add.at(a, (rows[valid], cols[valid]), taps[t])
+    return a.astype(np.float32)
+
+
+def _correlate1d_auto(x: Array, taps: np.ndarray, axis: int, mode: str) -> Array:
+    """1-D correlation that picks the right TPU lowering by kernel size.
+
+    Short kernels keep ``_conv1d_shifted`` — scipy's exact tap order,
+    size-INdependent, the halo-sharding bit-exactness contract. Long
+    kernels (>= _MATMUL_TAP_MIN taps) on TPU run as ONE banded-operator
+    matmul on the MXU (``A @ x`` / ``x @ A.T``, HIGHEST precision): the
+    round-8 census measured the shifted-add chain at ~0.05 ms per
+    tap-pass per b32 512² (retinex's sigma=30 blur alone is 482 passes),
+    while the [512, 512] operator matmul is a fixed ~0.3 ms. The matmul
+    reduction order differs from the sequential adds at the few-ULP
+    level and depends on n — so ops dispatching here are atol-level
+    (not bit) against their CPU form on TPU, the same stance as the
+    FFT-dispatched dense kernels (_dense_conv2d); the chip gates in
+    tests/tpu_consistency_driver.py pin the actual deviation. CPU keeps
+    the shifted-add path everywhere — the 8-virtual-device sharding
+    suite stays bit-exact.
+    """
+    taps = np.asarray(taps, np.float32)
+    r = len(taps) // 2
+    n = x.shape[axis]
+    if (
+        jax.default_backend() == "tpu"
+        and len(taps) >= _MATMUL_TAP_MIN
+        and r <= n - 1  # np.pad reflect/symmetric limit, as the jnp path
+    ):
+        a = jnp.asarray(
+            _correlate1d_op_matrix(n, taps.tobytes(), len(taps), mode)
+        )
+        if axis == 0:
+            return jnp.matmul(a, x, precision=lax.Precision.HIGHEST)
+        return jnp.matmul(x, a.T, precision=lax.Precision.HIGHEST)
+    return _conv1d_shifted(x, taps, axis, mode)
+
+
 def _sep_conv2d(img: Array, ky: np.ndarray, kx: np.ndarray, mode: str) -> Array:
     """Separable 2-D correlation: per-axis border pad + shifted-add.
 
@@ -551,6 +617,13 @@ def _dense_conv2d(
     c, kh, kw = kernels.shape
     hp, wp = xp.shape
     if jax.default_backend() == "tpu":
+        # FFT sizes stay at the MINIMAL hp = h + kh - 1. Rounding up to
+        # 5-smooth sizes was measured SLOWER at the op level (round 9:
+        # gabor 9.49 -> 10.66 ms, gabor_bank 69.3 -> 84.2, motion_blur
+        # 5.59 -> 5.83, stable across runs) even though a bare
+        # rfft2+irfft2 probe preferred 576 over 545 — XLA:TPU's FFT does
+        # not Bluestein-penalize awkward sizes enough to pay for the
+        # +12% pixels through the spectral multiply and epilogue.
         kf = np.zeros((c, hp, wp), np.float64)
         kf[:, :kh, :kw] = kernels
         spec = jnp.asarray(np.fft.rfft2(kf, axes=(-2, -1)).astype(np.complex64))
@@ -785,7 +858,16 @@ def retinex(
     logx = jnp.log(x + e32)
     msr = jnp.zeros_like(x)
     for s, w in zip(sigmas, weights):
-        blur = gaussian_blur(x, float(s), truncate=truncate, mode=mode)
+        # gaussian_blur semantics (scipy taps, same border mode), but
+        # dispatched through _correlate1d_auto: the default sigma=30
+        # scale alone is 482 shifted-add passes (~the census's 94.65 ms
+        # op cost) — on TPU the big scales run as banded MXU matmuls
+        # (chip consistency gate: retinex_vs_cpu, atol 1e-3)
+        r = int(truncate * float(s) + 0.5)
+        k = gaussian_kernel1d(float(s), r)
+        blur = _correlate1d_auto(
+            _correlate1d_auto(x, k, 0, mode), k, 1, mode
+        )
         msr = msr + np.float32(w) * (logx - jnp.log(blur + e32))
     if rescale == "minmax":
         lo, hi = jnp.min(msr), jnp.max(msr)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from mies_tpu.ops.filters import _conv1d_shifted
+from mies_tpu.ops.filters import _conv1d_shifted, _correlate1d_auto
 
 
 def gaussian_derivative_kernel1d(
@@ -82,18 +82,23 @@ def gaussian_derivative(
 
 
 def _correlate1d_nd(x: Array, taps: np.ndarray, axis: int, mode: str) -> Array:
-    """Rank-agnostic 1-D correlation along ``axis`` with the same
-    size-independent shifted-add order as ``filters._conv1d_shifted``
-    (sharding bit-exactness depends on it): move the axis last, fold the
-    rest, run the 2-D kernel, restore."""
+    """Rank-agnostic 1-D correlation along ``axis``: move the axis last,
+    fold the rest, run the 2-D kernel, restore. Short kernels keep the
+    size-independent shifted-add order of ``filters._conv1d_shifted``
+    (CPU sharding bit-exactness depends on it); LONG kernels on TPU
+    dispatch to the banded-operator MXU matmul
+    (``filters._correlate1d_auto`` — hessian's default sigma=9 scale is
+    73 taps, and the census measured the 5-scale shifted-add chain at
+    66.5 ms/b32; sharded-vs-unsharded on TPU is then atol-level, the
+    same stance as the FFT-dispatched gabor)."""
     from jax import numpy as _jnp
 
     if x.ndim == 2:
-        return _conv1d_shifted(x, taps, axis, mode)
+        return _correlate1d_auto(x, taps, axis, mode)
     moved = _jnp.moveaxis(x, axis, -1)
     lead = moved.shape[:-1]
     flat = moved.reshape(int(np.prod(lead)), moved.shape[-1])
-    out = _conv1d_shifted(flat, taps, 1, mode)
+    out = _correlate1d_auto(flat, taps, 1, mode)
     return _jnp.moveaxis(out.reshape(*lead, out.shape[-1]), -1, axis)
 
 

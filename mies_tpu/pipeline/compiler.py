@@ -239,6 +239,8 @@ def _batched_registry() -> dict[str, Callable]:
         anisotropic_diffusion_batched,
         srad_batched,
     )
+    from mies_tpu.kernels.nlmeans import nl_means_batched
+
     return {
         "clahe": clahe_batched,
         "bilateral_blur": bilateral_batched,
@@ -249,13 +251,13 @@ def _batched_registry() -> dict[str, Callable]:
         # (measured 4.26 -> 0.23 ms for niter=6 b32 512^2 on v5e)
         "anisotropic_diffusion": anisotropic_diffusion_batched,
         "srad": srad_batched,
-        # denoise_nl_means deliberately ABSENT: a full VMEM-resident
-        # NL-means kernel was built, bit-exact, and measured 1.5x
-        # SLOWER than the jnp form (274 vs 178 ms, d=11 b32 512^2) —
-        # the search loop has no iteration residency to exploit and
-        # every pair shift is a materialized dynamic rotate, while XLA
-        # reads shifted windows nearly free inside its fusions. Numbers
-        # and the full design in docs/KERNELS.md.
+        # VMEM-resident static-pair-table NL-means, CHUNKED across
+        # small Mosaic kernels (round 9; the round-6 dynamic-rotate
+        # kernel lost 1.5x, the round-7 84-pair monolith never finished
+        # compiling — a 12-pair chunk compiles in ~19 min and runs
+        # 0.26 ms/pair vs the jnp loop's 0.57; numbers and the design
+        # trail in docs/KERNELS.md rounds 6-9)
+        "denoise_nl_means": nl_means_batched,
     }
 
 

@@ -604,3 +604,48 @@ class TestDespeckle:
         ) == 3
         with pytest.raises(ValueError, match="kernel_size"):
             validate(PipelineConfig.make([("kuwahara", {"kernel_size": 4})]))
+
+
+class TestCorrelate1dMatmul:
+    """The banded-operator matmul form of a long 1-D correlation
+    (filters._correlate1d_op_matrix) vs the shifted-add chain — the TPU
+    dispatch for retinex's/hessian's large-sigma blurs. Every border
+    mode, both axes, tight atol (matmul reduction-order ULPs only)."""
+
+    @pytest.mark.parametrize(
+        "mode", ["nearest", "reflect", "mirror", "wrap", "constant"]
+    )
+    def test_operator_matches_shifted_add(self, rng, mode):
+        from mies_tpu.ops.filters import (
+            _conv1d_shifted,
+            _correlate1d_op_matrix,
+            gaussian_kernel1d,
+        )
+
+        x = rng.random((48, 56)).astype(np.float32)
+        taps = gaussian_kernel1d(5.0, 20)  # 41 taps >= _MATMUL_TAP_MIN
+        for axis in (0, 1):
+            ref = np.asarray(
+                _conv1d_shifted(jnp.asarray(x), taps, axis, mode)
+            )
+            n = x.shape[axis]
+            a = _correlate1d_op_matrix(n, taps.tobytes(), len(taps), mode)
+            got = a @ x if axis == 0 else x @ a.T
+            np.testing.assert_allclose(got, ref, atol=2e-6)
+
+    def test_dispatch_is_cpu_invariant(self, rng):
+        # on CPU the auto dispatcher must be EXACTLY the shifted-add
+        # path (the sharding suite's bit-exactness depends on it)
+        from mies_tpu.ops.filters import (
+            _conv1d_shifted,
+            _correlate1d_auto,
+            gaussian_kernel1d,
+        )
+
+        x = jnp.asarray(rng.random((40, 48)).astype(np.float32))
+        taps = gaussian_kernel1d(8.0, 32)  # 65 taps, over the threshold
+        for axis in (0, 1):
+            np.testing.assert_array_equal(
+                np.asarray(_correlate1d_auto(x, taps, axis, "nearest")),
+                np.asarray(_conv1d_shifted(x, taps, axis, "nearest")),
+            )

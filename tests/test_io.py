@@ -786,3 +786,175 @@ class TestRLE:
         with pytest.raises(ValueError, match="transfer_syntax"):
             write_dicom(tmp_path / "x.dcm", ct_slice_hu,
                         transfer_syntax="1.2.840.10008.1.2.4.90")
+
+
+class TestJpegLossless:
+    """JPEG Lossless (1.2.840.10008.1.2.4.70 SV1 / .4.57) — the T.81
+    process-14 SOF3 codec (io/jpegll.py), decode + encode, DICOM
+    integration incl. the native series reader's per-file fallback."""
+
+    def test_roundtrip_int16(self, tmp_path, ct_slice_hu):
+        from mies_tpu.io.dicom import JPEG_LOSSLESS_SV1
+
+        p = tmp_path / "jll.dcm"
+        write_dicom(p, ct_slice_hu, transfer_syntax=JPEG_LOSSLESS_SV1,
+                    instance_number=4, slice_location=2.5)
+        s = read_dicom(p)
+        np.testing.assert_array_equal(s.pixels, ct_slice_hu)
+        assert s.transfer_syntax == JPEG_LOSSLESS_SV1
+        assert s.instance_number == 4 and s.slice_location == 2.5
+
+    def test_roundtrip_uint8_and_p14(self, tmp_path, rng):
+        from mies_tpu.io.dicom import JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1
+
+        px = rng.integers(0, 256, (33, 47)).astype(np.uint8)  # odd dims
+        for ts in (JPEG_LOSSLESS_SV1, JPEG_LOSSLESS_P14):
+            p = tmp_path / f"u8-{ts[-2:]}.dcm"
+            write_dicom(p, px, transfer_syntax=ts)
+            got = read_dicom(p)
+            np.testing.assert_array_equal(got.pixels, px)
+            assert got.pixels.dtype == np.uint8
+
+    def test_matches_uncompressed_and_compresses(self, tmp_path,
+                                                 ct_slice_hu):
+        from mies_tpu.io.dicom import JPEG_LOSSLESS_SV1
+
+        a, b = tmp_path / "raw.dcm", tmp_path / "jll.dcm"
+        write_dicom(a, ct_slice_hu)
+        write_dicom(b, ct_slice_hu, transfer_syntax=JPEG_LOSSLESS_SV1)
+        np.testing.assert_array_equal(
+            read_dicom(a).pixels, read_dicom(b).pixels
+        )
+        assert b.stat().st_size < a.stat().st_size  # CT compresses
+
+    def test_rescale_applied(self, tmp_path):
+        from mies_tpu.io.dicom import JPEG_LOSSLESS_SV1
+
+        raw = np.arange(0, 4096, dtype=np.uint16).reshape(64, 64)
+        p = tmp_path / "r.dcm"
+        write_dicom(p, raw, rescale_slope=1.0, rescale_intercept=-1024.0,
+                    transfer_syntax=JPEG_LOSSLESS_SV1)
+        s = read_dicom(p)
+        assert s.pixels.dtype == np.int16
+        assert s.pixels.min() == -1024 and s.pixels.max() == 3071
+
+    def test_multiframe_roundtrip(self, tmp_path, rng):
+        from mies_tpu.io.dicom import JPEG_LOSSLESS_SV1, read_dicom_frames
+
+        frames = rng.integers(-1000, 2000, (4, 24, 32)).astype(np.int16)
+        p = tmp_path / "mf.dcm"
+        write_dicom(p, frames, transfer_syntax=JPEG_LOSSLESS_SV1)
+        got, _ = read_dicom_frames(p)
+        np.testing.assert_array_equal(got, frames)
+        with pytest.raises(ValueError, match="multi-frame"):
+            read_dicom(p)
+
+    def test_codec_all_predictors_all_dtypes(self, rng):
+        from mies_tpu.io.jpegll import (
+            decode_jpeg_lossless,
+            encode_jpeg_lossless,
+        )
+
+        cases = [
+            rng.integers(0, 65536, (24, 31), dtype=np.uint16),
+            rng.integers(0, 256, (16, 17), dtype=np.uint8),
+            (np.add.outer(np.arange(20) * 7, np.arange(26) * 3) % 4000
+             ).astype(np.uint16),
+            np.full((8, 9), 777, np.uint16),
+        ]
+        for img in cases:
+            for pred in range(1, 8):
+                got = decode_jpeg_lossless(
+                    encode_jpeg_lossless(img, predictor=pred)
+                )
+                np.testing.assert_array_equal(got, img)
+
+    def test_codec_knife_edges(self, rng):
+        from mies_tpu.io.jpegll import (
+            decode_jpeg_lossless,
+            encode_jpeg_lossless,
+        )
+
+        # SSSS=16: alternating 0/32768 forces the no-extra-bits code
+        img = np.zeros((4, 8), np.uint16)
+        img[:, 1::2] = 32768
+        for pred in (1, 2, 4, 7):
+            np.testing.assert_array_equal(
+                decode_jpeg_lossless(encode_jpeg_lossless(
+                    img, predictor=pred)), img)
+        # 0xFF-dense data exercises byte stuffing
+        img = rng.choice(
+            np.asarray([0, 65535, 65280, 255], np.uint16), (32, 32))
+        np.testing.assert_array_equal(
+            decode_jpeg_lossless(encode_jpeg_lossless(img)), img)
+        # 12-bit precision in a 16-bit container
+        img12 = rng.integers(0, 4096, (20, 20), dtype=np.uint16)
+        np.testing.assert_array_equal(
+            decode_jpeg_lossless(encode_jpeg_lossless(
+                img12, precision=12)), img12)
+        # int16 encodes bit-preservingly as uint16
+        s = rng.integers(-32768, 32767, (12, 12)).astype(np.int16)
+        np.testing.assert_array_equal(
+            decode_jpeg_lossless(encode_jpeg_lossless(s)),
+            s.view(np.uint16))
+
+    def test_codec_restart_intervals(self, rng):
+        from mies_tpu.io.jpegll import (
+            decode_jpeg_lossless,
+            encode_jpeg_lossless,
+        )
+
+        img = rng.integers(0, 65536, (23, 17), dtype=np.uint16)
+        for rr in (1, 4, 23, 40):  # incl. >rows and non-dividing
+            np.testing.assert_array_equal(
+                decode_jpeg_lossless(encode_jpeg_lossless(
+                    img, restart_rows=rr)), img)
+
+    def test_codec_error_paths(self, rng):
+        from mies_tpu.io.jpegll import (
+            decode_jpeg_lossless,
+            encode_jpeg_lossless,
+        )
+
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg_lossless(b"\x00\x01\x02\x03")
+        blob = encode_jpeg_lossless(
+            rng.integers(0, 100, (8, 8), dtype=np.uint16))
+        with pytest.raises(ValueError, match="truncated|exhausted|scan"):
+            decode_jpeg_lossless(blob[:20])
+        # a lossy SOF0 must be refused by NAME
+        lossy = bytearray(blob)
+        i = lossy.find(b"\xff\xc3")
+        lossy[i + 1] = 0xC0
+        with pytest.raises(ValueError, match="SOF0"):
+            decode_jpeg_lossless(bytes(lossy))
+
+    def test_series_streams_and_native_fallback(self, tmp_path,
+                                                ct_slice_hu):
+        """A JPEG Lossless series loads ordered through BOTH volume
+        paths — the native series reader falls back per-file to the
+        Python decoder for syntaxes its C core doesn't know."""
+        from mies_tpu.io.dicom import JPEG_LOSSLESS_SV1
+        from mies_tpu.io.volume import open_volume_slabs
+
+        for i, loc in enumerate([30.0, 10.0, 20.0]):
+            write_dicom(tmp_path / f"s{i}.dcm",
+                        (ct_slice_hu + i).astype(np.int16),
+                        slice_location=loc,
+                        transfer_syntax=JPEG_LOSSLESS_SV1)
+        vol, meta = load_volume(tmp_path)
+        assert vol.shape == (3, *ct_slice_hu.shape)
+        np.testing.assert_array_equal(vol[0], ct_slice_hu + 1)
+        m, slabs = open_volume_slabs(tmp_path, slab_size=2)
+        got = np.concatenate(list(slabs), axis=0)
+        np.testing.assert_array_equal(got, vol)
+
+    def test_header_only_parse_skips_pixels(self, tmp_path, ct_slice_hu):
+        from mies_tpu.io.dicom import JPEG_LOSSLESS_SV1, read_dicom_header
+
+        p = tmp_path / "h.dcm"
+        write_dicom(p, ct_slice_hu, transfer_syntax=JPEG_LOSSLESS_SV1,
+                    pixel_spacing=(0.6, 0.6))
+        h = read_dicom_header(p)
+        assert h["rows"] == ct_slice_hu.shape[0]
+        assert h["pixel_spacing"] == (0.6, 0.6)

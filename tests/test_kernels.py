@@ -915,3 +915,41 @@ class TestNlMeansKernel:
         ref = np.asarray(jax.vmap(lambda v: denoise_nl_means(
             v, patch_size=5, patch_distance=3, h=0.08))(jnp.asarray(x)))
         np.testing.assert_array_equal(got, ref)
+
+    def test_batched_defaults_match_op(self):
+        # the compiler's batched registry resolves omitted config params
+        # from nl_means_batched's SIGNATURE — drift from the op's own
+        # defaults would silently change semantics
+        import inspect
+
+        from mies_tpu.kernels.nlmeans import nl_means_batched
+        from mies_tpu.ops.restoration import denoise_nl_means
+
+        sk = inspect.signature(nl_means_batched).parameters
+        so = inspect.signature(denoise_nl_means).parameters
+        for name in ("patch_size", "patch_distance", "h", "sigma"):
+            assert sk[name].default == so[name].default, name
+
+    def test_chunk_layout_invariance(self, rng):
+        # 1-pair chunks maximize HBM carry boundaries; the f32 round
+        # trips are exact, so chunk layout may only differ by XLA
+        # FMA-contraction ULPs in the accumulate (the documented
+        # CLAUDE.md class — XLA contracts the mul+add differently when
+        # the accumulation spans separate computations)
+        import os
+
+        from mies_tpu.kernels.nlmeans import nl_means_tpu
+
+        x = jnp.asarray(rng.random((1, 16, 128)).astype(np.float32))
+        os.environ["MIES_TPU_NLM_CHUNK"] = "1"
+        try:
+            a = np.asarray(nl_means_tpu(
+                x, patch_size=3, patch_distance=2, h=0.1, interpret=True))
+        finally:
+            os.environ["MIES_TPU_NLM_CHUNK"] = "999"
+        try:
+            b = np.asarray(nl_means_tpu(
+                x, patch_size=3, patch_distance=2, h=0.1, interpret=True))
+        finally:
+            del os.environ["MIES_TPU_NLM_CHUNK"]
+        np.testing.assert_allclose(a, b, atol=2e-7)
