@@ -15,38 +15,53 @@ environment), so the format support is implemented here directly:
 * JPEG Lossless (1.2.840.10008.1.2.4.57 / .4.70 SV1) — the T.81
   process-14 SOF3 codec in io/jpegll.py, decode AND encode (the other
   dominant lossless archive syntax; VERDICT r3 missing #1's sibling)
+* Deflated Explicit VR LE (1.2.840.10008.1.2.1.99) — the post-meta
+  dataset is one raw-deflate stream (PS3.5 A.5), decode AND encode
+  via zlib (structured-report exports and some PACS archives)
 * Rescale slope/intercept -> int16 Hounsfield units
 * series loading: sort slices by InstanceNumber / ImagePositionPatient z
 
-The LOSSY JPEG transfer-syntax family (baseline/extended, JPEG-LS
-near-lossless, J2K) is refused with the syntax NAMED and transcode
-guidance.
+* JPEG Baseline / Extended (1.2.840.10008.1.2.4.50 / .4.51) — the T.81
+  sequential-DCT LOSSY codec in io/jpegdct.py (8/12-bit grayscale),
+  decode AND encode (ultrasound/endoscopy archives are predominantly
+  .4.50); writing requires choosing the syntax explicitly.
+
+The remaining transfer-syntax family (JPEG-LS, J2K, MPEG, big endian)
+is refused with the syntax NAMED and transcode guidance.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import struct
+import zlib
 from pathlib import Path
 
 import numpy as np
 
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+DEFLATED_EXPLICIT_VR_LE = "1.2.840.10008.1.2.1.99"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"  # any predictor 1-7
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"  # predictor 1 (the default)
+JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # process 1, 8-bit LOSSY
+JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"  # processes 2 & 4, 8/12-bit LOSSY
 
 # encapsulated (undefined-length, fragment-item) PixelData syntaxes
-_ENCAPSULATED = (RLE_LOSSLESS, JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1)
+_ENCAPSULATED = (
+    RLE_LOSSLESS,
+    JPEG_LOSSLESS_P14,
+    JPEG_LOSSLESS_SV1,
+    JPEG_BASELINE,
+    JPEG_EXTENDED,
+)
+_JPEG_DCT = (JPEG_BASELINE, JPEG_EXTENDED)
 
 # Known-but-unsupported syntaxes, named in refusal messages so users
 # know exactly what to transcode (gdcmconv --raw / dcmdjpeg).
 _TS_NAMES = {
     "1.2.840.10008.1.2.2": "Explicit VR Big Endian (retired)",
-    "1.2.840.10008.1.2.1.99": "Deflated Explicit VR Little Endian",
-    "1.2.840.10008.1.2.4.50": "JPEG Baseline (Process 1)",
-    "1.2.840.10008.1.2.4.51": "JPEG Extended (Process 2 & 4)",
     "1.2.840.10008.1.2.4.80": "JPEG-LS Lossless",
     "1.2.840.10008.1.2.4.81": "JPEG-LS Near-Lossless",
     "1.2.840.10008.1.2.4.90": "JPEG 2000 Lossless",
@@ -60,16 +75,44 @@ def _ts_explicit(ts: str, path) -> bool:
     guidance-bearing NotImplementedError for everything else."""
     if ts == IMPLICIT_VR_LE:
         return False
-    if ts == EXPLICIT_VR_LE or ts in _ENCAPSULATED:
+    if (
+        ts == EXPLICIT_VR_LE
+        or ts == DEFLATED_EXPLICIT_VR_LE
+        or ts in _ENCAPSULATED
+    ):
         return True  # encapsulated syntaxes are always explicit VR LE
     name = _TS_NAMES.get(ts, "unrecognized")
     raise NotImplementedError(
         f"{path}: transfer syntax {ts} ({name}) is not supported — "
         f"supported: uncompressed little endian ({IMPLICIT_VR_LE}, "
-        f"{EXPLICIT_VR_LE}), RLE Lossless ({RLE_LOSSLESS}) and JPEG "
+        f"{EXPLICIT_VR_LE}), Deflated ({DEFLATED_EXPLICIT_VR_LE}), "
+        f"RLE Lossless ({RLE_LOSSLESS}) and JPEG "
         f"Lossless ({JPEG_LOSSLESS_P14}, {JPEG_LOSSLESS_SV1}); "
         f"transcode first (e.g. `gdcmconv --raw` or dcmtk's dcmdjpeg)"
     )
+
+
+def _open_dataset(data: bytes, path) -> tuple["_Reader", str]:
+    """Parse the file-meta group and return a positioned dataset reader.
+
+    For Deflated Explicit VR LE (PS3.5 A.5) the entire post-meta byte
+    stream is ONE raw-deflate (RFC 1951, no zlib header) compression of
+    an Explicit VR LE dataset — inflate it and read from offset 0."""
+    ts, offset = _parse_meta(data)
+    explicit = _ts_explicit(ts, path)
+    if ts == DEFLATED_EXPLICIT_VR_LE:
+        try:
+            body = zlib.decompressobj(wbits=-15).decompress(data[offset:])
+        except zlib.error as e:
+            raise ValueError(
+                f"{path}: Deflated Explicit VR LE dataset failed to "
+                f"inflate ({e}) — file is corrupt or not raw-deflate"
+            ) from e
+        r = _Reader(body, explicit=True)
+        return r, ts
+    r = _Reader(data, explicit=explicit)
+    r.pos = offset
+    return r, ts
 
 # VRs with a 2-byte reserved field and 4-byte length in explicit VR
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UC", b"UR", b"UT", b"UN"}
@@ -361,16 +404,23 @@ def _decode_rle_pixeldata(
 
 
 def _decode_jpegll_pixeldata(
-    frags: list[bytes], meta: dict, path
+    frags: list[bytes], meta: dict, path, ts: str = JPEG_LOSSLESS_SV1
 ) -> np.ndarray:
-    """JPEG Lossless fragments -> [N, rows, cols] in the STORED dtype.
+    """JPEG fragments -> [N, rows, cols] in the STORED dtype. Routes to
+    the lossless (SOF3, io/jpegll.py) or sequential-DCT (SOF0/SOF1,
+    io/jpegdct.py) codec by transfer syntax.
 
     PS3.5 A.4: a frame may span several fragments. Without a Basic
     Offset Table the only unambiguous layouts are one-fragment-per-
     frame (len(frags) == NumberOfFrames) or a single frame (all
     fragments concatenated) — both handled; anything else is refused
     with the counts named."""
-    from mies_tpu.io.jpegll import decode_jpeg_lossless
+    if ts in _JPEG_DCT:
+        from mies_tpu.io.jpegdct import decode_jpeg_dct as _decode_blob
+    else:
+        from mies_tpu.io.jpegll import (
+            decode_jpeg_lossless as _decode_blob,
+        )
 
     rows, cols = meta["rows"], meta["cols"]
     bits = meta.get("bits", 16)
@@ -389,7 +439,7 @@ def _decode_jpegll_pixeldata(
         )
     frames = []
     for i, blob in enumerate(blobs):
-        px = decode_jpeg_lossless(blob, f"{path}[frame {i}]")
+        px = _decode_blob(blob, f"{path}[frame {i}]")
         if px.shape != (rows, cols):
             raise ValueError(
                 f"{path}[frame {i}]: codestream is {px.shape[0]}x"
@@ -415,7 +465,7 @@ def _decode_encapsulated_pixeldata(
     """Dispatch the encapsulated-PixelData codec by transfer syntax."""
     if ts == RLE_LOSSLESS:
         return _decode_rle_pixeldata(frags, meta, path)
-    return _decode_jpegll_pixeldata(frags, meta, path)
+    return _decode_jpegll_pixeldata(frags, meta, path, ts)
 
 
 def _packbits_encode_row(row: bytes) -> bytearray:
@@ -509,9 +559,7 @@ def _parse_meta(data: bytes) -> tuple[str, int]:
 def read_dicom(path: str | Path) -> DicomSlice:
     """Read a single little-endian (or RLE Lossless) DICOM file."""
     data = Path(path).read_bytes()
-    ts, offset = _parse_meta(data)
-    r = _Reader(data, explicit=_ts_explicit(ts, path))
-    r.pos = offset
+    r, ts = _open_dataset(data, path)
 
     meta: dict = {}
     pixel_bytes = None
@@ -619,11 +667,9 @@ def read_dicom_header(path: str | Path) -> dict:
     just to read three tags (round-2 review finding).
     """
     data = Path(path).read_bytes()
-    ts, offset = _parse_meta(data)
     # encapsulated (RLE) PixelData has undefined length, skipped by the
     # generic skip_undefined walk below — header-only stays O(tags)
-    r = _Reader(data, explicit=_ts_explicit(ts, path))
-    r.pos = offset
+    r, ts = _open_dataset(data, path)
     meta: dict = {}
     while not r.eof():
         t, vr, length = r.element()
@@ -663,9 +709,7 @@ def read_dicom_frames(path: str | Path) -> tuple[np.ndarray, "DicomSlice"]:
     reader REFUSES these files (it would silently drop N-1 frames —
     review finding, round 5)."""
     data = Path(path).read_bytes()
-    ts, offset = _parse_meta(data)
-    r = _Reader(data, explicit=_ts_explicit(ts, path))
-    r.pos = offset
+    r, ts = _open_dataset(data, path)
     meta: dict = {}
     pixel_bytes = None
     rle_frags = None
@@ -873,6 +917,7 @@ def write_dicom(
     pixel_spacing: tuple[float, float] | None = None,
     slice_thickness: float | None = None,
     transfer_syntax: str = EXPLICIT_VR_LE,
+    jpeg_quality: int = 90,
 ) -> None:
     """Write a minimal explicit-VR-LE Part-10 DICOM file (int16/uint8).
 
@@ -882,11 +927,23 @@ def write_dicom(
     ``transfer_syntax=RLE_LOSSLESS`` writes encapsulated PixelData
     (empty Basic Offset Table + one PS3.5 Annex G RLE fragment per
     frame); ``JPEG_LOSSLESS_SV1`` / ``JPEG_LOSSLESS_P14`` write one
-    T.81 SOF3 codestream per frame (predictor 1)."""
-    if transfer_syntax not in (EXPLICIT_VR_LE,) + _ENCAPSULATED:
+    T.81 SOF3 codestream per frame (predictor 1);
+    ``DEFLATED_EXPLICIT_VR_LE`` raw-deflates the whole post-meta
+    dataset (PS3.5 A.5).
+
+    ``JPEG_BASELINE`` (.4.50, uint8) / ``JPEG_EXTENDED`` (.4.51,
+    uint8 or 12-bit uint16) write LOSSY sequential-DCT codestreams at
+    ``jpeg_quality`` — choosing the syntax IS the lossy opt-in; pixel
+    round-trips are NOT bit-exact (use RLE/JPEG Lossless for archives).
+    """
+    if transfer_syntax not in (
+        EXPLICIT_VR_LE,
+        DEFLATED_EXPLICIT_VR_LE,
+    ) + _ENCAPSULATED:
         raise ValueError(
-            f"write_dicom emits Explicit VR LE, RLE Lossless or JPEG "
-            f"Lossless, got transfer_syntax={transfer_syntax!r}"
+            f"write_dicom emits Explicit VR LE (plain or Deflated), RLE "
+            f"Lossless or JPEG Lossless, got "
+            f"transfer_syntax={transfer_syntax!r}"
         )
     pixels = np.asarray(pixels)
     if pixels.dtype == np.int16:
@@ -959,9 +1016,31 @@ def write_dicom(
             + struct.pack("<I", 0xFFFFFFFF)
         )
         ds += struct.pack("<HHI", *_ITEM, 0)  # empty Basic Offset Table
+        if transfer_syntax in _JPEG_DCT:
+            if transfer_syntax == JPEG_BASELINE and bits != 8:
+                raise TypeError(
+                    "JPEG Baseline (.4.50) carries 8-bit samples; got "
+                    f"{pixels.dtype} — use JPEG_EXTENDED (12-bit) or a "
+                    "lossless syntax"
+                )
+            if pixels.dtype == np.int16:
+                raise TypeError(
+                    "lossy JPEG has no bit-preserving signed convention; "
+                    "rescale to uint8/uint16 first or use RLE/JPEG "
+                    "Lossless for int16 HU data"
+                )
+            if bits == 16 and int(pixels.max(initial=0)) >= 4096:
+                raise ValueError(
+                    "JPEG Extended 12-bit samples must be < 4096; got "
+                    f"max {int(pixels.max())}"
+                )
         for fr in frames:
             if transfer_syntax == RLE_LOSSLESS:
                 blob = _rle_encode_frame(fr)
+            elif transfer_syntax in _JPEG_DCT:
+                from mies_tpu.io.jpegdct import encode_jpeg_dct
+
+                blob = encode_jpeg_dct(fr, quality=jpeg_quality)
             else:
                 from mies_tpu.io.jpegll import encode_jpeg_lossless
 
@@ -974,5 +1053,9 @@ def write_dicom(
         ds += _el_long(
             _TAG_PIXEL_DATA, b"OW" if bits == 16 else b"OB", pixels.tobytes()
         )
+
+    if transfer_syntax == DEFLATED_EXPLICIT_VR_LE:
+        co = zlib.compressobj(level=6, wbits=-15)  # raw deflate, PS3.5 A.5
+        ds = co.compress(ds) + co.flush()
 
     Path(path).write_bytes(b"\x00" * 128 + b"DICM" + meta + ds)

@@ -958,3 +958,290 @@ class TestJpegLossless:
         h = read_dicom_header(p)
         assert h["rows"] == ct_slice_hu.shape[0]
         assert h["pixel_spacing"] == (0.6, 0.6)
+
+
+class TestDeflated:
+    """Deflated Explicit VR LE (1.2.840.10008.1.2.1.99) — the whole
+    post-meta dataset is ONE raw-deflate stream (PS3.5 A.5), decode +
+    encode via zlib; structured-report exports and some PACS archives
+    use it."""
+
+    def test_roundtrip_int16(self, tmp_path, ct_slice_hu):
+        from mies_tpu.io.dicom import DEFLATED_EXPLICIT_VR_LE
+
+        p = tmp_path / "defl.dcm"
+        write_dicom(p, ct_slice_hu, transfer_syntax=DEFLATED_EXPLICIT_VR_LE,
+                    instance_number=5, slice_location=-12.5,
+                    pixel_spacing=(0.8, 0.8))
+        s = read_dicom(p)
+        np.testing.assert_array_equal(s.pixels, ct_slice_hu)
+        assert s.transfer_syntax == DEFLATED_EXPLICIT_VR_LE
+        assert s.instance_number == 5 and s.slice_location == -12.5
+        assert s.pixel_spacing == (0.8, 0.8)
+
+    def test_matches_uncompressed_and_compresses(self, tmp_path,
+                                                 ct_slice_hu):
+        from mies_tpu.io.dicom import DEFLATED_EXPLICIT_VR_LE
+
+        a, b = tmp_path / "raw.dcm", tmp_path / "defl.dcm"
+        write_dicom(a, ct_slice_hu)
+        write_dicom(b, ct_slice_hu, transfer_syntax=DEFLATED_EXPLICIT_VR_LE)
+        np.testing.assert_array_equal(
+            read_dicom(a).pixels, read_dicom(b).pixels
+        )
+        assert b.stat().st_size < a.stat().st_size  # CT deflates well
+
+    def test_raw_deflate_no_zlib_header(self, tmp_path, ct_slice_hu):
+        """PS3.5 A.5 mandates RFC-1951 RAW deflate — the written byte
+        stream must NOT carry an RFC-1950 zlib header (0x78 CMF)."""
+        import zlib
+
+        from mies_tpu.io.dicom import DEFLATED_EXPLICIT_VR_LE, _parse_meta
+
+        p = tmp_path / "d.dcm"
+        write_dicom(p, ct_slice_hu, transfer_syntax=DEFLATED_EXPLICIT_VR_LE)
+        data = p.read_bytes()
+        ts, off = _parse_meta(data)
+        assert ts == DEFLATED_EXPLICIT_VR_LE
+        # raw-deflate inflates; zlib-wrapped decode must fail
+        assert zlib.decompressobj(wbits=-15).decompress(data[off:])
+        with pytest.raises(zlib.error):
+            zlib.decompress(data[off:])
+
+    def test_multiframe_and_rescale(self, tmp_path, rng):
+        from mies_tpu.io.dicom import (
+            DEFLATED_EXPLICIT_VR_LE,
+            read_dicom_frames,
+        )
+
+        frames = rng.integers(0, 4096, (3, 16, 24)).astype(np.uint16)
+        p = tmp_path / "mf.dcm"
+        write_dicom(p, frames, transfer_syntax=DEFLATED_EXPLICIT_VR_LE,
+                    rescale_slope=1.0, rescale_intercept=-1024.0)
+        got, s = read_dicom_frames(p)
+        assert got.dtype == np.int16
+        np.testing.assert_array_equal(
+            got, frames.astype(np.int32) - 1024)
+
+    def test_header_only_parse(self, tmp_path, ct_slice_hu):
+        from mies_tpu.io.dicom import (
+            DEFLATED_EXPLICIT_VR_LE,
+            read_dicom_header,
+        )
+
+        p = tmp_path / "h.dcm"
+        write_dicom(p, ct_slice_hu, transfer_syntax=DEFLATED_EXPLICIT_VR_LE,
+                    pixel_spacing=(0.9, 0.9))
+        h = read_dicom_header(p)
+        assert h["rows"] == ct_slice_hu.shape[0]
+        assert h["pixel_spacing"] == (0.9, 0.9)
+
+    def test_corrupt_stream_raises_valueerror(self, tmp_path, ct_slice_hu):
+        from mies_tpu.io.dicom import DEFLATED_EXPLICIT_VR_LE, _parse_meta
+
+        p = tmp_path / "c.dcm"
+        write_dicom(p, ct_slice_hu, transfer_syntax=DEFLATED_EXPLICIT_VR_LE)
+        data = bytearray(p.read_bytes())
+        _, off = _parse_meta(bytes(data))
+        data[off] ^= 0xFF  # wreck the first deflate block header
+        p.write_bytes(bytes(data))
+        with pytest.raises(ValueError, match="inflate|deflate|corrupt"):
+            read_dicom(p)
+
+    def test_series_streams_and_native_fallback(self, tmp_path,
+                                                ct_slice_hu):
+        """A deflated series loads ordered through BOTH volume paths —
+        the native series reader falls back per-file to the Python
+        decoder (its C core reports unsupported transfer syntax)."""
+        from mies_tpu.io.dicom import DEFLATED_EXPLICIT_VR_LE
+        from mies_tpu.io.volume import open_volume_slabs
+
+        for i, loc in enumerate([30.0, 10.0, 20.0]):
+            write_dicom(tmp_path / f"s{i}.dcm",
+                        (ct_slice_hu + i).astype(np.int16),
+                        slice_location=loc,
+                        transfer_syntax=DEFLATED_EXPLICIT_VR_LE)
+        vol, meta = load_volume(tmp_path)
+        assert vol.shape == (3, *ct_slice_hu.shape)
+        np.testing.assert_array_equal(vol[0], ct_slice_hu + 1)
+        m, slabs = open_volume_slabs(tmp_path, slab_size=2)
+        got = np.concatenate(list(slabs), axis=0)
+        np.testing.assert_array_equal(got, vol)
+
+
+class TestJpegDct:
+    """JPEG Baseline / Extended (1.2.840.10008.1.2.4.50 / .4.51) — the
+    T.81 sequential-DCT lossy codec (io/jpegdct.py), cross-checked
+    against Pillow's libjpeg on 8-bit streams in BOTH directions."""
+
+    @staticmethod
+    def _smooth8(rng, shape=(96, 120)):
+        y, x = np.mgrid[0 : shape[0], 0 : shape[1]].astype(np.float64)
+        img = 128 + 70 * np.sin(x / 9.0) * np.cos(y / 7.0)
+        return (img + rng.normal(0, 4, shape)).clip(0, 255).astype(np.uint8)
+
+    def test_pil_decodes_our_stream_within_1(self, rng):
+        import io as _io
+
+        from PIL import Image
+
+        from mies_tpu.io.jpegdct import decode_jpeg_dct, encode_jpeg_dct
+
+        img = self._smooth8(rng)
+        for q, rb in ((90, None), (55, 7), (95, 1)):
+            blob = encode_jpeg_dct(img, quality=q, restart_blocks=rb)
+            ours = decode_jpeg_dct(blob)
+            pil = np.asarray(Image.open(_io.BytesIO(blob)))
+            assert pil.shape == img.shape
+            # libjpeg's fixed-point islow IDCT vs our float64 IDCT:
+            # T.81-conformance-style agreement is within one level
+            assert np.abs(pil.astype(int) - ours.astype(int)).max() <= 1
+
+    def test_we_decode_pil_stream_within_1(self, rng):
+        import io as _io
+
+        from PIL import Image
+
+        from mies_tpu.io.jpegdct import decode_jpeg_dct
+
+        img = self._smooth8(rng, (101, 67))  # non-multiple-of-8 dims
+        buf = _io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=80)
+        foreign = buf.getvalue()
+        ours = decode_jpeg_dct(foreign)
+        theirs = np.asarray(Image.open(_io.BytesIO(foreign)))
+        assert ours.shape == img.shape
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+    def test_12bit_roundtrip_quality(self, rng):
+        from mies_tpu.io.jpegdct import decode_jpeg_dct, encode_jpeg_dct
+
+        y, x = np.mgrid[0:64, 0:80].astype(np.float64)
+        img = (2048 + 900 * np.sin(x / 8.0) * np.cos(y / 6.0)).astype(
+            np.uint16
+        )
+        blob = encode_jpeg_dct(img, quality=95)
+        dec = decode_jpeg_dct(blob)
+        assert dec.dtype == np.uint16 and dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        # ~4.5 mean on a 0..4095 scale (≈0.1%) at q95 — lossy contract
+        assert err.mean() < 8 and err.max() < 40
+
+    def test_quality_monotonic(self, rng):
+        from mies_tpu.io.jpegdct import decode_jpeg_dct, encode_jpeg_dct
+
+        img = self._smooth8(rng)
+        lo = encode_jpeg_dct(img, quality=10)
+        hi = encode_jpeg_dct(img, quality=95)
+        assert len(lo) < len(hi)
+        e_lo = np.abs(decode_jpeg_dct(lo).astype(int) - img.astype(int))
+        e_hi = np.abs(decode_jpeg_dct(hi).astype(int) - img.astype(int))
+        assert e_hi.mean() < e_lo.mean()
+
+    def test_refusals_named(self, rng):
+        import io as _io
+
+        from PIL import Image
+
+        from mies_tpu.io.jpegdct import decode_jpeg_dct, encode_jpeg_dct
+
+        img = self._smooth8(rng, (32, 32))
+        # progressive -> SOF2, named
+        buf = _io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", progressive=True)
+        with pytest.raises(ValueError, match="progressive"):
+            decode_jpeg_dct(buf.getvalue())
+        # 3-component color, named
+        buf = _io.BytesIO()
+        Image.fromarray(
+            np.stack([img] * 3, axis=-1)
+        ).save(buf, "JPEG", quality=80)
+        with pytest.raises(NotImplementedError, match="3-component"):
+            decode_jpeg_dct(buf.getvalue())
+        # lossless SOF3 belongs to the other codec
+        from mies_tpu.io.jpegll import encode_jpeg_lossless
+
+        with pytest.raises(ValueError, match="SOF3"):
+            decode_jpeg_dct(encode_jpeg_lossless(img))
+        # truncation + garbage
+        blob = encode_jpeg_dct(img)
+        with pytest.raises(ValueError, match="truncated|SOS"):
+            decode_jpeg_dct(blob[:24])
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg_dct(b"\x00" * 16)
+        # encoder input validation
+        with pytest.raises(TypeError, match="int16"):
+            encode_jpeg_dct(img.astype(np.int16))
+        with pytest.raises(ValueError, match="12-bit|range"):
+            encode_jpeg_dct(
+                np.full((8, 8), 5000, np.uint16), precision=12
+            )
+
+    def test_dicom_baseline_roundtrip(self, tmp_path, rng):
+        from mies_tpu.io.dicom import JPEG_BASELINE
+
+        img = self._smooth8(rng)
+        p = tmp_path / "us.dcm"
+        write_dicom(p, img, transfer_syntax=JPEG_BASELINE, jpeg_quality=92,
+                    instance_number=2)
+        s = read_dicom(p)
+        assert s.transfer_syntax == JPEG_BASELINE
+        assert s.pixels.dtype == np.uint8
+        err = np.abs(s.pixels.astype(int) - img.astype(int))
+        assert err.mean() < 3  # lossy but close at q92
+
+    def test_dicom_extended_12bit(self, tmp_path):
+        from mies_tpu.io.dicom import JPEG_EXTENDED
+
+        y, x = np.mgrid[0:48, 0:56].astype(np.float64)
+        img = (1000 + 800 * np.sin(x / 7.0) * np.cos(y / 5.0)).astype(
+            np.uint16
+        )
+        p = tmp_path / "ct12.dcm"
+        write_dicom(p, img, transfer_syntax=JPEG_EXTENDED, jpeg_quality=97,
+                    bits_stored=12)
+        s = read_dicom(p)
+        assert s.pixels.dtype == np.uint16
+        assert s.bits_stored == 12
+        err = np.abs(s.pixels.astype(int) - img.astype(int))
+        assert err.mean() < 6
+
+    def test_dicom_lossy_writer_guards(self, tmp_path, rng, ct_slice_hu):
+        from mies_tpu.io.dicom import JPEG_BASELINE, JPEG_EXTENDED
+
+        with pytest.raises(TypeError, match="8-bit"):
+            write_dicom(tmp_path / "a.dcm",
+                        rng.integers(0, 4096, (8, 8)).astype(np.uint16),
+                        transfer_syntax=JPEG_BASELINE)
+        with pytest.raises(TypeError, match="signed|int16"):
+            write_dicom(tmp_path / "b.dcm", ct_slice_hu,
+                        transfer_syntax=JPEG_EXTENDED)
+        with pytest.raises(ValueError, match="4096"):
+            write_dicom(tmp_path / "c.dcm",
+                        np.full((8, 8), 4100, np.uint16),
+                        transfer_syntax=JPEG_EXTENDED)
+
+    def test_dicom_multiframe_and_series(self, tmp_path, rng):
+        from mies_tpu.io.dicom import JPEG_BASELINE, read_dicom_frames
+        from mies_tpu.io.volume import open_volume_slabs
+
+        frames = np.stack([self._smooth8(rng, (40, 48)) for _ in range(3)])
+        p = tmp_path / "cine.dcm"
+        write_dicom(p, frames, transfer_syntax=JPEG_BASELINE)
+        got, s = read_dicom_frames(p)
+        assert got.shape == frames.shape
+        assert np.abs(
+            got.astype(int) - frames.astype(int)).mean() < 3
+        # a lossy series streams through the volume path (native parser
+        # falls back per-file to the Python decoder)
+        d = tmp_path / "series"
+        d.mkdir()
+        for i in range(3):
+            write_dicom(d / f"s{i}.dcm", self._smooth8(rng, (40, 48)),
+                        slice_location=float(i * 10),
+                        transfer_syntax=JPEG_BASELINE)
+        vol, meta = load_volume(d)
+        assert vol.shape == (3, 40, 48)
+        m, slabs = open_volume_slabs(d, slab_size=2)
+        got2 = np.concatenate(list(slabs), axis=0)
+        np.testing.assert_array_equal(got2, vol)
