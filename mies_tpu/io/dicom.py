@@ -25,9 +25,13 @@ environment), so the format support is implemented here directly:
   sequential-DCT LOSSY codec in io/jpegdct.py (8/12-bit grayscale),
   decode AND encode (ultrasound/endoscopy archives are predominantly
   .4.50); writing requires choosing the syntax explicitly.
+* JPEG-LS (1.2.840.10008.1.2.4.80 lossless / .4.81 near-lossless) —
+  the T.87 LOCO-I codec in io/jpegls.py, decode AND encode (the
+  dominant modern lossless PACS syntax; CharLS pin via
+  tools/verify_jpegls_golden.py).
 
-The remaining transfer-syntax family (JPEG-LS, J2K, MPEG, big endian)
-is refused with the syntax NAMED and transcode guidance.
+The remaining transfer-syntax family (J2K, MPEG, big endian) is
+refused with the syntax NAMED and transcode guidance.
 """
 
 from __future__ import annotations
@@ -47,6 +51,8 @@ JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"  # any predictor 1-7
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"  # predictor 1 (the default)
 JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # process 1, 8-bit LOSSY
 JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"  # processes 2 & 4, 8/12-bit LOSSY
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"  # T.87, NEAR = 0
+JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"  # T.87 near-lossless, NEAR >= 1
 
 # encapsulated (undefined-length, fragment-item) PixelData syntaxes
 _ENCAPSULATED = (
@@ -55,15 +61,16 @@ _ENCAPSULATED = (
     JPEG_LOSSLESS_SV1,
     JPEG_BASELINE,
     JPEG_EXTENDED,
+    JPEG_LS_LOSSLESS,
+    JPEG_LS_NEAR,
 )
 _JPEG_DCT = (JPEG_BASELINE, JPEG_EXTENDED)
+_JPEG_LS = (JPEG_LS_LOSSLESS, JPEG_LS_NEAR)
 
 # Known-but-unsupported syntaxes, named in refusal messages so users
 # know exactly what to transcode (gdcmconv --raw / dcmdjpeg).
 _TS_NAMES = {
     "1.2.840.10008.1.2.2": "Explicit VR Big Endian (retired)",
-    "1.2.840.10008.1.2.4.80": "JPEG-LS Lossless",
-    "1.2.840.10008.1.2.4.81": "JPEG-LS Near-Lossless",
     "1.2.840.10008.1.2.4.90": "JPEG 2000 Lossless",
     "1.2.840.10008.1.2.4.91": "JPEG 2000",
     "1.2.840.10008.1.2.4.100": "MPEG2",
@@ -417,6 +424,8 @@ def _decode_jpegll_pixeldata(
     with the counts named."""
     if ts in _JPEG_DCT:
         from mies_tpu.io.jpegdct import decode_jpeg_dct as _decode_blob
+    elif ts in _JPEG_LS:
+        from mies_tpu.io.jpegls import decode_jpegls as _decode_blob
     else:
         from mies_tpu.io.jpegll import (
             decode_jpeg_lossless as _decode_blob,
@@ -918,6 +927,7 @@ def write_dicom(
     slice_thickness: float | None = None,
     transfer_syntax: str = EXPLICIT_VR_LE,
     jpeg_quality: int = 90,
+    jpegls_near: int | None = None,
 ) -> None:
     """Write a minimal explicit-VR-LE Part-10 DICOM file (int16/uint8).
 
@@ -935,6 +945,10 @@ def write_dicom(
     uint8 or 12-bit uint16) write LOSSY sequential-DCT codestreams at
     ``jpeg_quality`` — choosing the syntax IS the lossy opt-in; pixel
     round-trips are NOT bit-exact (use RLE/JPEG Lossless for archives).
+
+    ``JPEG_LS_LOSSLESS`` (.4.80) writes T.87 NEAR=0 (bit-exact);
+    ``JPEG_LS_NEAR`` (.4.81) bounds each sample's error by
+    ``jpegls_near`` (default 2, must be >= 1 for this syntax).
     """
     if transfer_syntax not in (
         EXPLICIT_VR_LE,
@@ -1034,6 +1048,23 @@ def write_dicom(
                     "JPEG Extended 12-bit samples must be < 4096; got "
                     f"max {int(pixels.max())}"
                 )
+        if transfer_syntax in _JPEG_LS:
+            if transfer_syntax == JPEG_LS_LOSSLESS:
+                if jpegls_near not in (None, 0):
+                    raise ValueError(
+                        "JPEG-LS Lossless (.4.80) is NEAR=0 by "
+                        f"definition; got jpegls_near={jpegls_near} — "
+                        "use JPEG_LS_NEAR (.4.81) for near-lossless"
+                    )
+                near = 0
+            else:
+                near = 2 if jpegls_near is None else jpegls_near
+                if near < 1:
+                    raise ValueError(
+                        "JPEG-LS Near-Lossless (.4.81) needs "
+                        f"jpegls_near >= 1, got {near} — use "
+                        "JPEG_LS_LOSSLESS (.4.80) for exact coding"
+                    )
         for fr in frames:
             if transfer_syntax == RLE_LOSSLESS:
                 blob = _rle_encode_frame(fr)
@@ -1041,6 +1072,10 @@ def write_dicom(
                 from mies_tpu.io.jpegdct import encode_jpeg_dct
 
                 blob = encode_jpeg_dct(fr, quality=jpeg_quality)
+            elif transfer_syntax in _JPEG_LS:
+                from mies_tpu.io.jpegls import encode_jpegls
+
+                blob = encode_jpegls(fr, near=near)
             else:
                 from mies_tpu.io.jpegll import encode_jpeg_lossless
 

@@ -340,7 +340,7 @@ def test_cli_doctor(capsys):
 
 def test_expected_skips():
     """VERDICT round-3 item 9: the CPU suite's permanent skips are
-    EXACTLY the two pin-replays (skimage_pin.npz / sewar_pin.npz absent
+    EXACTLY the pin-replays (skimage/sewar/jpegls pins absent
     in this env). This gate pins every skip *site* in the test sources
     so a new conditional skip can't join silently — adding one requires
     updating the table here — and asserts the conditions behind the
@@ -378,7 +378,7 @@ def test_expected_skips():
         "test_clahe.py": 2,       # importorskip cv2 + kornia_pin replay
         "test_filters.py": 5,     # importorskip cv2
         "test_native.py": 1,      # skipif native unavailable
-        "test_io.py": 2,          # RLE native-vs-python (native available)
+        "test_io.py": 3,          # RLE native-vs-python (x2, native available) + jpegls_pin.npz replay
         # permanent pin-replay skips (fire until a pin is checked in;
         # the kornia one is counted under test_clahe.py above):
         "test_histogram.py": 1,   # skimage_pin.npz replay
