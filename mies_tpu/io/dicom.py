@@ -5,8 +5,10 @@ DICOM is a north-star addition; pydicom is absent from this
 environment), so the format support is implemented here directly:
 
 * Part-10 files (128-byte preamble + 'DICM' + explicit-VR-LE meta group)
-* datasets in Implicit VR Little Endian (1.2.840.10008.1.2) and
-  Explicit VR Little Endian (1.2.840.10008.1.2.1)
+* datasets in Implicit VR Little Endian (1.2.840.10008.1.2),
+  Explicit VR Little Endian (1.2.840.10008.1.2.1) and, read-only,
+  the retired Explicit VR Big Endian (1.2.840.10008.1.2.2 — legacy
+  GE archives; fixed-width values normalized to LE at parse time)
 * uncompressed PixelData, 8/16 bits allocated, signed or unsigned
 * RLE Lossless (1.2.840.10008.1.2.5) — PS3.5 Annex G segment-table +
   PackBits codec, decode AND encode (clinical archives are
@@ -45,6 +47,7 @@ import numpy as np
 
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"  # retired; read-only support
 DEFLATED_EXPLICIT_VR_LE = "1.2.840.10008.1.2.1.99"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"  # any predictor 1-7
@@ -70,7 +73,6 @@ _JPEG_LS = (JPEG_LS_LOSSLESS, JPEG_LS_NEAR)
 # Known-but-unsupported syntaxes, named in refusal messages so users
 # know exactly what to transcode (gdcmconv --raw / dcmdjpeg).
 _TS_NAMES = {
-    "1.2.840.10008.1.2.2": "Explicit VR Big Endian (retired)",
     "1.2.840.10008.1.2.4.90": "JPEG 2000 Lossless",
     "1.2.840.10008.1.2.4.91": "JPEG 2000",
     "1.2.840.10008.1.2.4.100": "MPEG2",
@@ -84,6 +86,7 @@ def _ts_explicit(ts: str, path) -> bool:
         return False
     if (
         ts == EXPLICIT_VR_LE
+        or ts == EXPLICIT_VR_BE
         or ts == DEFLATED_EXPLICIT_VR_LE
         or ts in _ENCAPSULATED
     ):
@@ -91,11 +94,13 @@ def _ts_explicit(ts: str, path) -> bool:
     name = _TS_NAMES.get(ts, "unrecognized")
     raise NotImplementedError(
         f"{path}: transfer syntax {ts} ({name}) is not supported — "
-        f"supported: uncompressed little endian ({IMPLICIT_VR_LE}, "
-        f"{EXPLICIT_VR_LE}), Deflated ({DEFLATED_EXPLICIT_VR_LE}), "
-        f"RLE Lossless ({RLE_LOSSLESS}) and JPEG "
-        f"Lossless ({JPEG_LOSSLESS_P14}, {JPEG_LOSSLESS_SV1}); "
-        f"transcode first (e.g. `gdcmconv --raw` or dcmtk's dcmdjpeg)"
+        f"supported: uncompressed little/big endian ({IMPLICIT_VR_LE}, "
+        f"{EXPLICIT_VR_LE}, {EXPLICIT_VR_BE}), Deflated "
+        f"({DEFLATED_EXPLICIT_VR_LE}), RLE Lossless ({RLE_LOSSLESS}), "
+        f"JPEG Lossless ({JPEG_LOSSLESS_P14}, {JPEG_LOSSLESS_SV1}), "
+        f"JPEG-LS ({JPEG_LS_LOSSLESS}, {JPEG_LS_NEAR}) and lossy JPEG "
+        f"({JPEG_BASELINE}, {JPEG_EXTENDED}); transcode first "
+        f"(e.g. `gdcmconv --raw` or dcmtk's dcmdjpeg)"
     )
 
 
@@ -117,7 +122,8 @@ def _open_dataset(data: bytes, path) -> tuple["_Reader", str]:
             ) from e
         r = _Reader(body, explicit=True)
         return r, ts
-    r = _Reader(data, explicit=explicit)
+    r = _Reader(data, explicit=explicit,
+                big_endian=ts == EXPLICIT_VR_BE)
     r.pos = offset
     return r, ts
 
@@ -166,11 +172,22 @@ class DicomSlice:
     transfer_syntax: str = EXPLICIT_VR_LE
 
 
+_SWAP_VRS = {  # fixed-width binary VRs: value byte-swap width (BE data)
+    b"US": 2, b"SS": 2, b"OW": 2, b"AT": 2,
+    b"UL": 4, b"SL": 4, b"OL": 4, b"FL": 4, b"OF": 4,
+    b"FD": 8, b"OD": 8,
+}
+
+
 class _Reader:
-    def __init__(self, data: bytes, explicit: bool):
+    def __init__(self, data: bytes, explicit: bool,
+                 big_endian: bool = False):
         self.d = data
         self.pos = 0
         self.explicit = explicit
+        self.big_endian = big_endian
+        self._e = ">" if big_endian else "<"
+        self._last_vr = b""
 
     def eof(self) -> bool:
         return self.pos >= len(self.d)
@@ -185,7 +202,7 @@ class _Reader:
 
     def tag(self) -> tuple[int, int]:
         self._need(4)
-        g, e = struct.unpack_from("<HH", self.d, self.pos)
+        g, e = struct.unpack_from(self._e + "HH", self.d, self.pos)
         self.pos += 4
         return g, e
 
@@ -194,8 +211,9 @@ class _Reader:
         t = self.tag()
         if t in (_ITEM, _ITEM_DELIM, _SEQ_DELIM):
             self._need(4)
-            (length,) = struct.unpack_from("<I", self.d, self.pos)
+            (length,) = struct.unpack_from(self._e + "I", self.d, self.pos)
             self.pos += 4
+            self._last_vr = b""
             return t, b"", length
         if self.explicit:
             self._need(2)
@@ -204,23 +222,40 @@ class _Reader:
             if vr in _LONG_VRS:
                 self._need(6)
                 self.pos += 2  # reserved
-                (length,) = struct.unpack_from("<I", self.d, self.pos)
+                (length,) = struct.unpack_from(
+                    self._e + "I", self.d, self.pos
+                )
                 self.pos += 4
             else:
                 self._need(2)
-                (length,) = struct.unpack_from("<H", self.d, self.pos)
+                (length,) = struct.unpack_from(
+                    self._e + "H", self.d, self.pos
+                )
                 self.pos += 2
         else:
             vr = b""
             self._need(4)
-            (length,) = struct.unpack_from("<I", self.d, self.pos)
+            (length,) = struct.unpack_from(self._e + "I", self.d, self.pos)
             self.pos += 4
+        self._last_vr = vr
         return t, vr, length
 
     def value(self, length: int) -> bytes:
         self._need(length)
         v = self.d[self.pos : self.pos + length]
         self.pos += length
+        if self.big_endian:
+            sz = _SWAP_VRS.get(self._last_vr)
+            if sz and length >= sz:
+                # normalize fixed-width binary values to little endian
+                # so every downstream '<'-unpack and frombuffer works
+                n = length // sz
+                v = (
+                    np.frombuffer(v, f">u{sz}", count=n)
+                    .astype(f"<u{sz}")
+                    .tobytes()
+                    + v[n * sz :]
+                )
         return v
 
     def skip_undefined(self, vr: bytes) -> None:

@@ -769,17 +769,18 @@ class TestRLE:
         got = np.concatenate(list(slabs), axis=0)
         np.testing.assert_array_equal(got, vol)
 
-    def test_jpeg_refused_with_named_syntax(self, tmp_path, ct_slice_hu):
+    def test_unknown_syntax_refused_with_guidance(self, tmp_path,
+                                                  ct_slice_hu):
         p = tmp_path / "j.dcm"
         write_dicom(p, ct_slice_hu)
         data = bytearray(p.read_bytes())
-        # rewrite the TS UID to Explicit VR Big Endian (same length)
+        # rewrite the TS UID to an unregistered syntax (same length)
         i = data.find(b"1.2.840.10008.1.2.1")
-        data[i : i + 19] = b"1.2.840.10008.1.2.2"
+        data[i : i + 19] = b"1.2.840.10008.1.2.7"
         p.write_bytes(bytes(data))
         with pytest.raises(NotImplementedError) as ei:
             read_dicom(p)
-        assert "Explicit VR Big Endian" in str(ei.value)
+        assert "unrecognized" in str(ei.value)
         assert "transcode" in str(ei.value)
 
     def test_write_rejects_unknown_syntax(self, tmp_path, ct_slice_hu):
@@ -1427,3 +1428,67 @@ def test_jpegls_pin_replay():
         else:
             assert np.abs(
                 dec.astype(int) - img.astype(int)).max() <= near
+
+
+class TestBigEndian:
+    """Explicit VR Big Endian (1.2.840.10008.1.2.2, retired) — READ
+    support for legacy archives: tag/length fields and fixed-width
+    binary values (US/OW/...) parse big-endian and are normalized to
+    LE at the reader layer, so every downstream path is unchanged."""
+
+    @staticmethod
+    def _be_file(tmp_path, px: np.ndarray, intercept: float | None
+                 ) -> "Path":
+        import struct as st
+
+        from mies_tpu.io.dicom import EXPLICIT_VR_BE, _el_short
+
+        def short(tag, vr, v):
+            return st.pack(">HH", *tag) + vr + st.pack(">H", len(v)) + v
+
+        def long_(tag, vr, v):
+            return (st.pack(">HH", *tag) + vr + b"\x00\x00"
+                    + st.pack(">I", len(v)) + v)
+
+        ts = EXPLICIT_VR_BE.encode() + b"\x00"  # odd length, null pad
+        meta_body = _el_short((0x0002, 0x0010), b"UI", ts)
+        meta = _el_short(
+            (0x0002, 0x0000), b"UL", st.pack("<I", len(meta_body))
+        ) + meta_body
+        rows, cols = px.shape
+        ds = short((0x0028, 0x0010), b"US", st.pack(">H", rows))
+        ds += short((0x0028, 0x0011), b"US", st.pack(">H", cols))
+        ds += short((0x0028, 0x0100), b"US", st.pack(">H", 16))
+        ds += short((0x0028, 0x0103), b"US",
+                    st.pack(">H", 1 if px.dtype == np.int16 else 0))
+        if intercept is not None:
+            ds += short((0x0028, 0x1052), b"DS", b"-1024 ")
+            ds += short((0x0028, 0x1053), b"DS", b"1 ")
+        ds += long_((0x7FE0, 0x0010), b"OW",
+                    px.astype(px.dtype.newbyteorder(">")).tobytes())
+        p = tmp_path / "be.dcm"
+        p.write_bytes(b"\x00" * 128 + b"DICM" + meta + ds)
+        return p
+
+    def test_int16_pixels_and_tags(self, tmp_path, rng):
+        px = rng.integers(-2000, 3000, (19, 27)).astype(np.int16)
+        p = self._be_file(tmp_path, px, intercept=None)
+        s = read_dicom(p)
+        np.testing.assert_array_equal(s.pixels, px)
+        assert (s.rows, s.cols) == (19, 27)
+        assert s.transfer_syntax == "1.2.840.10008.1.2.2"
+
+    def test_rescale_text_values(self, tmp_path, rng):
+        px = rng.integers(0, 4096, (8, 8)).astype(np.uint16)
+        p = self._be_file(tmp_path, px, intercept=-1024.0)
+        s = read_dicom(p)
+        assert s.pixels.dtype == np.int16
+        np.testing.assert_array_equal(
+            s.pixels, px.astype(np.int32) - 1024)
+
+    def test_header_only(self, tmp_path, rng):
+        from mies_tpu.io.dicom import read_dicom_header
+
+        px = rng.integers(0, 100, (12, 34)).astype(np.uint16)
+        h = read_dicom_header(self._be_file(tmp_path, px, None))
+        assert h["rows"] == 12 and h["cols"] == 34
