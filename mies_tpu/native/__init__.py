@@ -126,6 +126,7 @@ _ERRORS = {
     -6: "out of memory",
     -7: "corrupt RLE PixelData",
     -8: "multi-fragment (multi-frame) RLE PixelData",
+    -9: "corrupt/unsupported JPEG-LS PixelData",
 }
 
 

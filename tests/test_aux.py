@@ -378,7 +378,7 @@ def test_expected_skips():
         "test_clahe.py": 2,       # importorskip cv2 + kornia_pin replay
         "test_filters.py": 5,     # importorskip cv2
         "test_native.py": 1,      # skipif native unavailable
-        "test_io.py": 3,          # RLE native-vs-python (x2, native available) + jpegls_pin.npz replay
+        "test_io.py": 4,          # RLE/JPEG-LS native-vs-python (native available) + jpegls_pin.npz replay
         # permanent pin-replay skips (fire until a pin is checked in;
         # the kornia one is counted under test_clahe.py above):
         "test_histogram.py": 1,   # skimage_pin.npz replay

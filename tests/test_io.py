@@ -1492,3 +1492,43 @@ class TestBigEndian:
         px = rng.integers(0, 100, (12, 34)).astype(np.uint16)
         h = read_dicom_header(self._be_file(tmp_path, px, None))
         assert h["rows"] == 12 and h["cols"] == 34
+
+
+def test_jpegls_native_matches_python(tmp_path, rng):
+    """The C++ T.87 decoder (native/dicomfast.cpp::jls_decode_frame) is
+    bit-exact vs io/jpegls.py on the series hot path (~110x faster —
+    the Python coder is sample-sequential)."""
+    from mies_tpu import native
+    from mies_tpu.io.dicom import JPEG_LS_LOSSLESS, JPEG_LS_NEAR
+
+    if not native.available():
+        pytest.skip("native parser unavailable")
+    cases = [
+        rng.integers(-2000, 3000, (33, 47)).astype(np.int16),
+        np.zeros((20, 30), np.int16),
+        rng.integers(0, 256, (25, 31)).astype(np.uint8),
+        ((np.indices((40, 56)).sum(0) * 13) % 4096 - 1000).astype(
+            np.int16),
+    ]
+    for i, img in enumerate(cases):
+        p = tmp_path / f"n{i}.dcm"
+        write_dicom(p, img, transfer_syntax=JPEG_LS_LOSSLESS,
+                    slice_location=float(i))
+        nat, _ = native.read_dicom_native(p)
+        np.testing.assert_array_equal(nat, read_dicom(p).pixels)
+    # near-lossless decodes identically too
+    img = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    p = tmp_path / "near.dcm"
+    write_dicom(p, img, transfer_syntax=JPEG_LS_NEAR, jpegls_near=2)
+    nat, _ = native.read_dicom_native(p)
+    np.testing.assert_array_equal(nat, read_dicom(p).pixels)
+    # a JPEG-LS series stays on the native fast path end to end
+    d = tmp_path / "series"
+    d.mkdir()
+    base = rng.integers(-100, 400, (16, 24)).astype(np.int16)
+    for i in range(3):
+        write_dicom(d / f"s{i}.dcm", (base + i).astype(np.int16),
+                    slice_location=float(i * 5),
+                    transfer_syntax=JPEG_LS_LOSSLESS)
+    vol = native.read_dicom_series_native(d)
+    np.testing.assert_array_equal(vol[2], base + 2)
