@@ -953,3 +953,68 @@ class TestNlMeansKernel:
         finally:
             del os.environ["MIES_TPU_NLM_CHUNK"]
         np.testing.assert_allclose(a, b, atol=2e-7)
+
+
+class TestTvKernel:
+    """VMEM-resident Chambolle TV (kernels/tv.py): interpret-mode
+    agreement with the jnp twin, early-stop semantics, admission and
+    CPU-fallback dispatch."""
+
+    def test_interpret_matches_twin(self, rng):
+        from mies_tpu.kernels.tv import denoise_tv_tpu
+        from mies_tpu.ops.restoration import denoise_tv
+
+        x = jnp.asarray(rng.random((2, 64, 128)).astype(np.float32))
+        k = np.asarray(
+            denoise_tv_tpu(x, 0.1, 2e-4, 60, interpret=True))
+        t = np.asarray(jax.vmap(
+            lambda s: denoise_tv(s, weight=0.1, eps=2e-4,
+                                 max_num_iter=60))(x))
+        # energy-sum reduction order differs from XLA's tree -> the
+        # early stop can ULP-drift; fixed inputs pin a tight atol
+        np.testing.assert_allclose(k, t, atol=2e-6)
+
+    def test_interpret_early_stop_path(self, rng):
+        """A smooth input converges well before max_num_iter — the
+        kernel's per-slice while_loop must stop where the twin stops
+        (vmap-of-while masks converged lanes the same way)."""
+        from mies_tpu.kernels.tv import denoise_tv_tpu
+        from mies_tpu.ops.restoration import denoise_tv
+
+        base = np.tile(
+            np.linspace(0, 1, 128, dtype=np.float32), (2, 64, 1))
+        x = jnp.asarray(
+            base + rng.normal(0, 0.02, base.shape).astype(np.float32))
+        k = np.asarray(
+            denoise_tv_tpu(x, 0.2, 2e-4, 200, interpret=True))
+        t = np.asarray(jax.vmap(
+            lambda s: denoise_tv(s, weight=0.2, eps=2e-4,
+                                 max_num_iter=200))(x))
+        np.testing.assert_allclose(k, t, atol=2e-6)
+
+    def test_supported_bounds(self):
+        from mies_tpu.kernels.tv import tv_supported
+
+        assert tv_supported((512, 512))
+        assert tv_supported((8, 128))
+        assert not tv_supported((512, 640))   # > 1 MB slice
+        assert not tv_supported((100, 128))   # h % 8
+        assert not tv_supported((64, 100))    # w % 128
+
+    def test_batched_cpu_fallback_matches_op(self, rng):
+        from mies_tpu.kernels.tv import denoise_tv_batched
+        from mies_tpu.ops.restoration import denoise_tv
+
+        x = jnp.asarray(rng.random((2, 40, 56)).astype(np.float32))
+        got = np.asarray(denoise_tv_batched(x, 0.1, 2e-4, 30))
+        want = np.asarray(jax.vmap(
+            lambda s: denoise_tv(s, weight=0.1, eps=2e-4,
+                                 max_num_iter=30))(x))
+        np.testing.assert_array_equal(got, want)
+
+    def test_batched_rejects_bad_iters(self, rng):
+        from mies_tpu.kernels.tv import denoise_tv_batched
+
+        with pytest.raises(ValueError, match="max_num_iter"):
+            denoise_tv_batched(
+                jnp.zeros((1, 8, 128)), max_num_iter=0)
