@@ -240,6 +240,7 @@ def _batched_registry() -> dict[str, Callable]:
         srad_batched,
     )
     from mies_tpu.kernels.nlmeans import nl_means_batched
+    from mies_tpu.kernels.tv import denoise_tv_batched
 
     return {
         "clahe": clahe_batched,
@@ -258,6 +259,10 @@ def _batched_registry() -> dict[str, Callable]:
         # 0.26 ms/pair vs the jnp loop's 0.57; numbers and the design
         # trail in docs/KERNELS.md rounds 6-9)
         "denoise_nl_means": nl_means_batched,
+        # VMEM-resident Chambolle TV: the dual field never leaves the
+        # kernel — two HBM round trips per slice total instead of
+        # ~6 plane trips per iteration (kernels/tv.py)
+        "denoise_tv": denoise_tv_batched,
     }
 
 

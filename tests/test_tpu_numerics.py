@@ -201,3 +201,11 @@ def test_pm_kernel_dispatch_consistency(consistency):
 
 def test_srad_kernel_dispatch_consistency(consistency):
     _case(consistency, "srad_kernel_dispatch_vs_cpu")
+
+
+def test_tv_kernel_dispatch_consistency(consistency):
+    """denoise_tv's batched entry — the VMEM-resident while_loop
+    kernel on TPU (kernels/tv.py, 11.3x) — vs the CPU jnp fallback.
+    Looser bound than PM/SRAD: the in-kernel energy sums ULP-drift vs
+    XLA's reduction tree, which can shift the early stop."""
+    _case(consistency, "tv_kernel_dispatch_vs_cpu")

@@ -547,9 +547,31 @@ def main() -> int:
         "max_abs": d, "ok": d <= 2e-5,
     }
 
-    # NL-means runs the jnp form on every backend (the VMEM-resident
-    # kernel lost its A/B — docs/KERNELS.md); this contract pins the
-    # TPU evaluation of the pair loop against CPU.
+    # Chambolle TV's dispatched path compiles the VMEM-resident
+    # while_loop kernel (kernels/tv.py, 11.3x) on TPU; the early stop
+    # compares in-kernel energy sums whose reduction order ULP-drifts
+    # vs XLA's tree, hence the looser bound than PM/SRAD.
+    from mies_tpu.kernels.tv import denoise_tv_batched
+    from mies_tpu.ops.restoration import denoise_tv as _tv
+
+    t = np.asarray(jax.jit(
+        lambda a: denoise_tv_batched(a, 0.1, 2e-4, 200)
+    )(stack))
+    c = np.asarray(jax.jit(jax.vmap(
+        lambda v: _tv(v, weight=0.1, eps=2e-4, max_num_iter=200)
+    ))(jax.device_put(stack, cpu)))
+    d = float(np.abs(t - c).max())
+    out["cases"]["tv_kernel_dispatch_vs_cpu"] = {
+        "max_abs": d, "ok": d <= 1e-4,
+    }
+
+    # NL-means at the REGISTRY defaults (patch_distance > 8) runs the
+    # jnp pair loop on every backend; the chunked VMEM kernel that w10
+    # dispatches (kernels/nlmeans.py, d <= 8) is pinned bit-exact in
+    # interpret mode and measured by the floor-gated w10 workload —
+    # re-compiling its 7 chunks at a fresh batch shape here would cost
+    # hours of Mosaic compile for no extra numeric coverage. This
+    # contract pins the TPU evaluation of the pair loop against CPU.
     from mies_tpu.ops.restoration import denoise_nl_means as _nlm
 
     t, c = both(lambda a: _nlm(a, 7, 5, 0.1, 0.05), imgs[0])
