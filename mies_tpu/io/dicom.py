@@ -31,9 +31,12 @@ environment), so the format support is implemented here directly:
   the T.87 LOCO-I codec in io/jpegls.py, decode AND encode (the
   dominant modern lossless PACS syntax; CharLS pin via
   tools/verify_jpegls_golden.py).
+* JPEG 2000 (1.2.840.10008.1.2.4.90 lossless / .4.91) — the 15444-1
+  EBCOT codec in io/jpeg2k.py, decode (raw codestreams and JP2
+  containers; golden-tested against Pillow's OpenJPEG in-tree).
 
-The remaining transfer-syntax family (J2K, MPEG, big endian) is
-refused with the syntax NAMED and transcode guidance.
+The remaining families (HTJ2K, MPEG video) are refused with the
+syntax NAMED and transcode guidance.
 """
 
 from __future__ import annotations
@@ -56,6 +59,8 @@ JPEG_BASELINE = "1.2.840.10008.1.2.4.50"  # process 1, 8-bit LOSSY
 JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"  # processes 2 & 4, 8/12-bit LOSSY
 JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"  # T.87, NEAR = 0
 JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"  # T.87 near-lossless, NEAR >= 1
+JPEG_2000_LOSSLESS = "1.2.840.10008.1.2.4.90"  # 5/3 reversible only
+JPEG_2000 = "1.2.840.10008.1.2.4.91"  # 9/7 (or 5/3) — may be lossy
 
 # encapsulated (undefined-length, fragment-item) PixelData syntaxes
 _ENCAPSULATED = (
@@ -66,16 +71,21 @@ _ENCAPSULATED = (
     JPEG_EXTENDED,
     JPEG_LS_LOSSLESS,
     JPEG_LS_NEAR,
+    JPEG_2000_LOSSLESS,
+    JPEG_2000,
 )
 _JPEG_DCT = (JPEG_BASELINE, JPEG_EXTENDED)
 _JPEG_LS = (JPEG_LS_LOSSLESS, JPEG_LS_NEAR)
+_JPEG_2K = (JPEG_2000_LOSSLESS, JPEG_2000)
 
 # Known-but-unsupported syntaxes, named in refusal messages so users
 # know exactly what to transcode (gdcmconv --raw / dcmdjpeg).
 _TS_NAMES = {
-    "1.2.840.10008.1.2.4.90": "JPEG 2000 Lossless",
-    "1.2.840.10008.1.2.4.91": "JPEG 2000",
     "1.2.840.10008.1.2.4.100": "MPEG2",
+    "1.2.840.10008.1.2.4.102": "MPEG-4 AVC/H.264",
+    "1.2.840.10008.1.2.4.201": "HTJ2K Lossless",
+    "1.2.840.10008.1.2.4.202": "HTJ2K Lossless RPCL",
+    "1.2.840.10008.1.2.4.203": "HTJ2K",
 }
 
 
@@ -98,7 +108,8 @@ def _ts_explicit(ts: str, path) -> bool:
         f"{EXPLICIT_VR_LE}, {EXPLICIT_VR_BE}), Deflated "
         f"({DEFLATED_EXPLICIT_VR_LE}), RLE Lossless ({RLE_LOSSLESS}), "
         f"JPEG Lossless ({JPEG_LOSSLESS_P14}, {JPEG_LOSSLESS_SV1}), "
-        f"JPEG-LS ({JPEG_LS_LOSSLESS}, {JPEG_LS_NEAR}) and lossy JPEG "
+        f"JPEG-LS ({JPEG_LS_LOSSLESS}, {JPEG_LS_NEAR}), JPEG 2000 "
+        f"({JPEG_2000_LOSSLESS}, {JPEG_2000}) and lossy JPEG "
         f"({JPEG_BASELINE}, {JPEG_EXTENDED}); transcode first "
         f"(e.g. `gdcmconv --raw` or dcmtk's dcmdjpeg)"
     )
@@ -461,6 +472,8 @@ def _decode_jpegll_pixeldata(
         from mies_tpu.io.jpegdct import decode_jpeg_dct as _decode_blob
     elif ts in _JPEG_LS:
         from mies_tpu.io.jpegls import decode_jpegls as _decode_blob
+    elif ts in _JPEG_2K:
+        from mies_tpu.io.jpeg2k import decode_jpeg2k as _decode_blob
     else:
         from mies_tpu.io.jpegll import (
             decode_jpeg_lossless as _decode_blob,
@@ -963,6 +976,7 @@ def write_dicom(
     transfer_syntax: str = EXPLICIT_VR_LE,
     jpeg_quality: int = 90,
     jpegls_near: int | None = None,
+    encoded_frames: list[bytes] | None = None,
 ) -> None:
     """Write a minimal explicit-VR-LE Part-10 DICOM file (int16/uint8).
 
@@ -984,6 +998,13 @@ def write_dicom(
     ``JPEG_LS_LOSSLESS`` (.4.80) writes T.87 NEAR=0 (bit-exact);
     ``JPEG_LS_NEAR`` (.4.81) bounds each sample's error by
     ``jpegls_near`` (default 2, must be >= 1 for this syntax).
+
+    ``encoded_frames`` is the transcode passthrough: pre-encoded
+    codestream blobs (one per frame) written verbatim as the
+    encapsulated fragments — the only way to WRITE the decode-only
+    JPEG 2000 syntaxes (.4.90/.4.91).  ``pixels`` still supplies
+    Rows/Columns/BitsAllocated and must match what the blobs decode
+    to; the caller owns that consistency.
     """
     if transfer_syntax not in (
         EXPLICIT_VR_LE,
@@ -1056,9 +1077,26 @@ def write_dicom(
     if rescale_intercept != 0.0 or rescale_slope != 1.0:
         ds += _el_short(_TAG_INTERCEPT, b"DS", f"{rescale_intercept:g}".encode())
         ds += _el_short(_TAG_SLOPE, b"DS", f"{rescale_slope:g}".encode())
+    if transfer_syntax in _JPEG_2K and encoded_frames is None:
+        raise NotImplementedError(
+            "write_dicom does not encode JPEG 2000 (decode-only "
+            "syntax) — pass pre-encoded codestreams via "
+            "encoded_frames=, or write RLE Lossless / JPEG-LS for "
+            "bit-exact archives"
+        )
+    if encoded_frames is not None and transfer_syntax not in _ENCAPSULATED:
+        raise ValueError(
+            f"encoded_frames requires an encapsulated transfer syntax, "
+            f"got {transfer_syntax!r}"
+        )
     if transfer_syntax in _ENCAPSULATED:
         # encapsulated: undefined-length OB + BOT item + frame items
         frames = pixels if pixels.ndim == 3 else pixels[None]
+        if encoded_frames is not None and len(encoded_frames) != len(frames):
+            raise ValueError(
+                f"{len(encoded_frames)} encoded_frames for "
+                f"{len(frames)} frame(s) of pixel metadata"
+            )
         ds += (
             struct.pack("<HH", *_TAG_PIXEL_DATA)
             + b"OB\x00\x00"
@@ -1100,8 +1138,10 @@ def write_dicom(
                         f"jpegls_near >= 1, got {near} — use "
                         "JPEG_LS_LOSSLESS (.4.80) for exact coding"
                     )
-        for fr in frames:
-            if transfer_syntax == RLE_LOSSLESS:
+        for i, fr in enumerate(frames):
+            if encoded_frames is not None:
+                blob = bytes(encoded_frames[i])
+            elif transfer_syntax == RLE_LOSSLESS:
                 blob = _rle_encode_frame(fr)
             elif transfer_syntax in _JPEG_DCT:
                 from mies_tpu.io.jpegdct import encode_jpeg_dct

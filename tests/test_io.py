@@ -786,7 +786,7 @@ class TestRLE:
     def test_write_rejects_unknown_syntax(self, tmp_path, ct_slice_hu):
         with pytest.raises(ValueError, match="transfer_syntax"):
             write_dicom(tmp_path / "x.dcm", ct_slice_hu,
-                        transfer_syntax="1.2.840.10008.1.2.4.90")
+                        transfer_syntax="1.2.840.10008.1.2.4.100")
 
 
 class TestJpegLossless:
@@ -1532,3 +1532,191 @@ def test_jpegls_native_matches_python(tmp_path, rng):
                     transfer_syntax=JPEG_LS_LOSSLESS)
     vol = native.read_dicom_series_native(d)
     np.testing.assert_array_equal(vol[2], base + 2)
+
+
+class TestJPEG2K:
+    """JPEG 2000 (1.2.840.10008.1.2.4.90/.91) — the ISO 15444-1 EBCOT
+    decoder in io/jpeg2k.py.  Unlike the CharLS/kornia pins, the golden
+    SOURCE is in-tree: Pillow's OpenJPEG binding encodes AND decodes in
+    this environment, so every case is generated and cross-checked
+    live (reversible must match bit-exactly, irreversible within one
+    code value — float evaluation order)."""
+
+    @staticmethod
+    def _enc(a, **kw):
+        import io as _io
+
+        from PIL import Image
+
+        b = _io.BytesIO()
+        if a.dtype == np.uint8:
+            im = Image.fromarray(a)
+        else:
+            im = Image.fromarray(a.astype(np.int32), mode="I").convert(
+                "I;16")
+        im.save(b, format="JPEG2000", **kw)
+        return b.getvalue()
+
+    @staticmethod
+    def _pillow_dec(blob):
+        import io as _io
+
+        from PIL import Image
+
+        return np.array(Image.open(_io.BytesIO(blob)))
+
+    def test_reversible_bit_exact(self, rng):
+        from mies_tpu.io.jpeg2k import decode_jpeg2k
+
+        for shape in [(32, 32), (61, 47), (1, 17), (16, 1), (5, 5),
+                      (96, 64)]:
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            out = decode_jpeg2k(self._enc(img, irreversible=False),
+                                f"rev{shape}")
+            np.testing.assert_array_equal(out, img)
+
+    def test_reversible_16bit(self, rng):
+        from mies_tpu.io.jpeg2k import decode_jpeg2k
+
+        for hi in (4096, 65536):  # 12-bit CT range and full 16-bit
+            img = rng.integers(0, hi, (48, 33)).astype(np.uint16)
+            out = decode_jpeg2k(self._enc(img, irreversible=False),
+                                f"u16-{hi}")
+            np.testing.assert_array_equal(out, img)
+
+    def test_irreversible_within_one(self, rng):
+        from mies_tpu.io.jpeg2k import decode_jpeg2k
+
+        y, x = np.mgrid[0:64, 0:64].astype(np.float64)
+        img = ((np.sin(x / 7) + np.cos(y / 5) + 2) / 4 * 255
+               + rng.normal(0, 4, (64, 64))).clip(0, 255).astype(np.uint8)
+        blob = self._enc(img, irreversible=True)
+        out = decode_jpeg2k(blob, "irr")
+        golden = self._pillow_dec(blob)
+        assert np.abs(
+            out.astype(np.int64) - golden.astype(np.int64)).max() <= 1
+
+    def test_structural_variants_bit_exact(self, rng):
+        """Tiles, every progression order, quality layers, small
+        codeblocks, explicit precincts, shallow resolution count."""
+        from mies_tpu.io.jpeg2k import decode_jpeg2k
+
+        img = rng.integers(0, 256, (70, 90)).astype(np.uint8)
+        variants = [
+            dict(tile_size=(32, 32)),
+            dict(progression="RLCP"),
+            dict(progression="RPCL"),
+            dict(progression="PCRL"),
+            dict(progression="CPRL"),
+            dict(codeblock_size=(16, 16)),
+            dict(precinct_size=(64, 64)),
+            dict(num_resolutions=2),
+        ]
+        for kw in variants:
+            blob = self._enc(img, irreversible=False, **kw)
+            out = decode_jpeg2k(blob, str(kw))
+            np.testing.assert_array_equal(out, img, err_msg=str(kw))
+
+    def test_rate_limited_layers_match_pillow(self, rng):
+        """Truncation path: lossy quality layers decode to exactly what
+        OpenJPEG reconstructs (reversible wavelet, half-bin midpoints
+        differ by at most one code value in float order)."""
+        from mies_tpu.io.jpeg2k import decode_jpeg2k
+
+        y, x = np.mgrid[0:64, 0:64].astype(np.float64)
+        img = ((np.sin(x / 9) * np.cos(y / 6) + 1) / 2 * 255).astype(
+            np.uint8)
+        blob = self._enc(img, irreversible=False, quality_mode="rates",
+                         quality_layers=[20, 5, 1])
+        out = decode_jpeg2k(blob, "layers")
+        golden = self._pillow_dec(blob)
+        np.testing.assert_array_equal(out, golden)
+
+    def test_raw_codestream_and_jp2_container(self, rng):
+        from mies_tpu.io.jpeg2k import decode_jpeg2k
+
+        img = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+        jp2 = self._enc(img, irreversible=False)
+        raw = self._enc(img, irreversible=False, no_jp2=True)
+        assert raw[:2] == b"\xff\x4f" and jp2[:2] != b"\xff\x4f"
+        np.testing.assert_array_equal(decode_jpeg2k(jp2, "jp2"), img)
+        np.testing.assert_array_equal(decode_jpeg2k(raw, "raw"), img)
+
+    def test_refusals_name_the_feature(self, rng):
+        import io as _io
+
+        from PIL import Image
+
+        from mies_tpu.io.jpeg2k import decode_jpeg2k
+
+        b = _io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        ).save(b, format="JPEG2000", irreversible=False)
+        with pytest.raises(NotImplementedError, match="component"):
+            decode_jpeg2k(b.getvalue(), "rgb")
+        with pytest.raises(ValueError, match="not JPEG 2000|SOC"):
+            decode_jpeg2k(b"\x00\x01\x02\x03\x04", "junk")
+
+    def test_dicom_roundtrip_int16_hu(self, tmp_path, rng):
+        from mies_tpu.io.dicom import JPEG_2000_LOSSLESS
+
+        raw = rng.integers(0, 4096, (64, 80)).astype(np.uint16)
+        p = tmp_path / "j2k.dcm"
+        write_dicom(p, raw, transfer_syntax=JPEG_2000_LOSSLESS,
+                    encoded_frames=[self._enc(raw, irreversible=False)],
+                    rescale_slope=1.0, rescale_intercept=-1024.0)
+        s = read_dicom(p)
+        assert s.transfer_syntax == JPEG_2000_LOSSLESS
+        assert s.pixels.dtype == np.int16
+        np.testing.assert_array_equal(
+            s.pixels, raw.astype(np.int32) - 1024)
+
+    def test_dicom_multiframe(self, tmp_path, rng):
+        from mies_tpu.io.dicom import JPEG_2000_LOSSLESS, read_dicom_frames
+
+        frames = rng.integers(0, 256, (3, 32, 32)).astype(np.uint8)
+        p = tmp_path / "j2km.dcm"
+        write_dicom(
+            p, frames, transfer_syntax=JPEG_2000_LOSSLESS,
+            encoded_frames=[self._enc(f, irreversible=False)
+                            for f in frames],
+        )
+        np.testing.assert_array_equal(read_dicom_frames(p)[0], frames)
+
+    def test_dicom_series_streams_via_python_fallback(self, tmp_path, rng):
+        """A J2K series loads through load_volume: the native parser
+        refuses the syntax per-file and the Python twin decodes."""
+        from mies_tpu.io.dicom import JPEG_2000_LOSSLESS
+        from mies_tpu.io.volume import load_volume
+
+        d = tmp_path / "series"
+        d.mkdir()
+        base = rng.integers(0, 1200, (16, 24)).astype(np.uint16)
+        for i in range(3):
+            fr = (base + i).astype(np.uint16)
+            write_dicom(
+                d / f"s{i}.dcm", fr, transfer_syntax=JPEG_2000_LOSSLESS,
+                encoded_frames=[self._enc(fr, irreversible=False)],
+                slice_location=float(i * 5),
+                rescale_slope=1.0, rescale_intercept=-1024.0,
+            )
+        vol, _meta = load_volume(d)
+        assert vol.shape == (3, 16, 24)
+        np.testing.assert_array_equal(
+            vol[1], base.astype(np.int32) - 1024 + 1)
+
+    def test_encode_refused_without_passthrough(self, tmp_path, rng):
+        from mies_tpu.io.dicom import JPEG_2000_LOSSLESS
+
+        img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        with pytest.raises(NotImplementedError, match="encoded_frames"):
+            write_dicom(tmp_path / "x.dcm", img,
+                        transfer_syntax=JPEG_2000_LOSSLESS)
+        with pytest.raises(ValueError, match="encoded_frames"):
+            write_dicom(tmp_path / "y.dcm", img,
+                        encoded_frames=[b"zz"])  # uncompressed syntax
+        with pytest.raises(ValueError, match="frame"):
+            write_dicom(tmp_path / "z.dcm", img,
+                        transfer_syntax=JPEG_2000_LOSSLESS,
+                        encoded_frames=[b"a", b"b"])  # count mismatch
