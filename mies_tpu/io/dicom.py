@@ -1010,10 +1010,15 @@ def write_dicom(
         EXPLICIT_VR_LE,
         DEFLATED_EXPLICIT_VR_LE,
     ) + _ENCAPSULATED:
+        accepted = ", ".join(
+            (EXPLICIT_VR_LE, DEFLATED_EXPLICIT_VR_LE) + _ENCAPSULATED
+        )
         raise ValueError(
-            f"write_dicom emits Explicit VR LE (plain or Deflated), RLE "
-            f"Lossless or JPEG Lossless, got "
-            f"transfer_syntax={transfer_syntax!r}"
+            f"write_dicom accepts transfer_syntax in [{accepted}] "
+            f"(Explicit VR LE plain/Deflated and the encapsulated "
+            f"codecs; JPEG 2000 needs encoded_frames= unless the "
+            f"in-tree encoder supports the parameters), got "
+            f"{transfer_syntax!r}"
         )
     pixels = np.asarray(pixels)
     if pixels.dtype == np.int16:

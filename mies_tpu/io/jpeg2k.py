@@ -159,6 +159,15 @@ class _MQDecoder:
 # ---------------------------------------------------------------------------
 
 
+class _Truncated(ValueError):
+    """A packet header or body runs past the end of the tile data —
+    the file was cut mid-packet. ``_decode_tile`` catches this and
+    keeps every packet already decoded (the same decode-what-is-
+    present contract ``_collect_tileparts`` applies to a truncated
+    last tile-part); it only escapes as an error for callers parsing
+    packets outside a tile walk."""
+
+
 class _HdrBits:
     """MSB-first reader over packet-header bytes: a byte following 0xFF
     carries only 7 payload bits (its MSB is the stuffed 0)."""
@@ -173,7 +182,7 @@ class _HdrBits:
     def bit(self) -> int:
         if self._bits == 0:
             if self.pos >= len(self.data):
-                raise ValueError("packet header overruns tile data")
+                raise _Truncated("packet header overruns tile data")
             byte = self.data[self.pos]
             self.pos += 1
             if self._prev_ff:
@@ -655,7 +664,7 @@ def _decode_packet(data, pos, res, p, layer, cod, ctx):
             raise ValueError(f"{ctx}: EPH marker missing after header")
     for cb, nbytes in contrib:
         if pos + nbytes > len(data):
-            raise ValueError(f"{ctx}: packet body overruns tile data")
+            raise _Truncated(f"{ctx}: packet body overruns tile data")
         cb.segs.append(data[pos:pos + nbytes])
         pos += nbytes
     return pos
@@ -956,6 +965,13 @@ def _band_coeffs(band, guard, depth, reversible, ctx):
     if bw <= 0 or bh <= 0:
         return arr
     mb = guard + band.eps - 1
+    if mb > 31:
+        raise ValueError(
+            f"QCD/QCC declares Mb = guard bits ({guard}) + exponent "
+            f"({band.eps}) - 1 = {mb} magnitude bitplanes for the "
+            f"{band.kind} band; int32 Tier-1 magnitudes support "
+            f"Mb <= 31 (no real <= 16-bit stream comes close)"
+        )
     if not reversible:
         rb = depth + _GAIN[band.kind]
         delta = 2.0 ** (rb - band.eps) * (1.0 + band.mu / 2048.0)
@@ -1002,7 +1018,15 @@ def _decode_tile(tdata, bounds, siz, cod, qcd, ctx):
     ):
         if pos >= len(tdata):
             break  # rate-limited stream: later packets absent
-        pos = _decode_packet(tdata, pos, res, p, layer, cod, ctx)
+        try:
+            pos = _decode_packet(tdata, pos, res, p, layer, cod, ctx)
+        except _Truncated:
+            # file cut mid-packet: keep everything already decoded
+            # (the MQ decoder reads past-end bytes as 0xFF, so a
+            # block whose later segments are missing reconstructs
+            # its decoded planes and stops — T.800 truncation
+            # behavior, consistent with _collect_tileparts's clamp)
+            break
     reversible = cod["wavelet"] == 1
     guard, depth = qcd["guard"], siz["depth"]
     ll = _band_coeffs(reses[0].bands[0], guard, depth, reversible, ctx)
@@ -1119,10 +1143,12 @@ def _unwrap_jp2(blob: bytes, ctx: str) -> bytes:
         else:
             size = lbox
             hdr = 8
-        if size < hdr or pos + size > n:
+        if size < hdr or (pos + size > n and tbox != b"jp2c"):
             raise ValueError(f"{ctx}: malformed JP2 box {tbox!r}")
         if tbox == b"jp2c":
-            return blob[pos + hdr:pos + size]
+            # a file cut inside the codestream box clamps to what is
+            # present (the tile walk then decodes the packets it has)
+            return blob[pos + hdr:min(pos + size, n)]
         pos += size
     raise ValueError(f"{ctx}: JP2 file has no jp2c codestream box")
 

@@ -247,9 +247,13 @@ def stage_receptive_field(op: str, params: dict) -> int:
         # two morphology levels (erode then dilate or vice versa)
         return 2 * (params.get("kernel_size", 3) // 2)
     if op == "subtract_background":
-        if params.get("downscale", 1) > 1:
+        from mies_tpu.ops.morphology import _resolve_downscale
+
+        if _resolve_downscale(params.get("downscale", "auto"),
+                              params.get("radius", 25.0)) > 1:
             raise ValueError(
-                "subtract_background with downscale > 1 runs on "
+                "subtract_background with an effective downscale > 1 "
+                "(explicit, or 'auto' at radius > 10) runs on "
                 "decimated pyramid grids which don't tile along rows; "
                 "use downscale=1 or batch sharding"
             )

@@ -593,9 +593,12 @@ _VALUE_RULES: dict[str, dict[str, tuple]] = {
         ),
         "light_background": (lambda v: isinstance(v, bool), "a bool"),
         "downscale": (
-            lambda v: isinstance(v, int) and not isinstance(v, bool)
-            and v >= 1 and v & (v - 1) == 0,
-            "a power-of-two int >= 1 (ImageJ shrink for large radii)",
+            lambda v: v == "auto" or (
+                isinstance(v, int) and not isinstance(v, bool)
+                and v >= 1 and v & (v - 1) == 0
+            ),
+            "'auto' (ImageJ's shrink schedule) or a power-of-two "
+            "int >= 1",
         ),
     },
     "musica": {

@@ -1633,10 +1633,23 @@ def rolling_ball(img, radius=25.0, intensity=None, downscale=1):
     return b
 
 
+def _imagej_shrink(radius):
+    """ImageJ RollingBall's shrink schedule (see the op's docstring)."""
+    if radius <= 10:
+        return 1
+    if radius <= 30:
+        return 2
+    if radius <= 100:
+        return 4
+    return 8
+
+
 def subtract_background(img, radius=25.0, intensity=None,
-                        light_background=False, downscale=1):
+                        light_background=False, downscale="auto"):
     if intensity is None:
         intensity = float(radius) / 255.0
+    if downscale == "auto":
+        downscale = _imagej_shrink(radius)
     x = np.asarray(img, np.float32)
     if light_background:
         inv = 1.0 - x

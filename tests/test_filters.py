@@ -433,6 +433,35 @@ class TestRollingBall:
             stage_receptive_field(
                 "subtract_background", {"radius": 8.0, "downscale": 2}
             )
+        # 'auto' (the default) shrinks at radius > 10, so the band
+        # form must reject the defaulted large radius too...
+        with pytest.raises(ValueError, match="downscale"):
+            stage_receptive_field("subtract_background", {"radius": 25.0})
+        # ...while small radii (exact) and pinned downscale=1 shard
+        assert stage_receptive_field(
+            "subtract_background", {"radius": 8.0}) == 16
+        assert stage_receptive_field(
+            "subtract_background", {"radius": 25.0, "downscale": 1}) == 50
+
+    def test_auto_downscale_schedule(self, xray):
+        # ImageJ's RollingBall shrink schedule: <=10 exact, <=30 half,
+        # <=100 quarter, else eighth — 'auto' (the default for
+        # subtract_background) must equal the explicit pin at every
+        # band, and the golden applies the same schedule
+        from mies_tpu.ops.morphology import (_imagej_shrink,
+                                             subtract_background)
+
+        assert [_imagej_shrink(r) for r in (1, 10, 10.5, 30, 31, 100,
+                                            101, 400)] == \
+            [1, 1, 2, 2, 4, 4, 8, 8]
+        for radius, pin in ((9.0, 1), (25.0, 2), (60.0, 4)):
+            auto = np.asarray(subtract_background(jnp.asarray(xray),
+                                                  radius))
+            explicit = np.asarray(subtract_background(
+                jnp.asarray(xray), radius, downscale=pin))
+            np.testing.assert_array_equal(auto, explicit)
+            np.testing.assert_allclose(
+                auto, G.subtract_background(xray, radius), atol=1e-6)
 
     def test_bad_radius_raises(self):
         from mies_tpu.ops.morphology import rolling_ball

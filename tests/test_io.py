@@ -1642,6 +1642,38 @@ class TestJPEG2K:
         np.testing.assert_array_equal(decode_jpeg2k(jp2, "jp2"), img)
         np.testing.assert_array_equal(decode_jpeg2k(raw, "raw"), img)
 
+    def test_truncated_midpacket_decodes_prefix(self, rng):
+        # decode-what-is-present: a file cut ANYWHERE past the main
+        # header (mid-packet-header, mid-body, between packets) keeps
+        # the packets already decoded instead of raising — the same
+        # contract _collect_tileparts applies to a cut last tile-part
+        from mies_tpu.io.jpeg2k import decode_jpeg2k
+
+        img = rng.integers(0, 4096, (48, 56)).astype(np.uint16)
+        blob = self._enc(img, irreversible=False)
+        full = decode_jpeg2k(blob, "full")
+        np.testing.assert_array_equal(full, img)
+        for frac in (0.55, 0.7, 0.85, 0.97):
+            cut = blob[:int(len(blob) * frac)]
+            out = decode_jpeg2k(cut, f"cut{frac}")
+            assert out.shape == img.shape and out.dtype == full.dtype
+
+    def test_mb_over_31_refused_by_name(self, rng):
+        # a QCD declaring guard+exponent-1 > 31 magnitude bitplanes
+        # must be a named refusal, not an int overflow deep in Tier-1
+        from mies_tpu.io.jpeg2k import decode_jpeg2k
+
+        img = rng.integers(0, 4096, (16, 16)).astype(np.uint16)
+        blob = bytearray(self._enc(img, irreversible=False))
+        i = blob.find(b"\xff\x5c")
+        assert i >= 0
+        seglen = int.from_bytes(blob[i + 2:i + 4], "big")
+        blob[i + 4] = 0xE0  # Sqcd: style 0 (no quant), 7 guard bits
+        for j in range(i + 5, i + 2 + seglen):
+            blob[j] = 0xF8  # every band exponent -> 31
+        with pytest.raises(ValueError, match="Mb"):
+            decode_jpeg2k(bytes(blob), "mb32")
+
     def test_refusals_name_the_feature(self, rng):
         import io as _io
 
