@@ -867,13 +867,16 @@ class TestSradKernel:
 class TestNlMeansKernel:
     """Static-pair-table VMEM-resident NL-means (kernels/nlmeans.py) vs
     the jnp pair loop — every shift a static Mosaic slice (the dynamic-
-    rotate kernel was the round-6 dead end); interpret mode pins BIT
-    equality (same table, same order, same shifted-add box sums)."""
+    rotate kernel was the round-6 dead end). box=shift interpret mode
+    pins BIT equality (same table, same order, same shifted-add box
+    sums); box=dot (the default — MXU band-operator box sums, what
+    makes d=11 compile) is atol-level, the TV-kernel stance."""
 
-    def test_interpret_matches_twin_w10_config(self, rng):
+    def test_interpret_matches_twin_w10_config(self, rng, monkeypatch):
         from mies_tpu.kernels.nlmeans import nl_means_tpu
         from mies_tpu.ops.restoration import denoise_nl_means
 
+        monkeypatch.setenv("MIES_TPU_NLM_BOX", "shift")
         x = rng.random((2, 32, 128)).astype(np.float32)
         k = np.asarray(nl_means_tpu(
             jnp.asarray(x), patch_size=5, patch_distance=6, h=0.06,
@@ -883,10 +886,11 @@ class TestNlMeansKernel:
         ))(jnp.asarray(x)))
         np.testing.assert_array_equal(k, t)
 
-    def test_interpret_even_patch_and_sigma0(self, rng):
+    def test_interpret_even_patch_and_sigma0(self, rng, monkeypatch):
         from mies_tpu.kernels.nlmeans import nl_means_tpu
         from mies_tpu.ops.restoration import denoise_nl_means
 
+        monkeypatch.setenv("MIES_TPU_NLM_BOX", "shift")
         x = rng.random((1, 16, 128)).astype(np.float32)
         k = np.asarray(nl_means_tpu(
             jnp.asarray(x), patch_size=4, patch_distance=3, h=0.1,
@@ -895,15 +899,37 @@ class TestNlMeansKernel:
             v, patch_size=4, patch_distance=3, h=0.1))(jnp.asarray(x)))
         np.testing.assert_array_equal(k, t)
 
-    def test_admission(self):
+    def test_dot_box_matches_twin(self, rng):
+        # the default box=dot form: MXU band-operator box sums differ
+        # from the sequential shifted adds only in reduction order —
+        # atol-level vs the twin (incl. skimage's own default d=11,
+        # the whole point of the dot form)
+        from mies_tpu.kernels.nlmeans import nl_means_tpu
+        from mies_tpu.ops.restoration import denoise_nl_means
+
+        for s, d in ((5, 6), (7, 11), (4, 3)):
+            x = rng.random((1, 16, 128)).astype(np.float32)
+            k = np.asarray(nl_means_tpu(
+                jnp.asarray(x), patch_size=s, patch_distance=d, h=0.06,
+                sigma=0.04, interpret=True))
+            t = np.asarray(jax.vmap(lambda v: denoise_nl_means(
+                v, patch_size=s, patch_distance=d, h=0.06, sigma=0.04
+            ))(jnp.asarray(x)))
+            np.testing.assert_allclose(k, t, atol=2e-6)
+
+    def test_admission(self, monkeypatch):
         from mies_tpu.kernels.nlmeans import nl_means_supported
 
         assert nl_means_supported((512, 512), 5, 6)
         assert nl_means_supported((512, 512), 7, 8)
-        assert not nl_means_supported((512, 512), 7, 11)  # d cap
-        assert not nl_means_supported((500, 512), 5, 6)   # h % 8
-        assert not nl_means_supported((512, 500), 5, 6)   # w % 128
-        assert not nl_means_supported((8, 128), 7, 6)     # pad > dim-1
+        assert nl_means_supported((512, 512), 7, 11)       # dot default
+        assert not nl_means_supported((512, 512), 7, 12)   # d cap
+        assert not nl_means_supported((500, 512), 5, 6)    # h % 8
+        assert not nl_means_supported((512, 500), 5, 6)    # w % 128
+        assert not nl_means_supported((8, 128), 7, 6)      # pad > dim-1
+        monkeypatch.setenv("MIES_TPU_NLM_BOX", "shift")
+        assert not nl_means_supported((512, 512), 7, 11)   # shift cap 8
+        assert nl_means_supported((512, 512), 7, 8)
 
     def test_batched_dispatch_fallback(self, rng):
         from mies_tpu.kernels.nlmeans import nl_means_batched
