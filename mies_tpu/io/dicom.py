@@ -999,10 +999,15 @@ def write_dicom(
     ``JPEG_LS_NEAR`` (.4.81) bounds each sample's error by
     ``jpegls_near`` (default 2, must be >= 1 for this syntax).
 
+    ``JPEG_2000_LOSSLESS`` (.4.90) writes reversible-5/3 codestreams
+    natively (io/jpeg2k.py's encoder: single tile, one quality layer,
+    LRCP — bit-exact round trips, cross-checked against OpenJPEG);
+    ``bits_stored`` tightens the declared sample depth.
+
     ``encoded_frames`` is the transcode passthrough: pre-encoded
     codestream blobs (one per frame) written verbatim as the
-    encapsulated fragments — the only way to WRITE the decode-only
-    JPEG 2000 syntaxes (.4.90/.4.91).  ``pixels`` still supplies
+    encapsulated fragments — the only way to WRITE lossy JPEG 2000
+    (.4.91, no in-tree rate control).  ``pixels`` still supplies
     Rows/Columns/BitsAllocated and must match what the blobs decode
     to; the caller owns that consistency.
     """
@@ -1016,9 +1021,8 @@ def write_dicom(
         raise ValueError(
             f"write_dicom accepts transfer_syntax in [{accepted}] "
             f"(Explicit VR LE plain/Deflated and the encapsulated "
-            f"codecs; JPEG 2000 needs encoded_frames= unless the "
-            f"in-tree encoder supports the parameters), got "
-            f"{transfer_syntax!r}"
+            f"codecs; lossy JPEG 2000 .4.91 needs encoded_frames=), "
+            f"got {transfer_syntax!r}"
         )
     pixels = np.asarray(pixels)
     if pixels.dtype == np.int16:
@@ -1082,12 +1086,12 @@ def write_dicom(
     if rescale_intercept != 0.0 or rescale_slope != 1.0:
         ds += _el_short(_TAG_INTERCEPT, b"DS", f"{rescale_intercept:g}".encode())
         ds += _el_short(_TAG_SLOPE, b"DS", f"{rescale_slope:g}".encode())
-    if transfer_syntax in _JPEG_2K and encoded_frames is None:
+    if transfer_syntax == JPEG_2000 and encoded_frames is None:
         raise NotImplementedError(
-            "write_dicom does not encode JPEG 2000 (decode-only "
-            "syntax) — pass pre-encoded codestreams via "
-            "encoded_frames=, or write RLE Lossless / JPEG-LS for "
-            "bit-exact archives"
+            "write_dicom does not rate-control lossy JPEG 2000 "
+            "(.4.91) — pass pre-encoded codestreams via "
+            "encoded_frames=, or use JPEG_2000_LOSSLESS (.4.90): the "
+            "in-tree reversible 5/3 encoder writes it natively"
         )
     if encoded_frames is not None and transfer_syntax not in _ENCAPSULATED:
         raise ValueError(
@@ -1156,6 +1160,16 @@ def write_dicom(
                 from mies_tpu.io.jpegls import encode_jpegls
 
                 blob = encode_jpegls(fr, near=near)
+            elif transfer_syntax == JPEG_2000_LOSSLESS:
+                from mies_tpu.io.jpeg2k import encode_jpeg2k
+
+                # reversible 5/3, single tile/layer, LRCP — the
+                # clinical archive profile; BitsStored tightens the
+                # declared depth (values are range-checked there)
+                blob = encode_jpeg2k(
+                    fr, depth=bits_stored,
+                    ctx=f"{path} frame {i}" if nframes > 1 else str(path),
+                )
             else:
                 from mies_tpu.io.jpegll import encode_jpeg_lossless
 

@@ -1738,13 +1738,16 @@ class TestJPEG2K:
         np.testing.assert_array_equal(
             vol[1], base.astype(np.int32) - 1024 + 1)
 
-    def test_encode_refused_without_passthrough(self, tmp_path, rng):
-        from mies_tpu.io.dicom import JPEG_2000_LOSSLESS
+    def test_encode_passthrough_contracts(self, tmp_path, rng):
+        # .4.91 (lossy, no in-tree rate control) still needs the
+        # passthrough and its refusal points at the native .4.90 path;
+        # the passthrough's own validation stays
+        from mies_tpu.io.dicom import JPEG_2000, JPEG_2000_LOSSLESS
 
         img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
-        with pytest.raises(NotImplementedError, match="encoded_frames"):
+        with pytest.raises(NotImplementedError, match=r"\.4\.90"):
             write_dicom(tmp_path / "x.dcm", img,
-                        transfer_syntax=JPEG_2000_LOSSLESS)
+                        transfer_syntax=JPEG_2000)
         with pytest.raises(ValueError, match="encoded_frames"):
             write_dicom(tmp_path / "y.dcm", img,
                         encoded_frames=[b"zz"])  # uncompressed syntax
@@ -1752,3 +1755,104 @@ class TestJPEG2K:
             write_dicom(tmp_path / "z.dcm", img,
                         transfer_syntax=JPEG_2000_LOSSLESS,
                         encoded_frames=[b"a", b"b"])  # count mismatch
+
+
+class TestJPEG2KEncode:
+    """The reversible-5/3 encoder (io/jpeg2k.py::encode_jpeg2k, VERDICT
+    r4 item 3): decode(encode(x)) bit-exact through BOTH the in-tree
+    decoder and Pillow/OpenJPEG (the golden source lives in-tree, like
+    the decode direction); native .4.90 DICOM writes round-trip."""
+
+    @staticmethod
+    def _pil_dec(blob, depth):
+        import io as _io
+
+        from PIL import Image
+
+        arr = np.asarray(Image.open(_io.BytesIO(blob)))
+        # Pillow scales sub-container depths to the full 8/16-bit range
+        sh = 8 * arr.dtype.itemsize - depth
+        a = arr.astype(np.int64)
+        return a >> sh if sh > 0 else a
+
+    def test_roundtrip_bit_exact_both_decoders(self, rng):
+        from mies_tpu.io.jpeg2k import decode_jpeg2k, encode_jpeg2k
+
+        for shape in [(48, 56), (64, 64), (65, 64), (1, 1), (1, 17),
+                      (16, 1), (3, 5), (96, 130)]:
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            blob = encode_jpeg2k(img, ctx=f"e{shape}")
+            np.testing.assert_array_equal(
+                decode_jpeg2k(blob, f"e{shape}"), img)
+            np.testing.assert_array_equal(
+                self._pil_dec(blob, 8), img.astype(np.int64))
+
+    def test_depths_and_signedness(self, rng):
+        from mies_tpu.io.jpeg2k import decode_jpeg2k, encode_jpeg2k
+
+        for depth, dt in ((12, np.uint16), (16, np.uint16),
+                          (1, np.uint8), (7, np.uint8)):
+            img = rng.integers(0, 1 << depth, (40, 44)).astype(dt)
+            blob = encode_jpeg2k(img, depth=depth, ctx=f"d{depth}")
+            out = decode_jpeg2k(blob, f"d{depth}")
+            np.testing.assert_array_equal(out, img.astype(out.dtype))
+            np.testing.assert_array_equal(
+                self._pil_dec(blob, depth), img.astype(np.int64))
+        ct = rng.integers(-1024, 3072, (33, 47)).astype(np.int16)
+        blob = encode_jpeg2k(ct, depth=13, ctx="signed")
+        out = decode_jpeg2k(blob, "signed")
+        assert out.dtype == np.int16
+        np.testing.assert_array_equal(out, ct)
+
+    def test_refusals_name_the_problem(self, rng):
+        from mies_tpu.io.jpeg2k import encode_jpeg2k
+
+        with pytest.raises(ValueError, match="2-D"):
+            encode_jpeg2k(np.zeros((2, 3, 4), np.uint8))
+        with pytest.raises(ValueError, match="dtype"):
+            encode_jpeg2k(np.zeros((4, 4), np.float32))
+        with pytest.raises(ValueError, match="exceed"):
+            encode_jpeg2k(
+                np.full((4, 4), 300, np.uint16), depth=8)
+        with pytest.raises(ValueError, match="depth"):
+            encode_jpeg2k(np.zeros((4, 4), np.uint8), depth=17)
+
+    def test_dicom_native_j2k_write(self, tmp_path, rng):
+        # the lossless-archive round trip the VERDICT named: write
+        # .4.90 WITHOUT encoded_frames, read back bit-exact
+        from mies_tpu.io.dicom import (JPEG_2000_LOSSLESS, read_dicom,
+                                       read_dicom_frames)
+
+        ct = rng.integers(-1024, 3072, (64, 80)).astype(np.int16)
+        p = tmp_path / "ct.dcm"
+        write_dicom(p, ct, transfer_syntax=JPEG_2000_LOSSLESS,
+                    bits_stored=13)
+        sl = read_dicom(p)
+        np.testing.assert_array_equal(sl.pixels, ct)
+        mf = rng.integers(0, 256, (3, 32, 48)).astype(np.uint8)
+        p2 = tmp_path / "mf.dcm"
+        write_dicom(p2, mf, transfer_syntax=JPEG_2000_LOSSLESS)
+        arr, _meta = read_dicom_frames(p2)
+        np.testing.assert_array_equal(np.asarray(arr), mf)
+        # bits_stored too small for the data is a named refusal
+        with pytest.raises(ValueError, match="exceed"):
+            write_dicom(tmp_path / "bad.dcm", ct,
+                        transfer_syntax=JPEG_2000_LOSSLESS,
+                        bits_stored=8)
+
+    def test_header_ff_stuffing_roundtrip(self, rng):
+        # sweep many random frames so some packet headers end on/near
+        # 0xFF — exercises the writer's stuffed-byte flush AND the
+        # decoder's align() skip (the opj_bio_inalign rule found while
+        # building the encoder)
+        from mies_tpu.io.jpeg2k import decode_jpeg2k, encode_jpeg2k
+
+        for t in range(12):
+            h = int(rng.integers(1, 90))
+            w = int(rng.integers(1, 90))
+            img = rng.integers(0, 4096, (h, w)).astype(np.uint16)
+            blob = encode_jpeg2k(img, depth=12, ctx=f"s{t}")
+            np.testing.assert_array_equal(
+                decode_jpeg2k(blob, f"s{t}"), img)
+            np.testing.assert_array_equal(
+                self._pil_dec(blob, 12), img.astype(np.int64))
