@@ -8,13 +8,16 @@ NetCDF support is two-tier:
 * classic (CDF-1/2) files read via scipy's pure-Python reader with lazy
   mmap slicing and WRITE via mies_tpu.io.netcdf3's streaming writer —
   always available;
-* NetCDF-4/HDF5 files need the netCDF4 package (import-gated — not
-  installed in this environment).
+* NetCDF-4/HDF5 files read via the netCDF4 package when installed,
+  else the in-tree pure-Python HDF5 reader (io/hdf5.py: contiguous +
+  gzip/shuffle-chunked datasets, v0/v2/v3 superblocks — the
+  default-writer subset, golden-pinned against h5py; VERDICT r4 #9).
 
 ``open_volume_slabs`` is the disk-streamed ingest path (SURVEY.md
 section 3.3): it yields [slab, H, W] chunks with O(slab) host memory
-for .nc (mmap), .npy (memmap) and DICOM directories (per-file decode);
-.npz is zip-compressed and falls back to a full load (documented).
+for .nc (classic mmap, HDF5 per-chunk slabs), .npy (memmap) and DICOM
+directories (per-file decode); .npz is zip-compressed and falls back
+to a full load (documented).
 """
 
 from __future__ import annotations
@@ -139,12 +142,16 @@ def load_volume(
             )
         try:
             import netCDF4
-        except ImportError as e:
-            raise ImportError(
-                "this .nc file is NetCDF-4/HDF5 and netCDF4 is not "
-                "installed; classic (CDF-1/2) files read without it — "
-                "convert the volume, or install netCDF4"
-            ) from e
+        except ImportError:
+            # in-tree pure-Python HDF5 reader (io/hdf5.py): contiguous
+            # + gzip/shuffle-chunked datasets, old- and new-style
+            # groups — the default-writer subset, golden-pinned vs
+            # h5py in tests/test_io.py::TestHdf5
+            from mies_tpu.io.hdf5 import read_hdf5_volume
+
+            vol, var_name = read_hdf5_volume(path, var_name)
+            return vol, VolumeMeta(
+                vol.shape, str(vol.dtype), f"hdf5:{path}", var_name)
         ds = netCDF4.Dataset(path, "r")
         try:
             if var_name is None:
@@ -272,7 +279,32 @@ def open_volume_slabs(
                 yield np.array(mm[k : k + slab_size])
 
         return meta, gen()
-    # full-load fallbacks (.npz, NetCDF-4) — documented, not silent
+    if suffix == ".nc":
+        from mies_tpu.io.hdf5 import H5File, is_hdf5
+
+        if is_hdf5(path):
+            # NetCDF-4/HDF5 via the in-tree reader: lazy z-slabs —
+            # chunked layouts only read the chunks a slab intersects
+            f5 = H5File(path)
+            if var_name is None:
+                var_name = next(
+                    (n for n, d in f5.datasets.items() if d.ndim == 3),
+                    None)
+                if var_name is None:
+                    raise ValueError(f"no 3-D variable found in {path}")
+            dset = f5.datasets[var_name]
+            native_dt = np.dtype(dset.dtype.newbyteorder("="))
+            meta = VolumeMeta(dset.shape, native_dt.name,
+                              f"hdf5-stream:{path}", var_name)
+
+            def gen_h5():
+                for k in range(0, dset.shape[0], slab_size):
+                    yield np.ascontiguousarray(
+                        dset.read_slab(k, k + slab_size)
+                        .astype(native_dt))
+
+            return meta, gen_h5()
+    # full-load fallbacks (.npz) — documented, not silent
     vol, meta = load_volume(path, var_name=var_name)
     meta.source = f"full-load:{meta.source}"
 

@@ -1856,3 +1856,119 @@ class TestJPEG2KEncode:
                 decode_jpeg2k(blob, f"s{t}"), img)
             np.testing.assert_array_equal(
                 self._pil_dec(blob, 12), img.astype(np.int64))
+
+
+class TestHdf5:
+    """Pure-Python HDF5 reader (io/hdf5.py, VERDICT r4 item 9) — the
+    golden source lives in-tree: h5py/libhdf5 writes REAL files in
+    this environment, so every case pins against the actual library
+    (the same live-golden stance as the J2K codec vs Pillow)."""
+
+    h5py = pytest.importorskip("h5py")
+
+    def _roundtrip(self, tmp_path, name, want, **dset_kw):
+        from mies_tpu.io.hdf5 import read_hdf5_volume
+
+        p = tmp_path / f"{name}.nc"
+        with self.h5py.File(p, "w", **dset_kw.pop("file_kw", {})) as f:
+            f.create_dataset("vol", data=want, **dset_kw)
+        vol, vn = read_hdf5_volume(p)
+        assert vn == "vol"
+        np.testing.assert_array_equal(vol, want)
+        return vol
+
+    def test_contiguous_dtypes(self, tmp_path, rng):
+        for i, dt in enumerate(("int16", "uint8", "uint16", "float32",
+                                "float64", ">i2", ">f4")):
+            want = (rng.random((6, 8, 10)) * 100).astype(dt)
+            got = self._roundtrip(tmp_path, f"c{i}", want)
+            # values exact; byte order normalized to native
+            assert got.dtype == np.dtype(dt).newbyteorder("=")
+
+    def test_chunked_gzip_shuffle_fletcher(self, tmp_path, rng):
+        want = rng.integers(-1024, 3072, (11, 24, 40)).astype(np.int16)
+        self._roundtrip(tmp_path, "gz", want, chunks=(4, 16, 16),
+                        compression="gzip", shuffle=True)
+        self._roundtrip(tmp_path, "gz9", want, chunks=(3, 24, 40),
+                        compression="gzip", compression_opts=9,
+                        fletcher32=True)
+        self._roundtrip(tmp_path, "plain", want, chunks=(5, 7, 13))
+
+    def test_libver_latest(self, tmp_path, rng):
+        # v3 superblock, OHDR v2 headers, link messages, layout v4
+        # (contiguous AND the Fixed Array chunk index)
+        want = rng.random((6, 8, 10)).astype(np.float32)
+        self._roundtrip(tmp_path, "l1", want,
+                        file_kw={"libver": "latest"})
+        self._roundtrip(tmp_path, "l2", want, chunks=(2, 4, 5),
+                        compression="gzip",
+                        file_kw={"libver": "latest"})
+
+    def test_netcdf_style_layout(self, tmp_path, rng):
+        # dimension-scale datasets + attributes alongside the variable,
+        # as netCDF4 emits: the 3-D variable is found, scales skipped
+        from mies_tpu.io.hdf5 import read_hdf5_volume
+
+        want = rng.integers(0, 255, (5, 7, 9)).astype(np.uint8)
+        p = tmp_path / "nc4.nc"
+        with self.h5py.File(p, "w") as f:
+            ds = f.create_dataset("image", data=want)
+            ds.attrs["units"] = "HU"
+            f.attrs["_NCProperties"] = "version=2,netcdf=4.9.2"
+            for i, nm in enumerate(("z", "y", "x")):
+                dv = f.create_dataset(
+                    nm, data=np.arange(want.shape[i], dtype=np.float64))
+                dv.attrs["CLASS"] = np.bytes_("DIMENSION_SCALE")
+        vol, vn = read_hdf5_volume(p)
+        assert vn == "image"
+        np.testing.assert_array_equal(vol, want)
+
+    def test_slab_reads_match_full(self, tmp_path, rng):
+        from mies_tpu.io.hdf5 import H5File
+
+        want = rng.random((10, 16, 12)).astype(np.float32)
+        p = tmp_path / "s.nc"
+        with self.h5py.File(p, "w") as f:
+            f.create_dataset("vol", data=want, chunks=(3, 16, 12),
+                             compression="gzip")
+        ds = H5File(p).datasets["vol"]
+        for z0, z1 in ((0, 3), (2, 7), (9, 10), (0, 10)):
+            np.testing.assert_array_equal(
+                ds.read_slab(z0, z1), want[z0:z1])
+
+    def test_load_volume_and_slab_stream_dispatch(self, tmp_path, rng):
+        # volume.py routes HDF5 .nc through the in-tree reader when
+        # netCDF4 is absent (it is absent here), both full-load and
+        # the lazy slab stream
+        from mies_tpu.io.volume import load_volume, open_volume_slabs
+
+        want = rng.integers(-500, 2000, (9, 12, 16)).astype(np.int16)
+        p = tmp_path / "v.nc"
+        with self.h5py.File(p, "w") as f:
+            f.create_dataset("ct", data=want, chunks=(4, 12, 16),
+                             compression="gzip")
+        vol, meta = load_volume(p)
+        np.testing.assert_array_equal(vol, want)
+        assert meta.source.startswith("hdf5:")
+        meta2, gen = open_volume_slabs(p, slab_size=4)
+        assert meta2.source.startswith("hdf5-stream:")
+        got = np.concatenate(list(gen))
+        np.testing.assert_array_equal(got, want)
+
+    def test_refusals_name_the_feature(self, tmp_path, rng):
+        from mies_tpu.io.hdf5 import read_hdf5_volume
+
+        p = tmp_path / "str.nc"
+        with self.h5py.File(p, "w") as f:
+            f.create_dataset(
+                "s", data=np.array([b"abc"], dtype="S3"))
+            f.create_dataset("v", data=rng.random((2, 3, 4)))
+        # the string dataset is refused by name only when requested
+        vol, vn = read_hdf5_volume(p)
+        assert vn == "v"
+        with pytest.raises(NotImplementedError, match="string"):
+            read_hdf5_volume(p, "s")
+        noth5 = tmp_path / "x.nc"
+        noth5.write_bytes(b"garbage here")
+        with pytest.raises(ValueError, match="signature"):
+            read_hdf5_volume(noth5)

@@ -522,6 +522,45 @@ def test_cli_enhance_volume_stream(tmp_path, monkeypatch):
     assert got.shape == (9, 32, 32) and got.dtype == np.uint8
 
 
+def test_cli_enhance_volume_hdf5_stream(tmp_path):
+    """An HDF5-backed .nc (gzip-chunked, as netCDF4 writes) streams
+    through enhance-volume via the in-tree reader — VERDICT r4 item 9's
+    end-to-end contract (netCDF4-the-package is absent here)."""
+    import json as _json
+
+    h5py = pytest.importorskip("h5py")
+    from mies_tpu import cli
+    from mies_tpu.io.volume import load_volume
+
+    vol = np.random.default_rng(9).integers(
+        -500, 1500, (9, 32, 32), dtype=np.int16)
+    src = tmp_path / "ct4.nc"
+    with h5py.File(src, "w") as f:
+        f.create_dataset("hu", data=vol, chunks=(4, 32, 32),
+                         compression="gzip", shuffle=True)
+    cfg = tmp_path / "c.json"
+    cfg.write_text(_json.dumps({"name": "s", "pipeline": [
+        {"op": "window_hu", "center": 40.0, "width": 400.0},
+        {"op": "adjust_gamma", "gamma": 0.9},
+    ]}))
+    out = tmp_path / "enhanced.nc"
+    rc = cli.main(["enhance-volume", str(src), "-c", str(cfg),
+                   "-o", str(out), "--stream", "-q"])
+    assert rc == 0
+    got, _meta = load_volume(out)
+    assert got.shape == (9, 32, 32) and got.dtype == np.uint8
+    # equal to the classic-.nc route through the same chain
+    from mies_tpu.io.volume import save_volume
+
+    src3 = tmp_path / "ct3.nc"
+    save_volume(src3, vol, var_name="hu")
+    out3 = tmp_path / "enhanced3.nc"
+    assert cli.main(["enhance-volume", str(src3), "-c", str(cfg),
+                     "-o", str(out3), "--stream", "-q"]) == 0
+    got3, _ = load_volume(out3)
+    np.testing.assert_array_equal(got, got3)
+
+
 def test_cli_stream_rejects_metrics(tmp_path):
     import json as _json
 
