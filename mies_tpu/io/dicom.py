@@ -153,6 +153,8 @@ _TAG_INSTANCE = (0x0020, 0x0013)
 _TAG_IPP = (0x0020, 0x0032)
 _TAG_SLICE_LOC = (0x0020, 0x1041)
 _TAG_PHOTOMETRIC = (0x0028, 0x0004)  # PhotometricInterpretation (CS)
+_TAG_SAMPLES = (0x0028, 0x0002)  # SamplesPerPixel (US)
+_TAG_PLANAR = (0x0028, 0x0006)  # PlanarConfiguration (US)
 _TAG_FRAMES = (0x0028, 0x0008)  # NumberOfFrames (IS)
 _TAG_BITS_STORED = (0x0028, 0x0101)
 _TAG_WIN_CENTER = (0x0028, 0x1050)  # WindowCenter (DS, may be multi)
@@ -494,16 +496,29 @@ def _decode_jpegll_pixeldata(
             f"{n} — multi-fragment frames need a Basic Offset Table "
             "layout this reader does not reconstruct"
         )
+    spp = meta.get("samples", 1)
+    if spp == 3 and ts not in _JPEG_DCT + _JPEG_2K:
+        raise NotImplementedError(
+            f"{path}: color (SamplesPerPixel=3) frames in "
+            f"{_TS_NAMES.get(ts, ts)} — color decode is supported for "
+            "JPEG Baseline/Extended (.4.50/.4.51) and JPEG 2000 "
+            "(.4.90/.4.91); transcode other color codecs with gdcmconv"
+        )
+    want_shape = (rows, cols, 3) if spp == 3 else (rows, cols)
     frames = []
     for i, blob in enumerate(blobs):
         px = _decode_blob(blob, f"{path}[frame {i}]")
-        if px.shape != (rows, cols):
+        if px.shape != want_shape:
             raise ValueError(
-                f"{path}[frame {i}]: codestream is {px.shape[0]}x"
-                f"{px.shape[1]} but Rows/Columns say {rows}x{cols}"
+                f"{path}[frame {i}]: codestream is "
+                f"{'x'.join(map(str, px.shape))} but the dataset says "
+                f"{'x'.join(map(str, want_shape))} "
+                "(Rows/Columns/SamplesPerPixel)"
             )
         frames.append(px)
     px = np.stack(frames, axis=0)
+    if spp == 3:
+        return px  # 8-bit RGB (the DCT decoder's JFIF output)
     if bits == 16 and px.dtype == np.uint8:
         # a <=8-bit codestream inside a 16-bit container: widen
         px = px.astype(np.uint16)
@@ -648,6 +663,10 @@ def read_dicom(path: str | Path) -> DicomSlice:
                 pass
         elif t == _TAG_PHOTOMETRIC:
             meta["photometric"] = v.decode("ascii", "replace").strip(" \x00")
+        elif t == _TAG_SAMPLES:
+            meta["samples"] = struct.unpack("<H", v[:2])[0]
+        elif t == _TAG_PLANAR:
+            meta["planar"] = struct.unpack("<H", v[:2])[0]
         elif t == _TAG_BITS_STORED:
             meta["bits_stored"] = struct.unpack("<H", v[:2])[0]
         elif t == _TAG_INTERCEPT:
@@ -682,8 +701,25 @@ def read_dicom(path: str | Path) -> DicomSlice:
         dt = np.uint8
     else:
         raise NotImplementedError(f"BitsAllocated={bits}")
+    spp = meta.get("samples", 1)
+    if spp not in (1, 3):
+        raise NotImplementedError(
+            f"{path}: SamplesPerPixel={spp} (1 grayscale or 3 color)")
+    if spp == 3 and bits != 8:
+        raise NotImplementedError(
+            f"{path}: {bits}-bit color DICOM (8-bit RGB/YBR supported)")
     if rle_frags is not None:
         px = _decode_encapsulated_pixeldata(rle_frags, meta, path, ts)[0]
+    elif spp == 3:
+        flat = np.frombuffer(pixel_bytes[: rows * cols * 3], np.uint8)
+        if meta.get("planar", 0) == 1:  # RRR... GGG... BBB...
+            px = flat.reshape(3, rows, cols).transpose(1, 2, 0)
+        else:  # interleaved RGB RGB ...
+            px = flat.reshape(rows, cols, 3)
+        if meta.get("photometric", "RGB") == "YBR_FULL":
+            from mies_tpu.io.jpegdct import _ycbcr_to_rgb
+
+            px = _ycbcr_to_rgb(px[..., 0], px[..., 1], px[..., 2])
     else:
         px = np.frombuffer(
             pixel_bytes[: rows * cols * (bits // 8)], dtype=dt
@@ -797,6 +833,10 @@ def read_dicom_frames(path: str | Path) -> tuple[np.ndarray, "DicomSlice"]:
                 pass
         elif t == _TAG_PHOTOMETRIC:
             meta["photometric"] = v.decode("ascii", "replace").strip(" \x00")
+        elif t == _TAG_SAMPLES:
+            meta["samples"] = struct.unpack("<H", v[:2])[0]
+        elif t == _TAG_PLANAR:
+            meta["planar"] = struct.unpack("<H", v[:2])[0]
         elif t == _TAG_BITS_STORED:
             meta["bits_stored"] = struct.unpack("<H", v[:2])[0]
         elif t == _TAG_INTERCEPT:
@@ -819,8 +859,33 @@ def read_dicom_frames(path: str | Path) -> tuple[np.ndarray, "DicomSlice"]:
         dt = np.uint8
     else:
         raise NotImplementedError(f"BitsAllocated={bits}")
+    spp = meta.get("samples", 1)
+    if spp not in (1, 3):
+        raise NotImplementedError(
+            f"{path}: SamplesPerPixel={spp} (1 grayscale or 3 color)")
+    if spp == 3 and bits != 8:
+        raise NotImplementedError(
+            f"{path}: {bits}-bit color DICOM (8-bit RGB/YBR supported)")
     if rle_frags is not None:
         px = _decode_encapsulated_pixeldata(rle_frags, meta, path, ts)
+    elif spp == 3:
+        n = max(1, meta.get("frames", 1))
+        need = n * rows * cols * 3
+        if len(pixel_bytes) < need:
+            raise ValueError(
+                f"{path}: PixelData holds {len(pixel_bytes)} bytes but "
+                f"NumberOfFrames={n} at {rows}x{cols}x3x8bit needs "
+                f"{need}"
+            )
+        flat = np.frombuffer(pixel_bytes[:need], np.uint8)
+        if meta.get("planar", 0) == 1:
+            px = flat.reshape(n, 3, rows, cols).transpose(0, 2, 3, 1)
+        else:
+            px = flat.reshape(n, rows, cols, 3)
+        if meta.get("photometric", "RGB") == "YBR_FULL":
+            from mies_tpu.io.jpegdct import _ycbcr_to_rgb
+
+            px = _ycbcr_to_rgb(px[..., 0], px[..., 1], px[..., 2])
     else:
         n = max(1, meta.get("frames", 1))
         need = n * rows * cols * (bits // 8)
@@ -1033,7 +1098,25 @@ def write_dicom(
         bits, signed = 8, 0
     else:
         raise TypeError(f"unsupported dtype {pixels.dtype}")
-    if pixels.ndim == 3:
+    # color: a trailing length-3 axis is interleaved RGB ([H, W, 3]
+    # single frame or [N, H, W, 3] multi-frame, SamplesPerPixel=3,
+    # PlanarConfiguration=0); a genuinely 3-column grayscale stack
+    # must be passed as [N, H, 3] — unambiguous since ndim differs
+    spp = 3 if pixels.ndim in (3, 4) and pixels.shape[-1] == 3 else 1
+    if pixels.ndim == 4 and spp != 3:
+        raise ValueError(f"pixels must be [H, W], [N, H, W], "
+                         f"[H, W, 3] or [N, H, W, 3], got {pixels.shape}")
+    if spp == 3:
+        if pixels.dtype != np.uint8:
+            raise TypeError(
+                f"color pixels must be uint8, got {pixels.dtype}")
+        if pixels.ndim == 4:
+            nframes = pixels.shape[0]
+            rows, cols = pixels.shape[1:3]
+        else:
+            nframes = 1
+            rows, cols = pixels.shape[:2]
+    elif pixels.ndim == 3:
         nframes = pixels.shape[0]
         rows, cols = pixels.shape[1:]
     elif pixels.ndim == 2:
@@ -1042,6 +1125,11 @@ def write_dicom(
     else:
         raise ValueError(f"pixels must be [H, W] or [N, H, W], got "
                          f"{pixels.shape}")
+    if spp == 3 and photometric is None:
+        # PS3.3 C.7.6.3.1.3: .4.90's reversible RCT is YBR_RCT
+        photometric = ("YBR_RCT"
+                       if transfer_syntax == JPEG_2000_LOSSLESS
+                       and encoded_frames is None else "RGB")
 
     meta_body = _el_short(_TAG_TS_UID, b"UI", transfer_syntax.encode())
     meta = _el_short((0x0002, 0x0000), b"UL", struct.pack("<I", len(meta_body))) + meta_body
@@ -1061,11 +1149,15 @@ def write_dicom(
         )
     if slice_location is not None:  # (0020,1041)
         ds += _el_short(_TAG_SLICE_LOC, b"DS", f"{slice_location:.3f}".encode())
+    if spp == 3:  # (0028,0002) sorts before photometric (0028,0004)
+        ds += _el_short(_TAG_SAMPLES, b"US", struct.pack("<H", 3))
     if photometric is not None:  # (0028,0004)
         ds += _el_short(
             _TAG_PHOTOMETRIC, b"CS",
             photometric.encode() + (b" " if len(photometric) % 2 else b""),
         )
+    if spp == 3:  # (0028,0006): interleaved
+        ds += _el_short(_TAG_PLANAR, b"US", struct.pack("<H", 0))
     if nframes > 1:  # (0028,0008) sorts before Rows (0028,0010)
         ds += _el_short(_TAG_FRAMES, b"IS", str(nframes).encode())
     ds += _el_short(_TAG_ROWS, b"US", struct.pack("<H", rows))
@@ -1100,7 +1192,18 @@ def write_dicom(
         )
     if transfer_syntax in _ENCAPSULATED:
         # encapsulated: undefined-length OB + BOT item + frame items
-        frames = pixels if pixels.ndim == 3 else pixels[None]
+        if spp == 3:
+            if encoded_frames is None and transfer_syntax != \
+                    JPEG_2000_LOSSLESS:
+                raise NotImplementedError(
+                    "write_dicom's native color encoder is JPEG 2000 "
+                    "Lossless (.4.90, reversible RCT) — use that, "
+                    "encoded_frames= (e.g. Pillow JPEG blobs for JPEG "
+                    "Baseline), or uncompressed Explicit VR LE"
+                )
+            frames = pixels if pixels.ndim == 4 else pixels[None]
+        else:
+            frames = pixels if pixels.ndim == 3 else pixels[None]
         if encoded_frames is not None and len(encoded_frames) != len(frames):
             raise ValueError(
                 f"{len(encoded_frames)} encoded_frames for "

@@ -47,7 +47,7 @@ def load_image(
     """
     path = Path(path)
     if path.suffix.lower() in (".dcm", ".dicom"):
-        return _load_dicom_slice(path, dtype)
+        return _load_dicom_slice(path, dtype, channels)
     img = Image.open(path)
     if not as_gray:
         return np.asarray(img)
@@ -88,7 +88,8 @@ def load_image(
     return arr.astype(np.float32) / 255.0
 
 
-def _load_dicom_slice(path: Path, dtype: str) -> np.ndarray:
+def _load_dicom_slice(path: Path, dtype: str,
+                      channels: str | None = None) -> np.ndarray:
     """Single-file DICOM -> [H, W] array for the 2-D pipeline path.
 
     dtype="raw": pixels exactly as decoded (int16 HU when a rescale is
@@ -96,6 +97,12 @@ def _load_dicom_slice(path: Path, dtype: str) -> np.ndarray:
     ``window_hu`` take this. dtype="float32": unsigned stored pixels
     normalize like any image; int16 HU has no canonical [0,1] mapping,
     so that combination is an explicit error instead of a silent guess.
+
+    Color slices (SamplesPerPixel=3 — ultrasound / secondary capture,
+    decoded to RGB) follow the same ``io.channels`` policy as color
+    PNGs: None errors with guidance, 'gray' is the ITU-R 601 luminance
+    collapse (PIL convert("L"), identical to the image path),
+    'per-channel' returns [3, H, W].
     """
     from mies_tpu import native
     from mies_tpu.io.dicom import read_dicom, read_dicom_header
@@ -127,6 +134,22 @@ def _load_dicom_slice(path: Path, dtype: str) -> np.ndarray:
         top = (1 << hdr.get("bits_stored",
                             16 if px.dtype == np.uint16 else 8)) - 1
         px = (top - px.astype(np.int32)).clip(0, top).astype(px.dtype)
+    if px.ndim == 3:  # color slice: the io.channels policy applies
+        if channels is None:
+            raise ValueError(
+                f"{path}: color DICOM (SamplesPerPixel=3) has multiple "
+                "channels; set the config's io.channels to 'gray' or "
+                "'per-channel'"
+            )
+        if channels == "per-channel":
+            px = np.ascontiguousarray(px.transpose(2, 0, 1))
+        elif channels == "gray":
+            px = np.asarray(Image.fromarray(px).convert("L"))
+        else:
+            raise ValueError(
+                f"unknown channels policy {channels!r}; use 'gray' or "
+                f"'per-channel'"
+            )
     if dtype == "raw":
         return px
     if px.dtype == np.int16:

@@ -14,20 +14,26 @@ lossless codec; the numeric layer (FDCT / IDCT / quantization) runs as
 ONE batched float64 einsum over all blocks — numpy-vectorized, no
 per-block Python.
 
-Scope (the framework's grayscale pixel model):
+Scope:
   * single-component scans, precision 8 or 12, non-interleaved;
+  * 3-component INTERLEAVED YCbCr scans (round 5, VERDICT r4 item 7 —
+    the color ultrasound/endoscopy archive form): MCU-ordered decode
+    at 4:4:4 / 4:2:2 / 4:2:0 sampling, libjpeg 'fancy' (triangle)
+    chroma upsampling and fixed-point YCbCr->RGB reproduced exactly
+    (jdsample.c / jdcolor.c arithmetic), 'RGB'-component-id frames
+    pass through untransformed; output is [H, W, 3] uint8, within
+    +/-3 of Pillow/libjpeg (our exact float IDCT vs its islow);
   * restart intervals; 8- and 16-bit (Pq=1) quantization tables;
   * decode: any DC/AC table ids, APPn/COM skipped, multi-segment DHT;
-  * encode: per-image optimal length-limited Huffman (libjpeg's
-    reserved-symbol trick keeps the all-ones code unassigned and the
-    depth <= 16), quality 1-100 via the libjpeg scaling curve over the
-    T.81 Annex K.1 luminance table (scaled x2^(P-8) for 12-bit).
+  * encode (grayscale): per-image optimal length-limited Huffman
+    (libjpeg's reserved-symbol trick keeps the all-ones code
+    unassigned and the depth <= 16), quality 1-100 via the libjpeg
+    scaling curve over the T.81 Annex K.1 luminance table (scaled
+    x2^(P-8) for 12-bit).
 
 This codec is LOSSY by construction (quantized DCT); the DICOM writer
 requires an explicit opt-in and the reader surfaces the syntax UID so
-callers know round-trips are not bit-exact. Multi-component (YBR color)
-scans are refused by name — SamplesPerPixel=1 is the enhancement
-pipeline's contract.
+callers know round-trips are not bit-exact.
 
 Reference intent: /root/reference/pyproject.toml:10 (DICOM ingest is
 the SURVEY section 2b D9 north-star; real clinical archives mix .4.50
@@ -168,7 +174,7 @@ def _decode_markers(blob: bytes, ctx: str) -> np.ndarray:
     dc_tables: dict[int, tuple] = {}
     ac_tables: dict[int, tuple] = {}
     qtables: dict[int, np.ndarray] = {}
-    precision = rows = cols = comp_tq = None
+    precision = rows = cols = comp_tq = components = None
     restart_interval = 0
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
@@ -190,11 +196,10 @@ def _decode_markers(blob: bytes, ctx: str) -> np.ndarray:
             )
         if m in (_SOF0, _SOF1):
             precision, rows, cols, ncomp = struct.unpack_from(">BHHB", seg, 0)
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"{ctx}: {ncomp}-component DCT scan (YBR color); the "
-                    "grayscale pixel model supports 1 — transcode with "
-                    "dcmtk's dcmdjpeg or gdcmconv --raw"
+                    f"{ctx}: {ncomp}-component DCT scan — grayscale (1) "
+                    "and YCbCr color (3) are supported"
                 )
             if m == _SOF0 and precision != 8:
                 raise ValueError(
@@ -206,7 +211,18 @@ def _decode_markers(blob: bytes, ctx: str) -> np.ndarray:
                     f"{ctx}: sequential DCT precision {precision} "
                     "(T.81 allows 8 or 12)"
                 )
-            comp_tq = seg[8]  # component 1's quant table selector
+            if ncomp == 3 and precision != 8:
+                raise NotImplementedError(
+                    f"{ctx}: {precision}-bit color DCT scan (YCbCr "
+                    "conversion is the 8-bit JFIF contract)"
+                )
+            components = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                components.append(
+                    {"cid": cid, "h": hv >> 4, "v": hv & 0x0F,
+                     "tq": tq})
+            comp_tq = components[0]["tq"]
         elif m == _DQT:
             o = 0
             while o < len(seg):
@@ -241,9 +257,18 @@ def _decode_markers(blob: bytes, ctx: str) -> np.ndarray:
             if precision is None:
                 raise ValueError(f"{ctx}: SOS before SOF")
             ns = seg[0]
-            if ns != 1:
+            if ns == 3 and len(components) == 3:
+                return _decode_color_scan(
+                    blob, pos + seglen, seg, components, dc_tables,
+                    ac_tables, qtables, rows, cols, restart_interval,
+                    ctx,
+                )
+            if ns != 1 or len(components) != 1:
                 raise NotImplementedError(
-                    f"{ctx}: interleaved {ns}-component scan"
+                    f"{ctx}: {ns}-component scan over "
+                    f"{len(components)} frame components — interleaved "
+                    "3-scan color and single-component scans are "
+                    "supported"
                 )
             td, ta = seg[2] >> 4, seg[2] & 0x0F
             ss, se = seg[3], seg[4]
@@ -327,6 +352,197 @@ def _decode_scan(
     out = np.zeros((n, 64), np.float64)
     out[:, _ZIGZAG] = zz  # de-zigzag all blocks at once
     return out.reshape(n, 8, 8)
+
+
+def _fancy_up_h(comp: np.ndarray) -> np.ndarray:
+    """libjpeg h2 'fancy' (triangle) horizontal upsample, jdsample.c
+    arithmetic exactly: even outputs weight the left neighbour with
+    +1 rounding, odd outputs the right neighbour with +2."""
+    s = comp.astype(np.int32)
+    h, w = s.shape
+    out = np.empty((h, 2 * w), np.int32)
+    left = np.concatenate([s[:, :1], s[:, :-1]], axis=1)
+    right = np.concatenate([s[:, 1:], s[:, -1:]], axis=1)
+    out[:, 0::2] = (3 * s + left + 1) >> 2
+    out[:, 1::2] = (3 * s + right + 2) >> 2
+    out[:, 0] = s[:, 0]
+    out[:, -1] = s[:, -1]
+    return out
+
+
+def _fancy_up_v(comp: np.ndarray) -> np.ndarray:
+    """libjpeg v2 'fancy' vertical upsample (the vertical half of
+    h2v2_fancy_upsample): output row 2k blends input rows k (x3) and
+    k-1, row 2k+1 blends k (x3) and k+1 — done FIRST, at full 2-bit
+    headroom, so composing with _fancy_up_h reproduces jdsample's
+    12-bit two-stage arithmetic when both axes are subsampled."""
+    s = comp.astype(np.int32)
+    up = np.concatenate([s[:1], s[:-1]], axis=0)
+    dn = np.concatenate([s[1:], s[-1:]], axis=0)
+    h, w = s.shape
+    out = np.empty((2 * h, w), np.int32)
+    out[0::2] = 3 * s + up
+    out[1::2] = 3 * s + dn
+    return out  # UNNORMALIZED (x4): the caller's h-stage divides
+
+
+def _upsample_chroma(comp: np.ndarray, h: int, v: int, hmax: int,
+                     vmax: int, rows: int, cols: int, ctx: str
+                     ) -> np.ndarray:
+    """Chroma plane -> full [rows, cols], libjpeg fancy upsampling."""
+    ry, rx = vmax // v, hmax // h
+    if (ry, rx) == (1, 1):
+        return comp[:rows, :cols].astype(np.int32)
+    if (ry, rx) == (1, 2):
+        return _fancy_up_h(comp)[:rows, :cols]
+    if (ry, rx) == (2, 2):
+        # jdsample h2v2: vertical triangle (x4 intermediate), then
+        # horizontal triangle on the 10-bit sums with >> 4 rounding
+        m = _fancy_up_v(comp)
+        hh, ww = m.shape
+        left = np.concatenate([m[:, :1], m[:, :-1]], axis=1)
+        right = np.concatenate([m[:, 1:], m[:, -1:]], axis=1)
+        out = np.empty((hh, 2 * ww), np.int32)
+        out[:, 0::2] = (3 * m + left + 8) >> 4
+        out[:, 1::2] = (3 * m + right + 7) >> 4
+        out[:, 0] = (4 * m[:, 0] + 8) >> 4
+        out[:, -1] = (4 * m[:, -1] + 7) >> 4
+        return out[:rows, :cols]
+    raise NotImplementedError(
+        f"{ctx}: chroma subsampling ratio {ry}x{rx} — 1x1 (4:4:4), "
+        "1x2 (4:2:2) and 2x2 (4:2:0) are supported"
+    )
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray
+                  ) -> np.ndarray:
+    """libjpeg jdcolor.c fixed-point conversion (SCALEBITS=16)."""
+    y = y.astype(np.int32)
+    cbx = cb.astype(np.int32) - 128
+    crx = cr.astype(np.int32) - 128
+    half = 1 << 15
+
+    def fix(x):
+        return int(x * 65536 + 0.5)
+
+    r = y + ((fix(1.40200) * crx + half) >> 16)
+    b = y + ((fix(1.77200) * cbx + half) >> 16)
+    g = y + ((-fix(0.34414) * cbx - fix(0.71414) * crx + half) >> 16)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _decode_color_scan(
+    blob, start, sos_seg, components, dc_tables, ac_tables, qtables,
+    rows, cols, ri, ctx
+) -> np.ndarray:
+    """Interleaved 3-component sequential-DCT scan -> [rows, cols, 3]
+    uint8 RGB.  MCU-ordered entropy decode with per-component
+    predictors, then per-component dequant + IDCT, libjpeg fancy
+    chroma upsampling and fixed-point YCbCr->RGB (JFIF); frames whose
+    component ids spell 'RGB' skip the colour transform."""
+    hmax = max(c["h"] for c in components)
+    vmax = max(c["v"] for c in components)
+    for c in components:
+        if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4):
+            raise ValueError(f"{ctx}: sampling factors {c['h']}x{c['v']}")
+        if c["tq"] not in qtables:
+            raise ValueError(
+                f"{ctx}: frame uses undefined quant table {c['tq']}")
+    # scan-order table selectors, matched to frame components by id
+    byid = {c["cid"]: c for c in components}
+    scan = []
+    for s in range(3):
+        cs = sos_seg[1 + 2 * s]
+        tdta = sos_seg[2 + 2 * s]
+        if cs not in byid:
+            raise ValueError(f"{ctx}: scan names unknown component {cs}")
+        comp = byid[cs]
+        td, ta = tdta >> 4, tdta & 0x0F
+        if td not in dc_tables or ta not in ac_tables:
+            raise ValueError(
+                f"{ctx}: scan uses undefined Huffman table "
+                f"(DC {td} / AC {ta})"
+            )
+        scan.append((comp, dc_tables[td], ac_tables[ta]))
+    mcux = -(-cols // (8 * hmax))
+    mcuy = -(-rows // (8 * vmax))
+    for comp, _d, _a in scan:
+        comp["bw"] = mcux * comp["h"]
+        comp["bh"] = mcuy * comp["v"]
+        comp["zz"] = np.zeros((comp["bh"] * comp["bw"], 64), np.float64)
+    br = _BitReader(blob, start)
+    preds = {id(comp): 0 for comp, _d, _a in scan}
+    next_rst = 0
+    n_mcu = mcux * mcuy
+    i = 0
+    while i < n_mcu:
+        stop = min(n_mcu, i + ri) if ri else n_mcu
+        while i < stop:
+            my, mx = divmod(i, mcux)
+            for comp, dc_tbl, ac_tbl in scan:
+                for iv in range(comp["v"]):
+                    for ih in range(comp["h"]):
+                        bi = ((my * comp["v"] + iv) * comp["bw"]
+                              + mx * comp["h"] + ih)
+                        s = _decode_symbol(br, dc_tbl)
+                        if s > 15:
+                            raise ValueError(
+                                f"{ctx}: DC category {s} > 15")
+                        preds[id(comp)] += _extend(br.bits(s), s)
+                        row = comp["zz"][bi]
+                        row[0] = preds[id(comp)]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(br, ac_tbl)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if rs == 0x00:
+                                    break
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                raise ValueError(
+                                    f"{ctx}: AC symbol 0x{rs:02X}")
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    f"{ctx}: AC run past block end")
+                            row[k] = _extend(br.bits(size), size)
+                            k += 1
+            i += 1
+        if ri and i < n_mcu:
+            got = br.align_restart()
+            if got != next_rst:
+                raise ValueError(
+                    f"{ctx}: restart marker out of order "
+                    f"(RST{got}, expected RST{next_rst})"
+                )
+            next_rst = (next_rst + 1) % 8
+            for comp, _d, _a in scan:
+                preds[id(comp)] = 0
+    planes = []
+    for comp, _d, _a in scan:
+        zz = comp["zz"]
+        dez = np.zeros_like(zz)
+        dez[:, _ZIGZAG] = zz
+        blocks = dez.reshape(-1, 8, 8) * qtables[comp["tq"]][None]
+        px = np.einsum("ui,nuv,vj->nij", _DCT_C, blocks, _DCT_C,
+                       optimize=True)
+        img = _image_from_blocks(
+            px, comp["bh"], comp["bw"],
+            -(-rows * comp["v"] // vmax), -(-cols * comp["h"] // hmax),
+            8)
+        planes.append((comp, img))
+    cids = bytes(c["cid"] for c, _img in planes)
+    full = [
+        _upsample_chroma(img, comp["h"], comp["v"], hmax, vmax,
+                         rows, cols, ctx)
+        for comp, img in planes
+    ]
+    if cids == b"RGB":  # Adobe-style RGB frames: no transform
+        return np.clip(np.stack(full, axis=-1), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
 
 
 # ---------------------------------------------------------------------------

@@ -127,6 +127,7 @@ _ERRORS = {
     -7: "corrupt RLE PixelData",
     -8: "multi-fragment (multi-frame) RLE PixelData",
     -9: "corrupt/unsupported JPEG-LS PixelData",
+    -10: "color (SamplesPerPixel != 1) pixel data",
 }
 
 

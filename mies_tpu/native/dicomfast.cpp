@@ -573,7 +573,8 @@ extern "C" {
 //   -1 truncated/garbled, -2 unsupported transfer syntax,
 //   -3 missing PixelData/Rows/Cols, -4 unsupported BitsAllocated,
 //   -7 corrupt RLE PixelData, -8 multi-fragment (multi-frame) RLE,
-//   -9 corrupt/unsupported JPEG-LS PixelData.
+//   -9 corrupt/unsupported JPEG-LS PixelData,
+//   -10 color (SamplesPerPixel != 1) — the Python twin decodes those.
 int mies_dicom_parse(const uint8_t* data, size_t len, Meta* meta,
                      int16_t* out_pixels) {
   *meta = Meta();
@@ -581,6 +582,7 @@ int mies_dicom_parse(const uint8_t* data, size_t len, Meta* meta,
   bool expl = true;
   bool rle = false;
   bool jls = false;
+  int samples = 1;  // SamplesPerPixel: color routes to the Python twin
 
   if (len > 132 && memcmp(data + 128, "DICM", 4) == 0) {
     // file-meta group: always explicit VR LE
@@ -671,6 +673,7 @@ int mies_dicom_parse(const uint8_t* data, size_t len, Meta* meta,
       // the buffer tail must not read past the end (the Python twin
       // fails safely via struct.error) — ignore short elements instead
       switch (e.elem) {
+        case 0x0002: if (l >= 2) samples = rd16(v); break;
         case 0x0010: if (l >= 2) meta->rows = rd16(v); break;
         case 0x0011: if (l >= 2) meta->cols = rd16(v); break;
         case 0x0100: if (l >= 2) meta->bits = rd16(v); break;
@@ -700,6 +703,8 @@ int mies_dicom_parse(const uint8_t* data, size_t len, Meta* meta,
   }
 
   if ((!px && !frag) || meta->rows <= 0 || meta->cols <= 0) return -3;
+  if (samples != 1) return -10;  // color: the grayscale fast path would
+                                 // silently read 1/3 of the frame
   const size_t npx = static_cast<size_t>(meta->rows) * meta->cols;
 
   if (!out_pixels) return 0;

@@ -1152,13 +1152,21 @@ class TestJpegDct:
         Image.fromarray(img).save(buf, "JPEG", progressive=True)
         with pytest.raises(ValueError, match="progressive"):
             decode_jpeg_dct(buf.getvalue())
-        # 3-component color, named
+        # 3-component color DECODES since round 5 (VERDICT r4 item 7):
+        # a gray image saved as RGB JPEG comes back near-gray RGB
         buf = _io.BytesIO()
         Image.fromarray(
             np.stack([img] * 3, axis=-1)
         ).save(buf, "JPEG", quality=80)
-        with pytest.raises(NotImplementedError, match="3-component"):
-            decode_jpeg_dct(buf.getvalue())
+        rgb = decode_jpeg_dct(buf.getvalue())
+        assert rgb.shape == img.shape + (3,) and rgb.dtype == np.uint8
+        # 4-component (CMYK Adobe) stays refused by name
+        cbuf = _io.BytesIO()
+        Image.fromarray(
+            np.stack([img] * 4, axis=-1), "CMYK"
+        ).save(cbuf, "JPEG", quality=80)
+        with pytest.raises(NotImplementedError, match="4-component"):
+            decode_jpeg_dct(cbuf.getvalue())
         # lossless SOF3 belongs to the other codec
         from mies_tpu.io.jpegll import encode_jpeg_lossless
 
@@ -1681,12 +1689,14 @@ class TestJPEG2K:
 
         from mies_tpu.io.jpeg2k import decode_jpeg2k
 
+        # 3-component RGB DECODES since round 5 (VERDICT r4 item 7):
+        # bit-exact vs the original for a lossless Pillow stream
         b = _io.BytesIO()
-        Image.fromarray(
-            rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
-        ).save(b, format="JPEG2000", irreversible=False)
-        with pytest.raises(NotImplementedError, match="component"):
-            decode_jpeg2k(b.getvalue(), "rgb")
+        rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        Image.fromarray(rgb).save(b, format="JPEG2000",
+                                  irreversible=False)
+        np.testing.assert_array_equal(
+            decode_jpeg2k(b.getvalue(), "rgb"), rgb)
         with pytest.raises(ValueError, match="not JPEG 2000|SOC"):
             decode_jpeg2k(b"\x00\x01\x02\x03\x04", "junk")
 
@@ -1972,3 +1982,139 @@ class TestHdf5:
         noth5.write_bytes(b"garbage here")
         with pytest.raises(ValueError, match="signature"):
             read_hdf5_volume(noth5)
+
+
+class TestColorDicom:
+    """Color DICOM (SamplesPerPixel=3) — VERDICT r4 item 7: JPEG
+    Baseline YCbCr decode (libjpeg fancy upsampling + fixed-point
+    color convert, cross-checked vs Pillow), J2K RGB with reversible
+    RCT (encode AND decode, OpenJPEG-validated), uncompressed
+    RGB/YBR_FULL, and the io.channels policy on color slices."""
+
+    def _rgb(self, rng, shape=(40, 56)):
+        return rng.integers(0, 256, shape + (3,)).astype(np.uint8)
+
+    def test_jpeg_color_decode_all_subsamplings(self, rng):
+        import io as _io
+
+        from PIL import Image
+
+        from mies_tpu.io.jpegdct import decode_jpeg_dct
+
+        rgb = self._rgb(rng, (45, 62))
+        for sub in (0, 1, 2):  # 4:4:4 / 4:2:2 / 4:2:0
+            b = _io.BytesIO()
+            Image.fromarray(rgb).save(b, format="JPEG", quality=90,
+                                      subsampling=sub)
+            got = decode_jpeg_dct(b.getvalue(), f"sub{sub}")
+            want = np.asarray(
+                Image.open(_io.BytesIO(b.getvalue())).convert("RGB"))
+            d = np.abs(got.astype(np.int32) - want.astype(np.int32))
+            # our exact float IDCT vs libjpeg's islow integer IDCT:
+            # a few levels through upsample + color convert
+            assert d.max() <= 3 and d.mean() < 0.2, (sub, d.max())
+
+    def test_uncompressed_rgb_and_ybr(self, tmp_path, rng):
+        from mies_tpu.io.jpegdct import _ycbcr_to_rgb
+
+        rgb = self._rgb(rng)
+        p = tmp_path / "rgb.dcm"
+        write_dicom(p, rgb)
+        sl = read_dicom(p)
+        assert sl.photometric == "RGB"
+        np.testing.assert_array_equal(sl.pixels, rgb)
+        # YBR_FULL converts on read with the same fixed-point math
+        p2 = tmp_path / "ybr.dcm"
+        write_dicom(p2, rgb, photometric="YBR_FULL")
+        sl2 = read_dicom(p2)
+        np.testing.assert_array_equal(
+            sl2.pixels,
+            _ycbcr_to_rgb(rgb[..., 0], rgb[..., 1], rgb[..., 2]))
+
+    def test_jpeg_baseline_color_dicom(self, tmp_path, rng):
+        import io as _io
+
+        from PIL import Image
+
+        from mies_tpu.io.dicom import JPEG_BASELINE
+
+        rgb = self._rgb(rng)
+        b = _io.BytesIO()
+        Image.fromarray(rgb).save(b, format="JPEG", quality=95,
+                                  subsampling=0)
+        p = tmp_path / "us.dcm"
+        write_dicom(p, rgb, transfer_syntax=JPEG_BASELINE,
+                    photometric="YBR_FULL_422",
+                    encoded_frames=[b.getvalue()])
+        sl = read_dicom(p)
+        assert sl.pixels.shape == rgb.shape
+        want = np.asarray(
+            Image.open(_io.BytesIO(b.getvalue())).convert("RGB"))
+        assert np.abs(sl.pixels.astype(np.int32)
+                      - want.astype(np.int32)).max() <= 3
+
+    def test_native_color_j2k_dicom(self, tmp_path, rng):
+        from mies_tpu.io.dicom import JPEG_2000_LOSSLESS
+
+        rgb = self._rgb(rng)
+        p = tmp_path / "c.dcm"
+        write_dicom(p, rgb, transfer_syntax=JPEG_2000_LOSSLESS)
+        sl = read_dicom(p)
+        assert sl.photometric == "YBR_RCT"
+        np.testing.assert_array_equal(sl.pixels, rgb)
+
+    def test_j2k_rgb_rct_pillow_cross(self, rng):
+        import io as _io
+
+        from PIL import Image
+
+        from mies_tpu.io.jpeg2k import decode_jpeg2k, encode_jpeg2k
+
+        rgb = self._rgb(rng, (65, 33))
+        # our encode -> OpenJPEG decode (conformance) + self decode
+        blob = encode_jpeg2k(rgb)
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(_io.BytesIO(blob))), rgb)
+        np.testing.assert_array_equal(decode_jpeg2k(blob, "s"), rgb)
+        # Pillow encode (MCT) -> our decode, incl. the 9/7 ICT within 1
+        b = _io.BytesIO()
+        Image.fromarray(rgb).save(b, format="JPEG2000",
+                                  irreversible=True)
+        out = decode_jpeg2k(b.getvalue(), "ict")
+        want = np.asarray(Image.open(_io.BytesIO(b.getvalue())))
+        assert np.abs(out.astype(np.int32)
+                      - want.astype(np.int32)).max() <= 1
+
+    def test_color_multiframe_and_channels_policy(self, tmp_path, rng):
+        from mies_tpu.io.dicom import read_dicom_frames
+        from mies_tpu.io.image import load_image
+
+        mf = rng.integers(0, 256, (3, 24, 32, 3)).astype(np.uint8)
+        p = tmp_path / "cine.dcm"
+        write_dicom(p, mf)
+        arr, _info = read_dicom_frames(p)
+        np.testing.assert_array_equal(np.asarray(arr), mf)
+        # channels policy on a color slice mirrors the PNG path
+        p2 = tmp_path / "one.dcm"
+        write_dicom(p2, mf[0])
+        with pytest.raises(ValueError, match="io.channels"):
+            load_image(p2, dtype="raw")
+        pc = load_image(p2, dtype="raw", channels="per-channel")
+        np.testing.assert_array_equal(pc, mf[0].transpose(2, 0, 1))
+        from PIL import Image
+
+        g = load_image(p2, dtype="raw", channels="gray")
+        np.testing.assert_array_equal(
+            g, np.asarray(Image.fromarray(mf[0]).convert("L")))
+
+    def test_native_parser_routes_color_to_python(self, tmp_path, rng):
+        # the C fast path REFUSES color (it would silently read 1/3 of
+        # the frame as grayscale); _load_dicom_slice falls back
+        from mies_tpu import native
+
+        rgb = self._rgb(rng)
+        p = tmp_path / "c.dcm"
+        write_dicom(p, rgb)
+        if native.available():
+            with pytest.raises(ValueError, match="color"):
+                native.read_dicom_native(p)
