@@ -456,6 +456,36 @@ def _t1_decode_block(
     return mag, out_chi, undecoded
 
 
+def _native_t1() -> bool:
+    """The C++ Tier-1 twin (native/jpeg2k_t1.cpp) is the default hot
+    path (~100x the bit-serial Python loops; ADVICE r4 #1 measured
+    2.7 s/frame here); ``MIES_TPU_J2K_NATIVE=0`` pins pure Python.
+    Both are bit-equal — tests compare them block- and stream-level."""
+    import os
+
+    if os.environ.get("MIES_TPU_J2K_NATIVE", "1") == "0":
+        return False
+    from mies_tpu import native
+
+    return native.available()
+
+
+def _t1_decode(w, h, band, data, npasses, numbps):
+    if _native_t1():
+        from mies_tpu import native
+
+        return native.t1_decode(data, w, h, band, npasses, numbps)
+    return _t1_decode_block(w, h, band, data, npasses, numbps)
+
+
+def _t1_encode(mag, chi, band, numbps):
+    if _native_t1():
+        from mies_tpu import native
+
+        return native.t1_encode(mag, chi, band, numbps)
+    return _t1_encode_block(mag, chi, band, numbps)
+
+
 # ---------------------------------------------------------------------------
 # Codestream structures (Annex A markers, Annex B geometry)
 # ---------------------------------------------------------------------------
@@ -1036,7 +1066,7 @@ def _band_coeffs(band, guard, depth, reversible, ctx):
             w, h = cb.x1 - cb.x0, cb.y1 - cb.y0
             if w <= 0 or h <= 0:
                 continue
-            mag, chi, und = _t1_decode_block(
+            mag, chi, und = _t1_decode(
                 w, h, band.kind, b"".join(cb.segs), cb.npasses,
                 mb - cb.zbp,
             )
@@ -1818,7 +1848,7 @@ def encode_jpeg2k(
                         if numbps == 0:
                             enc_state[id(cb)] = {"inc": False}
                             continue
-                        data, np_ = _t1_encode_block(
+                        data, np_ = _t1_encode(
                             mag, (sub < 0).astype(np.uint8), band.kind,
                             numbps)
                         enc_state[id(cb)] = {

@@ -48,12 +48,12 @@ def _compile() -> bool:
     global _build_error
     import os
 
-    src = _DIR / "dicomfast.cpp"
+    srcs = [_DIR / "dicomfast.cpp", _DIR / "jpeg2k_t1.cpp"]
     tmp = _DIR / f"_dicomfast.tmp{os.getpid()}.so"
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", str(tmp), str(src)],
+             "-o", str(tmp)] + [str(s) for s in srcs],
             check=True, capture_output=True, text=True,
         )
         os.replace(tmp, _SO)
@@ -77,6 +77,18 @@ def _load() -> bool:
             ctypes.c_void_p,
         ]
         lib.mies_dicom_parse.restype = ctypes.c_int
+        lib.mies_j2k_t1_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.mies_j2k_t1_decode.restype = ctypes.c_int
+        lib.mies_j2k_t1_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.mies_j2k_t1_encode.restype = ctypes.c_int
         _lib = lib
         return True
     except OSError as e:
@@ -99,11 +111,12 @@ def build(force: bool = False) -> bool:
     with _build_lock:
         if _lib is not None and not force:
             return True
-        src = _DIR / "dicomfast.cpp"
+        srcs = (_DIR / "dicomfast.cpp", _DIR / "jpeg2k_t1.cpp")
         stale = (
             force
             or not _SO.exists()
-            or _SO.stat().st_mtime < src.stat().st_mtime
+            or any(_SO.stat().st_mtime < s.stat().st_mtime
+                   for s in srcs)
         )
         if stale and not _compile():
             return False
@@ -217,3 +230,44 @@ def read_dicom_series_native(
     # the series contract is int16 (matching io.dicom.read_dicom_series,
     # which saturates out-of-range values the same way)
     return np.stack([_to_int16_sat(px) for px, _ in ordered], axis=0)
+
+
+_T1_BANDS = {"LL": 0, "HL": 1, "LH": 2, "HH": 3}
+
+
+def t1_decode(data: bytes, w: int, h: int, band: str, npasses: int,
+              numbps: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Native EBCOT Tier-1 block decode — the C++ twin of
+    io.jpeg2k._t1_decode_block (bit-equal; tests pin it). Caller must
+    have checked available()."""
+    mag = np.zeros((h, w), np.int32)
+    chi = np.zeros((h, w), np.uint8)
+    und = _lib.mies_j2k_t1_decode(
+        data, len(data), w, h, _T1_BANDS[band], npasses, numbps,
+        mag.ctypes.data_as(ctypes.c_void_p),
+        chi.ctypes.data_as(ctypes.c_void_p),
+    )
+    return mag, chi, und
+
+
+def t1_encode(mag: np.ndarray, chi: np.ndarray, band: str,
+              numbps: int) -> tuple[bytes, int]:
+    """Native EBCOT Tier-1 block encode — the C++ twin of
+    io.jpeg2k._t1_encode_block (bit-equal; tests pin it)."""
+    h, w = mag.shape
+    mag = np.ascontiguousarray(mag, np.int32)
+    chi = np.ascontiguousarray(chi, np.uint8)
+    # absolute bound: <= 1 byte per coded decision + flush margin
+    cap = 3 * numbps * w * h + 64
+    out = np.empty(cap, np.uint8)
+    np_out = ctypes.c_int(0)
+    n = _lib.mies_j2k_t1_encode(
+        mag.ctypes.data_as(ctypes.c_void_p),
+        chi.ctypes.data_as(ctypes.c_void_p),
+        w, h, _T1_BANDS[band], numbps,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        ctypes.byref(np_out),
+    )
+    if n < 0:
+        raise RuntimeError("native t1_encode: output capacity exceeded")
+    return out[:n].tobytes(), int(np_out.value)

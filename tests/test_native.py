@@ -122,3 +122,53 @@ def test_native_build_thread_safe(tmp_path):
     with ThreadPoolExecutor(max_workers=8) as pool:
         results = list(pool.map(lambda _: nat.build(), range(16)))
     assert all(results)
+
+
+class TestNativeJ2kT1:
+    """C++ EBCOT Tier-1 twin (native/jpeg2k_t1.cpp) vs the pure-Python
+    coder — BIT equality at block and stream level (the Python twin
+    defines the semantics; ADVICE r4 #1 measured the Python loops at
+    ~2.7 s/frame, the twin runs ~115 ms for a 512² 12-bit frame)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from mies_tpu import native
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+
+    def test_block_roundtrip_bit_equal(self, rng):
+        from mies_tpu import native
+        from mies_tpu.io.jpeg2k import (_t1_decode_block,
+                                        _t1_encode_block)
+
+        for t in range(12):
+            h = int(rng.integers(1, 65))
+            w = int(rng.integers(1, 65))
+            numbps = int(rng.integers(1, 15))
+            band = ["LL", "HL", "LH", "HH"][t % 4]
+            mag = rng.integers(0, 1 << numbps, (h, w)).astype(np.int32)
+            chi = rng.integers(0, 2, (h, w)).astype(np.uint8)
+            pd, pn = _t1_encode_block(mag, chi, band, numbps)
+            nd, nn = native.t1_encode(mag, chi, band, numbps)
+            assert pd == nd and pn == nn
+            m1, c1, u1 = _t1_decode_block(w, h, band, pd, pn, numbps)
+            m2, c2, u2 = native.t1_decode(pd, w, h, band, pn, numbps)
+            np.testing.assert_array_equal(m1, m2)
+            np.testing.assert_array_equal(c1, c2)
+            assert u1 == u2
+
+    def test_stream_dispatch_bit_equal(self, rng, monkeypatch):
+        from mies_tpu.io import jpeg2k
+
+        img = rng.integers(0, 4096, (96, 80)).astype(np.uint16)
+        monkeypatch.setenv("MIES_TPU_J2K_NATIVE", "0")
+        blob_py = jpeg2k.encode_jpeg2k(img, depth=12)
+        monkeypatch.setenv("MIES_TPU_J2K_NATIVE", "1")
+        blob_nat = jpeg2k.encode_jpeg2k(img, depth=12)
+        assert blob_py == blob_nat
+        out_nat = jpeg2k.decode_jpeg2k(blob_py, "nat")
+        monkeypatch.setenv("MIES_TPU_J2K_NATIVE", "0")
+        out_py = jpeg2k.decode_jpeg2k(blob_py, "py")
+        np.testing.assert_array_equal(out_py, out_nat)
+        np.testing.assert_array_equal(out_nat, img)
