@@ -377,8 +377,9 @@ def test_expected_skips():
         # env gates asserted non-firing above:
         "test_clahe.py": 2,       # importorskip cv2 + kornia_pin replay
         "test_filters.py": 5,     # importorskip cv2
-        "test_native.py": 1,      # skipif native unavailable
-        "test_io.py": 4,          # RLE/JPEG-LS native-vs-python (native available) + jpegls_pin.npz replay
+        "test_native.py": 2,      # skipif native unavailable + J2K T1 twin gate
+        "test_io.py": 5,          # RLE/JPEG-LS native-vs-python (native available) + jpegls_pin.npz replay + importorskip h5py (present here)
+        "test_pipeline.py": 1,    # importorskip h5py (present here)
         # permanent pin-replay skips (fire until a pin is checked in;
         # the kornia one is counted under test_clahe.py above):
         "test_histogram.py": 1,   # skimage_pin.npz replay

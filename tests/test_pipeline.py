@@ -445,6 +445,35 @@ def test_multichannel_per_channel_processing(tmp_path, rng):
     np.testing.assert_array_equal(saved, out.transpose(1, 2, 0))
 
 
+def test_color_dicom_rides_channels_policy(tmp_path, rng):
+    """A color DICOM slice (VERDICT r4 item 7) through the pipeline ==
+    the same RGB pixels from a PNG — per-channel and gray policies
+    both, covering the runner's _load_dicom_slice color path e2e."""
+    from PIL import Image
+
+    from mies_tpu.io.dicom import write_dicom
+
+    rgb = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    dcm = tmp_path / "us.dcm"
+    write_dicom(dcm, rgb)
+    png = tmp_path / "us.png"
+    Image.fromarray(rgb).save(png)
+    cfg = PipelineConfig.make(
+        [("equalize_hist", {}), ("adjust_gamma", {"gamma": 0.8})],
+        name="w1-color-dcm", io={"channels": "per-channel"},
+    )
+    out_dcm = runner.enhance_image(dcm, cfg, tmp_path / "a.png")
+    out_png = runner.enhance_image(png, cfg, tmp_path / "b.png")
+    np.testing.assert_array_equal(out_dcm, out_png)
+    cfg_g = PipelineConfig.make(
+        [("equalize_hist", {}), ("adjust_gamma", {"gamma": 0.8})],
+        name="w1-color-dcm-g", io={"channels": "gray"},
+    )
+    np.testing.assert_array_equal(
+        runner.enhance_image(dcm, cfg_g, tmp_path / "c.png"),
+        runner.enhance_image(png, cfg_g, tmp_path / "d.png"))
+
+
 def test_multichannel_gray_policy_collapses(tmp_path, rng):
     from PIL import Image
 
