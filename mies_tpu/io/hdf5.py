@@ -160,10 +160,9 @@ def _parse_messages_v1(rd: _Reader, addr: int, ctx: str) -> list:
             msize = rd.u(pos + 2, 2)
             data = buf[pos + 8:pos + 8 + msize]
             if mtype == 0x0010:  # continuation
-                blocks.append((rd.off(0) if False else
-                               int.from_bytes(data[:rd.osz], "little"),
-                               int.from_bytes(
-                                   data[rd.osz:rd.osz + rd.lsz],
+                blocks.append((
+                    int.from_bytes(data[:rd.osz], "little"),
+                    int.from_bytes(data[rd.osz:rd.osz + rd.lsz],
                                    "little")))
             else:
                 msgs.append((mtype, data))

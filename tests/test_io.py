@@ -1965,6 +1965,26 @@ class TestHdf5:
         got = np.concatenate(list(gen))
         np.testing.assert_array_equal(got, want)
 
+    def test_v1_header_continuation_blocks(self, tmp_path, rng):
+        # enough attributes/links to overflow the v1 object headers
+        # into continuation blocks (netCDF4 files carry large
+        # attribute sets — _NCProperties, DIMENSION_LIST, units, ...)
+        from mies_tpu.io.hdf5 import read_hdf5_volume
+
+        p = tmp_path / "attrs.nc"
+        want = rng.integers(-100, 100, (2, 3, 4)).astype(np.int16)
+        with self.h5py.File(p, "w") as f:
+            ds = f.create_dataset("v", data=want)
+            for i in range(40):
+                ds.attrs[f"attribute_with_long_name_{i:02d}"] = float(i)
+            for i in range(30):
+                f.attrs[f"root_attr_{i:02d}"] = "v" * 30
+            for j in range(12):
+                f.create_dataset(f"extra_{j:02d}", data=np.arange(5))
+        vol, vn = read_hdf5_volume(p)
+        assert vn == "v"
+        np.testing.assert_array_equal(vol, want)
+
     def test_refusals_name_the_feature(self, tmp_path, rng):
         from mies_tpu.io.hdf5 import read_hdf5_volume
 
