@@ -711,7 +711,14 @@ def read_dicom(path: str | Path) -> DicomSlice:
     if rle_frags is not None:
         px = _decode_encapsulated_pixeldata(rle_frags, meta, path, ts)[0]
     elif spp == 3:
-        flat = np.frombuffer(pixel_bytes[: rows * cols * 3], np.uint8)
+        need = rows * cols * 3
+        if len(pixel_bytes) < need:
+            raise ValueError(
+                f"{path}: PixelData holds {len(pixel_bytes)} bytes but "
+                f"{rows}x{cols}x3x8bit needs {need} (truncated file, "
+                "or subsampled YBR_FULL_422 raw data — transcode)"
+            )
+        flat = np.frombuffer(pixel_bytes[:need], np.uint8)
         if meta.get("planar", 0) == 1:  # RRR... GGG... BBB...
             px = flat.reshape(3, rows, cols).transpose(1, 2, 0)
         else:  # interleaved RGB RGB ...
@@ -1042,6 +1049,7 @@ def write_dicom(
     jpeg_quality: int = 90,
     jpegls_near: int | None = None,
     encoded_frames: list[bytes] | None = None,
+    samples_per_pixel: int | None = None,
 ) -> None:
     """Write a minimal explicit-VR-LE Part-10 DICOM file (int16/uint8).
 
@@ -1068,6 +1076,11 @@ def write_dicom(
     natively (io/jpeg2k.py's encoder: single tile, one quality layer,
     LRCP — bit-exact round trips, cross-checked against OpenJPEG);
     ``bits_stored`` tightens the declared sample depth.
+
+    Color: pixels shaped ``[H, W, 3]`` / ``[N, H, W, 3]`` (uint8) are
+    inferred as interleaved RGB (SamplesPerPixel=3); pass
+    ``samples_per_pixel=1`` to pin the pathological [N, H, 3]
+    3-px-wide grayscale reading, or 3 to assert color.
 
     ``encoded_frames`` is the transcode passthrough: pre-encoded
     codestream blobs (one per frame) written verbatim as the
@@ -1098,11 +1111,26 @@ def write_dicom(
         bits, signed = 8, 0
     else:
         raise TypeError(f"unsupported dtype {pixels.dtype}")
-    # color: a trailing length-3 axis is interleaved RGB ([H, W, 3]
-    # single frame or [N, H, W, 3] multi-frame, SamplesPerPixel=3,
-    # PlanarConfiguration=0); a genuinely 3-column grayscale stack
-    # must be passed as [N, H, 3] — unambiguous since ndim differs
-    spp = 3 if pixels.ndim in (3, 4) and pixels.shape[-1] == 3 else 1
+    # color: a trailing length-3 axis is inferred as interleaved RGB
+    # ([H, W, 3] single frame or [N, H, W, 3] multi-frame,
+    # SamplesPerPixel=3, PlanarConfiguration=0). A [N, H, 3] array is
+    # AMBIGUOUS (one color frame vs N frames of 3-px-wide grayscale) —
+    # the inference picks color; pass samples_per_pixel=1 to pin the
+    # pathological grayscale reading (review finding, round 5).
+    if samples_per_pixel is None:
+        spp = 3 if pixels.ndim in (3, 4) and pixels.shape[-1] == 3 \
+            else 1
+    elif samples_per_pixel in (1, 3):
+        spp = samples_per_pixel
+        if spp == 3 and (pixels.ndim not in (3, 4)
+                         or pixels.shape[-1] != 3):
+            raise ValueError(
+                f"samples_per_pixel=3 needs [H, W, 3] or [N, H, W, 3] "
+                f"pixels, got {pixels.shape}")
+    else:
+        raise ValueError(
+            f"samples_per_pixel must be None, 1 or 3, got "
+            f"{samples_per_pixel!r}")
     if pixels.ndim == 4 and spp != 3:
         raise ValueError(f"pixels must be [H, W], [N, H, W], "
                          f"[H, W, 3] or [N, H, W, 3], got {pixels.shape}")

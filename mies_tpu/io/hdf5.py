@@ -44,12 +44,24 @@ _UNDEF = 0xFFFFFFFFFFFFFFFF
 
 class _Reader:
     """Byte-level cursor over the file image with the superblock's
-    offset/length sizes."""
+    offset/length sizes.  OWNS the mmap + fd: datasets hold a _Reader
+    reference, so the mapping lives exactly as long as anything that
+    can still read from it."""
 
-    def __init__(self, buf: bytes, osz: int, lsz: int, ctx: str):
+    def __init__(self, buf, osz: int, lsz: int, ctx: str, fobj=None):
         self.buf = buf
         self.osz, self.lsz = osz, lsz
         self.ctx = ctx
+        self._fobj = fobj
+
+    def __del__(self):
+        try:
+            if hasattr(self.buf, "close"):
+                self.buf.close()
+            if self._fobj is not None:
+                self._fobj.close()
+        except Exception:
+            pass
 
     def u(self, pos: int, n: int) -> int:
         return int.from_bytes(self.buf[pos:pos + n], "little")
@@ -225,8 +237,10 @@ def _heap_name(rd: _Reader, heap_addr: int, off: int, ctx: str) -> str:
     if buf[heap_addr:heap_addr + 4] != b"HEAP":
         raise ValueError(f"{ctx}: bad local heap signature")
     data_addr = rd.off(heap_addr + 8 + 2 * rd.lsz)
-    end = buf.index(b"\x00", data_addr + off)
-    return buf[data_addr + off:end].decode("utf-8")
+    end = buf.find(b"\x00", data_addr + off)  # mmap has find, not index
+    if end < 0:
+        raise ValueError(f"{ctx}: unterminated local-heap name")
+    return bytes(buf[data_addr + off:end]).decode("utf-8")
 
 
 def _walk_group_btree(rd: _Reader, btree_addr: int, heap_addr: int,
@@ -606,20 +620,30 @@ class H5File:
     def __init__(self, path: str | Path):
         self.path = Path(path)
         ctx = str(path)
-        buf = self.path.read_bytes()
+        # mmap, not read_bytes: open_volume_slabs' O(slab) host-memory
+        # contract must hold for multi-GB NetCDF-4 volumes too — only
+        # the touched pages (headers + the chunks a slab intersects)
+        # become resident (review finding, round 5)
+        import mmap
+
+        fobj = open(self.path, "rb")
+        try:
+            buf = mmap.mmap(fobj.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # empty file etc.
+            buf = fobj.read()
         if buf[:8] != _SIG:
             raise ValueError(f"{ctx}: not an HDF5 file (signature)")
         ver = buf[8]
         if ver == 0:
             osz, lsz = buf[13], buf[14]
-            rd = _Reader(buf, osz, lsz, ctx)
+            rd = _Reader(buf, osz, lsz, ctx, fobj)
             # v0 fields end at 24 + 4*O (base/freespace/eof/driver
             # addresses); the root group SYMBOL TABLE ENTRY follows:
             # link name offset (O), then the object header address
             root = rd.off(24 + 4 * osz + osz)
         elif ver in (2, 3):
             osz, lsz = buf[9], buf[10]
-            rd = _Reader(buf, osz, lsz, ctx)
+            rd = _Reader(buf, osz, lsz, ctx, fobj)
             root = rd.off(12 + 3 * osz)
         else:
             raise NotImplementedError(

@@ -751,14 +751,9 @@ def _packet_sequence_mc(reses_by_comp, nlayers, prog, ctx):
                     if p < reses_by_comp[c][ri].nprec:
                         for l in range(nlayers):
                             yield c, reses_by_comp[c][ri], p, l
-    elif prog == 3:  # PCRL (single precinct: position loop is trivial)
-        for c in range(ncomp):
-            for ri in range(nres):
-                res = reses_by_comp[c][ri]
-                for p in range(res.nprec):
-                    for l in range(nlayers):
-                        yield c, res, p, l
-    elif prog == 4:  # CPRL
+    elif prog in (3, 4):  # PCRL / CPRL — identical under the single-
+        # precinct guard above (one position: both orders reduce to
+        # component -> resolution -> layer)
         for c in range(ncomp):
             for ri in range(nres):
                 res = reses_by_comp[c][ri]

@@ -228,8 +228,11 @@ def open_volume_slabs(
       * DICOM dir   — header-ordering pass (one file in memory at a
                       time), then per-slab threaded decode (native C++
                       single-file decoder when buildable).
-    .npz (zip-compressed) and NetCDF-4/HDF5 fall back to a full load —
-    the formats cannot be range-read without decompressing.
+      * HDF5 .nc    — in-tree reader over an mmap: each slab reads
+                      only the chunks (or contiguous rows) it
+                      intersects.
+    .npz (zip-compressed) falls back to a full load — the format
+    cannot be range-read without decompressing.
     """
     path = Path(path)
     if path.is_dir():
@@ -292,6 +295,10 @@ def open_volume_slabs(
                     None)
                 if var_name is None:
                     raise ValueError(f"no 3-D variable found in {path}")
+            if var_name not in f5.datasets:
+                raise ValueError(
+                    f"{path}: no dataset {var_name!r} (has: "
+                    f"{sorted(f5.datasets)})")
             dset = f5.datasets[var_name]
             native_dt = np.dtype(dset.dtype.newbyteorder("="))
             meta = VolumeMeta(dset.shape, native_dt.name,

@@ -197,10 +197,13 @@ def read_dicom_series_native(
         try:
             return read_dicom_native(p)
         except ValueError as e:
-            # syntaxes the C core doesn't know (JPEG Lossless) fall back
-            # per-file to the Python twin — a mixed-syntax series still
-            # streams, the supported files stay on the fast path
-            if "unsupported transfer syntax" not in str(e):
+            # syntaxes the C core doesn't know (JPEG Lossless) and
+            # color files (its -10 refusal) fall back per-file to the
+            # Python twin — a mixed series still streams, supported
+            # files stay on the fast path (the color frame then fails
+            # at np.stack/int16 with the shape named, not silently)
+            if ("unsupported transfer syntax" not in str(e)
+                    and "color" not in str(e)):
                 raise
             from mies_tpu.io.dicom import read_dicom
 

@@ -1874,7 +1874,12 @@ class TestHdf5:
     this environment, so every case pins against the actual library
     (the same live-golden stance as the J2K codec vs Pillow)."""
 
-    h5py = pytest.importorskip("h5py")
+    @pytest.fixture(autouse=True)
+    def _h5py(self):
+        # function-scope importorskip: a CLASS-body importorskip raises
+        # Skipped during module import and would silently skip ALL of
+        # test_io.py in an h5py-less environment (review finding)
+        self.h5py = pytest.importorskip("h5py")
 
     def _roundtrip(self, tmp_path, name, want, **dset_kw):
         from mies_tpu.io.hdf5 import read_hdf5_volume
