@@ -350,7 +350,11 @@ def _defilter(raw: bytes, filters: list, itemsize: int, fmask: int,
         if fmask & (1 << i):
             continue
         if fid == 1:
-            raw = zlib.decompress(raw)
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise ValueError(
+                    f"{ctx}: corrupt gzip chunk ({e})") from e
         elif fid == 2:  # shuffle: de-interleave byte planes
             n = vals[0] if vals else itemsize
             if n > 1 and len(raw) % n == 0:
@@ -383,6 +387,12 @@ class H5Dataset:
         for mtype, d in msgs:
             if mtype == 0x0001:
                 self.shape = _parse_dataspace(d, rd, self._ctx)
+                if int(np.prod(self.shape, dtype=np.float64)) > (1 << 33):
+                    raise ValueError(
+                        f"{self._ctx}: dataspace declares shape "
+                        f"{self.shape} (> 2^33 elements) — refusing "
+                        "the allocation (corrupt header?)"
+                    )
             elif mtype == 0x0003:
                 self._dtmsg = d
             elif mtype == 0x000B:
@@ -670,7 +680,19 @@ def read_hdf5_volume(
     path: str | Path, var_name: str | None = None
 ) -> tuple[np.ndarray, str]:
     """First 3-D dataset (or ``var_name``) as a native-endian array —
-    the netCDF4.Dataset fallback io/volume.py uses."""
+    the netCDF4.Dataset fallback io/volume.py uses.  Truncated or
+    garbled files surface as ValueError (fuzz contract), never a raw
+    mmap IndexError."""
+    try:
+        return _read_hdf5_volume(path, var_name)
+    except IndexError as e:
+        raise ValueError(
+            f"{path}: truncated or corrupt HDF5 file") from e
+
+
+def _read_hdf5_volume(
+    path: str | Path, var_name: str | None = None
+) -> tuple[np.ndarray, str]:
     f = H5File(path)
     if var_name is None:
         var_name = next(

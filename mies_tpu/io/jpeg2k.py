@@ -894,6 +894,20 @@ def _parse_siz(seg, ctx) -> dict:
     depth = depths.pop()
     if depth > 16:
         raise NotImplementedError(f"{ctx}: {depth}-bit samples")
+    # geometry sanity (fuzz finding: a corrupted Xsiz allocated 687
+    # GiB): offsets inside the grid, nonzero tiles, a plausible total
+    if not (xosiz < xsiz and yosiz < ysiz and xtsiz > 0 and ytsiz > 0
+            and xtosiz <= xosiz and ytosiz <= yosiz):
+        raise ValueError(
+            f"{ctx}: inconsistent SIZ geometry (image {xsiz}x{ysiz} "
+            f"offset {xosiz},{yosiz}; tiles {xtsiz}x{ytsiz} offset "
+            f"{xtosiz},{ytosiz})"
+        )
+    if (xsiz - xosiz) * (ysiz - yosiz) > (1 << 28):
+        raise ValueError(
+            f"{ctx}: SIZ declares a {xsiz - xosiz}x{ysiz - yosiz} "
+            "image (> 2^28 samples) — refusing the allocation"
+        )
     return {
         "xsiz": xsiz, "ysiz": ysiz, "xosiz": xosiz, "yosiz": yosiz,
         "xtsiz": xtsiz, "ytsiz": ytsiz, "xtosiz": xtosiz,
@@ -1888,4 +1902,9 @@ def decode_jpeg2k(blob: bytes, ctx: str = "jpeg2k") -> np.ndarray:
     """
     if len(blob) < 4:
         raise ValueError(f"{ctx}: {len(blob)}-byte blob is not JPEG 2000")
-    return _decode_codestream(_unwrap_jp2(bytes(blob), ctx), ctx)
+    try:
+        return _decode_codestream(_unwrap_jp2(bytes(blob), ctx), ctx)
+    except (struct.error, IndexError) as e:
+        # fuzz finding: a marker segment cut mid-field escaped as a
+        # bare struct.error — surface truncation uniformly
+        raise ValueError(f"{ctx}: truncated JPEG 2000 codestream") from e
