@@ -2039,6 +2039,28 @@ class TestColorDicom:
             # a few levels through upsample + color convert
             assert d.max() <= 3 and d.mean() < 0.2, (sub, d.max())
 
+    def test_jpeg_color_restart_intervals(self, rng):
+        # restart markers reset ALL three component predictors — the
+        # color-scan DRI path, cross-checked vs Pillow
+        import io as _io
+
+        from PIL import Image
+
+        from mies_tpu.io.jpegdct import decode_jpeg_dct
+
+        rgb = self._rgb(rng, (64, 80))
+        b = _io.BytesIO()
+        Image.fromarray(rgb).save(b, format="JPEG", quality=85,
+                                  subsampling=2,
+                                  restart_marker_blocks=2)
+        blob = b.getvalue()
+        assert b"\xff\xd0" in blob or b"\xff\xd1" in blob
+        got = decode_jpeg_dct(blob, "rst")
+        want = np.asarray(
+            Image.open(_io.BytesIO(blob)).convert("RGB"))
+        assert np.abs(got.astype(np.int32)
+                      - want.astype(np.int32)).max() <= 3
+
     def test_uncompressed_rgb_and_ybr(self, tmp_path, rng):
         from mies_tpu.io.jpegdct import _ycbcr_to_rgb
 
