@@ -14,7 +14,13 @@ MAX_WAIT="${MAX_WAIT:-28800}"  # give up after 8 h
 log() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
 
 probe() {
-  timeout 240 python -c "import jax; assert jax.default_backend() != 'cpu'" \
+  # must COMPILE, not just init: the round-5 outage mode has backend
+  # init + device listing working while every first-compile hangs
+  # (remote compile helper down mid-libtpu-upgrade)
+  timeout 240 python -c "
+import jax, jax.numpy as jnp
+assert jax.default_backend() != 'cpu'
+assert float(jax.jit(lambda v: v.sum())(jnp.arange(8.0))) == 28.0" \
     >/dev/null 2>&1
 }
 
@@ -37,9 +43,13 @@ run() {
   log "=== $name exit=$?"
 }
 
+run warp_ab python benchmarks/warp_ab.py --modes patch,pair
+run nlm_w10 python benchmarks/nlm_ab.py --modes kernel --d 6
+run cyclespin python benchmarks/cyclespin_ab.py
 run consistency python tests/tpu_consistency_driver.py
 run perf_floors python -m pytest tests/test_perf.py tests/test_tpu_numerics.py -q
 run apply_shapes python benchmarks/apply_shapes.py
 run workloads python benchmarks/workloads.py --volume --quick
+run census python benchmarks/op_census.py --write
 run bench python bench.py
 log "QUEUE DONE"
