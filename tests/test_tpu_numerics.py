@@ -125,6 +125,13 @@ def test_nl_means_backend_consistency(consistency):
     _case(consistency, "nl_means_vs_cpu")
 
 
+def test_nlm_dot_kernel_dispatch_consistency(consistency):
+    """Round-5 dot-box kernel at the registry defaults (d=11) — the
+    DISPATCHED path vs the CPU jnp twin, atol 1e-4 (MXU reduction
+    order; the TV-kernel stance)."""
+    _case(consistency, "nlm_dot_kernel_dispatch_vs_cpu")
+
+
 def test_denoise_tv_backend_consistency(consistency):
     _case(consistency, "denoise_tv_vs_cpu")
 

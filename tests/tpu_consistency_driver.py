@@ -565,18 +565,33 @@ def main() -> int:
         "max_abs": d, "ok": d <= 1e-4,
     }
 
-    # NL-means at the REGISTRY defaults (patch_distance > 8) runs the
-    # jnp pair loop on every backend; the chunked VMEM kernel that w10
-    # dispatches (kernels/nlmeans.py, d <= 8) is pinned bit-exact in
-    # interpret mode and measured by the floor-gated w10 workload —
-    # re-compiling its 7 chunks at a fresh batch shape here would cost
-    # hours of Mosaic compile for no extra numeric coverage. This
-    # contract pins the TPU evaluation of the pair loop against CPU.
+    # NL-means pair loop: TPU evaluation of the jnp form vs CPU.
     from mies_tpu.ops.restoration import denoise_nl_means as _nlm
 
     t, c = both(lambda a: _nlm(a, 7, 5, 0.1, 0.05), imgs[0])
     d = float(np.abs(t - c).max())
     out["cases"]["nl_means_vs_cpu"] = {"max_abs": d, "ok": d <= 2e-5}
+
+    # Round 5: the dot-box kernel (MIES_TPU_NLM_BOX=dot, d <= 11) now
+    # dispatches at the registry defaults too — pin the DISPATCHED
+    # b32 512² output (the shape whose 22 chunk programs the compile
+    # cache already holds from the A/B run) against the CPU jnp twin.
+    # MXU band-operator dots reorder the box-sum reduction: atol-level
+    # (the TV-kernel stance), NOT bit.
+    from mies_tpu.kernels.nlmeans import nl_means_batched
+
+    big = jnp.asarray(
+        np.random.default_rng(7).random((32, 512, 512), np.float32))
+    t = np.asarray(jax.jit(
+        lambda a: nl_means_batched(a, 7, 11, 0.1, 0.0)
+    )(big))
+    c = np.asarray(jax.jit(jax.vmap(
+        lambda v: _nlm(v, 7, 11, 0.1, 0.0)
+    ))(jax.device_put(big, cpu)))
+    d = float(np.abs(t - c).max())
+    out["cases"]["nlm_dot_kernel_dispatch_vs_cpu"] = {
+        "max_abs": d, "ok": d <= 1e-4,
+    }
 
     t, c = both(lambda a: retinex(a, sigmas=(2.0, 8.0)), imgs[0])
     d = float(np.abs(t - c).max())
