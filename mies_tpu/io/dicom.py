@@ -409,16 +409,21 @@ def _packbits_decode(seg: bytes, expected: int, ctx) -> np.ndarray:
     return out
 
 
-def _rle_decode_frame(blob: bytes, rows: int, cols: int, bits: int, ctx) -> np.ndarray:
-    """One RLE fragment -> [rows, cols] uint8/uint16 (stored bits)."""
+def _rle_decode_frame(blob: bytes, rows: int, cols: int, bits: int, ctx,
+                      spp: int = 1) -> np.ndarray:
+    """One RLE fragment -> [rows, cols] uint8/uint16 (stored bits) or
+    [rows, cols, 3] uint8 when ``spp=3`` (PS3.5 G.2: one segment per
+    color plane — the ultrasound archive form)."""
     if len(blob) < 64:
         raise ValueError(f"{ctx}: RLE frame shorter than its 64-byte header")
     hdr = struct.unpack_from("<16I", blob, 0)
-    nseg, nbytes = hdr[0], bits // 8
+    nseg, nbytes = hdr[0], (bits // 8) * spp
     if nseg != nbytes:
+        want = (f"{spp}-component {bits}-bit" if spp != 1
+                else f"grayscale {bits}-bit")
         raise ValueError(
-            f"{ctx}: RLE header declares {nseg} segment(s); grayscale "
-            f"{bits}-bit needs {nbytes} (color / planar data unsupported)"
+            f"{ctx}: RLE header declares {nseg} segment(s); {want} "
+            f"needs {nbytes}"
         )
     npx = rows * cols
     offs = list(hdr[1 : 1 + nseg]) + [len(blob)]
@@ -428,6 +433,9 @@ def _rle_decode_frame(blob: bytes, rows: int, cols: int, bits: int, ctx) -> np.n
         if not (64 <= a <= b <= len(blob)):
             raise ValueError(f"{ctx}: bad RLE segment offsets {offs[:-1]}")
         planes.append(_packbits_decode(blob[a:b], npx, ctx))
+    if spp == 3:  # one 8-bit segment per plane, R then G then B
+        return np.stack(
+            [p.reshape(rows, cols) for p in planes], axis=-1)
     if nbytes == 1:
         return planes[0].reshape(rows, cols)
     # segment 0 carries the MSBs (big-endian composite, PS3.5 G.2)
@@ -442,8 +450,12 @@ def _decode_rle_pixeldata(
     applied bit-preservingly); rescale stays with the callers."""
     rows, cols = meta["rows"], meta["cols"]
     bits = meta.get("bits", 16)
+    spp = meta.get("samples", 1)
     if bits not in (8, 16):
         raise NotImplementedError(f"{path}: RLE BitsAllocated={bits}")
+    if spp == 3 and bits != 8:
+        raise NotImplementedError(
+            f"{path}: {bits}-bit color RLE (8-bit RGB supported)")
     n = meta.get("frames", len(frags))
     if len(frags) != n:
         raise ValueError(
@@ -451,8 +463,15 @@ def _decode_rle_pixeldata(
             f"(PS3.5 A.4.2 requires exactly one frame per fragment)"
         )
     px = np.stack(
-        [_rle_decode_frame(b, rows, cols, bits, path) for b in frags], axis=0
+        [_rle_decode_frame(b, rows, cols, bits, path, spp)
+         for b in frags], axis=0
     )
+    if spp == 3:
+        if meta.get("photometric", "RGB") == "YBR_FULL":
+            from mies_tpu.io.jpegdct import _ycbcr_to_rgb
+
+            px = _ycbcr_to_rgb(px[..., 0], px[..., 1], px[..., 2])
+        return px
     if bits == 16 and meta.get("signed", False):
         px = px.view(np.int16)
     return px
@@ -569,14 +588,20 @@ def _packbits_encode_row(row: bytes) -> bytearray:
 
 
 def _rle_encode_frame(frame: np.ndarray) -> bytes:
-    """[H, W] uint8/int16/uint16 -> one RLE Lossless frame (header +
+    """[H, W] uint8/int16/uint16 (or [H, W, 3] uint8 color — one
+    segment per plane, PS3.5 G.2) -> one RLE Lossless frame (header +
     even-padded PackBits segments, MSB plane first)."""
     frame = np.ascontiguousarray(frame)
-    itemsize = frame.dtype.itemsize
-    b = frame[..., None].view(np.uint8)  # [H, W, itemsize], LE byte order
+    if frame.ndim == 3:  # color: R, G, B segments in order
+        b = frame
+        nseg = 3
+    else:
+        b = frame[..., None].view(np.uint8)  # [H, W, it], LE bytes
+        nseg = frame.dtype.itemsize
+    itemsize = b.shape[-1]
     segs = []
-    for k in range(itemsize):  # MSB plane first
-        plane = b[:, :, itemsize - 1 - k]
+    for k in range(nseg):  # MSB plane first (identity for color)
+        plane = b[:, :, k if frame.ndim == 3 else itemsize - 1 - k]
         s = bytearray()
         for r in plane:
             s += _packbits_encode_row(r.tobytes())
@@ -1221,13 +1246,14 @@ def write_dicom(
     if transfer_syntax in _ENCAPSULATED:
         # encapsulated: undefined-length OB + BOT item + frame items
         if spp == 3:
-            if encoded_frames is None and transfer_syntax != \
-                    JPEG_2000_LOSSLESS:
+            if encoded_frames is None and transfer_syntax not in (
+                    JPEG_2000_LOSSLESS, RLE_LOSSLESS):
                 raise NotImplementedError(
-                    "write_dicom's native color encoder is JPEG 2000 "
-                    "Lossless (.4.90, reversible RCT) — use that, "
-                    "encoded_frames= (e.g. Pillow JPEG blobs for JPEG "
-                    "Baseline), or uncompressed Explicit VR LE"
+                    "write_dicom's native color encoders are JPEG "
+                    "2000 Lossless (.4.90, reversible RCT) and RLE "
+                    "Lossless — use those, encoded_frames= (e.g. "
+                    "Pillow JPEG blobs for JPEG Baseline), or "
+                    "uncompressed Explicit VR LE"
                 )
             frames = pixels if pixels.ndim == 4 else pixels[None]
         else:

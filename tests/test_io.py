@@ -2100,6 +2100,22 @@ class TestColorDicom:
         assert np.abs(sl.pixels.astype(np.int32)
                       - want.astype(np.int32)).max() <= 3
 
+    def test_rle_color_dicom(self, tmp_path, rng):
+        # PS3.5 G.2 color RLE: one PackBits segment per plane — native
+        # encode AND decode, single frame + cine, bit-exact
+        from mies_tpu.io.dicom import RLE_LOSSLESS, read_dicom_frames
+
+        rgb = self._rgb(rng)
+        p = tmp_path / "c.dcm"
+        write_dicom(p, rgb, transfer_syntax=RLE_LOSSLESS)
+        sl = read_dicom(p)
+        np.testing.assert_array_equal(sl.pixels, rgb)
+        mf = rng.integers(0, 256, (3, 24, 32, 3)).astype(np.uint8)
+        p2 = tmp_path / "mf.dcm"
+        write_dicom(p2, mf, transfer_syntax=RLE_LOSSLESS)
+        arr, _info = read_dicom_frames(p2)
+        np.testing.assert_array_equal(np.asarray(arr), mf)
+
     def test_native_color_j2k_dicom(self, tmp_path, rng):
         from mies_tpu.io.dicom import JPEG_2000_LOSSLESS
 
