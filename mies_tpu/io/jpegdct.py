@@ -173,6 +173,7 @@ def _decode_markers(blob: bytes, ctx: str) -> np.ndarray:
     pos = 2
     dc_tables: dict[int, tuple] = {}
     ac_tables: dict[int, tuple] = {}
+    raw_tables: dict[tuple, bytes] = {}
     qtables: dict[int, np.ndarray] = {}
     precision = rows = cols = comp_tq = components = None
     restart_interval = 0
@@ -250,6 +251,10 @@ def _decode_markers(blob: bytes, ctx: str) -> np.ndarray:
                 symbols = list(seg[o + 17 : o + 17 + nsym])
                 tbl = _build_decode_table(counts, symbols)
                 (dc_tables if tc == 0 else ac_tables)[th] = tbl
+                # raw form for the native scan twin: counts + nsym + syms
+                raw_tables[(tc, th)] = (
+                    bytes(counts) + nsym.to_bytes(2, "little")
+                    + bytes(symbols))
                 o += 17 + nsym
         elif m == _DRI:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -261,7 +266,7 @@ def _decode_markers(blob: bytes, ctx: str) -> np.ndarray:
                 return _decode_color_scan(
                     blob, pos + seglen, seg, components, dc_tables,
                     ac_tables, qtables, rows, cols, restart_interval,
-                    ctx,
+                    ctx, raw_tables,
                 )
             if ns != 1 or len(components) != 1:
                 raise NotImplementedError(
@@ -289,6 +294,7 @@ def _decode_markers(blob: bytes, ctx: str) -> np.ndarray:
             coeffs = _decode_scan(
                 blob, pos + seglen, dc_tables[td], ac_tables[ta],
                 rows, cols, restart_interval, ctx,
+                raw_tables.get((0, td)), raw_tables.get((1, ta)),
             )
             by = -(-rows // 8)
             bx = -(-cols // 8)
@@ -301,15 +307,42 @@ def _decode_markers(blob: bytes, ctx: str) -> np.ndarray:
     raise ValueError(f"{ctx}: no SOS marker — truncated codestream")
 
 
+def _native_scan() -> bool:
+    """The C++ entropy-scan twin (native/jpegdct_scan.cpp) is the
+    default (~0.8-1.5 s -> ms per 512² frame — the .4.50 cine ingest
+    path); ``MIES_TPU_JPEG_NATIVE=0`` pins pure Python. Bit-equal
+    int32 coefficients — tests compare whole decodes."""
+    import os
+
+    if os.environ.get("MIES_TPU_JPEG_NATIVE", "1") == "0":
+        return False
+    from mies_tpu import native
+
+    return native.available()
+
+
 def _decode_scan(
-    blob, start, dc_tbl, ac_tbl, rows, cols, ri, ctx
+    blob, start, dc_tbl, ac_tbl, rows, cols, ri, ctx,
+    raw_dc=None, raw_ac=None
 ) -> np.ndarray:
     """Entropy-coded scan -> float64 coefficient blocks [N, 8, 8] in
     RASTER order (de-zigzagged), NOT yet dequantized."""
-    br = _BitReader(blob, start)
     by = -(-rows // 8)
     bx = -(-cols // 8)
     n = by * bx
+    if raw_dc is not None and raw_ac is not None and _native_scan():
+        from mies_tpu import native
+
+        try:
+            (izz,) = native.jpeg_scan_decode(
+                blob, start, [[1, 1, bx, by]], raw_dc + raw_ac,
+                bx, by, ri)
+        except ValueError as e:
+            raise ValueError(f"{ctx}: {e}") from e
+        out = np.zeros((n, 64), np.float64)
+        out[:, _ZIGZAG] = izz
+        return out.reshape(n, 8, 8)
+    br = _BitReader(blob, start)
     zz = np.zeros((n, 64), np.float64)
     pred = 0
     next_rst = 0
@@ -434,7 +467,7 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray
 
 def _decode_color_scan(
     blob, start, sos_seg, components, dc_tables, ac_tables, qtables,
-    rows, cols, ri, ctx
+    rows, cols, ri, ctx, raw_tables=None
 ) -> np.ndarray:
     """Interleaved 3-component sequential-DCT scan -> [rows, cols, 3]
     uint8 RGB.  MCU-ordered entropy decode with per-component
@@ -452,6 +485,7 @@ def _decode_color_scan(
     # scan-order table selectors, matched to frame components by id
     byid = {c["cid"]: c for c in components}
     scan = []
+    scan_ids = []
     for s in range(3):
         cs = sos_seg[1 + 2 * s]
         tdta = sos_seg[2 + 2 * s]
@@ -465,12 +499,33 @@ def _decode_color_scan(
                 f"(DC {td} / AC {ta})"
             )
         scan.append((comp, dc_tables[td], ac_tables[ta]))
+        scan_ids.append((td, ta))
     mcux = -(-cols // (8 * hmax))
     mcuy = -(-rows // (8 * vmax))
     for comp, _d, _a in scan:
         comp["bw"] = mcux * comp["h"]
         comp["bh"] = mcuy * comp["v"]
         comp["zz"] = np.zeros((comp["bh"] * comp["bw"], 64), np.float64)
+    if raw_tables is not None and _native_scan() and all(
+        (0, td) in raw_tables and (1, ta) in raw_tables
+        for td, ta in scan_ids
+    ):
+        from mies_tpu import native
+
+        geom = [[c["h"], c["v"], c["bw"], c["bh"]]
+                for c, _d, _a in scan]
+        tables = b"".join(
+            raw_tables[(0, td)] + raw_tables[(1, ta)]
+            for td, ta in scan_ids)
+        try:
+            izzs = native.jpeg_scan_decode(
+                blob, start, geom, tables, mcux, mcuy, ri)
+        except ValueError as e:
+            raise ValueError(f"{ctx}: {e}") from e
+        for (comp, _d, _a), izz in zip(scan, izzs):
+            comp["zz"][:] = izz
+        return _color_scan_finish(scan, qtables, rows, cols, hmax,
+                                  vmax, ctx)
     br = _BitReader(blob, start)
     preds = {id(comp): 0 for comp, _d, _a in scan}
     next_rst = 0
@@ -521,6 +576,14 @@ def _decode_color_scan(
             next_rst = (next_rst + 1) % 8
             for comp, _d, _a in scan:
                 preds[id(comp)] = 0
+    return _color_scan_finish(scan, qtables, rows, cols, hmax, vmax,
+                              ctx)
+
+
+def _color_scan_finish(scan, qtables, rows, cols, hmax, vmax, ctx
+                       ) -> np.ndarray:
+    """Numeric tail shared by the Python and native entropy paths:
+    per-component dequant + IDCT, fancy upsample, color convert."""
     planes = []
     for comp, _d, _a in scan:
         zz = comp["zz"]

@@ -48,7 +48,8 @@ def _compile() -> bool:
     global _build_error
     import os
 
-    srcs = [_DIR / "dicomfast.cpp", _DIR / "jpeg2k_t1.cpp"]
+    srcs = [_DIR / "dicomfast.cpp", _DIR / "jpeg2k_t1.cpp",
+            _DIR / "jpegdct_scan.cpp"]
     tmp = _DIR / f"_dicomfast.tmp{os.getpid()}.so"
     try:
         subprocess.run(
@@ -89,6 +90,13 @@ def _load() -> bool:
             ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
         ]
         lib.mies_j2k_t1_encode.restype = ctypes.c_int
+        lib.mies_jpeg_scan_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        lib.mies_jpeg_scan_decode.restype = ctypes.c_int
         _lib = lib
         return True
     except OSError as e:
@@ -111,7 +119,8 @@ def build(force: bool = False) -> bool:
     with _build_lock:
         if _lib is not None and not force:
             return True
-        srcs = (_DIR / "dicomfast.cpp", _DIR / "jpeg2k_t1.cpp")
+        srcs = (_DIR / "dicomfast.cpp", _DIR / "jpeg2k_t1.cpp",
+                _DIR / "jpegdct_scan.cpp")
         stale = (
             force
             or not _SO.exists()
@@ -274,3 +283,35 @@ def t1_encode(mag: np.ndarray, chi: np.ndarray, band: str,
     if n < 0:
         raise RuntimeError("native t1_encode: output capacity exceeded")
     return out[:n].tobytes(), int(np_out.value)
+
+
+def jpeg_scan_decode(data: bytes, start: int, comp_geom: list,
+                     tables: bytes, mcux: int, mcuy: int,
+                     ri: int) -> list[np.ndarray]:
+    """Native T.81 sequential-DCT entropy scan — the C++ twin of
+    io.jpegdct's Python scan loops (bit-equal int32 zigzag coeffs).
+    ``comp_geom`` is per-component [h, v, bw, bh]; caller must have
+    checked available()."""
+    ncomp = len(comp_geom)
+    geom = np.asarray(comp_geom, np.int32).reshape(-1)
+    outs = [np.zeros((g[3] * g[2], 64), np.int32) for g in comp_geom]
+    flat = np.concatenate([o.reshape(-1) for o in outs]) if ncomp > 1 \
+        else outs[0].reshape(-1)
+    flat = np.ascontiguousarray(flat)
+    rc = _lib.mies_jpeg_scan_decode(
+        data, len(data), start, ncomp,
+        geom.ctypes.data_as(ctypes.c_void_p), tables, len(tables),
+        mcux, mcuy, ri, flat.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        msgs = {-1: "truncated or corrupt entropy-coded data",
+                -2: "corrupt Huffman stream",
+                -3: "restart marker out of order",
+                -4: "bad Huffman table"}
+        raise ValueError(f"jpeg scan: {msgs.get(rc, rc)}")
+    out, off = [], 0
+    for g in comp_geom:
+        n = g[3] * g[2] * 64
+        out.append(flat[off:off + n].reshape(g[3] * g[2], 64))
+        off += n
+    return out

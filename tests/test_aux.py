@@ -377,7 +377,7 @@ def test_expected_skips():
         # env gates asserted non-firing above:
         "test_clahe.py": 2,       # importorskip cv2 + kornia_pin replay
         "test_filters.py": 5,     # importorskip cv2
-        "test_native.py": 2,      # skipif native unavailable + J2K T1 twin gate
+        "test_native.py": 3,      # skipif native unavailable + J2K T1 + JPEG scan twin gates
         "test_io.py": 5,          # RLE/JPEG-LS native-vs-python (native available) + jpegls_pin.npz replay + importorskip h5py (present here)
         "test_pipeline.py": 1,    # importorskip h5py (present here)
         # permanent pin-replay skips (fire until a pin is checked in;
