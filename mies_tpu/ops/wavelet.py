@@ -450,3 +450,54 @@ def cycle_spin(
         ]
     )
     return jnp.mean(unrolled, axis=0)
+
+
+def cycle_spin_batched(
+    imgs: Array,
+    max_shifts: int = 3,
+    shift_steps: int = 1,
+    sigma: float | None = None,
+    wavelet: str = "db1",
+    mode: str = "soft",
+    wavelet_levels: int | None = None,
+    method: str = "BayesShrink",
+) -> Array:
+    """``cycle_spin`` on a [B, H, W] stack with the shift grid FLATTENED
+    into the leading batch: [S, B, H, W] -> [S*B, H, W] before the
+    vmapped denoise, instead of the nested [B, S, H, W] an outer vmap
+    of ``cycle_spin`` produces.
+
+    Chip A/B (benchmarks/cyclespin_ab.py, r5): the nested layout ran
+    112.4 ms/b32 512^2 at S=16 while the 16x-flat-stack denoise alone
+    is 73.1 ms and the rolls+mean leg 4.1 ms — the nested vmap was
+    wasting ~35 ms of pure layout overhead. This form measures
+    ~stack+rollonly, and 73.1 < 16 x 5.27 (single-denoise leg), so the
+    shift grid even shares work; the op is CLOSED at ~16 denoises.
+    Same math as ``cycle_spin`` per slice (skimage partial-shift
+    contract; the SWT identity cannot apply to the 4x4 partial grid).
+    """
+    if max_shifts < 0:
+        raise ValueError("max_shifts must be >= 0")
+    if shift_steps < 1:
+        raise ValueError("shift_steps must be >= 1")
+    shifts = [
+        (dy, dx)
+        for dy in range(0, max_shifts + 1, shift_steps)
+        for dx in range(0, max_shifts + 1, shift_steps)
+    ]
+    b, h, w = imgs.shape
+    rolled = jnp.concatenate(
+        [jnp.roll(imgs, s, axis=(1, 2)) for s in shifts]
+    )  # [S*B, H, W], shift-major so the reshape back is a view
+    den = jax.vmap(
+        lambda x: _denoise_wavelet_core(
+            x, sigma, wavelet, mode, wavelet_levels, method
+        )
+    )(rolled).reshape(len(shifts), b, h, w)
+    unrolled = jnp.stack(
+        [
+            jnp.roll(den[i], (-dy, -dx), axis=(1, 2))
+            for i, (dy, dx) in enumerate(shifts)
+        ]
+    )
+    return jnp.mean(unrolled, axis=0)

@@ -241,6 +241,7 @@ def _batched_registry() -> dict[str, Callable]:
     )
     from mies_tpu.kernels.nlmeans import nl_means_batched
     from mies_tpu.kernels.tv import denoise_tv_batched
+    from mies_tpu.ops.wavelet import cycle_spin_batched
 
     return {
         "clahe": clahe_batched,
@@ -263,6 +264,10 @@ def _batched_registry() -> dict[str, Callable]:
         # kernel — two HBM round trips per slice total instead of
         # ~6 plane trips per iteration (kernels/tv.py)
         "denoise_tv": denoise_tv_batched,
+        # shift grid flattened into the leading batch ([S*B, H, W]
+        # instead of the nested [B, S, H, W] vmap layout): 112.4 ->
+        # ~77 ms/b32 at S=16 on v5e (benchmarks/cyclespin_ab.py, r5)
+        "cycle_spin": cycle_spin_batched,
     }
 
 

@@ -248,6 +248,35 @@ class TestCycleSpin:
             W.cycle_spin(jnp.zeros((8, 8)), max_shifts=-1)
         with pytest.raises(ValueError, match="shift_steps"):
             W.cycle_spin(jnp.zeros((8, 8)), shift_steps=0)
+        with pytest.raises(ValueError, match="max_shifts"):
+            W.cycle_spin_batched(jnp.zeros((1, 8, 8)), max_shifts=-1)
+        with pytest.raises(ValueError, match="shift_steps"):
+            W.cycle_spin_batched(jnp.zeros((1, 8, 8)), shift_steps=0)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {"max_shifts": 2},
+            {"max_shifts": 3, "shift_steps": 2, "wavelet": "db2"},
+            {"max_shifts": 1, "sigma": 0.08, "mode": "hard"},
+        ],
+    )
+    def test_batched_matches_vmapped(self, rng, kw):
+        # the pipeline's batched fast path (shift grid flattened into
+        # the leading batch) must reproduce vmap(cycle_spin) — same
+        # per-slice math, only the layout differs
+        imgs = np.stack([_noisy(rng, (48, 64)) for _ in range(3)])
+        want = np.asarray(
+            jax.jit(jax.vmap(lambda v: W.cycle_spin(v, **kw)))(
+                jnp.asarray(imgs)
+            )
+        )
+        got = np.asarray(
+            jax.jit(lambda v: W.cycle_spin_batched(v, **kw))(
+                jnp.asarray(imgs)
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-6)
 
     def test_in_pipeline(self, rng):
         cfg = PipelineConfig.make(
