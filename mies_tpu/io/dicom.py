@@ -61,6 +61,9 @@ JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"  # T.87, NEAR = 0
 JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"  # T.87 near-lossless, NEAR >= 1
 JPEG_2000_LOSSLESS = "1.2.840.10008.1.2.4.90"  # 5/3 reversible only
 JPEG_2000 = "1.2.840.10008.1.2.4.91"  # 9/7 (or 5/3) — may be lossy
+HTJ2K_LOSSLESS = "1.2.840.10008.1.2.4.201"  # T.814 HT, reversible
+HTJ2K_LOSSLESS_RPCL = "1.2.840.10008.1.2.4.202"  # + RPCL progression
+HTJ2K = "1.2.840.10008.1.2.4.203"  # HT, may be lossy (9/7)
 
 # encapsulated (undefined-length, fragment-item) PixelData syntaxes
 _ENCAPSULATED = (
@@ -73,19 +76,21 @@ _ENCAPSULATED = (
     JPEG_LS_NEAR,
     JPEG_2000_LOSSLESS,
     JPEG_2000,
+    HTJ2K_LOSSLESS,
+    HTJ2K_LOSSLESS_RPCL,
+    HTJ2K,
 )
 _JPEG_DCT = (JPEG_BASELINE, JPEG_EXTENDED)
 _JPEG_LS = (JPEG_LS_LOSSLESS, JPEG_LS_NEAR)
-_JPEG_2K = (JPEG_2000_LOSSLESS, JPEG_2000)
+_JPEG_2K = (JPEG_2000_LOSSLESS, JPEG_2000, HTJ2K_LOSSLESS,
+            HTJ2K_LOSSLESS_RPCL, HTJ2K)
+_HTJ2K = (HTJ2K_LOSSLESS, HTJ2K_LOSSLESS_RPCL, HTJ2K)
 
 # Known-but-unsupported syntaxes, named in refusal messages so users
 # know exactly what to transcode (gdcmconv --raw / dcmdjpeg).
 _TS_NAMES = {
     "1.2.840.10008.1.2.4.100": "MPEG2",
     "1.2.840.10008.1.2.4.102": "MPEG-4 AVC/H.264",
-    "1.2.840.10008.1.2.4.201": "HTJ2K Lossless",
-    "1.2.840.10008.1.2.4.202": "HTJ2K Lossless RPCL",
-    "1.2.840.10008.1.2.4.203": "HTJ2K",
 }
 
 
@@ -1181,7 +1186,9 @@ def write_dicom(
     if spp == 3 and photometric is None:
         # PS3.3 C.7.6.3.1.3: .4.90's reversible RCT is YBR_RCT
         photometric = ("YBR_RCT"
-                       if transfer_syntax == JPEG_2000_LOSSLESS
+                       if transfer_syntax in (JPEG_2000_LOSSLESS,
+                                              HTJ2K_LOSSLESS,
+                                              HTJ2K_LOSSLESS_RPCL)
                        and encoded_frames is None else "RGB")
 
     meta_body = _el_short(_TAG_TS_UID, b"UI", transfer_syntax.encode())
@@ -1231,12 +1238,13 @@ def write_dicom(
     if rescale_intercept != 0.0 or rescale_slope != 1.0:
         ds += _el_short(_TAG_INTERCEPT, b"DS", f"{rescale_intercept:g}".encode())
         ds += _el_short(_TAG_SLOPE, b"DS", f"{rescale_slope:g}".encode())
-    if transfer_syntax == JPEG_2000 and encoded_frames is None:
+    if transfer_syntax in (JPEG_2000, HTJ2K) and encoded_frames is None:
         raise NotImplementedError(
-            "write_dicom does not rate-control lossy JPEG 2000 "
-            "(.4.91) — pass pre-encoded codestreams via "
-            "encoded_frames=, or use JPEG_2000_LOSSLESS (.4.90): the "
-            "in-tree reversible 5/3 encoder writes it natively"
+            "write_dicom does not rate-control the lossy JPEG 2000 "
+            f"syntaxes ({JPEG_2000}, {HTJ2K}) — pass pre-encoded "
+            "codestreams via encoded_frames=, or use "
+            f"JPEG_2000_LOSSLESS (.4.90) / HTJ2K_LOSSLESS (.4.201): "
+            "the in-tree reversible 5/3 encoders write those natively"
         )
     if encoded_frames is not None and transfer_syntax not in _ENCAPSULATED:
         raise ValueError(
@@ -1247,7 +1255,8 @@ def write_dicom(
         # encapsulated: undefined-length OB + BOT item + frame items
         if spp == 3:
             if encoded_frames is None and transfer_syntax not in (
-                    JPEG_2000_LOSSLESS, RLE_LOSSLESS):
+                    JPEG_2000_LOSSLESS, HTJ2K_LOSSLESS,
+                    HTJ2K_LOSSLESS_RPCL, RLE_LOSSLESS):
                 raise NotImplementedError(
                     "write_dicom's native color encoders are JPEG "
                     "2000 Lossless (.4.90, reversible RCT) and RLE "
@@ -1317,15 +1326,22 @@ def write_dicom(
                 from mies_tpu.io.jpegls import encode_jpegls
 
                 blob = encode_jpegls(fr, near=near)
-            elif transfer_syntax == JPEG_2000_LOSSLESS:
+            elif transfer_syntax in (JPEG_2000_LOSSLESS, HTJ2K_LOSSLESS,
+                                     HTJ2K_LOSSLESS_RPCL):
                 from mies_tpu.io.jpeg2k import encode_jpeg2k
 
-                # reversible 5/3, single tile/layer, LRCP — the
-                # clinical archive profile; BitsStored tightens the
-                # declared depth (values are range-checked there)
+                # reversible 5/3, single tile/layer — the clinical
+                # archive profile; BitsStored tightens the declared
+                # depth (values are range-checked there).  The HT
+                # syntaxes swap the classic EBCOT coder for T.814
+                # cleanup-only HT codeblocks (io/htj2k.py); .4.202
+                # additionally mandates RPCL packet progression
                 blob = encode_jpeg2k(
                     fr, depth=bits_stored,
                     ctx=f"{path} frame {i}" if nframes > 1 else str(path),
+                    ht=transfer_syntax != JPEG_2000_LOSSLESS,
+                    prog=2 if transfer_syntax == HTJ2K_LOSSLESS_RPCL
+                    else 0,
                 )
             else:
                 from mies_tpu.io.jpegll import encode_jpeg_lossless

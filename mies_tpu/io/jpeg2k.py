@@ -924,7 +924,13 @@ def _parse_cod_body(seg, off, scod, ctx, sg=None) -> dict:
     xcb = (seg[off + 1] & 0x0F) + 2
     ycb = (seg[off + 2] & 0x0F) + 2
     cbstyle = seg[off + 3]
-    if cbstyle:
+    ht = bool(cbstyle & 0x40)  # T.814: HT cleanup-pass codeblocks
+    if cbstyle & 0x80:
+        raise NotImplementedError(
+            f"{ctx}: HT MIXED codestreams (both HT and classic "
+            "codeblocks) are not supported"
+        )
+    if cbstyle & ~0x40:
         names = []
         for bit, nm in ((1, "selective arithmetic bypass"),
                         (2, "context reset"), (4, "termination per pass"),
@@ -950,6 +956,7 @@ def _parse_cod_body(seg, off, scod, ctx, sg=None) -> dict:
     out = {
         "nl": nl, "xcb": xcb, "ycb": ycb, "wavelet": wavelet,
         "prec": prec, "sop": bool(scod & 2), "eph": bool(scod & 4),
+        "ht": ht,
     }
     if sg is not None:
         out.update(sg)
@@ -1051,7 +1058,7 @@ def _collect_tileparts(buf, pos, ctx):
     return tiles
 
 
-def _band_coeffs(band, guard, depth, reversible, ctx):
+def _band_coeffs(band, guard, depth, reversible, ctx, ht=False):
     """Tier-1 decode every codeblock of a band -> coefficient array."""
     bw, bh = band.x1 - band.x0, band.y1 - band.y0
     arr = np.zeros((bh, bw), np.int32 if reversible else np.float64)
@@ -1075,10 +1082,27 @@ def _band_coeffs(band, guard, depth, reversible, ctx):
             w, h = cb.x1 - cb.x0, cb.y1 - cb.y0
             if w <= 0 or h <= 0:
                 continue
-            mag, chi, und = _t1_decode(
-                w, h, band.kind, b"".join(cb.segs), cb.npasses,
-                mb - cb.zbp,
-            )
+            if ht:
+                from mies_tpu.io.htj2k import decode_ht_block_parts
+
+                if cb.npasses > 1:
+                    raise NotImplementedError(
+                        f"{ctx}: HT codeblock with {cb.npasses} "
+                        "coding passes — only cleanup-only (1-pass) "
+                        "HT streams are supported (SigProp/MagRef "
+                        "refinement decode is not implemented)"
+                    )
+                # the HT zero-bitplane field signals P - 1 (see the
+                # encoder note); the working bound is field + 1
+                mag, chi, und = decode_ht_block_parts(
+                    b"".join(cb.segs), w, h, cb.zbp + 1, cb.npasses,
+                    mb,
+                )
+            else:
+                mag, chi, und = _t1_decode(
+                    w, h, band.kind, b"".join(cb.segs), cb.npasses,
+                    mb - cb.zbp,
+                )
             sgn = 1 - 2 * chi.astype(np.int32)
             if reversible:
                 if und > 0:  # truncated stream: half-bin midpoint
@@ -1134,10 +1158,11 @@ def _decode_tile(tdata, bounds, siz, cod, qcds, ctx):
     for c, reses in enumerate(reses_by_comp):
         guard = qcds[c]["guard"]
         ll = _band_coeffs(reses[0].bands[0], guard, depth, reversible,
-                          ctx)
+                          ctx, cod.get("ht", False))
         for res in reses[1:]:
             hl, lh, hh = (
-                _band_coeffs(b, guard, depth, reversible, ctx)
+                _band_coeffs(b, guard, depth, reversible, ctx,
+                             cod.get("ht", False))
                 for b in res.bands
             )
             ll = _sr2d(ll, hl, lh, hh, res.x0, res.y0, res.x1, res.y1,
@@ -1744,10 +1769,17 @@ def encode_jpeg2k(
     depth: int | None = None,
     levels: int = 5,
     ctx: str = "jpeg2k",
+    ht: bool = False,
+    prog: int = 0,
 ) -> bytes:
     """One 2-D frame -> a reversible-5/3 J2K codestream (DICOM .4.90
     profile: single component, single tile, one quality layer, LRCP,
     64x64 codeblocks, default precincts, no SOP/EPH).
+
+    ``ht=True`` emits an HTJ2K (Part 15 / T.814) codestream instead
+    (DICOM .4.201 profile): every codeblock is a cleanup-only HT
+    codeword segment (lossless, ``p = 1``), signalled via
+    Rsiz bit 14 + the CAP marker + COD codeblock-style 0x40.
 
     ``decode_jpeg2k(encode_jpeg2k(x))`` is bit-exact (same geometry and
     context machinery on both sides), and the golden tests additionally
@@ -1792,9 +1824,11 @@ def encode_jpeg2k(
     nl = max(0, min(levels, min(h, w).bit_length() - 1))
     guard = 2
     ncomp = 3 if color else 1
+    if prog not in (0, 1, 2, 3, 4):
+        raise ValueError(f"{ctx}: progression order {prog} unknown")
     cod = {"nl": nl, "xcb": 6, "ycb": 6, "wavelet": 1,
            "prec": [(15, 15)] * (nl + 1), "sop": False, "eph": False,
-           "prog": 0, "layers": 1, "mct": 1 if color else 0}
+           "prog": prog, "layers": 1, "mct": 1 if color else 0}
 
     def _qvals(d):
         vals = [(d + _GAIN["LL"], 0)]
@@ -1857,6 +1891,25 @@ def encode_jpeg2k(
                         if numbps == 0:
                             enc_state[id(cb)] = {"inc": False}
                             continue
+                        if ht:
+                            from mies_tpu.io.htj2k import (
+                                encode_ht_block,
+                            )
+
+                            data, zbp_sig = encode_ht_block(
+                                sub.astype(np.int64), mb)
+                            # T.814 packet headers signal P - 1: the
+                            # reference decoder reconstructs its
+                            # working zero-bitplane count as the
+                            # tag-tree value + 1 (verified against
+                            # libopenjp2 — signaling P itself is
+                            # rejected as "P+1 zero bitplanes in Mb
+                            # bitplanes")
+                            enc_state[id(cb)] = {
+                                "inc": True, "zbp": zbp_sig - 1,
+                                "npasses": 1, "data": data,
+                            }
+                            continue
                         data, np_ = _t1_encode(
                             mag, (sub < 0).astype(np.uint8), band.kind,
                             numbps)
@@ -1868,16 +1921,24 @@ def encode_jpeg2k(
     body = b"".join(
         _encode_packet(res, p, enc_state, wr)
         for _c, res, p, _layer in _packet_sequence_mc(
-            reses_by_comp, 1, 0, ctx)
+            reses_by_comp, 1, prog, ctx)
     )
     # markers
     out = bytearray(b"\xff\x4f")  # SOC
     ssiz = (depth - 1) | (0x80 if signed else 0)
+    rsiz = 0x4000 if ht else 0  # Part-15 capability bit
     out += b"\xff\x51" + struct.pack(
-        ">HH8IH", 38 + 3 * ncomp, 0, w, h, 0, 0, w, h, 0, 0, ncomp)
+        ">HH8IH", 38 + 3 * ncomp, rsiz, w, h, 0, 0, w, h, 0, 0, ncomp)
     out += bytes((ssiz, 1, 1)) * ncomp
+    if ht:
+        # CAP (A.2 of T.814): Pcap declares Part 15; Ccap15's low bits
+        # carry MAGB = max band bitplanes, offset by 8
+        magb = max(0, guard + depth + 2 - 1 - 8)
+        out += b"\xff\x50" + struct.pack(
+            ">HIH", 8, 1 << (32 - 15), magb)
     out += b"\xff\x52" + struct.pack(
-        ">HBBHBBBBBB", 12, 0, 0, 1, cod["mct"], nl, 4, 4, 0, 1)
+        ">HBBHBBBBBB", 12, 0, prog, 1, cod["mct"], nl, 4, 4,
+        0x40 if ht else 0, 1)
     out += b"\xff\x5c" + struct.pack(
         ">HB", 3 + len(qcd_y["vals"]), (guard << 5) | 0)
     out += bytes((eps << 3) for eps, _mu in qcd_y["vals"])

@@ -185,14 +185,21 @@ def _nlm_chunk_kernel(
             # both s-wide 'valid' box sums as MXU dots against the
             # shared band operators — one pass each for any s, no
             # misaligned-lane rotates, ~6x fewer Mosaic statements
+            # precision=HIGHEST: the MXU's default f32 dot runs
+            # bf16 passes — chip-measured 6.0e-4 vs the CPU twin on
+            # the squared-diff sums, blowing the 1e-4 dispatch gate
+            # (r5 consistency driver finding); full-f32 passes
+            # restore ~1e-7 agreement
             box_ref[0:wh, :] = jax.lax.dot_general(
                 arow_ref[...], diff_ref[0:exth, :],
                 (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
             cacc = jax.lax.dot_general(
                 box_ref[0:wh, :], acol_ref[...],
                 (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
         else:
