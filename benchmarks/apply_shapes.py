@@ -15,6 +15,10 @@ P; appends nothing (purely diagnostic).
 from __future__ import annotations
 
 import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import json
 
 import numpy as np

@@ -49,7 +49,7 @@ def _compile() -> bool:
     import os
 
     srcs = [_DIR / "dicomfast.cpp", _DIR / "jpeg2k_t1.cpp",
-            _DIR / "jpegdct_scan.cpp"]
+            _DIR / "jpegdct_scan.cpp", _DIR / "htj2k_t1.cpp"]
     tmp = _DIR / f"_dicomfast.tmp{os.getpid()}.so"
     try:
         subprocess.run(
@@ -97,6 +97,18 @@ def _load() -> bool:
             ctypes.c_void_p,
         ]
         lib.mies_jpeg_scan_decode.restype = ctypes.c_int
+        lib.mies_ht_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.mies_ht_decode.restype = ctypes.c_int
+        lib.mies_ht_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.mies_ht_encode.restype = ctypes.c_int
         _lib = lib
         return True
     except OSError as e:
@@ -120,7 +132,7 @@ def build(force: bool = False) -> bool:
         if _lib is not None and not force:
             return True
         srcs = (_DIR / "dicomfast.cpp", _DIR / "jpeg2k_t1.cpp",
-                _DIR / "jpegdct_scan.cpp")
+                _DIR / "jpegdct_scan.cpp", _DIR / "htj2k_t1.cpp")
         stale = (
             force
             or not _SO.exists()
@@ -315,3 +327,77 @@ def jpeg_scan_decode(data: bytes, start: int, comp_geom: list,
         out.append(flat[off:off + n].reshape(g[3] * g[2], 64))
         off += n
     return out
+
+
+_HT_TBL = None
+
+
+def _ht_tables():
+    """The CxtVLC decode tables as C-contiguous uint16 arrays (single
+    source of truth: io/htj2k_tables.py)."""
+    global _HT_TBL
+    if _HT_TBL is None:
+        from mies_tpu.io.htj2k_tables import VLC_TBL0, VLC_TBL1
+
+        _HT_TBL = (np.asarray(VLC_TBL0, np.uint16),
+                   np.asarray(VLC_TBL1, np.uint16))
+    return _HT_TBL
+
+
+_HT_ERRORS = {
+    -1: "invalid cleanup segment length / Scup",
+    -2: "VLC stream over-read",
+    -3: "U_q larger than zero bitplanes + 1",
+    -4: "VLC significance outside the codeblock area",
+    -5: "no valid CxtVLC entry",
+    -6: "magnitude unencodable / exponent overflow",
+    -7: "output buffer too small",
+    -8: "UVLC value out of range",
+}
+
+
+def ht_decode(data: bytes, w: int, h: int, zbp: int):
+    """HT cleanup decode -> (mag int32 [h, w], sign uint8 [h, w]).
+    Twin of io.htj2k.decode_ht_cleanup (bit-equal; tests pin it)."""
+    if _lib is None and not build():
+        raise RuntimeError(f"native HT coder unavailable: {_build_error}")
+    t0, t1 = _ht_tables()
+    mag = np.empty((h, w), np.int32)
+    sgn = np.empty((h, w), np.uint8)
+    rc = _lib.mies_ht_decode(
+        data, len(data), w, h, zbp,
+        t0.ctypes.data, t1.ctypes.data,
+        mag.ctypes.data, sgn.ctypes.data,
+    )
+    if rc != 0:
+        from mies_tpu.io.htj2k import HTError
+
+        raise HTError(
+            f"native HT decode: {_HT_ERRORS.get(rc, rc)}"
+        )
+    return mag, sgn
+
+
+def ht_encode(coeffs: np.ndarray, B: int):
+    """Lossless cleanup-only HT encode -> (segment bytes, zbp).
+    Twin of io.htj2k.encode_ht_block (bit-equal; tests pin it)."""
+    if _lib is None and not build():
+        raise RuntimeError(f"native HT coder unavailable: {_build_error}")
+    t0, t1 = _ht_tables()
+    c = np.ascontiguousarray(coeffs, np.int32)
+    h, w = c.shape
+    cap = 4 * c.nbytes + 4096
+    out = np.empty(cap, np.uint8)
+    zbp = ctypes.c_int(0)
+    rc = _lib.mies_ht_encode(
+        c.ctypes.data, w, h, B,
+        t0.ctypes.data, t1.ctypes.data,
+        out.ctypes.data, cap, ctypes.byref(zbp),
+    )
+    if rc < 0:
+        from mies_tpu.io.htj2k import HTError
+
+        raise HTError(
+            f"native HT encode: {_HT_ERRORS.get(rc, rc)}"
+        )
+    return out[:rc].tobytes(), zbp.value
