@@ -679,25 +679,233 @@ def decode_ht_cleanup(
 # --------------------------------------------------------------------
 
 
+class _RevMrp:
+    """MagRef bit-stream: read backward from the END of the
+    refinement segment, LSB-first, with the VLC unstuffing rule and —
+    the MagRef twist — the unstuff flag initially SET (the segment's
+    last byte contributes 7 bits when its low 7 bits are all ones)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = len(data) - 1
+        self.size = len(data)
+        self.tmp = 0
+        self.bits = 0
+        self.unstuff = True
+
+    def _feed(self) -> None:
+        if self.size > 0:
+            v = self.data[self.pos]
+            self.pos -= 1
+            self.size -= 1
+        else:
+            v = 0
+        nb = 7 if (self.unstuff and (v & 0x7F) == 0x7F) else 8
+        self.tmp |= v << self.bits
+        self.bits += nb
+        self.unstuff = v > 0x8F
+
+    def fetch(self) -> int:
+        while self.bits < 32:
+            self._feed()
+        return self.tmp & 0xFFFFFFFF
+
+    def advance(self, n: int) -> None:
+        self.tmp >>= n
+        self.bits -= n
+
+
+# SigProp in-pass causal extension: a sample at stripe-row r made
+# significant extends the candidate set to (r+1, same col) and rows
+# r-1..r+1 of the NEXT column — the reference's 0x32/0x74/0xE8/0xC0
+# nibble masks.  Entries are (ABSOLUTE stripe-row, column delta).
+_SP_EXT = {
+    0: ((1, 0), (0, 1), (1, 1)),
+    1: ((2, 0), (0, 1), (1, 1), (2, 1)),
+    2: ((3, 0), (1, 1), (2, 1), (3, 1)),
+    3: ((2, 1), (3, 1)),
+}
+
+
+def _sigprop_decode(rd, v, sg, sig, p, h, w) -> None:
+    """SigProp (pass 2): candidates are insignificant samples with a
+    significant 8-neighbour; per 4-column group, their significance
+    bits then the new samples' sign bits ride one 32-bit window.
+    Stripe-vertical neighbours: the row above a stripe is
+    post-SigProp, the row below is cleanup-only."""
+    half3 = 3 << (p - 2)
+    sig_clean = sig.copy()
+    for s in range(0, h, 4):
+        sh = min(4, h - s)
+        # candidate map for this stripe (cleanup significance + the
+        # post-sigprop row above + the cleanup row below)
+        mbr = np.zeros((4, w), bool)
+        for r in range(sh):
+            for c in range(w):
+                if sig_clean[s + r, c]:
+                    continue
+                y0, y1 = max(s + r - 1, 0), min(s + r + 1, h - 1)
+                x0, x1 = max(c - 1, 0), min(c + 1, w - 1)
+                if sig[y0 : y1 + 1, x0 : x1 + 1].any():
+                    mbr[r, c] = True
+        for gbase in range(0, w, 4):
+            win = rd.fetch()
+            used = 0
+            new: list[tuple[int, int]] = []
+            for c in range(gbase, min(gbase + 4, w)):
+                for r in range(sh):
+                    if not mbr[r, c]:
+                        continue
+                    b = (win >> used) & 1
+                    used += 1
+                    if b:
+                        new.append((r, c))
+                        sig[s + r, c] = True
+                        for rr, dc in _SP_EXT[r]:
+                            cc = c + dc
+                            if (
+                                s + rr < h
+                                and cc < w
+                                and not sig_clean[s + rr, cc]
+                            ):
+                                mbr[rr, cc] = True
+            for r, c in new:
+                sgn = (win >> used) & 1
+                used += 1
+                v[s + r, c] = half3
+                sg[s + r, c] = sgn
+            rd.advance(used)
+
+
+def _magref_decode(rd, v, sig_clean, p, h, w) -> None:
+    """MagRef (pass 3): one bit per CLEANUP-significant sample (the
+    SigProp additions are excluded), stripe-major then column then
+    row; the bit keeps (1) or clears (0) plane p-1, then the midpoint
+    moves to plane p-2."""
+    for s in range(0, h, 4):
+        sh = min(4, h - s)
+        for c in range(w):
+            for r in range(sh):
+                if not sig_clean[s + r, c]:
+                    continue
+                win = rd.fetch()
+                b = win & 1
+                rd.advance(1)
+                v[s + r, c] ^= (1 - b) << (p - 1)
+                v[s + r, c] |= 1 << (p - 2)
+
+
 def decode_ht_refinement(
     ref: bytes,
-    num_passes: int,
+    num_extra: int,
     mu: np.ndarray,
     sg: np.ndarray,
+    p: int,
 ) -> np.ndarray:
-    """Apply the SigProp (and optionally MagRef) passes to the
-    cleanup result; returns the half-bit array ``extra`` such that the
-    final coefficient magnitude is ``2 * mu' + extra`` at bitplane
-    ``p - 1``... For the cleanup-only streams this module's encoder
-    emits this function is never called.  (Decoder support for 3-pass
-    external streams: SigProp makes neighbours of significant samples
-    significant at the LSB plane and MagRef refines; both operate one
-    bitplane below the cleanup pass.)
-    """
-    raise HTError(
-        "HT SigProp/MagRef refinement decode is not implemented; "
-        "this decoder handles cleanup-only (1-pass) HT codeblocks"
-    )
+    """Apply SigProp (and, when ``num_extra == 2``, MagRef) to the
+    cleanup result.  Returns the refined fixed-point magnitudes
+    ``v`` — the reference's ``(2*mu + 1) << (p - 1)`` representation,
+    whose final integer magnitude is ``v >> 1``."""
+    if p < 2:
+        raise HTError(
+            "refinement passes with p = 1 are malformed (no plane "
+            "below the cleanup pass)"
+        )
+    h, w = mu.shape
+    v = np.where(mu > 0, (2 * mu.astype(np.int64) + 1) << (p - 1), 0)
+    sig_clean = mu > 0
+    sig = sig_clean.copy()
+    _sigprop_decode(_FwdDec(ref, fill=0), v, sg, sig, p, h, w)
+    if num_extra > 1:
+        _magref_decode(_RevMrp(ref), v, sig_clean, p, h, w)
+    return v
+
+
+def _sigprop_encode(wr, coeffs, sig_clean, p, h, w) -> None:
+    """Dual of _sigprop_decode: the candidate walk must evolve
+    identically, emitting significance then sign bits per group."""
+    mu = np.abs(coeffs)
+    sig = sig_clean.copy()
+    for s in range(0, h, 4):
+        sh = min(4, h - s)
+        mbr = np.zeros((4, w), bool)
+        for r in range(sh):
+            for c in range(w):
+                if sig_clean[s + r, c]:
+                    continue
+                y0, y1 = max(s + r - 1, 0), min(s + r + 1, h - 1)
+                x0, x1 = max(c - 1, 0), min(c + 1, w - 1)
+                if sig[y0 : y1 + 1, x0 : x1 + 1].any():
+                    mbr[r, c] = True
+        for gbase in range(0, w, 4):
+            new: list[tuple[int, int]] = []
+            for c in range(gbase, min(gbase + 4, w)):
+                for r in range(sh):
+                    if not mbr[r, c]:
+                        continue
+                    b = int((int(mu[s + r, c]) >> (p - 2)) & 1)
+                    wr.put(b, 1)
+                    if b:
+                        new.append((r, c))
+                        sig[s + r, c] = True
+                        for rr, dc in _SP_EXT[r]:
+                            cc = c + dc
+                            if (
+                                s + rr < h
+                                and cc < w
+                                and not sig_clean[s + rr, cc]
+                            ):
+                                mbr[rr, cc] = True
+            for r, c in new:
+                wr.put(1 if coeffs[s + r, c] < 0 else 0, 1)
+
+
+def _magref_encode(bits: list[int], coeffs, sig_clean, p, h, w):
+    mu = np.abs(coeffs)
+    for s in range(0, h, 4):
+        sh = min(4, h - s)
+        for c in range(w):
+            for r in range(sh):
+                if sig_clean[s + r, c]:
+                    bits.append(int((int(mu[s + r, c]) >> (p - 2)) & 1))
+
+
+def _mrp_flush(bits: list[int]) -> bytes:
+    """Pack MagRef bits for the BACKWARD reader: byte j of the output
+    is read j-th from the segment's end.  The first-read byte sees the
+    unstuff flag SET; thereafter the VLC rule applies."""
+    out = bytearray()
+    i = 0
+    prev_gt = True  # initial unstuff state
+    n = len(bits)
+    while i < n:
+        rest = bits[i : i + 7]
+        if prev_gt and len(rest) == 7 and all(rest):
+            out.append(0x7F)
+            i += 7
+        else:
+            b = 0
+            for j in range(8):
+                if i + j < n:
+                    b |= bits[i + j] << j
+            out.append(b)
+            i += 8
+        prev_gt = out[-1] > 0x8F
+    return bytes(out)
+
+
+def encode_ht_refinement(coeffs: np.ndarray, p: int) -> bytes:
+    """SigProp + MagRef segment for ``p = 2`` coding (the standard
+    3-pass HT form): SigProp bytes forward, MagRef bytes reversed at
+    the tail, sharing one codeword segment."""
+    h, w = coeffs.shape
+    mu = np.abs(coeffs.astype(np.int64))
+    sig_clean = (mu >> (p - 1)) > 0
+    spp = _FwdEnc()
+    _sigprop_encode(spp, coeffs, sig_clean, p, h, w)
+    mrp_bits: list[int] = []
+    _magref_encode(mrp_bits, coeffs, sig_clean, p, h, w)
+    return spp.flush() + bytes(reversed(_mrp_flush(mrp_bits)))
 
 
 # --------------------------------------------------------------------
@@ -920,8 +1128,16 @@ def decode_ht_block_parts(
         mu, sg = native.ht_decode(bytes(data[:lcup]), w, h, zbp)
     else:
         mu, sg = decode_ht_cleanup(data, lcup, w, h, zbp)
-    if num_passes > 1:
-        decode_ht_refinement(data[lcup:], num_passes - 1, mu, sg)
+    if num_passes > 1 and p > 1:
+        v = decode_ht_refinement(
+            bytes(data[lcup:]), num_passes - 1, mu, sg, p
+        )
+        # v is the reference's fixed-point (2*mag + 1) << (p - 1)
+        # form with SigProp/MagRef folded in; its final magnitude is
+        # v >> 1 with every remaining midpoint already applied
+        return (v >> 1).astype(np.int32), sg, 0
+    # extra passes with p == 1 carry no plane to refine — the
+    # reference warns and decodes the cleanup pass only
     return mu.astype(np.int32), sg, p - 1
 
 
@@ -976,3 +1192,32 @@ def encode_ht_block(coeffs: np.ndarray, B: int) -> tuple[bytes, int]:
 
         return native.ht_encode(np.asarray(coeffs, np.int32), B)
     return encode_ht_cleanup(mu, sg, zbp), zbp
+
+
+def encode_ht_block_3pass(
+    coeffs: np.ndarray, B: int
+) -> tuple[bytes, bytes, int]:
+    """Encode signed coefficients as the standard 3-pass HT form
+    (p = 2): the cleanup pass codes magnitudes >> 1 and SigProp +
+    MagRef carry plane 0 in a second codeword segment.  Returns
+    ``(cleanup_segment, refinement_segment, zbp)`` with
+    ``zbp = B - 1`` — lossless when all three passes are kept."""
+    if B > 30:
+        raise HTError(f"more than 30 bitplanes ({B}) unsupported")
+    if B < 2:
+        raise HTError("3-pass coding needs at least 2 bitplanes")
+    p = 2
+    zbp = B - 1  # p = B + 1 - zbp = 2
+    c = np.asarray(coeffs, np.int64)
+    mu_half = np.abs(c) >> 1
+    sg = (c < 0).astype(np.uint8)
+    kmax = (
+        int(_bitlen(int(2 * mu_half.max() - 1))) if mu_half.any() else 0
+    )
+    if kmax > zbp + 1:
+        raise HTError(
+            f"sample exponent {kmax} exceeds zero bitplanes + 1"
+        )
+    cleanup = encode_ht_cleanup(mu_half, sg, zbp)
+    ref = encode_ht_refinement(c, p)
+    return cleanup, ref, zbp

@@ -510,7 +510,8 @@ _GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
 class _Cb:
     """One codeblock: band-coordinate rect + Tier-2 decode state."""
 
-    __slots__ = ("x0", "y0", "x1", "y1", "lblock", "zbp", "npasses", "segs")
+    __slots__ = ("x0", "y0", "x1", "y1", "lblock", "zbp", "npasses",
+                 "segs", "ht_ref")
 
     def __init__(self, x0, y0, x1, y1):
         self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
@@ -518,6 +519,7 @@ class _Cb:
         self.zbp = -1  # -1: never included
         self.npasses = 0
         self.segs: list[bytes] = []
+        self.ht_ref = 0  # bytes of the HT refinement segment
 
 
 class _Precinct:
@@ -691,10 +693,23 @@ def _decode_packet(data, pos, res, p, layer, cod, ctx):
                     np_ = _parse_num_passes(rd)
                     while rd.bit():
                         cb.lblock += 1
-                    nbits = cb.lblock + np_.bit_length() - 1
-                    nbytes = rd.bits(nbits)
-                    cb.npasses += np_
-                    contrib.append((cb, nbytes))
+                    if cod.get("ht", False) and np_ > 1:
+                        # T.814: the HT cleanup pass terminates its
+                        # codeword segment; SigProp/MagRef share a
+                        # second one — each signals its own length
+                        # (B.10.7.2, bits = Lblock + floor(log2(k)))
+                        n1 = rd.bits(cb.lblock)
+                        n2 = rd.bits(
+                            cb.lblock + (np_ - 1).bit_length() - 1
+                        )
+                        cb.npasses += np_
+                        cb.ht_ref += n2
+                        contrib.append((cb, n1 + n2))
+                    else:
+                        nbits = cb.lblock + np_.bit_length() - 1
+                        nbytes = rd.bits(nbits)
+                        cb.npasses += np_
+                        contrib.append((cb, nbytes))
     pos = rd.align()
     if cod["eph"]:
         if data[pos:pos + 2] == b"\xff\x92":
@@ -1085,18 +1100,17 @@ def _band_coeffs(band, guard, depth, reversible, ctx, ht=False):
             if ht:
                 from mies_tpu.io.htj2k import decode_ht_block_parts
 
-                if cb.npasses > 1:
-                    raise NotImplementedError(
+                if cb.npasses > 3:
+                    raise ValueError(
                         f"{ctx}: HT codeblock with {cb.npasses} "
-                        "coding passes — only cleanup-only (1-pass) "
-                        "HT streams are supported (SigProp/MagRef "
-                        "refinement decode is not implemented)"
+                        "coding passes (max 3: cleanup, SigProp, "
+                        "MagRef)"
                     )
                 # the HT zero-bitplane field signals P - 1 (see the
                 # encoder note); the working bound is field + 1
                 mag, chi, und = decode_ht_block_parts(
                     b"".join(cb.segs), w, h, cb.zbp + 1, cb.npasses,
-                    mb,
+                    mb, seg2_len=cb.ht_ref,
                 )
             else:
                 mag, chi, und = _t1_decode(
@@ -1744,15 +1758,35 @@ def _encode_packet(res, p: int, enc_state: dict, wr: _HdrWriter) -> bytes:
                 else:
                     wr.bits(0b111111111, 9)
                     wr.bits(np_ - 37, 7)
-                nbytes = len(st["data"])
                 lblock = 3
-                nbits = lblock + np_.bit_length() - 1
-                extra = max(0, nbytes.bit_length() - nbits)
-                for _ in range(extra):
-                    wr.bit(1)
-                wr.bit(0)
-                nbits += extra
-                wr.bits(nbytes, nbits)
+                if "ht_ref" in st:
+                    # HT two-segment form: cleanup (1 pass, Lblock
+                    # bits) then refinement (np-1 passes, Lblock +
+                    # floor(log2(np-1)) bits)
+                    n1 = len(st["data"]) - st["ht_ref"]
+                    n2 = st["ht_ref"]
+                    extra = max(
+                        0,
+                        n1.bit_length() - lblock,
+                        n2.bit_length()
+                        - (lblock + (np_ - 1).bit_length() - 1),
+                    )
+                    for _ in range(extra):
+                        wr.bit(1)
+                    wr.bit(0)
+                    lblock += extra
+                    wr.bits(n1, lblock)
+                    wr.bits(n2,
+                            lblock + (np_ - 1).bit_length() - 1)
+                else:
+                    nbytes = len(st["data"])
+                    nbits = lblock + np_.bit_length() - 1
+                    extra = max(0, nbytes.bit_length() - nbits)
+                    for _ in range(extra):
+                        wr.bit(1)
+                    wr.bit(0)
+                    nbits += extra
+                    wr.bits(nbytes, nbits)
     hdr = wr.flush()
     bodies = b"".join(
         enc_state[id(cb)]["data"]
@@ -1771,6 +1805,7 @@ def encode_jpeg2k(
     ctx: str = "jpeg2k",
     ht: bool = False,
     prog: int = 0,
+    ht_passes: int = 1,
 ) -> bytes:
     """One 2-D frame -> a reversible-5/3 J2K codestream (DICOM .4.90
     profile: single component, single tile, one quality layer, LRCP,
@@ -1894,8 +1929,19 @@ def encode_jpeg2k(
                         if ht:
                             from mies_tpu.io.htj2k import (
                                 encode_ht_block,
+                                encode_ht_block_3pass,
                             )
 
+                            if ht_passes == 3:
+                                cu, ref, zbp_sig = (
+                                    encode_ht_block_3pass(
+                                        sub.astype(np.int64), mb))
+                                enc_state[id(cb)] = {
+                                    "inc": True, "zbp": zbp_sig - 1,
+                                    "npasses": 3, "data": cu + ref,
+                                    "ht_ref": len(ref),
+                                }
+                                continue
                             data, zbp_sig = encode_ht_block(
                                 sub.astype(np.int64), mb)
                             # T.814 packet headers signal P - 1: the

@@ -149,19 +149,48 @@ class TestHTCodestream:
         with pytest.raises(NotImplementedError, match="HT MIXED"):
             decode_jpeg2k(bytes(blob))
 
-    def test_multipass_ht_refused_by_name(self, rng):
-        # flip the signalled pass count of the (single) codeblock to 2
-        # — our decoder must name the missing SigProp support, not
-        # mis-decode
+    @pytest.mark.parametrize("kind", ["dense", "smooth", "binary",
+                                      "sparse"])
+    def test_three_pass_matches_openjpeg(self, rng, kind):
+        # the standard 3-pass form (cleanup at p=2 + SigProp + MagRef
+        # in a second codeword segment): our decode must be
+        # bit-identical to the reference decoder's.  (SigProp can only
+        # reach neighbours of significant samples, so isolated
+        # LSB-only coefficients are unreachable by design — the
+        # arbiter is openjpeg, not the original pixels.)
+        opj_decode = _oracle()
+        if kind == "dense":
+            f = rng.integers(0, 4096, (70, 90)).astype(np.uint16)
+        elif kind == "smooth":
+            f = (np.add.outer(np.arange(80), np.arange(60))
+                 % 256).astype(np.uint8)
+        elif kind == "binary":
+            f = (128 + rng.integers(0, 2, (77, 53))).astype(np.uint8)
+        else:
+            f = (128 + np.where(rng.random((40, 44)) < 0.3,
+                                rng.integers(-3, 4, (40, 44)),
+                                0)).astype(np.uint8)
+        blob = encode_jpeg2k(f, ht=True, ht_passes=3)
+        mine = decode_jpeg2k(blob).astype(np.int64)
+        opj = opj_decode(blob, verbose=False).astype(np.int64)
+        np.testing.assert_array_equal(mine, opj)
+
+    def test_three_pass_lossless_on_dense_content(self, rng):
+        # with every coefficient's LSB reachable, 3-pass p=2 coding is
+        # fully lossless end to end
+        f = rng.integers(0, 4096, (96, 80)).astype(np.uint16)
+        blob = encode_jpeg2k(f, ht=True, ht_passes=3)
+        np.testing.assert_array_equal(decode_jpeg2k(blob), f)
+
+    def test_more_than_three_passes_refused(self, rng):
         frame = rng.integers(0, 256, (16, 16)).astype(np.uint8)
         blob = encode_jpeg2k(frame, ht=True, levels=0)
         from mies_tpu.io import jpeg2k as J
 
         orig = J._parse_num_passes
-        J._parse_num_passes = lambda rd: orig(rd) + 1
+        J._parse_num_passes = lambda rd: orig(rd) + 4
         try:
-            with pytest.raises(NotImplementedError,
-                               match="SigProp"):
+            with pytest.raises(ValueError, match="max 3"):
                 decode_jpeg2k(blob)
         finally:
             J._parse_num_passes = orig
