@@ -184,23 +184,48 @@ def _nlm_chunk_kernel(
         if box == "dot":
             # both s-wide 'valid' box sums as MXU dots against the
             # shared band operators — one pass each for any s, no
-            # misaligned-lane rotates, ~6x fewer Mosaic statements
-            # precision=HIGHEST: the MXU's default f32 dot runs
-            # bf16 passes — chip-measured 6.0e-4 vs the CPU twin on
-            # the squared-diff sums, blowing the 1e-4 dispatch gate
-            # (r5 consistency driver finding); full-f32 passes
-            # restore ~1e-7 agreement
-            box_ref[0:wh, :] = jax.lax.dot_general(
-                arow_ref[...], diff_ref[0:exth, :],
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            cacc = jax.lax.dot_general(
-                box_ref[0:wh, :], acol_ref[...],
-                (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
+            # misaligned-lane rotates, ~6x fewer Mosaic statements.
+            #
+            # PRECISION: the MXU's default f32 dot runs bf16 multiply
+            # passes — chip-measured 6.0e-4 vs the CPU twin on the
+            # squared-diff sums, blowing the 1e-4 dispatch gate (r5
+            # consistency-driver finding).  precision=HIGHEST was the
+            # obvious fix but its Mosaic lowering is compile-
+            # PATHOLOGICAL (a single 12-pair chunk sat >20 min in the
+            # remote helper vs ~100 s at default, serializing the
+            # whole tunnel).  Instead: an IN-KERNEL hi/lo split of the
+            # dot operand (the CLAHE kernels' rule — in-kernel splits
+            # survive; XLA-side ones get folded to zero by the bf16-
+            # propagation pass).  A_row/A_col are 0/1 (bf16-exact), so
+            # each of the four dots multiplies bf16-exact operands:
+            # every product is exact and the f32 MXU accumulator sums
+            # them exactly — the only error left is the final f32 add
+            # of the hi/lo partial sums (~1 ulp).
+            def _split_dot(lhs, rhs_hi, rhs_lo, dims):
+                h_part = jax.lax.dot_general(
+                    lhs, rhs_hi, dims,
+                    preferred_element_type=jnp.float32)
+                l_part = jax.lax.dot_general(
+                    lhs, rhs_lo, dims,
+                    preferred_element_type=jnp.float32)
+                return h_part + l_part
+
+            dims = (((1,), (0,)), ((), ()))
+            d_hi = diff_ref[0:exth, :].astype(jnp.bfloat16).astype(
+                jnp.float32)
+            d_lo = diff_ref[0:exth, :] - d_hi
+            box_ref[0:wh, :] = _split_dot(
+                arow_ref[...], d_hi, d_lo, dims)
+            b_hi = box_ref[0:wh, :].astype(jnp.bfloat16).astype(
+                jnp.float32)
+            b_lo = box_ref[0:wh, :] - b_hi
+            cacc = (
+                jax.lax.dot_general(
+                    b_hi, acol_ref[...], dims,
+                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(
+                    b_lo, acol_ref[...], dims,
+                    preferred_element_type=jnp.float32)
             )
         else:
             # s-wide 'valid' box, rows then cols, the twin's exact order
