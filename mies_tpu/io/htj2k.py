@@ -727,54 +727,83 @@ _SP_EXT = {
 }
 
 
-def _sigprop_decode(rd, v, sg, sig, p, h, w) -> None:
-    """SigProp (pass 2): candidates are insignificant samples with a
-    significant 8-neighbour; per 4-column group, their significance
-    bits then the new samples' sign bits ride one 32-bit window.
-    Stripe-vertical neighbours: the row above a stripe is
-    post-SigProp, the row below is cleanup-only."""
-    half3 = 3 << (p - 2)
-    sig_clean = sig.copy()
-    for s in range(0, h, 4):
-        sh = min(4, h - s)
-        # candidate map for this stripe (cleanup significance + the
-        # post-sigprop row above + the cleanup row below)
+def _sigprop_walk(h, w, sig_clean, sig, sig_bit, sign_bit) -> None:
+    """The SigProp candidate walk, shared VERBATIM by decode and
+    encode (the bit SEQUENCE is defined by this walk; the round-5
+    absolute-vs-relative stripe-row bug lived in having two copies).
+
+    ``sig_bit(y, x) -> 0/1`` produces/consumes one significance bit;
+    ``sign_bit(y, x)`` one sign bit.  Per 4-column group all
+    significance bits come first, then the new samples' signs.
+    Candidates are insignificant samples with a significant
+    8-neighbour — the row above a stripe post-SigProp, the row below
+    cleanup-only — extended causally within the stripe by the
+    reference's 0x32/0x74/0xE8/0xC0 masks (absolute stripe-rows).
+    """
+    for s0 in range(0, h, 4):
+        sh = min(4, h - s0)
         mbr = np.zeros((4, w), bool)
         for r in range(sh):
             for c in range(w):
-                if sig_clean[s + r, c]:
+                if sig_clean[s0 + r, c]:
                     continue
-                y0, y1 = max(s + r - 1, 0), min(s + r + 1, h - 1)
+                y0, y1 = max(s0 + r - 1, 0), min(s0 + r + 1, h - 1)
                 x0, x1 = max(c - 1, 0), min(c + 1, w - 1)
                 if sig[y0 : y1 + 1, x0 : x1 + 1].any():
                     mbr[r, c] = True
         for gbase in range(0, w, 4):
-            win = rd.fetch()
-            used = 0
             new: list[tuple[int, int]] = []
             for c in range(gbase, min(gbase + 4, w)):
                 for r in range(sh):
                     if not mbr[r, c]:
                         continue
-                    b = (win >> used) & 1
-                    used += 1
-                    if b:
+                    if sig_bit(s0 + r, c):
                         new.append((r, c))
-                        sig[s + r, c] = True
+                        sig[s0 + r, c] = True
                         for rr, dc in _SP_EXT[r]:
                             cc = c + dc
                             if (
-                                s + rr < h
+                                s0 + rr < h
                                 and cc < w
-                                and not sig_clean[s + rr, cc]
+                                and not sig_clean[s0 + rr, cc]
                             ):
                                 mbr[rr, cc] = True
             for r, c in new:
-                sgn = (win >> used) & 1
-                used += 1
-                v[s + r, c] = half3
-                sg[s + r, c] = sgn
-            rd.advance(used)
+                sign_bit(s0 + r, c)
+
+
+def _sigprop_decode(rd, v, sg, sig, p, h, w) -> None:
+    """SigProp (pass 2), decode side: bits from the forward reader."""
+    half3 = 3 << (p - 2)
+
+    def sig_bit(y, x):
+        b = rd.fetch() & 1
+        rd.advance(1)
+        return b
+
+    def sign_bit(y, x):
+        sgn = rd.fetch() & 1
+        rd.advance(1)
+        v[y, x] = half3
+        sg[y, x] = sgn
+
+    _sigprop_walk(h, w, sig.copy(), sig, sig_bit, sign_bit)
+
+
+def _sigprop_encode(wr, coeffs, sig_clean, p, h, w) -> None:
+    """SigProp encode: the same walk, emitting bits."""
+    mu = np.abs(coeffs)
+
+    def sig_bit(y, x):
+        b = int((int(mu[y, x]) >> (p - 2)) & 1)
+        wr.put(b, 1)
+        return b
+
+    def sign_bit(y, x):
+        wr.put(1 if coeffs[y, x] < 0 else 0, 1)
+
+    _sigprop_walk(h, w, sig_clean, sig_clean.copy(), sig_bit,
+                  sign_bit)
 
 
 def _magref_decode(rd, v, sig_clean, p, h, w) -> None:
@@ -819,45 +848,6 @@ def decode_ht_refinement(
     if num_extra > 1:
         _magref_decode(_RevMrp(ref), v, sig_clean, p, h, w)
     return v
-
-
-def _sigprop_encode(wr, coeffs, sig_clean, p, h, w) -> None:
-    """Dual of _sigprop_decode: the candidate walk must evolve
-    identically, emitting significance then sign bits per group."""
-    mu = np.abs(coeffs)
-    sig = sig_clean.copy()
-    for s in range(0, h, 4):
-        sh = min(4, h - s)
-        mbr = np.zeros((4, w), bool)
-        for r in range(sh):
-            for c in range(w):
-                if sig_clean[s + r, c]:
-                    continue
-                y0, y1 = max(s + r - 1, 0), min(s + r + 1, h - 1)
-                x0, x1 = max(c - 1, 0), min(c + 1, w - 1)
-                if sig[y0 : y1 + 1, x0 : x1 + 1].any():
-                    mbr[r, c] = True
-        for gbase in range(0, w, 4):
-            new: list[tuple[int, int]] = []
-            for c in range(gbase, min(gbase + 4, w)):
-                for r in range(sh):
-                    if not mbr[r, c]:
-                        continue
-                    b = int((int(mu[s + r, c]) >> (p - 2)) & 1)
-                    wr.put(b, 1)
-                    if b:
-                        new.append((r, c))
-                        sig[s + r, c] = True
-                        for rr, dc in _SP_EXT[r]:
-                            cc = c + dc
-                            if (
-                                s + rr < h
-                                and cc < w
-                                and not sig_clean[s + rr, cc]
-                            ):
-                                mbr[rr, cc] = True
-            for r, c in new:
-                wr.put(1 if coeffs[s + r, c] < 0 else 0, 1)
 
 
 def _magref_encode(bits: list[int], coeffs, sig_clean, p, h, w):
