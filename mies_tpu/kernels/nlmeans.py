@@ -127,9 +127,9 @@ def nl_means_supported(
     if pad > min(h, w) - 1:  # the twin's reflect-pad limit
         return False
     vmem = 4 * (hp * wpad + 2 * exth * wpad + 4 * h * w)
-    if box == "dot":  # the two resident band operators
+    if box == "dot":  # band operators + the hi/lo split buffer
         wh, ww = h + 2 * d, w + 2 * d
-        vmem += 4 * (wh * exth + wpad * ww)
+        vmem += 4 * (wh * exth + wpad * ww + exth * wpad)
     return vmem <= _VMEM_BUDGET
 
 
@@ -158,7 +158,8 @@ def _nlm_chunk_kernel(
     h, w, d, s, table, bias, inv_h2sn, box
 ):
     if box == "dot":
-        arow_ref, acol_ref, nout_ref, dout_ref, diff_ref, box_ref = rest
+        (arow_ref, acol_ref, nout_ref, dout_ref, diff_ref, box_ref,
+         split_ref) = rest
     else:
         nout_ref, dout_ref, diff_ref, box_ref = rest
     offset = s // 2
@@ -201,32 +202,41 @@ def _nlm_chunk_kernel(
             # every product is exact and the f32 MXU accumulator sums
             # them exactly — the only error left is the final f32 add
             # of the hi/lo partial sums (~1 ulp).
-            def _split_dot(lhs, rhs_hi, rhs_lo, dims):
-                h_part = jax.lax.dot_general(
-                    lhs, rhs_hi, dims,
-                    preferred_element_type=jnp.float32)
-                l_part = jax.lax.dot_general(
-                    lhs, rhs_lo, dims,
-                    preferred_element_type=jnp.float32)
-                return h_part + l_part
-
             dims = (((1,), (0,)), ((), ()))
-            d_hi = diff_ref[0:exth, :].astype(jnp.bfloat16).astype(
-                jnp.float32)
-            d_lo = diff_ref[0:exth, :] - d_hi
-            box_ref[0:wh, :] = _split_dot(
-                arow_ref[...], d_hi, d_lo, dims)
-            b_hi = box_ref[0:wh, :].astype(jnp.bfloat16).astype(
-                jnp.float32)
-            b_lo = box_ref[0:wh, :] - b_hi
-            cacc = (
-                jax.lax.dot_general(
-                    b_hi, acol_ref[...], dims,
-                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(
-                    b_lo, acol_ref[...], dims,
-                    preferred_element_type=jnp.float32)
+            # hi/lo staged through ONE shared scratch ref: per-pair
+            # slice-sized VALUE temporaries are not shared across the
+            # unrolled pair loop (the round-3/5 stack-slot rule) and
+            # 12 pairs x 4 of them crashed the remote compiler at
+            # d=11; read-modify-write through refs keeps the live set
+            # at one slice
+            split_ref[0:exth, :] = (
+                diff_ref[0:exth, :]
+                .astype(jnp.bfloat16)
+                .astype(jnp.float32)
             )
+            box_ref[0:wh, :] = jax.lax.dot_general(
+                arow_ref[...], split_ref[0:exth, :], dims,
+                preferred_element_type=jnp.float32)
+            split_ref[0:exth, :] = (
+                diff_ref[0:exth, :] - split_ref[0:exth, :]
+            )
+            box_ref[0:wh, :] = box_ref[0:wh, :] + jax.lax.dot_general(
+                arow_ref[...], split_ref[0:exth, :], dims,
+                preferred_element_type=jnp.float32)
+            split_ref[0:wh, :] = (
+                box_ref[0:wh, :]
+                .astype(jnp.bfloat16)
+                .astype(jnp.float32)
+            )
+            cacc = jax.lax.dot_general(
+                split_ref[0:wh, :], acol_ref[...], dims,
+                preferred_element_type=jnp.float32)
+            split_ref[0:wh, :] = (
+                box_ref[0:wh, :] - split_ref[0:wh, :]
+            )
+            cacc = cacc + jax.lax.dot_general(
+                split_ref[0:wh, :], acol_ref[...], dims,
+                preferred_element_type=jnp.float32)
         else:
             # s-wide 'valid' box, rows then cols, the twin's exact order
             racc = diff_ref[0:wh, 0:extw]
@@ -309,7 +319,11 @@ def nl_means_tpu(
             scratch_shapes=[
                 pltpu.VMEM((exth, wpad), jnp.float32),
                 pltpu.VMEM((exth, wpad), jnp.float32),
-            ],
+            ] + (
+                # the hi/lo split staging buffer (dot mode only)
+                [pltpu.VMEM((exth, wpad), jnp.float32)]
+                if box == "dot" else []
+            ),
             input_output_aliases={1: 0, 2: 1},
             interpret=interpret,
         )(up, num, den, *extra_ops)
