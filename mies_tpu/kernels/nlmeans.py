@@ -76,12 +76,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mies_tpu.ops.restoration import _DISTANCE_CUTOFF, _half_shift_table
 
-# padded slice + 2 scratch + carry blocks (+ band operators in dot
-# mode), under ~16 MB/core
-_VMEM_BUDGET = 12 * 1024 * 1024
+# padded slice + scratch + carry blocks (+ band operators and the
+# hi/lo split + column-acc staging in dot mode).  The budget is a
+# self-imposed proxy for REF memory; the chip's hard limit that
+# actually fired in r5 was the SEPARATE 16 MB scoped-vmem STACK
+# (per-pair value temporaries x unrolled pairs — controlled by the
+# dot-mode chunk size below, not by this constant)
+_VMEM_BUDGET = 15 * 1024 * 1024
 _MAX_D_DOT = 11    # skimage's own default
 _MAX_D_SHIFT = 8   # the bit-exact form: compile cost superlinear in d²
-_DEFAULT_CHUNK = 12  # divides both 84 (d=6) and 264 (d=11) exactly
+_DEFAULT_CHUNK = 12   # shift mode; divides 84 (d=6) and 264 (d=11)
+_DEFAULT_CHUNK_DOT = 6  # the hi/lo split dots carry ~2x the per-pair
+# Mosaic stack of the plain dot form — 12 pairs overflowed the 16 MB
+# scoped-vmem limit at d=11 (41 MB measured; the limit error names the
+# pallas_call), 6 fits
 
 
 def _chunk_size() -> int:
@@ -91,7 +99,7 @@ def _chunk_size() -> int:
         if k < 1:
             raise ValueError(f"MIES_TPU_NLM_CHUNK must be >= 1, got {v!r}")
         return k
-    return _DEFAULT_CHUNK
+    return _DEFAULT_CHUNK_DOT if _box_mode() == "dot" else _DEFAULT_CHUNK
 
 
 def _box_mode() -> str:
@@ -127,9 +135,9 @@ def nl_means_supported(
     if pad > min(h, w) - 1:  # the twin's reflect-pad limit
         return False
     vmem = 4 * (hp * wpad + 2 * exth * wpad + 4 * h * w)
-    if box == "dot":  # band operators + the hi/lo split buffer
+    if box == "dot":  # band ops + the split and column-acc buffers
         wh, ww = h + 2 * d, w + 2 * d
-        vmem += 4 * (wh * exth + wpad * ww + exth * wpad)
+        vmem += 4 * (wh * exth + wpad * ww + exth * wpad + wh * wpad)
     return vmem <= _VMEM_BUDGET
 
 
@@ -159,7 +167,7 @@ def _nlm_chunk_kernel(
 ):
     if box == "dot":
         (arow_ref, acol_ref, nout_ref, dout_ref, diff_ref, box_ref,
-         split_ref) = rest
+         split_ref, cacc_ref) = rest
     else:
         nout_ref, dout_ref, diff_ref, box_ref = rest
     offset = s // 2
@@ -228,15 +236,19 @@ def _nlm_chunk_kernel(
                 .astype(jnp.bfloat16)
                 .astype(jnp.float32)
             )
-            cacc = jax.lax.dot_general(
+            cacc_ref[0:wh, 0:ww] = jax.lax.dot_general(
                 split_ref[0:wh, :], acol_ref[...], dims,
                 preferred_element_type=jnp.float32)
             split_ref[0:wh, :] = (
                 box_ref[0:wh, :] - split_ref[0:wh, :]
             )
-            cacc = cacc + jax.lax.dot_general(
-                split_ref[0:wh, :], acol_ref[...], dims,
-                preferred_element_type=jnp.float32)
+            cacc_ref[0:wh, 0:ww] = (
+                cacc_ref[0:wh, 0:ww]
+                + jax.lax.dot_general(
+                    split_ref[0:wh, :], acol_ref[...], dims,
+                    preferred_element_type=jnp.float32)
+            )
+            cacc = cacc_ref[0:wh, 0:ww]
         else:
             # s-wide 'valid' box, rows then cols, the twin's exact order
             racc = diff_ref[0:wh, 0:extw]
@@ -320,8 +332,10 @@ def nl_means_tpu(
                 pltpu.VMEM((exth, wpad), jnp.float32),
                 pltpu.VMEM((exth, wpad), jnp.float32),
             ] + (
-                # the hi/lo split staging buffer (dot mode only)
-                [pltpu.VMEM((exth, wpad), jnp.float32)]
+                # dot mode: the hi/lo split staging buffer + the
+                # column-stage accumulator (both shared across pairs)
+                [pltpu.VMEM((exth, wpad), jnp.float32),
+                 pltpu.VMEM((hh + 2 * d, wpad), jnp.float32)]
                 if box == "dot" else []
             ),
             input_output_aliases={1: 0, 2: 1},

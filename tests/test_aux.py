@@ -386,6 +386,10 @@ def test_expected_skips():
         "test_metrics.py": 1,     # sewar_pin.npz replay
         # data-dependent guard, non-firing for the shipped cases:
         "test_wavelet.py": 1,
+        # HTJ2K: the OpenJPEG oracle + native-twin gates — both
+        # present in this env (libopenjp2 ships with Pillow; the
+        # toolchain check is asserted above), so neither fires
+        "test_htj2k.py": 2,
     }
     assert sites == expected, (
         f"skip sites changed: {sites} != {expected} — if a new skip is "
