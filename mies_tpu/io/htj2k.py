@@ -1,7 +1,8 @@
 """HTJ2K (ITU-T T.814 / ISO 15444-15) High-Throughput block coder.
 
-From-spec implementation of the HT cleanup pass (encoder + decoder)
-and the SigProp/MagRef refinement passes (decoder), reconstructed
+From-spec implementation of the HT cleanup pass and the SigProp /
+MagRef refinement passes (encoder AND decoder for all three),
+reconstructed
 instruction-by-instruction from the BSD-licensed OpenJPEG 2.5.4
 ``ht_dec.c`` object code in the in-tree ``libopenjp2`` (the T.814 PDF
 is not available in this offline environment; the compiled open-source

@@ -43,9 +43,10 @@ run() {
   log "=== $name exit=$?"
 }
 
-run warp_ab python benchmarks/warp_ab.py --modes patch,pair
+# (r5 session-2: the warp/cyclespin A/Bs are DECIDED and shipped —
+# prod now IS the winning form; keep the harnesses for regression A/B
+# by hand.  nlm_ab still earns its slot: the dot-mode kernel changed.)
 run nlm_w10 python benchmarks/nlm_ab.py --modes kernel --d 6
-run cyclespin python benchmarks/cyclespin_ab.py
 run consistency python tests/tpu_consistency_driver.py
 run perf_floors python -m pytest tests/test_perf.py tests/test_tpu_numerics.py -q
 run apply_shapes python benchmarks/apply_shapes.py
