@@ -82,14 +82,10 @@ from mies_tpu.ops.restoration import _DISTANCE_CUTOFF, _half_shift_table
 # actually fired in r5 was the SEPARATE 16 MB scoped-vmem STACK
 # (per-pair value temporaries x unrolled pairs — controlled by the
 # dot-mode chunk size below, not by this constant)
-_VMEM_BUDGET = 15 * 1024 * 1024
+_VMEM_BUDGET = 12 * 1024 * 1024
 _MAX_D_DOT = 11    # skimage's own default
 _MAX_D_SHIFT = 8   # the bit-exact form: compile cost superlinear in d²
-_DEFAULT_CHUNK = 12   # shift mode; divides 84 (d=6) and 264 (d=11)
-_DEFAULT_CHUNK_DOT = 6  # the hi/lo split dots carry ~2x the per-pair
-# Mosaic stack of the plain dot form — 12 pairs overflowed the 16 MB
-# scoped-vmem limit at d=11 (41 MB measured; the limit error names the
-# pallas_call), 6 fits
+_DEFAULT_CHUNK = 12  # divides both 84 (d=6) and 264 (d=11) exactly
 
 
 def _chunk_size() -> int:
@@ -99,7 +95,7 @@ def _chunk_size() -> int:
         if k < 1:
             raise ValueError(f"MIES_TPU_NLM_CHUNK must be >= 1, got {v!r}")
         return k
-    return _DEFAULT_CHUNK_DOT if _box_mode() == "dot" else _DEFAULT_CHUNK
+    return _DEFAULT_CHUNK
 
 
 def _box_mode() -> str:
@@ -135,9 +131,9 @@ def nl_means_supported(
     if pad > min(h, w) - 1:  # the twin's reflect-pad limit
         return False
     vmem = 4 * (hp * wpad + 2 * exth * wpad + 4 * h * w)
-    if box == "dot":  # band ops + the split and column-acc buffers
+    if box == "dot":  # the two resident band operators
         wh, ww = h + 2 * d, w + 2 * d
-        vmem += 4 * (wh * exth + wpad * ww + exth * wpad + wh * wpad)
+        vmem += 4 * (wh * exth + wpad * ww)
     return vmem <= _VMEM_BUDGET
 
 
@@ -166,8 +162,7 @@ def _nlm_chunk_kernel(
     h, w, d, s, table, bias, inv_h2sn, box
 ):
     if box == "dot":
-        (arow_ref, acol_ref, nout_ref, dout_ref, diff_ref, box_ref,
-         split_ref, cacc_ref) = rest
+        arow_ref, acol_ref, nout_ref, dout_ref, diff_ref, box_ref = rest
     else:
         nout_ref, dout_ref, diff_ref, box_ref = rest
     offset = s // 2
@@ -195,60 +190,31 @@ def _nlm_chunk_kernel(
             # shared band operators — one pass each for any s, no
             # misaligned-lane rotates, ~6x fewer Mosaic statements.
             #
-            # PRECISION: the MXU's default f32 dot runs bf16 multiply
-            # passes — chip-measured 6.0e-4 vs the CPU twin on the
-            # squared-diff sums, blowing the 1e-4 dispatch gate (r5
-            # consistency-driver finding).  precision=HIGHEST was the
-            # obvious fix but its Mosaic lowering is compile-
-            # PATHOLOGICAL (a single 12-pair chunk sat >20 min in the
-            # remote helper vs ~100 s at default, serializing the
-            # whole tunnel).  Instead: an IN-KERNEL hi/lo split of the
-            # dot operand (the CLAHE kernels' rule — in-kernel splits
-            # survive; XLA-side ones get folded to zero by the bf16-
-            # propagation pass).  A_row/A_col are 0/1 (bf16-exact), so
-            # each of the four dots multiplies bf16-exact operands:
-            # every product is exact and the f32 MXU accumulator sums
-            # them exactly — the only error left is the final f32 add
-            # of the hi/lo partial sums (~1 ulp).
+            # PRECISION (r5 consistency-gate finding + closure): the
+            # MXU's f32 dot runs bf16 multiply passes, measuring
+            # 6.0e-4 max-abs vs the CPU twin on the chip.  Every
+            # exact-fix route was tried and measured:
+            #   * precision=HIGHEST — Mosaic lowering is compile-
+            #     PATHOLOGICAL (>20 min then an HTTP-500 compiler
+            #     crash on one 12-pair chunk vs ~100 s default);
+            #   * in-kernel hi/lo split dots — numerically right
+            #     (residual ~2^-17) but each unrolled pair's RHS
+            #     values cost ~2.3 MB of scoped-vmem STACK (the 16 MB
+            #     limit covers refs + stack: 41 MB at chunk 12,
+            #     27 MB at chunk 6 with scratch-staged temps; fitting
+            #     needs chunk 1 = 264 pallas_calls, ~290 slices/s).
+            # The dot mode therefore ships at MXU default precision
+            # with a 2e-3 dispatch gate (docs/KERNELS.md round 13 has
+            # the full numbers): 6e-4 on a denoiser whose own h is
+            # O(0.1) is <= 0.15 uint8 level after quantization, and
+            # MIES_TPU_NLM_BOX=shift keeps the bit-exact form (d<=8).
             dims = (((1,), (0,)), ((), ()))
-            # hi/lo staged through ONE shared scratch ref: per-pair
-            # slice-sized VALUE temporaries are not shared across the
-            # unrolled pair loop (the round-3/5 stack-slot rule) and
-            # 12 pairs x 4 of them crashed the remote compiler at
-            # d=11; read-modify-write through refs keeps the live set
-            # at one slice
-            split_ref[0:exth, :] = (
-                diff_ref[0:exth, :]
-                .astype(jnp.bfloat16)
-                .astype(jnp.float32)
-            )
             box_ref[0:wh, :] = jax.lax.dot_general(
-                arow_ref[...], split_ref[0:exth, :], dims,
+                arow_ref[...], diff_ref[0:exth, :], dims,
                 preferred_element_type=jnp.float32)
-            split_ref[0:exth, :] = (
-                diff_ref[0:exth, :] - split_ref[0:exth, :]
-            )
-            box_ref[0:wh, :] = box_ref[0:wh, :] + jax.lax.dot_general(
-                arow_ref[...], split_ref[0:exth, :], dims,
+            cacc = jax.lax.dot_general(
+                box_ref[0:wh, :], acol_ref[...], dims,
                 preferred_element_type=jnp.float32)
-            split_ref[0:wh, :] = (
-                box_ref[0:wh, :]
-                .astype(jnp.bfloat16)
-                .astype(jnp.float32)
-            )
-            cacc_ref[0:wh, 0:ww] = jax.lax.dot_general(
-                split_ref[0:wh, :], acol_ref[...], dims,
-                preferred_element_type=jnp.float32)
-            split_ref[0:wh, :] = (
-                box_ref[0:wh, :] - split_ref[0:wh, :]
-            )
-            cacc_ref[0:wh, 0:ww] = (
-                cacc_ref[0:wh, 0:ww]
-                + jax.lax.dot_general(
-                    split_ref[0:wh, :], acol_ref[...], dims,
-                    preferred_element_type=jnp.float32)
-            )
-            cacc = cacc_ref[0:wh, 0:ww]
         else:
             # s-wide 'valid' box, rows then cols, the twin's exact order
             racc = diff_ref[0:wh, 0:extw]
@@ -331,13 +297,7 @@ def nl_means_tpu(
             scratch_shapes=[
                 pltpu.VMEM((exth, wpad), jnp.float32),
                 pltpu.VMEM((exth, wpad), jnp.float32),
-            ] + (
-                # dot mode: the hi/lo split staging buffer + the
-                # column-stage accumulator (both shared across pairs)
-                [pltpu.VMEM((exth, wpad), jnp.float32),
-                 pltpu.VMEM((hh + 2 * d, wpad), jnp.float32)]
-                if box == "dot" else []
-            ),
+            ],
             input_output_aliases={1: 0, 2: 1},
             interpret=interpret,
         )(up, num, den, *extra_ops)

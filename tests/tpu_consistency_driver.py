@@ -576,8 +576,15 @@ def main() -> int:
     # dispatches at the registry defaults too — pin the DISPATCHED
     # b32 512² output (the shape whose 22 chunk programs the compile
     # cache already holds from the A/B run) against the CPU jnp twin.
-    # MXU band-operator dots reorder the box-sum reduction: atol-level
-    # (the TV-kernel stance), NOT bit.
+    # Tolerance 2e-3 (was 1e-4, the shift-mode calibration): the MXU
+    # evaluates the band-operator dots in bf16 multiply passes, a
+    # hardware truncation of the squared-diff operands (~2^-9
+    # relative) that measures ~6e-4 max-abs on the output.  Every
+    # exact route was tried on-chip and recorded in docs/KERNELS.md
+    # round 13 (precision=HIGHEST: compiler crash; hi/lo split dots:
+    # scoped-vmem stack OOM unless chunk=1 = 264 launches); 6e-4 on a
+    # denoiser with h = O(0.1) is <= 0.15 uint8 level after the
+    # quantize tail.  MIES_TPU_NLM_BOX=shift stays bit-exact (d<=8).
     from mies_tpu.kernels.nlmeans import nl_means_batched
 
     big = jnp.asarray(
@@ -590,7 +597,7 @@ def main() -> int:
     ))(jax.device_put(big, cpu)))
     d = float(np.abs(t - c).max())
     out["cases"]["nlm_dot_kernel_dispatch_vs_cpu"] = {
-        "max_abs": d, "ok": d <= 1e-4,
+        "max_abs": d, "ok": d <= 2e-3,
     }
 
     t, c = both(lambda a: retinex(a, sigmas=(2.0, 8.0)), imgs[0])
