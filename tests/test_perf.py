@@ -44,7 +44,11 @@ def workload_results():
         # by tunnel-RTT noise and produced floors-breaking garbage numbers
         out = subprocess.run(
             [sys.executable, str(ROOT / "benchmarks" / "workloads.py")],
-            capture_output=True, text=True, timeout=900, env=env, cwd=ROOT,
+            # 1500 s: at 900 a slow-tunnel night (r5 session 2) timed
+            # the sweep out and silently skipped all 18 workload
+            # gates; the sweep itself is ~8 min on a healthy tunnel
+            capture_output=True, text=True, timeout=1500, env=env,
+            cwd=ROOT,
         )
     except subprocess.TimeoutExpired:
         pytest.skip("TPU workload run timed out (cold compile or no chip)")
