@@ -743,16 +743,24 @@ def _sigprop_walk(h, w, sig_clean, sig, sig_bit, sign_bit) -> None:
     """
     for s0 in range(0, h, 4):
         sh = min(4, h - s0)
+        # vectorized 8-neighbour dilation of the significance context
+        # (rows s0-1 .. s0+sh: the row above is post-SigProp, the row
+        # below cleanup-only — `sig` holds exactly that state here)
+        ctx = np.zeros((sh + 2, w + 2), bool)
+        ctx[1 : sh + 1, 1 : w + 1] = sig[s0 : s0 + sh, :]
+        if s0 > 0:
+            ctx[0, 1 : w + 1] = sig[s0 - 1, :]
+        if s0 + sh < h:
+            ctx[sh + 1, 1 : w + 1] = sig[s0 + sh, :]
+        dil = np.zeros((sh, w), bool)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                dil |= ctx[dy : dy + sh, dx : dx + w]
         mbr = np.zeros((4, w), bool)
-        for r in range(sh):
-            for c in range(w):
-                if sig_clean[s0 + r, c]:
-                    continue
-                y0, y1 = max(s0 + r - 1, 0), min(s0 + r + 1, h - 1)
-                x0, x1 = max(c - 1, 0), min(c + 1, w - 1)
-                if sig[y0 : y1 + 1, x0 : x1 + 1].any():
-                    mbr[r, c] = True
+        mbr[:sh] = dil & ~sig_clean[s0 : s0 + sh, :]
         for gbase in range(0, w, 4):
+            if not mbr[:, gbase : gbase + 4].any():
+                continue  # no candidates -> the group consumes 0 bits
             new: list[tuple[int, int]] = []
             for c in range(gbase, min(gbase + 4, w)):
                 for r in range(sh):
@@ -812,17 +820,32 @@ def _magref_decode(rd, v, sig_clean, p, h, w) -> None:
     SigProp additions are excluded), stripe-major then column then
     row; the bit keeps (1) or clears (0) plane p-1, then the midpoint
     moves to plane p-2."""
+    hi = 1 << (p - 1)
+    half = 1 << (p - 2)
     for s in range(0, h, 4):
         sh = min(4, h - s)
-        for c in range(w):
-            for r in range(sh):
-                if not sig_clean[s + r, c]:
-                    continue
-                win = rd.fetch()
-                b = win & 1
-                rd.advance(1)
-                v[s + r, c] ^= (1 - b) << (p - 1)
-                v[s + r, c] |= 1 << (p - 2)
+        # column-major within the stripe (col, then row) — bulk-read
+        # one bit per cleanup-significant sample in that order
+        block = sig_clean[s : s + sh, :]
+        n = int(block.sum())
+        if not n:
+            continue
+        bits = np.empty(n, np.int64)
+        i = 0
+        while i < n:
+            take = min(32, n - i)
+            win = rd.fetch()
+            for j in range(take):
+                bits[i + j] = (win >> j) & 1
+            rd.advance(take)
+            i += take
+        rows, cols = np.nonzero(block.T)  # (col-major order)
+        ys = s + cols  # block.T nonzero: rows=col idx, cols=row idx
+        xs = rows
+        vals = v[ys, xs]
+        vals ^= (1 - bits) * hi
+        vals |= half
+        v[ys, xs] = vals
 
 
 def decode_ht_refinement(
