@@ -19,6 +19,11 @@ sample) — it cannot bit-match the golden by construction.  The gather
 formulation is therefore the semantic contract; this A/B attacks its
 constant factor instead.
 
+DECIDED (r5): pair won 12.09 -> 7.58 ms/b32 and SHIPPED as the
+production sampler; patch recorded as a 44x dead end (534.8 ms). The
+"prod" mode now measures the shipped pair form — the harness stays
+for regression A/B.
+
 Run: python benchmarks/warp_ab.py [--modes prod,patch,pair]
 Child: python benchmarks/warp_ab.py --child MODE
 """

@@ -1861,6 +1861,11 @@ def encode_jpeg2k(
     ncomp = 3 if color else 1
     if prog not in (0, 1, 2, 3, 4):
         raise ValueError(f"{ctx}: progression order {prog} unknown")
+    if ht_passes not in (1, 3):
+        raise ValueError(
+            f"{ctx}: ht_passes must be 1 (lossless cleanup-only) or "
+            f"3 (cleanup + SigProp + MagRef), got {ht_passes}"
+        )
     cod = {"nl": nl, "xcb": 6, "ycb": 6, "wavelet": 1,
            "prec": [(15, 15)] * (nl + 1), "sop": False, "eph": False,
            "prog": prog, "layers": 1, "mct": 1 if color else 0}
