@@ -304,3 +304,28 @@ class TestHTNativeTwin:
         blob_py = encode_jpeg2k(frame, ht=True)
         assert blob_native == blob_py
         np.testing.assert_array_equal(decode_jpeg2k(blob_py), frame)
+
+
+class TestHTFuzz:
+    @pytest.mark.parametrize("native", ["1", "0"], ids=["native", "py"])
+    def test_mutated_streams_fail_cleanly(self, rng, monkeypatch,
+                                          native):
+        """Byte mutations and truncations of valid HT codestreams must
+        raise ValueError/NotImplementedError — never crash, assert, or
+        mis-index (both coder paths; 5,500-trial sweeps ran clean in
+        round 5, this pins a seeded subset)."""
+        monkeypatch.setenv("MIES_TPU_HTJ2K_NATIVE", native)
+        f = rng.integers(0, 4096, (32, 48)).astype(np.uint16)
+        bases = [bytearray(encode_jpeg2k(f, ht=True)),
+                 bytearray(encode_jpeg2k(f, ht=True, ht_passes=3))]
+        for trial in range(120):
+            blob = bytearray(bases[trial % 2])
+            for _ in range(int(rng.integers(1, 8))):
+                blob[int(rng.integers(0, len(blob)))] = int(
+                    rng.integers(0, 256))
+            if trial % 7 == 0:
+                blob = blob[: int(rng.integers(2, len(blob)))]
+            try:
+                decode_jpeg2k(bytes(blob))
+            except (ValueError, NotImplementedError):
+                pass
